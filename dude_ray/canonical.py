@@ -1,0 +1,92 @@
+"""RFC 3986 URL canonicalization + SHA-1 URL hashing.
+
+The reference normalizes URLs only weakly — ``urljoin`` plus a
+trailing-slash strip when comparing a link against the current page
+(``/root/reference/dude/playwright_scraper.py:184-185``).  Per the
+north rule this engine canonicalizes properly before hashing into the
+URL-seen set: lowercase scheme/host, drop default ports, resolve dot
+segments, normalize percent-encoding of unreserved characters, drop
+fragments, and collapse empty paths to "/".
+
+All functions are pure and vectorization-friendly (applied per batch
+inside ``map_batches``; the per-URL work is string parsing, so a tight
+Python loop over a batch column is the practical kernel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import quote, unquote, urljoin, urlparse, urlunparse
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
+
+# RFC 3986 unreserved characters: ALPHA / DIGIT / "-" / "." / "_" / "~"
+_SAFE = "-._~!$&'()*+,;=:@/"
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    output: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(output) > 1:
+                output.pop()
+            continue
+        output.append(seg)
+    # re-add trailing slash semantics for "." / ".." enders
+    if path.endswith(("/.", "/..")) and output and output[-1] != "":
+        output.append("")
+    return "/".join(output)
+
+
+def canonicalize_url(url: str, base: str | None = None) -> str:
+    """Canonical form of ``url`` (optionally joined against ``base``).
+
+    Deterministic, idempotent: ``canonicalize_url(canonicalize_url(u))
+    == canonicalize_url(u)``.
+    """
+    if base:
+        url = urljoin(base, url)
+    parts = urlparse(url.strip())
+    scheme = parts.scheme.lower()
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = _remove_dot_segments(parts.path) or "/"
+    # normalize percent-encoding: decode then re-encode with a fixed safe set
+    path = quote(unquote(path), safe=_SAFE)
+    query = quote(unquote(parts.query), safe=_SAFE + "?&=")
+    return urlunparse((scheme, netloc, path, parts.params, query, ""))
+
+
+def url_sha1(url: str) -> bytes:
+    """20-byte SHA-1 digest of the canonical URL — the seen-set key."""
+    return hashlib.sha1(url.encode("utf-8")).digest()
+
+
+def url_host(url: str) -> str:
+    """Politeness / shuffle key: lowercase netloc host."""
+    h = urlparse(url).hostname
+    return h.lower() if h else ""
+
+
+def url_shard(url: str, num_shards: int) -> int:
+    """Frontier shard id: first 8 bytes of SHA-1(canonical url) mod shards.
+
+    Uniform over URLs (seen-set balance); politeness is still per-host
+    because each shard keys its queues by host internally.
+    """
+    return int.from_bytes(url_sha1(url)[:8], "big") % num_shards
+
+
+def host_shard(host: str, num_shards: int) -> int:
+    """Host-affine shard id — used when per-host state must be single-owner."""
+    d = hashlib.sha1(host.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big") % num_shards

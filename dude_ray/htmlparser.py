@@ -1,0 +1,414 @@
+"""Self-contained HTML DOM + selector engine (stdlib only).
+
+The reference delegates selection to five parser backends (bs4 ``soup
+.select`` — /root/reference/dude/optional/beautifulsoup_scraper.py:177,
+lxml ``cssselect``/``xpath`` — /root/reference/dude/optional/
+lxml_scraper.py:182-193, parsel, Playwright, Selenium).  None of those
+libraries exist in this environment, and the reference corpus only
+exercises a small selector surface, so this module implements exactly
+that surface on ``html.parser``:
+
+* CSS subset: ``tag``, ``.class``, ``#id``, compound (``a.url``),
+  descendant (space) and child (``>``) combinators, ``[attr]``,
+  ``[attr=val]``, ``:root``, comma-separated selector lists, and the
+  parsel pseudo-elements ``::text`` / ``::attr(name)``.
+* XPath subset: ``.//tag`` / ``//tag`` / ``.//*`` steps with
+  ``[contains(@attr, "x")]``, ``[contains(text(), "x")]``,
+  ``[@attr="x"]``, ``[@attr]`` predicates and terminal ``/text()`` or
+  ``/@attr`` steps (covers the reference test xpaths, e.g.
+  ``.//p[contains(@class, "title")]/text()`` —
+  /root/reference/tests/test_lxml.py:57-63).
+* TEXT selector: elements whose *direct* text contains the needle —
+  lxml semantics ``.//*[contains(text(), sel)]``
+  (/root/reference/dude/optional/lxml_scraper.py:186-188).
+* REGEX selector: elements whose direct text matches, case-insensitive
+  (EXSLT ``re:test(text(), sel, 'i')`` —
+  /root/reference/dude/optional/lxml_scraper.py:189-193).
+
+Results are always in document order.  Parsing is per-document Python
+work executed *inside* vectorized ``map_batches`` stages; the compiled
+selector programs are built once per actor/worker, never per row.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Iterator, Optional, Union
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+class Element:
+    """A DOM element node."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "_order")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: Optional["Element"], order: int):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Union["Element", str]] = []
+        self.parent = parent
+        self._order = order  # document order for stable sorts
+
+    # ---- text accessors (mirror lxml/bs4 semantics used by handlers) ----
+    @property
+    def text(self) -> str:
+        """Direct text: concatenation of immediate text-node children
+        (lxml ``.text`` is only the first text node; handlers in the
+        reference tests read fully-textual leaves, where these agree)."""
+        return "".join(c for c in self.children if isinstance(c, str))
+
+    def text_content(self) -> str:
+        """All descendant text, document order (lxml ``text_content()``,
+        bs4 ``get_text()``, playwright ``textContent``)."""
+        out: list[str] = []
+        stack: list[Union[Element, str]] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                out.append(node)
+            else:
+                stack.extend(reversed(node.children))
+        return "".join(out)
+
+    def get(self, name: str, default: Optional[str] = None) -> Optional[str]:
+        return self.attrs.get(name, default)
+
+    def __getitem__(self, name: str) -> str:
+        return self.attrs[name]
+
+    @property
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    def iter(self) -> Iterator["Element"]:
+        """All element descendants (not self), document order."""
+        for c in self.children:
+            if isinstance(c, Element):
+                yield c
+                yield from c.iter()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Element {self.tag} {self.attrs}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._counter = 0
+        self.root = Element(":document", {}, None, self._counter)
+        self._stack = [self.root]
+
+    def _new(self, tag: str, attrs: list[tuple[str, Optional[str]]]) -> Element:
+        self._counter += 1
+        el = Element(tag.lower(), {k: (v or "") for k, v in attrs}, self._stack[-1], self._counter)
+        self._stack[-1].children.append(el)
+        return el
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, Optional[str]]]) -> None:
+        el = self._new(tag, attrs)
+        if tag.lower() not in _VOID_TAGS:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, Optional[str]]]) -> None:
+        self._new(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Element:
+    """Parse HTML into a DOM; returns the synthetic ``:document`` root."""
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+# --------------------------------------------------------------------------
+# CSS selector subset
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _Simple:
+    tag: Optional[str] = None
+    id: Optional[str] = None
+    classes: tuple[str, ...] = ()
+    attrs: tuple[tuple[str, Optional[str]], ...] = ()  # (name, value-or-None)
+    is_root: bool = False
+
+    def matches(self, el: Element) -> bool:
+        if self.is_root:
+            # ":root" = the document element (html); we accept the top
+            # element of the parsed fragment (works for fragments too)
+            return el.parent is not None and el.parent.parent is None
+        if self.tag and el.tag != self.tag:
+            return False
+        if self.id and el.attrs.get("id") != self.id:
+            return False
+        if self.classes:
+            have = set(el.classes)
+            if not all(c in have for c in self.classes):
+                return False
+        for name, value in self.attrs:
+            if name not in el.attrs:
+                return False
+            if value is not None and el.attrs[name] != value:
+                return False
+        return True
+
+
+@dataclass(frozen=True)
+class CompiledCSS:
+    # Each alternative: sequence of (combinator, simple) — combinator
+    # " " descendant or ">" child; first entry combinator is " ".
+    alternatives: tuple[tuple[tuple[str, _Simple], ...], ...] = ()
+    # parsel pseudo-element: None | "text" | ("attr", name)
+    extract: Optional[object] = None
+
+
+_SIMPLE_RE = re.compile(
+    r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
+    r"(?P<rest>(?:[#.][\w-]+|\[[^\]]+\]|:root)*)"
+)
+_PART_RE = re.compile(r"([#.][\w-]+|\[[^\]]+\]|:root)")
+
+
+def _parse_simple(tok: str) -> _Simple:
+    m = _SIMPLE_RE.match(tok)
+    if not m or (m.end() != len(tok)):
+        raise ValueError(f"Unsupported CSS selector token: {tok!r}")
+    tag = m.group("tag")
+    if tag == "*":
+        tag = None
+    id_, classes, attrs, is_root = None, [], [], False
+    for part in _PART_RE.findall(m.group("rest") or ""):
+        if part.startswith("."):
+            classes.append(part[1:])
+        elif part.startswith("#"):
+            id_ = part[1:]
+        elif part == ":root":
+            is_root = True
+        elif part.startswith("["):
+            inner = part[1:-1]
+            if "=" in inner:
+                name, _, value = inner.partition("=")
+                attrs.append((name.strip(), value.strip().strip("\"'")))
+            else:
+                attrs.append((inner.strip(), None))
+    return _Simple(tag=tag.lower() if tag else None, id=id_,
+                   classes=tuple(classes), attrs=tuple(attrs), is_root=is_root)
+
+
+def compile_css(selector: str) -> CompiledCSS:
+    selector = selector.strip()
+    extract: Optional[object] = None
+    # parsel pseudo-elements apply to the last compound
+    m = re.search(r"::text$", selector)
+    if m:
+        extract = "text"
+        selector = selector[: m.start()]
+    else:
+        m = re.search(r"::attr\(([\w-]+)\)$", selector)
+        if m:
+            extract = ("attr", m.group(1))
+            selector = selector[: m.start()]
+    alternatives = []
+    for alt in selector.split(","):
+        alt = alt.strip()
+        if not alt:
+            continue
+        # tokenize on combinators
+        toks = re.split(r"\s*(>)\s*|\s+", alt)
+        seq: list[tuple[str, _Simple]] = []
+        comb = " "
+        for tok in toks:
+            if tok is None or tok == "":
+                continue
+            if tok == ">":
+                comb = ">"
+                continue
+            seq.append((comb, _parse_simple(tok)))
+            comb = " "
+        if seq:
+            alternatives.append(tuple(seq))
+    return CompiledCSS(alternatives=tuple(alternatives), extract=extract)
+
+
+def _match_sequence(el: Element, seq: tuple[tuple[str, _Simple], ...]) -> bool:
+    """Right-to-left match of a compound sequence ending at ``el``."""
+    comb, simple = seq[-1]
+    if not simple.matches(el):
+        return False
+    if len(seq) == 1:
+        return True
+    rest = seq[:-1]
+    parent = el.parent
+    if comb == ">":
+        return parent is not None and _match_sequence(parent, rest)
+    while parent is not None:
+        if _match_sequence(parent, rest):
+            return True
+        parent = parent.parent
+    return False
+
+
+def css_select(scope: Element, compiled: CompiledCSS) -> list[Element]:
+    """All descendant elements of ``scope`` matching the selector, in
+    document order (scope itself is included only for ``:root``)."""
+    out: list[Element] = []
+    candidates: Iterator[Element] = scope.iter()
+    for el in candidates:
+        for alt in compiled.alternatives:
+            if _match_sequence(el, alt):
+                out.append(el)
+                break
+    # ":root" on a document scope should yield the top element even
+    # though scope.iter() covers it; the loop above already handles it
+    # because the document node is the parentless root.
+    return out
+
+
+# --------------------------------------------------------------------------
+# XPath subset
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _XStep:
+    axis: str            # "descendant" | "child"
+    tag: Optional[str]   # None = "*"
+    predicates: tuple[tuple, ...] = ()  # ("contains_attr",name,val)|("contains_text",val)|("attr_eq",name,val)|("has_attr",name)
+
+
+@dataclass(frozen=True)
+class CompiledXPath:
+    steps: tuple[_XStep, ...]
+    extract: Optional[object] = None  # None | "text" | ("attr", name)
+
+
+_XP_PRED = re.compile(
+    r"contains\(\s*@([\w-]+)\s*,\s*['\"]([^'\"]*)['\"]\s*\)"
+    r"|contains\(\s*text\(\)\s*,\s*['\"]([^'\"]*)['\"]\s*\)"
+    r"|@([\w-]+)\s*=\s*['\"]([^'\"]*)['\"]"
+    r"|@([\w-]+)"
+)
+
+
+def compile_xpath(expr: str) -> CompiledXPath:
+    expr = expr.strip()
+    extract: Optional[object] = None
+    if expr.endswith("/text()"):
+        extract = "text"
+        expr = expr[: -len("/text()")]
+    else:
+        m = re.search(r"/@([\w-]+)$", expr)
+        if m:
+            extract = ("attr", m.group(1))
+            expr = expr[: m.start()]
+    if expr.startswith("."):
+        expr = expr[1:]
+    steps: list[_XStep] = []
+    # split into steps: "//" → descendant, "/" → child
+    i = 0
+    while i < len(expr):
+        if expr.startswith("//", i):
+            axis, i = "descendant", i + 2
+        elif expr.startswith("/", i):
+            axis, i = "child", i + 1
+        else:
+            axis = "descendant"
+        j = i
+        depth = 0
+        while j < len(expr):
+            if expr[j] == "[":
+                depth += 1
+            elif expr[j] == "]":
+                depth -= 1
+            elif expr[j] == "/" and depth == 0:
+                break
+            j += 1
+        step_src = expr[i:j]
+        i = j
+        m2 = re.match(r"([\w-]+|\*)", step_src)
+        if not m2:
+            raise ValueError(f"Unsupported XPath step: {step_src!r}")
+        tag = None if m2.group(1) == "*" else m2.group(1).lower()
+        preds: list[tuple] = []
+        for pm in _XP_PRED.finditer(step_src[m2.end():]):
+            if pm.group(1) is not None:
+                preds.append(("contains_attr", pm.group(1), pm.group(2)))
+            elif pm.group(3) is not None:
+                preds.append(("contains_text", pm.group(3)))
+            elif pm.group(4) is not None:
+                preds.append(("attr_eq", pm.group(4), pm.group(5)))
+            else:
+                preds.append(("has_attr", pm.group(6)))
+        steps.append(_XStep(axis=axis, tag=tag, predicates=tuple(preds)))
+    return CompiledXPath(steps=tuple(steps), extract=extract)
+
+
+def _xstep_matches(el: Element, step: _XStep) -> bool:
+    if step.tag and el.tag != step.tag:
+        return False
+    for p in step.predicates:
+        kind = p[0]
+        if kind == "contains_attr":
+            if p[2] not in el.attrs.get(p[1], ""):
+                return False
+        elif kind == "contains_text":
+            if p[1] not in el.text:
+                return False
+        elif kind == "attr_eq":
+            if el.attrs.get(p[1]) != p[2]:
+                return False
+        elif kind == "has_attr":
+            if p[1] not in el.attrs:
+                return False
+    return True
+
+
+def xpath_select(scope: Element, compiled: CompiledXPath) -> list[Element]:
+    current = [scope]
+    for step in compiled.steps:
+        nxt: list[Element] = []
+        seen_ids = set()
+        for node in current:
+            pool = node.iter() if step.axis == "descendant" else (
+                c for c in node.children if isinstance(c, Element))
+            for el in pool:
+                if _xstep_matches(el, step) and id(el) not in seen_ids:
+                    seen_ids.add(id(el))
+                    nxt.append(el)
+        nxt.sort(key=lambda e: e._order)
+        current = nxt
+    return current
+
+
+# --------------------------------------------------------------------------
+# TEXT / REGEX selectors (lxml-equivalent semantics)
+# --------------------------------------------------------------------------
+
+def text_select(scope: Element, needle: str) -> list[Element]:
+    """``.//*[contains(text(), needle)]`` — direct-text contains."""
+    return [el for el in scope.iter() if needle in el.text]
+
+
+def regex_select(scope: Element, pattern: Union[str, re.Pattern]) -> list[Element]:
+    """``.//*[re:test(text(), pattern, 'i')]`` — direct-text regex search,
+    case-insensitive (EXSLT re:test semantics = search, not fullmatch)."""
+    rx = re.compile(pattern, re.IGNORECASE) if isinstance(pattern, str) else pattern
+    return [el for el in scope.iter() if el.text and rx.search(el.text)]

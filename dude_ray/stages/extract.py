@@ -1,0 +1,260 @@
+"""Selector extraction — dude's crawl-loop extraction re-expressed as a
+stateless Ray Data ``map_batches`` stage over zero-copy Arrow batches.
+
+Pure-function layer (unit-testable without Ray):
+
+* ``compile_selector``   — Selector → matcher closure (compiled once).
+* ``collect_elements``   — group × rule × element enumeration, exactly
+  /root/reference/dude/optional/beautifulsoup_scraper.py:158-172 /
+  lxml_scraper.py:162-176: rules sorted by (group, selector) then
+  grouped by group selector; within a group, rules by priority;
+  elements enumerated in document order.
+* ``extract_all``        — handler application with generator fan-out
+  (re-indexed element_index) and falsy-result filtering
+  (/root/reference/dude/base.py:532-563).
+* ``flatten``            — sort by (page_number, group_index, group_id,
+  element_index), group by the merge key, merge handler dicts with
+  underscore-prefixed metadata (/root/reference/dude/base.py:610-622).
+  Handler keys overwrite each other last-writer-wins (the reference's
+  ``dict.update`` FIXME at /root/reference/dude/base.py:617).
+* ``flat_to_spans``      — flattened rows → the span-sequence output
+  contract (kind, text, media_ref, offset) of ``input_hint``.
+
+Ray layer: ``SpanExtractor`` — a callable class for
+``ds.map_batches(SpanExtractor, fn_constructor_kwargs=..., batch_format="pyarrow")``.
+Selector programs compile once per actor in ``__init__``; per batch it
+parses each document's HTML and emits one span-list row per doc.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from types import GeneratorType
+from typing import Any, Callable, Iterable, List, Optional, Tuple, Union
+
+import pyarrow as pa
+
+from ..htmlparser import (
+    Element,
+    compile_css,
+    compile_xpath,
+    css_select,
+    parse_html,
+    regex_select,
+    text_select,
+    xpath_select,
+)
+from ..rule import Rule, Selector, SelectorType, rule_filter, rule_grouper, rule_sorter
+from ..scraped import ScrapedData, scraped_data_grouper, scraped_data_sorter
+
+SPAN_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+SPANS_TYPE = pa.list_(SPAN_TYPE)
+
+
+def compile_selector(sel: Selector) -> Callable[[Element], List[Union[Element, str]]]:
+    """Compile a Selector into a matcher closure.  ANY is treated as CSS,
+    as every non-Playwright backend does
+    (/root/reference/dude/optional/lxml_scraper.py:182-183)."""
+    stype = sel.selector_type()
+    s = sel.to_str()
+    if stype in (SelectorType.CSS, SelectorType.ANY):
+        compiled = compile_css(s)
+
+        def css_fn(scope: Element) -> List[Union[Element, str]]:
+            els = css_select(scope, compiled)
+            if compiled.extract == "text":
+                return [e.text_content() for e in els]
+            if isinstance(compiled.extract, tuple):
+                name = compiled.extract[1]
+                return [e.attrs[name] for e in els if name in e.attrs]
+            return list(els)
+
+        return css_fn
+    if stype == SelectorType.XPATH:
+        compiled_x = compile_xpath(s)
+
+        def xpath_fn(scope: Element) -> List[Union[Element, str]]:
+            els = xpath_select(scope, compiled_x)
+            if compiled_x.extract == "text":
+                return [e.text for e in els]
+            if isinstance(compiled_x.extract, tuple):
+                name = compiled_x.extract[1]
+                return [e.attrs[name] for e in els if name in e.attrs]
+            return list(els)
+
+        return xpath_fn
+    if stype == SelectorType.TEXT:
+        return lambda scope: list(text_select(scope, s))
+    rx = re.compile(s, re.IGNORECASE)
+    return lambda scope: list(regex_select(scope, rx))
+
+
+class _CompiledRules:
+    """Per-worker compiled form of a rule list (selectors → closures)."""
+
+    def __init__(self, rules: List[Rule]):
+        self.rules = rules
+        self._cache: dict[str, Callable] = {}
+        # deterministic ordinal per distinct group selector (replaces
+        # the reference's nondeterministic id(group) — see scraped.py)
+        distinct_groups = sorted({r.group.to_str(with_type=True) for r in rules})
+        self.group_ordinal = {g: i for i, g in enumerate(distinct_groups)}
+
+    def matcher(self, sel: Selector) -> Callable:
+        key = sel.to_str(with_type=True)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = self._cache[key] = compile_selector(sel)
+        return fn
+
+
+def collect_elements(
+    compiled: _CompiledRules, dom: Element, url: str
+) -> Iterable[Tuple[str, int, int, int, Any, Callable]]:
+    """Yield (url, group_index, group_id, element_index, element, handler)
+    in the reference's enumeration order
+    (/root/reference/dude/optional/beautifulsoup_scraper.py:158-172)."""
+    scraping_rules = list(filter(rule_filter(url), compiled.rules))
+    for group_selector, g in itertools.groupby(sorted(scraping_rules, key=rule_sorter), key=rule_grouper):
+        rules = sorted(g, key=lambda r: r.priority)
+        gid = compiled.group_ordinal[group_selector.to_str(with_type=True)]
+        group_matcher = compiled.matcher(group_selector)
+        for group_index, group_el in enumerate(group_matcher(dom)):
+            if not isinstance(group_el, Element):
+                continue  # ::text / @attr group selections have no subtree
+            for rule in rules:
+                elem_matcher = compiled.matcher(rule.selector)
+                for element_index, element in enumerate(elem_matcher(group_el)):
+                    yield url, group_index, gid, element_index, element, rule.handler
+
+
+def extract_all(
+    compiled: _CompiledRules, dom: Element, url: str, page_number: int = 1
+) -> Iterable[ScrapedData]:
+    """Handler application (/root/reference/dude/base.py:532-563):
+    generator handlers fan out with re-assigned element_index; falsy
+    results are dropped."""
+    for page_url, group_index, group_id, element_index, element, handler in collect_elements(
+        compiled, dom, url
+    ):
+        data = handler(element)
+        if isinstance(data, GeneratorType):
+            for index, d in enumerate(data):
+                yield ScrapedData(page_number, page_url, group_id, group_index, index, d)
+            continue
+        if not data:
+            continue
+        yield ScrapedData(page_number, page_url, group_id, group_index, element_index, data)
+
+
+def flatten(collected: Iterable[ScrapedData]) -> List[dict]:
+    """Flatten/merge (/root/reference/dude/base.py:610-622): one dict per
+    merge key; metadata fields underscore-prefixed and first-wins;
+    handler dicts merged last-writer-wins."""
+    items: List[dict] = []
+    for _, grp in itertools.groupby(sorted(collected, key=scraped_data_sorter), key=scraped_data_grouper):
+        item: dict = {}
+        for d in grp:
+            meta = {
+                "page_number": d.page_number,
+                "page_url": d.page_url,
+                "group_id": d.group_id,
+                "group_index": d.group_index,
+                "element_index": d.element_index,
+            }
+            for k, v in meta.items():
+                if k not in item:
+                    item[f"_{k}"] = v
+            item.update(**d.data)
+        items.append(item)
+    return items
+
+
+def extract_page_flat(
+    compiled: _CompiledRules, html: str, url: str, page_number: int = 1
+) -> List[dict]:
+    dom = parse_html(html)
+    return flatten(extract_all(compiled, dom, url, page_number))
+
+
+def rows_to_spans(rows: Iterable[ScrapedData]) -> List[dict]:
+    """Span-sequence output (the ``input_hint`` contract): one span per
+    (handler key, value) in deterministic ScrapedData order.  ``kind``
+    is the handler dict key; values that are (text, ref) pairs carry a
+    media_ref, plain strings carry text only."""
+    spans: List[dict] = []
+    offset = 0
+    for d in sorted(rows, key=scraped_data_sorter):
+        for k in d.data:
+            v = d.data[k]
+            if isinstance(v, tuple) and len(v) == 2:
+                text, ref = v
+            else:
+                text, ref = v, ""
+            spans.append(
+                {"kind": k, "text": "" if text is None else str(text),
+                 "media_ref": "" if ref is None else str(ref), "offset": offset}
+            )
+            offset += 1
+    return spans
+
+
+# --------------------------------------------------------------------------
+# Ray Data stage
+# --------------------------------------------------------------------------
+
+class SpanExtractor:
+    """``map_batches`` callable: html docs in → span sequences out.
+
+    Stateless across batches (selector programs are immutable config) —
+    passed as a *class* so compilation happens once per actor/worker,
+    not once per batch.  Input batch columns: ``doc_id`` (canonical
+    URL), ``html``; passthrough columns preserved via ``keep``.
+    """
+
+    def __init__(self, rules: List[Rule], keep: Tuple[str, ...] = ()):  # compiled once
+        self.compiled = _CompiledRules(rules)
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        span_lists = []
+        for url, html in zip(doc_ids, htmls):
+            dom = parse_html(html)
+            rows = extract_all(self.compiled, dom, url, page_number=1)
+            span_lists.append(rows_to_spans(rows))
+        cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
+        cols["spans"] = pa.array(span_lists, type=SPANS_TYPE)
+        for name in self.keep:
+            cols[name] = batch[name]
+        return pa.table(cols)
+
+
+class FlatExtractor:
+    """``map_batches`` callable: html docs in → flattened dude-style rows
+    out (one output row per merge group, columns = underscore metadata
+    + union of handler keys; missing values null — the Arrow analog of
+    the reference's CSV header union, /root/reference/dude/storage.py:70-82)."""
+
+    def __init__(self, rules: List[Rule]):
+        self.compiled = _CompiledRules(rules)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows: List[dict] = []
+        for url, html in zip(batch["doc_id"].to_pylist(), batch["html"].to_pylist()):
+            for item in extract_page_flat(self.compiled, html, url):
+                item["_page_url"] = url
+                out_rows.append(item)
+        if not out_rows:
+            return pa.table({"_page_url": pa.array([], type=pa.string())})
+        names = sorted({k for r in out_rows for k in r})
+        return pa.table({n: [r.get(n) for r in out_rows] for n in names})

@@ -1,0 +1,55 @@
+"""URL canonicalization + hashing unit tests."""
+
+import hashlib
+
+from dude_ray.canonical import (
+    canonicalize_url,
+    host_shard,
+    url_host,
+    url_sha1,
+    url_shard,
+)
+
+
+def test_lowercase_scheme_host():
+    assert canonicalize_url("HTTPS://ExAmPlE.CoM/Path") == "https://example.com/Path"
+
+
+def test_default_port_dropped():
+    assert canonicalize_url("https://example.com:443/a") == "https://example.com/a"
+    assert canonicalize_url("http://example.com:80/a") == "http://example.com/a"
+    assert canonicalize_url("http://example.com:8080/a") == "http://example.com:8080/a"
+
+
+def test_dot_segments():
+    assert canonicalize_url("https://e.com/a/b/../c/./d") == "https://e.com/a/c/d"
+    assert canonicalize_url("https://e.com/../../x") == "https://e.com/x"
+
+
+def test_empty_path_and_fragment():
+    assert canonicalize_url("https://e.com") == "https://e.com/"
+    assert canonicalize_url("https://e.com/a#frag") == "https://e.com/a"
+
+
+def test_percent_normalization():
+    assert canonicalize_url("https://e.com/%7euser") == "https://e.com/~user"
+    assert canonicalize_url("https://e.com/a%20b") == "https://e.com/a%20b"
+
+
+def test_idempotent():
+    u = "HTTPS://E.com:443/a/../b%7E?q=1#f"
+    once = canonicalize_url(u)
+    assert canonicalize_url(once) == once
+
+
+def test_join_base():
+    assert canonicalize_url("url-1.html", base="https://e.com/dir/page.html") == \
+        "https://e.com/dir/url-1.html"
+
+
+def test_sha1_and_shards():
+    u = "https://example.com/"
+    assert url_sha1(u) == hashlib.sha1(u.encode()).digest()
+    assert 0 <= url_shard(u, 16) < 16
+    assert 0 <= host_shard("example.com", 16) < 16
+    assert url_host("https://Example.COM:8443/x") == "example.com"
