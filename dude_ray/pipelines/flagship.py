@@ -1,0 +1,95 @@
+"""Flagship rule program + extraction pipeline over the synthetic web.
+
+The rule program re-encodes the reference's canonical fixture rules
+(title/url/description over ``.custom-group`` —
+/root/reference/tests/conftest.py:105-135) and extends them with the
+interleaved-media kinds of the ``input_hint`` span vocabulary
+(link / image / next / text).
+
+``run_extract`` is the headline non-crawl pipeline: read corpus →
+stateless ``map_batches(SpanExtractor)`` → span table.  The crawl
+variant (frontier + politeness) lives in dude_ray.crawl.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..rule import Rule, Selector
+
+
+def _title(el):
+    return {"title": el.text_content()}
+
+
+def _url(el):
+    return {"url": (el.text_content(), el.attrs["href"])}
+
+
+def _description(el):
+    return {"description": el.text_content()}
+
+
+def _image(el):
+    return {"image": ("", el.attrs["src"])}
+
+
+def _link(el):
+    return {"link": (el.text_content(), el.attrs["href"])}
+
+
+def _next_page(el):
+    return {"next": (el.text_content(), el.attrs["href"])}
+
+
+def _para(el):
+    return {"text": el.text_content()}
+
+
+def flagship_rules() -> list[Rule]:
+    g_group = Selector(css=".custom-group")
+    return [
+        Rule(group=g_group, selector=Selector(css=".title"), url_matcher="*",
+             handler=_title, priority=10),
+        Rule(group=g_group, selector=Selector(css="a.url"), url_matcher="*",
+             handler=_url, priority=20),
+        Rule(group=g_group, selector=Selector(css=".description"), url_matcher="*",
+             handler=_description, priority=30),
+        Rule(group=g_group, selector=Selector(css="img.thumb"), url_matcher="*",
+             handler=_image, priority=40),
+        Rule(group=Selector(selector=":root"), selector=Selector(css="a.nav"),
+             url_matcher="*", handler=_link, priority=50),
+        Rule(group=Selector(css=".pagination"), selector=Selector(css="a.next"),
+             url_matcher="*", handler=_next_page, priority=60),
+        Rule(group=Selector(css="div.content"), selector=Selector(css="p.para"),
+             url_matcher="*", handler=_para, priority=70),
+    ]
+
+
+def read_corpus(corpus_dir: str, columns: Optional[list[str]] = None):
+    """Column-pruned read of the corpus web table."""
+    import ray.data as rd
+
+    return rd.read_parquet(f"{corpus_dir}/web", columns=columns)
+
+
+def run_extract(sf_dir: str, concurrency: Optional[int] = None, batch_size: int = 256):
+    """Headline extraction pipeline: corpus html → span sequences.
+
+    Stateless map_batches (selector programs compiled once per worker);
+    pyarrow batches end-to-end; reads only (doc_id, html).
+    """
+    from ..sources.corpus import ensure_corpus
+    from ..stages.extract import SpanExtractor
+
+    corpus_dir = ensure_corpus(sf_dir)
+    ds = read_corpus(corpus_dir, columns=["doc_id", "html"])
+    kwargs = dict(
+        fn_constructor_kwargs={"rules": flagship_rules()},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    import ray
+
+    conc = concurrency or max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return ds.map_batches(SpanExtractor, concurrency=(1, conc), **kwargs)

@@ -1,0 +1,68 @@
+"""Span-sequence equality — the engine's correctness gate: the Arrow
+extractor run over the generated HTML must reproduce the corpus's
+independently derived golden ``spans`` column byte-for-byte
+(kind, text, media_ref, order)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from dude_ray.pipelines.flagship import flagship_rules
+from dude_ray.sources.corpus import (
+    generate_batch,
+    host_boundaries,
+    host_of,
+    num_hosts,
+    seed_urls,
+)
+from dude_ray.stages.extract import SpanExtractor
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_batch():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return generate_batch(t, n_docs=t.num_rows, num_parts=16)
+
+
+def test_span_equality_all_docs(corpus_batch):
+    """Extractor(html) == golden spans for every sf0.001 document."""
+    extractor = SpanExtractor(rules=flagship_rules())
+    out = extractor(corpus_batch.select(["doc_id", "html"]))
+    got = out["spans"].to_pylist()
+    want = corpus_batch["spans"].to_pylist()
+    ids = corpus_batch["doc_id"].to_pylist()
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"span mismatch for {ids[i]}: got {g[:4]}... want {w[:4]}..."
+    assert len(got) == corpus_batch.num_rows
+
+
+def test_generation_deterministic(corpus_batch):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    again = generate_batch(t, n_docs=t.num_rows, num_parts=16)
+    assert again.equals(corpus_batch)
+
+
+def test_host_topology():
+    n = 500
+    bounds = host_boundaries(n)
+    assert bounds[0] == 0 and bounds[-1] == n
+    assert len(bounds) == num_hosts(n) + 1
+    sizes = [bounds[i + 1] - bounds[i] for i in range(len(bounds) - 1)]
+    assert all(s >= 1 for s in sizes)
+    assert sizes[0] == max(sizes)  # host 0 is the hot host
+    assert host_of(0, bounds) == 0
+    assert host_of(n - 1, bounds) == num_hosts(n) - 1
+
+
+def test_seeds_are_even_hosts():
+    seeds = seed_urls(500)
+    assert len(seeds) == (num_hosts(500) + 1) // 2
+    assert all(s["url"].startswith("https://h") for s in seeds)
+    hosts = [s["url"].split("/")[2] for s in seeds]
+    assert all(int(h[1:5]) % 2 == 0 for h in hosts)
+
+
+def test_spans_cover_all_kinds(corpus_batch):
+    kinds = {s["kind"] for spans in corpus_batch["spans"].to_pylist() for s in spans}
+    assert kinds == {"title", "url", "description", "image", "link", "next", "text"}
