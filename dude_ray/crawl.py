@@ -1,0 +1,275 @@
+"""The distributed crawl — frontier actor pool + fetch/extract rounds.
+
+Reference lifecycle being replayed (SURVEY §3.3,
+/root/reference/dude/base.py:361-376 + optional/beautifulsoup_scraper
+.py:58-94): seed the frontier → pop FIFO → allowed-domains filter →
+robots gate (+ crawl-delay) → fetch → follow links (append) → extract
+→ save.  Equivalence contract vs. that sequential loop (proof sketch
+in dude_ray/state/frontier.py docstring): with politeness deferral off
+the visit sequence ordered by enqueue key equals the sequential
+replay's visit sequence globally; with politeness on, the first-visit
+SET is identical and per-host FIFO order is preserved.
+
+Ray shape per round:
+
+    shards.release()  ──►  Dataset[url,depth,keys...]           (metadata only)
+        ──► map_batches(CrawlWorker, concurrency=pool)          (actor pool)
+              fetch = corpus lookup (stateful partition cache)
+              parse DOM once → spans + links
+              links → canonicalize → host-hash exchange → shards.offer
+        ──► write_parquet(out/round_k)                          (streaming sink)
+
+Checkpoint/resume: after each round the output partition is finalized
+and every shard snapshots (Bloom bytes + queues + counters) —
+``resume=True`` restores the newest complete (round, snapshot) pair,
+skips finished round partitions and continues; per-partition lineage
+lives in ``CHECKPOINT/meta.json``.
+
+Scale notes: released URL batches transit the driver as metadata here
+(strings); the 10^10-frontier variant returns per-shard Arrow blocks
+as ObjectRefs (``from_arrow_refs``) so only refs touch the driver —
+the merge by enqueue key is then a per-shard property (each shard's
+list is already key-sorted) requiring only a k-way merge of block
+boundaries.  Output is partitioned per round, so a resumed run skips
+finished partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .canonical import canonicalize_url, url_host
+from .htmlparser import parse_html
+from .pipelines.flagship import flagship_rules
+from .sources.corpus import ensure_corpus, load_manifest, load_robots, load_seeds
+from .stages.extract import SPANS_TYPE, _CompiledRules, extract_all, rows_to_spans
+from .stages.fetch import CorpusFetcher
+from .stages.links import collect_links, route_edges
+from .state.frontier import FrontierShard
+
+
+class CrawlWorker:
+    """Actor-pool stage: fetch + parse-once + extract spans + route edges.
+
+    One DOM parse serves both span extraction and link collection.
+    Offers are barriered inside the task so a finished round implies
+    every discovered edge has reached its frontier shard."""
+
+    def __init__(self, corpus_dir: str, num_parts: int, rules, shards,
+                 follow_urls: bool = True):
+        self.fetcher = CorpusFetcher(corpus_dir, num_parts)
+        self.compiled = _CompiledRules(list(rules))
+        self.shards = shards
+        self.follow_urls = follow_urls
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        rounds = batch["round"].to_pylist()
+        orders = batch["order_in_round"].to_pylist()
+        htmls = self.fetcher.lookup(urls)
+        statuses, spans_col, n_links_col = [], [], []
+        edge_urls: list[str] = []
+        edge_depths: list[int] = []
+        edge_keys: list[tuple] = []
+        for url, depth, rnd, order, html in zip(urls, depths, rounds, orders, htmls):
+            if html is None:
+                # fetch error → status row, page skipped
+                # (/root/reference/dude/optional/utils.py:16-28)
+                statuses.append("missing")
+                spans_col.append([])
+                n_links_col.append(0)
+                continue
+            dom = parse_html(html)
+            spans_col.append(rows_to_spans(extract_all(self.compiled, dom, url)))
+            statuses.append("ok")
+            if self.follow_urls:
+                links = collect_links(dom, url)
+                n_links_col.append(len(links))
+                edge_urls.extend(links)
+                edge_depths.extend([depth + 1] * len(links))
+                edge_keys.extend((rnd, order, j) for j in range(len(links)))
+            else:
+                n_links_col.append(0)
+        if edge_urls:
+            ray.get(route_edges(edge_urls, edge_depths, edge_keys, self.shards))
+        return pa.table({
+            "doc_id": pa.array(urls, type=pa.string()),
+            "host": pa.array([url_host(u) for u in urls], type=pa.string()),
+            "depth": pa.array(depths, type=pa.int32()),
+            "round": batch["round"],
+            "order_in_round": batch["order_in_round"],
+            "ek_round": batch["ek_round"],
+            "ek_parent": batch["ek_parent"],
+            "ek_link": batch["ek_link"],
+            "status": pa.array(statuses, type=pa.string()),
+            "n_links": pa.array(n_links_col, type=pa.int32()),
+            "spans": pa.array(spans_col, type=SPANS_TYPE),
+        })
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def run_crawl(
+    sf_dir: str,
+    out_dir: Optional[str] = None,
+    num_shards: int = 4,
+    concurrency: Optional[int] = None,
+    batch_size: int = 128,
+    max_rounds: int = 10_000,
+    ticks_per_round: int = 8,
+    release_budget: int = 1_000_000,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    stop_after_rounds: Optional[int] = None,
+    seen_capacity: int = 2_000_000,
+    ignore_robots_txt: bool = False,
+    politeness: bool = True,
+    rules=None,
+):
+    """Run the crawl; returns the visits/spans Dataset read back from the
+    partitioned output (one ``round_k`` dir per frontier round).
+
+    ``ticks_per_round`` batches several politeness ticks into one Ray
+    round: later ticks only release URLs enqueued in earlier rounds, so
+    per-host FIFO order — the equivalence contract — is unchanged; it
+    amortizes per-round pipeline startup when only crawl-delayed hosts
+    remain.  ``stop_after_rounds`` simulates a crash for resume tests.
+    """
+    corpus_dir = ensure_corpus(sf_dir)
+    manifest = load_manifest(corpus_dir)
+    num_parts = manifest["num_parts"]
+    robots = load_robots(corpus_dir)
+    seeds = load_seeds(corpus_dir)
+    seed_list = [canonicalize_url(s["url"]) for s in seeds]
+    allowed = {url_host(u) for u in seed_list}
+
+    out_dir = out_dir or os.path.join("/tmp/dude_ray_crawl",
+                                      os.path.basename(corpus_dir))
+    ckpt_dir = os.path.join(out_dir, "CHECKPOINT")
+    meta_path = os.path.join(ckpt_dir, "meta.json")
+
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    # robots table is small config → broadcast once via constructor args
+    shards = [
+        FrontierShard.remote(
+            i, robots, allowed, capacity=seen_capacity // num_shards + 1,
+            ignore_robots_txt=ignore_robots_txt, politeness=politeness)
+        for i in range(num_shards)
+    ]
+
+    start_round = 0
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        start_round = meta["completed_rounds"]
+        ray.get([
+            s.restore.remote(open(os.path.join(ckpt_dir, f"shard_{i}.bin"), "rb").read())
+            for i, s in enumerate(shards)
+        ])
+        # drop any partially written round after the checkpoint
+        for name in os.listdir(out_dir):
+            if name.startswith("round_") and int(name.split("_")[1]) >= start_round:
+                shutil.rmtree(os.path.join(out_dir, name))
+    else:
+        # seeds enter through the same host-hash exchange as discovered
+        # edges, keyed before every round-0 discovery
+        ray.get(route_edges(seed_list, [0] * len(seed_list),
+                            [(-1, i, 0) for i in range(len(seed_list))], shards))
+
+    rules = rules or flagship_rules()
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+
+    rnd = start_round
+    while rnd < max_rounds:
+        if stop_after_rounds is not None and rnd - start_round >= stop_after_rounds:
+            break
+        released: list[tuple[tuple, str, int]] = []
+        for _ in range(ticks_per_round):
+            tick_out = ray.get([s.release.remote(release_budget) for s in shards])
+            got = [item for lst in tick_out for item in lst]
+            released.extend(got)
+            if not got or len(released) >= release_budget:
+                break
+        if not released:
+            pending = sum(ray.get([s.pending.remote() for s in shards]))
+            if pending == 0:
+                break
+            continue  # only delayed hosts remain; the next tick may release
+
+        released.sort(key=lambda t: t[0])  # global enqueue-key order
+        rows = pa.table({
+            "url": pa.array([u for _, u, _ in released], type=pa.string()),
+            "depth": pa.array([d for _, _, d in released], type=pa.int32()),
+            "round": pa.array([rnd] * len(released), type=pa.int32()),
+            "order_in_round": pa.array(range(len(released)), type=pa.int64()),
+            "ek_round": pa.array([k[0] for k, _, _ in released], type=pa.int64()),
+            "ek_parent": pa.array([k[1] for k, _, _ in released], type=pa.int64()),
+            "ek_link": pa.array([k[2] for k, _, _ in released], type=pa.int64()),
+        })
+        ds = rd.from_arrow(rows)
+        out = ds.map_batches(
+            CrawlWorker,
+            fn_constructor_kwargs={
+                "corpus_dir": corpus_dir, "num_parts": num_parts,
+                "rules": rules, "shards": shards,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, concurrency),
+        )
+        round_dir = os.path.join(out_dir, f"round_{rnd:05d}")
+        out.write_parquet(round_dir)
+
+        if (rnd + 1) % checkpoint_every == 0:
+            snaps = ray.get([s.snapshot.remote() for s in shards])
+            for i, raw in enumerate(snaps):
+                _atomic_write(os.path.join(ckpt_dir, f"shard_{i}.bin"), raw)
+            _atomic_write(meta_path, json.dumps({
+                "completed_rounds": rnd + 1,
+                "num_shards": num_shards,
+                "corpus_dir": corpus_dir,
+            }).encode())
+        rnd += 1
+
+    # final metrics → lineage manifest (SURVEY A4)
+    stats = ray.get([s.get_stats.remote() for s in shards])
+    hosts = [row for s in shards for row in ray.get(s.host_accounting.remote())]
+    _atomic_write(os.path.join(out_dir, "METRICS.json"), json.dumps({
+        "rounds": rnd, "shards": stats, "hosts": hosts,
+    }).encode())
+
+    for s in shards:
+        ray.kill(s)
+    return read_crawl_output(out_dir)
+
+
+def read_crawl_output(out_dir: str):
+    """Dataset over all finished round partitions of a crawl output dir."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "round_*", "*.parquet")))
+    if not files:
+        return rd.from_items([])
+    return rd.read_parquet(files)
+
+
+def crawl_metrics(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "METRICS.json")) as f:
+        return json.load(f)

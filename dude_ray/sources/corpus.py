@@ -57,7 +57,7 @@ import pyarrow.parquet as pq
 from ..canonical import host_shard
 
 SEED = 42
-CORPUS_VERSION = "v1"
+CORPUS_VERSION = "v2"
 DEFAULT_NUM_PARTS = 16
 
 
@@ -101,11 +101,11 @@ def url_for(doc_id: int, h: int) -> str:
 def robots_txt_for(h: int) -> str:
     """Per-host robots rules (re-encodes the Disallow + Crawl-delay test
     /root/reference/tests/test_bs4.py:401-435 without network)."""
-    if h % 23 == 11:
+    if h % 23 == 4:
         return "User-agent: *\nDisallow: /\n"
-    if h % 7 == 3:
+    if h % 7 == 2:
         return "User-agent: *\nDisallow: /private/\nCrawl-delay: 1\n"
-    if h % 7 == 5:
+    if h % 7 == 6:
         return "User-agent: *\nDisallow: /private/\n"
     return ""
 

@@ -1,0 +1,62 @@
+"""Link extraction + URL edge routing (the crawl's wide step).
+
+``collect_links`` mirrors the reference's ``follow_urls`` pass: every
+``<a href>`` in document order, absolutized with ``urljoin``, skipping
+only links equal to the current page modulo a trailing slash
+(/root/reference/dude/optional/beautifulsoup_scraper.py:81-85,
+playwright_scraper.py:182-186).  On top of that (north rule) each edge
+is RFC 3986-canonicalized before it is hashed into the seen set.
+
+Routing is an explicit hash-partitioned exchange: edges are grouped by
+``host_shard(host)`` inside the extract task and offered directly to
+the owning frontier shard actor — the shuffle never transits the
+driver.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from ..canonical import canonicalize_url, host_shard, url_host
+from ..htmlparser import Element
+
+
+def collect_links(dom: Element, page_url: str) -> list[str]:
+    """All <a href> absolutized, self-links dropped, canonicalized,
+    order-preserving de-dup within the page (first occurrence wins —
+    harmless strengthening of the reference, which appends dups that
+    its missing seen-set would re-fetch)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    page_norm = page_url.rstrip("/")
+    for el in dom.iter():
+        if el.tag != "a":
+            continue
+        href = el.attrs.get("href")
+        if not href:
+            continue
+        absolute = urljoin(page_url, href)
+        if absolute.rstrip("/") == page_norm:
+            continue
+        canon = canonicalize_url(absolute)
+        if canon not in seen:
+            seen.add(canon)
+            out.append(canon)
+    return out
+
+
+def route_edges(urls: list[str], depths: list[int], keys: list[tuple], shards: list) -> list:
+    """Partition edges by host-hash and offer to the owning shard with
+    their deterministic enqueue keys (see dude_ray.state.frontier).
+    Returns the list of in-flight offer ObjectRefs (caller barriers)."""
+    n = len(shards)
+    buckets: dict[int, tuple[list[str], list[int], list[tuple]]] = {}
+    for url, depth, key in zip(urls, depths, keys):
+        b = host_shard(url_host(url), n)
+        entry = buckets.get(b)
+        if entry is None:
+            entry = buckets[b] = ([], [], [])
+        entry[0].append(url)
+        entry[1].append(depth)
+        entry[2].append(key)
+    return [shards[b].offer.remote(us, ds, ks) for b, (us, ds, ks) in buckets.items()]

@@ -1,0 +1,152 @@
+"""Crawl-equivalence tests — the distributed crawl vs the sequential
+oracle replaying /root/reference/dude/base.py:361-376 semantics.
+
+Contract (see dude_ray/state/frontier.py docstring):
+* politeness deferral OFF → the engine's visit sequence ordered by
+  enqueue key equals the oracle's visit sequence GLOBALLY;
+* politeness ON → identical first-visit SET + per-host FIFO order;
+* seen-set membership and skip-reason counters match in both modes;
+* a crawl killed mid-run resumes from checkpoint to identical output.
+"""
+
+import collections
+
+import pytest
+
+from dude_ray.canonical import url_sha1
+
+SF = "/root/testdata/sf0.001"
+
+
+def visits_in_key_order(rows):
+    return sorted(rows, key=lambda r: (r["ek_round"], r["ek_parent"], r["ek_link"]))
+
+
+@pytest.fixture(scope="module")
+def oracle(ray_session, tmp_path_factory):
+    from dude_ray.oracle import load_corpus_index, sequential_crawl
+    from dude_ray.sources.corpus import ensure_corpus, load_robots, load_seeds
+
+    corpus_dir = ensure_corpus(SF)
+    index = load_corpus_index(corpus_dir)
+    robots = load_robots(corpus_dir)
+    seeds = [s["url"] for s in load_seeds(corpus_dir)]
+    return sequential_crawl(index, robots, seeds)
+
+
+@pytest.fixture(scope="module")
+def crawl_rows(ray_session, tmp_path_factory):
+    from dude_ray.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("crawl") / "polite"
+    ds = run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+                   politeness=True)
+    return ds.take_all(), str(out)
+
+
+@pytest.fixture(scope="module")
+def strict_rows(ray_session, tmp_path_factory):
+    from dude_ray.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("crawl") / "strict"
+    ds = run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+                   politeness=False)
+    return ds.take_all()
+
+
+def test_strict_global_sequence_equals_oracle(strict_rows, oracle):
+    got = [r["doc_id"] for r in visits_in_key_order(strict_rows)]
+    want = oracle.visit_urls()
+    assert got == want
+
+
+def test_first_visit_set_equals_oracle(crawl_rows, oracle):
+    rows, _ = crawl_rows
+    assert {r["doc_id"] for r in rows} == set(oracle.visit_urls())
+    assert len(rows) == len(oracle.visits)  # no duplicate visits
+
+
+def test_per_host_fifo_order_with_politeness(crawl_rows, oracle):
+    rows, _ = crawl_rows
+    # engine per-host order (by round, then order in round)
+    per_host = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["round"], r["order_in_round"])):
+        per_host[r["host"]].append(r["doc_id"])
+    # per-host order must equal sorted-by-enqueue-key order (FIFO contract)
+    for host, urls in per_host.items():
+        keyed = [r for r in rows if r["host"] == host]
+        assert urls == [r["doc_id"] for r in visits_in_key_order(keyed)], host
+
+
+def test_seen_set_membership(strict_rows, oracle):
+    # every oracle-seen URL hashes as seen by some shard: compare via
+    # re-deriving the engine's seen set from skip metrics + visits
+    got_visited = {url_sha1(r["doc_id"]) for r in strict_rows}
+    assert got_visited <= oracle.seen
+    # robots-blocked URLs are the only seen-not-visited members
+    blocked = {url_sha1(u) for u, why in oracle.skipped_urls.items()
+               if why == "robots_disallowed"}
+    assert got_visited | blocked == oracle.seen
+
+
+def test_skip_counters_match_oracle(crawl_rows, oracle):
+    from dude_ray.crawl import crawl_metrics
+
+    _, out_dir = crawl_rows
+    m = crawl_metrics(out_dir)
+    eng = collections.Counter()
+    for s in m["shards"]:
+        for k in ("not_allowed_domain", "robots_disallowed", "duplicate",
+                  "released", "enqueued"):
+            eng[k] += s.get(k, 0)
+    assert eng["not_allowed_domain"] == oracle.skips["not_allowed_domain"]
+    assert eng["robots_disallowed"] == oracle.skips["robots_disallowed"]
+    assert eng["duplicate"] == oracle.skips["duplicate"]
+    assert eng["released"] == len(oracle.visits)
+
+
+def test_politeness_accounting(crawl_rows):
+    from dude_ray.crawl import crawl_metrics
+
+    _, out_dir = crawl_rows
+    m = crawl_metrics(out_dir)
+    delayed = [h for h in m["hosts"] if h["crawl_delay"] > 0]
+    assert delayed, "corpus should contain crawl-delay hosts"
+    assert all(h["pending"] == 0 for h in m["hosts"])
+
+
+def test_spans_match_corpus_golden(crawl_rows, ray_session):
+    import pyarrow.dataset as pads
+
+    from dude_ray.sources.corpus import ensure_corpus
+
+    rows, _ = crawl_rows
+    corpus_dir = ensure_corpus(SF)
+    t = pads.dataset(f"{corpus_dir}/web", partitioning="hive").to_table(
+        columns=["doc_id", "spans"])
+    golden = dict(zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()))
+    checked = 0
+    for r in rows:
+        if r["status"] != "ok":
+            continue
+        assert r["spans"] == golden[r["doc_id"]], r["doc_id"]
+        checked += 1
+    assert checked > 100
+
+
+def test_resume_from_checkpoint(ray_session, tmp_path_factory, crawl_rows):
+    from dude_ray.crawl import run_crawl
+
+    full_rows, _ = crawl_rows
+    out = tmp_path_factory.mktemp("crawl") / "resume"
+    # crash after 2 rounds
+    partial = run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+                        politeness=True, stop_after_rounds=2)
+    assert len(partial.take_all()) < len(full_rows)
+    # resume to completion
+    resumed = run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+                        politeness=True, resume=True)
+    key = lambda r: (r["ek_round"], r["ek_parent"], r["ek_link"])
+    a = [(r["doc_id"], r["status"], key(r)) for r in resumed.take_all()]
+    b = [(r["doc_id"], r["status"], key(r)) for r in full_rows]
+    assert sorted(a) == sorted(b)
