@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship extraction pipeline at sf0.001.
+``queries()`` — one entry per implemented operator/pipeline from
+SURVEY.md §2 + the training-data ops; each callable takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible ops
+(crawl/extract/sketch ops are non-SQL-expressible → rows-only checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code these use.
 """
 
 from __future__ import annotations
@@ -18,27 +15,204 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _explode_spans(ds):
+    """span-list rows → flat (doc_id, kind, text, media_ref, offset)
+    rows, vectorized via Arrow list kernels."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        return pa.table({
+            "doc_id": batch["doc_id"].take(parent),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic web corpus (derived from sf0.001
+    documents) → stateless map_batches span extraction → flat span rows."""
+    from dude_ray.pipelines.flagship import run_extract
+
+    return _explode_spans(run_extract("/root/testdata/sf0.001"))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_extract_spans(sf_dir: str):
+    from dude_ray.pipelines.flagship import run_extract
+
+    return _explode_spans(run_extract(sf_dir))
+
+
+def _q_crawl_visits(sf_dir: str):
+    import os
+
+    from dude_ray.crawl import run_crawl
+
+    out = os.path.join("/tmp/dude_ray_crawl", "q_" + os.path.basename(sf_dir))
+    ds = run_crawl(sf_dir, out_dir=out, num_shards=4)
+    return ds.select_columns(["doc_id", "host", "depth", "round",
+                              "order_in_round", "status", "n_links"])
+
+
+def _q_crawl_host_counts(sf_dir: str):
+    """Politeness accounting (SURVEY A3): visited pages per host."""
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    from dude_ray.crawl import run_crawl
+
+    out = os.path.join("/tmp/dude_ray_crawl", "qh_" + os.path.basename(sf_dir))
+    ds = run_crawl(sf_dir, out_dir=out, num_shards=4)
+    return ds.groupby("host").aggregate(Count(alias_name="n_pages"),
+                                        Sum("n_links", alias_name="n_links"))
+
+
+def _q_media_decode(sf_dir: str):
+    from dude_ray.stages.multimodal import run_media_decode
+
+    return run_media_decode(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dude_ray.pipelines import dedup, relational, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl/extract engine (non-SQL; rows-only driver check)
+        "extract_spans": _q_extract_spans,
+        "crawl_visits": _q_crawl_visits,
+        "crawl_host_counts": _q_crawl_host_counts,
+        "media_decode": _q_media_decode,
+        # text analysis
+        "token_count": textops.run_token_count,
+        "quality_score": textops.run_quality,
+        "lang_id": textops.run_lang_id,
+        "doc_fingerprint": textops.run_fingerprint,
+        "lang_dist": _q_lang_dist,
+        # dedup family
+        "exact_dedup": dedup.run_exact_dedup,
+        "minhash_dedup": dedup.run_minhash_dedup,
+        "ngram_jaccard": dedup.run_ngram_jaccard,
+        "simhash_dedup": dedup.run_simhash_dedup,
+        "embedding_neardup": dedup.run_embedding_neardup,
+        # similarity search
+        "ann_topk": similarity.run_ann_topk,
+        "ann_lsh": similarity.run_ann_lsh,
+        # relational / windowed
+        "events_window": relational.run_events_window,
+        "events_stats": relational.run_events_stats,
+        "segment_revenue": relational.run_segment_revenue,
+        "pricing_summary": relational.run_pricing_summary,
+        "top_orders": relational.run_top_orders,
+    }
+
+
+def _q_lang_dist(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB over the pre-registered parquet views)
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = "[A-Za-z0-9_]+"
+_STOP_RE = r"\b(?:the|and|of|a|to|in|is|it|that)\b"
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_words,
+                   round(length(regexp_extract_all(text, '{_STOP_RE}'))
+                         / greatest(length(regexp_extract_all(text, '{_TOKEN_RE}')), 1), 6) AS stop_ratio,
+                   round(length(regexp_extract_all(text, '{_PUNCT_RE}'))
+                         / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents
+        """,
+        "lang_dist": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS h, min(doc_id) AS keeper_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "events_window": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000 AS window_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "segment_revenue": """
+            SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE) AS raw_sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, round(raw_sim, 4) AS sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY raw_sim DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+    }

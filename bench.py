@@ -1,0 +1,146 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline: the distributed crawl (URLs fetched+extracted/sec) over the
+bench corpus profile (corpus_scale × the sf documents table, all hosts
+seeded — see dude_ray.sources.corpus).  Additional per-pipeline
+timings land in "queries".
+
+    GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes → throughput + efficiency
+
+The scaling run is the sandbox substitute for the north rule's
+N vs 4N-node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_SCALE = int(os.environ.get("BENCH_CORPUS_SCALE", "20"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from dude_ray.crawl import run_crawl
+    from dude_ray.pipelines import dedup, relational, similarity, textops
+    from dude_ray.pipelines.flagship import run_extract
+    from dude_ray.sources.corpus import ensure_corpus
+
+    timings: dict[str, float] = {}
+
+    # corpus generation is one-time (cached) and untimed: it also warms
+    # the page cache so the timed run measures compute + exchange
+    ensure_corpus(SF_DIR, scale=CORPUS_SCALE, seed_every=1)
+
+    # ---- headline: the crawl ------------------------------------------
+    t0 = time.time()
+    ds = run_crawl(SF_DIR, out_dir=f"/tmp/dude_ray_bench/crawl_{NUM_CPUS}",
+                   num_shards=max(4, NUM_CPUS // 4), batch_size=512,
+                   ticks_per_round=64, corpus_scale=CORPUS_SCALE, seed_every=1)
+    n_visits = ds.count()
+    crawl_sec = time.time() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+
+    # ---- secondary pipelines ------------------------------------------
+    t0 = time.time()
+    n_spans = run_extract(SF_DIR).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow").count()
+    timings["extract"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_token_count(SF_DIR).count()
+    timings["token_count"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_quality(SF_DIR).count()
+    timings["quality_score"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_exact_dedup(SF_DIR).count()
+    timings["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_minhash_dedup(SF_DIR).count()
+    timings["minhash_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.run_ann_topk(SF_DIR).count()
+    timings["ann_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_events_window(SF_DIR).count()
+    timings["events_window"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_pricing_summary(SF_DIR).count()
+    timings["pricing_summary"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total pipeline wall time (headline: crawl fetch+extract)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_urls": n_visits,
+        "crawl_urls_per_sec": round(n_visits / crawl_sec, 1),
+        "corpus_scale": CORPUS_SCALE,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs on the same (pre-warmed)
+    input — evidence for the N→4N scaling-efficiency criterion."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo = r_lo["queries"]["crawl"]
+    t_hi = r_hi["queries"]["crawl"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "crawl scaling efficiency (N→4N CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "crawl_sec_lo": t_lo,
+        "crawl_sec_hi": t_hi,
+        "urls_per_sec_lo": r_lo["crawl_urls_per_sec"],
+        "urls_per_sec_hi": r_hi["crawl_urls_per_sec"],
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -56,7 +56,14 @@ from .state.frontier import FrontierShard
 
 
 class CrawlWorker:
-    """Actor-pool stage: fetch + parse-once + extract spans + route edges.
+    """Persistent crawl worker: fetch + parse-once + extract spans +
+    route edges.  Created ONCE per crawl (raw Ray actor pool, not a
+    per-round Ray Data pool) so the corpus partition cache and compiled
+    selector programs stay warm across frontier rounds — the frontier
+    loop is the one stage whose statefulness the per-execution Dataset
+    actor pools cannot amortize.  Batches are routed with corpus-part
+    affinity (worker = part % pool_size) so each worker caches only its
+    slice of the corpus.
 
     One DOM parse serves both span extraction and link collection.
     Offers are barriered inside the task so a finished round implies
@@ -68,6 +75,12 @@ class CrawlWorker:
         self.compiled = _CompiledRules(list(rules))
         self.shards = shards
         self.follow_urls = follow_urls
+
+    def process(self, batch: pa.Table) -> pa.Table:
+        return self(batch)
+
+    def ping(self) -> bool:
+        return True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -115,6 +128,21 @@ class CrawlWorker:
         })
 
 
+@ray.remote
+def _write_round_shard(refs: list, path: str) -> int:
+    """Writer task: concat the round's result blocks (already in the
+    object store) and write one parquet part file — no driver transit,
+    no per-round streaming-executor spin-up."""
+    import pyarrow.parquet as pq
+
+    tables = ray.get(refs) if refs and isinstance(refs[0], ray.ObjectRef) else refs
+    t = pa.concat_tables(tables)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return t.num_rows
+
+
 def _atomic_write(path: str, data: bytes) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -138,6 +166,8 @@ def run_crawl(
     ignore_robots_txt: bool = False,
     politeness: bool = True,
     rules=None,
+    corpus_scale: int = 1,
+    seed_every: int = 2,
 ):
     """Run the crawl; returns the visits/spans Dataset read back from the
     partitioned output (one ``round_k`` dir per frontier round).
@@ -148,7 +178,7 @@ def run_crawl(
     amortizes per-round pipeline startup when only crawl-delayed hosts
     remain.  ``stop_after_rounds`` simulates a crash for resume tests.
     """
-    corpus_dir = ensure_corpus(sf_dir)
+    corpus_dir = ensure_corpus(sf_dir, scale=corpus_scale, seed_every=seed_every)
     manifest = load_manifest(corpus_dir)
     num_parts = manifest["num_parts"]
     robots = load_robots(corpus_dir)
@@ -184,8 +214,10 @@ def run_crawl(
         ])
         # drop any partially written round after the checkpoint
         for name in os.listdir(out_dir):
-            if name.startswith("round_") and int(name.split("_")[1]) >= start_round:
-                shutil.rmtree(os.path.join(out_dir, name))
+            if name.startswith("round_"):
+                tag = name.split("_")[1]
+                if name.endswith(".wip") or int(tag.split(".")[0]) >= start_round:
+                    shutil.rmtree(os.path.join(out_dir, name))
     else:
         # seeds enter through the same host-hash exchange as discovered
         # edges, keyed before every round-0 discovery
@@ -196,10 +228,25 @@ def run_crawl(
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
 
+    WorkerActor = ray.remote(CrawlWorker)
+    workers = [
+        WorkerActor.remote(corpus_dir, num_parts, rules, shards)
+        for _ in range(concurrency)
+    ]
+    ray.get([w.ping.remote() for w in workers])  # surface init errors early
+
+    import time as _time
+
+    _prof = os.environ.get("DUDE_RAY_PROFILE") == "1"
+    _pt = {"release": 0.0, "build": 0.0, "dispatch": 0.0, "write": 0.0,
+           "ckpt": 0.0, "n_rounds": 0}
+
+    pending_writes: list = []
     rnd = start_round
     while rnd < max_rounds:
         if stop_after_rounds is not None and rnd - start_round >= stop_after_rounds:
             break
+        _t0 = _time.time()
         released: list[tuple[tuple, str, int]] = []
         for _ in range(ticks_per_round):
             tick_out = ray.get([s.release.remote(release_budget) for s in shards])
@@ -213,31 +260,63 @@ def run_crawl(
                 break
             continue  # only delayed hosts remain; the next tick may release
 
+        _pt["release"] += _time.time() - _t0
+        _t0 = _time.time()
         released.sort(key=lambda t: t[0])  # global enqueue-key order
+        # order_in_round is assigned in key order (the visit-order label
+        # and the parent component of children keys); rows are then laid
+        # out by corpus partition so each fetch batch touches ~1 part
+        # (lookup-cache locality) — a pure physical reorder.
+        from .canonical import host_shard as _hs
+
+        labeled = [(i, k, u, d) for i, (k, u, d) in enumerate(released)]
+        labeled.sort(key=lambda t: (_hs(url_host(t[2]), num_parts), t[0]))
         rows = pa.table({
-            "url": pa.array([u for _, u, _ in released], type=pa.string()),
-            "depth": pa.array([d for _, _, d in released], type=pa.int32()),
-            "round": pa.array([rnd] * len(released), type=pa.int32()),
-            "order_in_round": pa.array(range(len(released)), type=pa.int64()),
-            "ek_round": pa.array([k[0] for k, _, _ in released], type=pa.int64()),
-            "ek_parent": pa.array([k[1] for k, _, _ in released], type=pa.int64()),
-            "ek_link": pa.array([k[2] for k, _, _ in released], type=pa.int64()),
+            "url": pa.array([u for _, _, u, _ in labeled], type=pa.string()),
+            "depth": pa.array([d for _, _, _, d in labeled], type=pa.int32()),
+            "round": pa.array([rnd] * len(labeled), type=pa.int32()),
+            "order_in_round": pa.array([i for i, _, _, _ in labeled], type=pa.int64()),
+            "ek_round": pa.array([k[0] for _, k, _, _ in labeled], type=pa.int64()),
+            "ek_parent": pa.array([k[1] for _, k, _, _ in labeled], type=pa.int64()),
+            "ek_link": pa.array([k[2] for _, k, _, _ in labeled], type=pa.int64()),
         })
-        ds = rd.from_arrow(rows)
-        out = ds.map_batches(
-            CrawlWorker,
-            fn_constructor_kwargs={
-                "corpus_dir": corpus_dir, "num_parts": num_parts,
-                "rules": rules, "shards": shards,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=(1, concurrency),
-        )
+        _pt["build"] += _time.time() - _t0
+        _t0 = _time.time()
+        # dispatch part-affine batches to the persistent pool; results
+        # stay in the object store (refs) and stream to parquet
+        refs = []
+        n_rows = rows.num_rows
+        for lo in range(0, n_rows, batch_size):
+            chunk = rows.slice(lo, min(batch_size, n_rows - lo))
+            part = _hs(url_host(chunk["url"][0].as_py()), num_parts)
+            w = workers[part % len(workers)]
+            refs.append(w.process.remote(chunk))
+        # barrier only on worker completion (offers applied); parquet
+        # writes proceed asynchronously and are gathered lazily — a
+        # checkpoint must not outrun its rounds' files, so pending
+        # writes are drained before each snapshot
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        _pt["dispatch"] += _time.time() - _t0
+        _t0 = _time.time()
         round_dir = os.path.join(out_dir, f"round_{rnd:05d}")
-        out.write_parquet(round_dir)
+        tmp_dir = round_dir + ".wip"
+        os.makedirs(tmp_dir, exist_ok=True)
+        n_writers = max(1, min(8, len(refs) // 4))
+        write_refs = []
+        for wi in range(n_writers):
+            shard_refs = refs[wi::n_writers]
+            if shard_refs:
+                write_refs.append(_write_round_shard.remote(
+                    shard_refs, os.path.join(tmp_dir, f"part-{wi:03d}.parquet")))
+        pending_writes.append((write_refs, tmp_dir, round_dir))
+        _pt["write"] += _time.time() - _t0
+        _t0 = _time.time()
 
         if (rnd + 1) % checkpoint_every == 0:
+            for wrefs, tdir, rdir in pending_writes:
+                ray.get(wrefs)
+                os.replace(tdir, rdir)  # atomic round commit (lineage unit)
+            pending_writes.clear()
             snaps = ray.get([s.snapshot.remote() for s in shards])
             for i, raw in enumerate(snaps):
                 _atomic_write(os.path.join(ckpt_dir, f"shard_{i}.bin"), raw)
@@ -246,7 +325,18 @@ def run_crawl(
                 "num_shards": num_shards,
                 "corpus_dir": corpus_dir,
             }).encode())
+        _pt["ckpt"] += _time.time() - _t0
+        _pt["n_rounds"] += 1
         rnd += 1
+
+    if _prof:
+        print("CRAWL_PROFILE", json.dumps({k: round(v, 2) if isinstance(v, float) else v
+                                           for k, v in _pt.items()}))
+
+    for wrefs, tdir, rdir in pending_writes:
+        ray.get(wrefs)
+        os.replace(tdir, rdir)
+    pending_writes.clear()
 
     # final metrics → lineage manifest (SURVEY A4)
     stats = ray.get([s.get_stats.remote() for s in shards])
@@ -257,6 +347,8 @@ def run_crawl(
 
     for s in shards:
         ray.kill(s)
+    for w in workers:
+        ray.kill(w)
     return read_crawl_output(out_dir)
 
 

@@ -1,0 +1,208 @@
+"""Relational / streaming-shaped operators over the driver tables —
+the groupby / window / join building blocks the crawl engine's
+accounting uses (SURVEY §2.4-2.6), demonstrated with DuckDB-checkable
+oracles.
+
+Shuffle discipline: every aggregate here pre-combines inside
+``map_batches`` (one partial row per key per batch) before the — then
+tiny — ``groupby``; the dimension side of each join is broadcast via
+``ray.put``, never shuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# events: tumbling-window aggregate (partial-combine pattern)
+# --------------------------------------------------------------------------
+
+WINDOW_S = 300
+
+
+
+def _py_round(arr, n: int) -> pa.Array:
+    """Correctly-rounded decimal rounding (Python round == DuckDB round),
+    unlike pc.round which can be 1 ulp off; used only on small final
+    aggregate tables."""
+    return pa.array([None if v is None else round(v, n) for v in arr.to_pylist()],
+                    type=pa.float64())
+
+
+def _window_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregation: one row per (event_type, window)
+    per batch — the pre-shuffle combiner."""
+    us = pc.cast(batch["ts"], pa.int64())  # timestamp[us] → microseconds
+    win = pc.multiply(pc.divide(us, WINDOW_S * 1_000_000), WINDOW_S * 1_000_000)
+    t = batch.append_column("window_us", win)
+    df = t.select(["event_type", "window_us", "value"]).to_pandas()
+    g = df.groupby(["event_type", "window_us"], as_index=False).agg(
+        n=("value", "size"), sum_value=("value", "sum"))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def run_events_window(sf_dir: str):
+    """Tumbling 5-minute windows per event_type: count + sum(value)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    partials = ds.map_batches(_window_partials, batch_format="pyarrow",
+                              batch_size=8192)
+    out = partials.groupby(["event_type", "window_us"]).aggregate(
+        Sum("n", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start_us": pc.cast(batch["window_us"], pa.int64()),
+            "n_events": pc.cast(batch["n_events"], pa.int64()),
+            "sum_value": _py_round(batch["sum_value"], 4),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def run_events_stats(sf_dir: str):
+    """Per-event-type stats (count, sum, min, max of value)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_events": pc.cast(batch["n_events"], pa.int64()),
+            "sum_value": _py_round(batch["sum_value"], 4),
+            "min_value": _py_round(batch["min_value"], 6),
+            "max_value": _py_round(batch["max_value"], 6),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# broadcast join: orders ⋈ customer (dimension side broadcast, J2 analog)
+# --------------------------------------------------------------------------
+
+def run_segment_revenue(sf_dir: str):
+    """Revenue per market segment: the customer dimension is broadcast
+    (ray.put once, read per actor) and joined inside map_batches — no
+    shuffle of the fact table."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class SegmentJoin:
+        def __init__(self):
+            self.seg = ray.get(seg_map_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_pylist()
+            segs = [self.seg.get(k, "UNKNOWN") for k in keys]
+            df = pd.DataFrame({"mktsegment": segs,
+                               "price": batch["o_totalprice"].to_pylist()})
+            g = df.groupby("mktsegment", as_index=False).agg(
+                n=("price", "size"), revenue=("price", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(SegmentJoin, batch_format="pyarrow",
+                              batch_size=8192, concurrency=(1, 2))
+    out = partials.groupby("mktsegment").aggregate(
+        Sum("n", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "mktsegment": batch["mktsegment"],
+            "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+            "revenue": _py_round(batch["revenue"], 2),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# lineitem pricing summary (TPC-H Q1 shape — wide partial aggregate)
+# --------------------------------------------------------------------------
+
+def _pricing_partials(batch: pa.Table) -> pa.Table:
+    disc_price = pc.multiply(batch["l_extendedprice"],
+                             pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+    t = pa.table({
+        "l_returnflag": batch["l_returnflag"],
+        "l_linestatus": batch["l_linestatus"],
+        "qty": batch["l_quantity"],
+        "base_price": batch["l_extendedprice"],
+        "disc_price": disc_price,
+    }).to_pandas()
+    g = t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("qty", "sum"), sum_base_price=("base_price", "sum"),
+        sum_disc_price=("disc_price", "sum"), count_order=("qty", "size"))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def run_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    partials = ds.map_batches(_pricing_partials, batch_format="pyarrow",
+                              batch_size=16384)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": _py_round(batch["sum_qty"], 2),
+            "sum_base_price": _py_round(batch["sum_base_price"], 2),
+            "sum_disc_price": _py_round(batch["sum_disc_price"], 2),
+            "count_order": pc.cast(batch["count_order"], pa.int64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# top-k sort (orders by totalprice)
+# --------------------------------------------------------------------------
+
+def run_top_orders(sf_dir: str, k: int = 20):
+    """Global top-k with per-batch partial top-k before the sort —
+    the sort/limit only ever sees k rows per batch."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(batch, k,
+                                   [("o_totalprice", "descending"),
+                                    ("o_orderkey", "ascending")])
+        return batch.take(idx)
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=65536)
+    return partials.sort(["o_totalprice", "o_orderkey"],
+                         descending=[True, False]).limit(k)

@@ -1,0 +1,150 @@
+"""Similarity search over the ``embeddings`` table.
+
+* ``run_ann_topk`` — brute-force cosine top-k baseline: the (small)
+  query matrix is broadcast via ``ray.put``; each batch does one numpy
+  matmul against it and emits per-batch LOCAL top-k partials, so the
+  final groupby only sees ``Q × k × num_batches`` rows, never the full
+  score matrix (partial-aggregate discipline).
+* ``run_ann_lsh`` — the scale path: random-hyperplane bucket
+  signatures; each query searches only buckets within Hamming radius r
+  of its own signature.  Approximate — recall is asserted against the
+  brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _load_embeddings(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    return ids, emb
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteTopK:
+    """Per-batch cosine scores against the broadcast query matrix,
+    reduced to a local top-k partial per query."""
+
+    def __init__(self, queries, k: int):
+        # plain (ids, matrix) tuple — see dedup.JaccardVerifier note on
+        # why constructor args must not be raw ObjectRefs
+        self.qids, self.qmat = queries  # (Q,), (Q, d) normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        emb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        sims = emb @ self.qmat.T  # (n, Q)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            col = sims[:, qi]
+            mask = vids != qid
+            cand_v, cand_s = vids[mask], col[mask]
+            if len(cand_v) > self.k:
+                idx = np.argpartition(-cand_s, self.k)[: self.k]
+                cand_v, cand_s = cand_v[idx], cand_s[idx]
+            out_q.extend([int(qid)] * len(cand_v))
+            out_v.extend(int(v) for v in cand_v)
+            out_s.extend(float(s) for s in cand_s)
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def _final_topk(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["sim"] = g["sim"].round(4)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return fn
+
+
+def run_ann_topk(sf_dir: str, num_queries: int = 5, k: int = 10,
+                 concurrency: int = 4):
+    """Exact cosine top-k for queries = the first ``num_queries`` vec_ids
+    (deterministic; ties broken by ascending vec_id)."""
+    import ray
+    import ray.data as rd
+
+    ids, emb = _load_embeddings(sf_dir)
+    order = np.argsort(ids)
+    qsel = order[:num_queries]
+    queries = (ids[qsel], _normalize(emb[qsel]))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteTopK, fn_constructor_kwargs={"queries": queries, "k": k},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency))
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas")
+
+
+def run_ann_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
+                n_bits: int = 12, radius: int = 2, concurrency: int = 4,
+                seed: int = 42):
+    """LSH-bucketed approximate top-k: candidates = vectors whose
+    hyperplane signature is within Hamming ``radius`` of the query's."""
+    import ray
+    import ray.data as rd
+
+    ids, emb = _load_embeddings(sf_dir)
+    order = np.argsort(ids)
+    qsel = order[:num_queries]
+    qids, qmat = ids[qsel], _normalize(emb[qsel])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((emb.shape[1], n_bits))
+    qsig = ((qmat @ planes) > 0).dot(1 << np.arange(n_bits, dtype=np.int64))
+    qstate = (qids, qmat, planes, qsig, radius)
+
+    class LshTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.planes, self.qsig, self.radius = qstate
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            embb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+            sig = ((embb @ self.planes) > 0).dot(
+                1 << np.arange(self.planes.shape[1], dtype=np.int64))
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                ham = np.array([bin(int(s ^ self.qsig[qi])).count("1") for s in sig])
+                mask = (ham <= self.radius) & (vids != qid)
+                cand_v = vids[mask]
+                if len(cand_v) == 0:
+                    continue
+                cand_s = embb[mask] @ self.qmat[qi]
+                if len(cand_v) > k:
+                    idx = np.argpartition(-cand_s, k)[:k]
+                    cand_v, cand_s = cand_v[idx], cand_s[idx]
+                out_q.extend([int(qid)] * len(cand_v))
+                out_v.extend(int(v) for v in cand_v)
+                out_s.extend(float(s) for s in cand_s)
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    partials = ds.map_batches(LshTopK, batch_format="pyarrow",
+                              batch_size=4096, concurrency=(1, concurrency))
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas")

@@ -1,0 +1,193 @@
+"""Text-analysis operators over the ``documents`` table — the ops a
+large-scale training-data pipeline needs on top of the reference's
+crawl/extract surface: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All stages are stateless ``map_batches`` with vectorized kernels
+(pyarrow.compute regex counters / numpy); regex programs and language
+profiles compile once per worker (callable classes where state
+exists).  Reads are column-pruned.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that")
+STOP_RE = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]"
+
+
+def _docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace-ish + BPE-ish regex)
+# --------------------------------------------------------------------------
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized token counts — `[A-Za-z0-9_]+` word tokens plus a
+    BPE-ish sub-word estimate (ceil(chars/4), the common ~4-chars/token
+    rule of thumb for byte-pair vocabularies)."""
+    text = batch["text"]
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_chars = pc.utf8_length(text)
+    bpe_est = pc.cast(pc.ceil(pc.divide(pc.cast(n_chars, pa.float64()), 4.0)), pa.int64())
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "bpe_tokens_est": bpe_est,
+    })
+
+
+def run_token_count(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow", batch_size=4096)
+
+
+# --------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword ratios)
+# --------------------------------------------------------------------------
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_words = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(text, STOP_RE), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.float64())
+    safe_words = pc.max_element_wise(n_words, 1.0)
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    stop_ratio = pc.round(pc.divide(n_stop, safe_words), 6)
+    punct_ratio = pc.round(pc.divide(n_punct, safe_chars), 6)
+    # mean alpha word length = (chars in tokens) / tokens
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_words": pc.cast(n_words, pa.int64()),
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+    })
+
+
+def run_quality(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow", batch_size=4096)
+
+
+# --------------------------------------------------------------------------
+# language ID (character/stopword n-gram heuristic)
+# --------------------------------------------------------------------------
+
+class LangId:
+    """Tiny deterministic language-ID: per-language marker-word profiles
+    scored per document; state (compiled regexes) built once per actor."""
+
+    PROFILES = {
+        "en": ("the", "and", "of", "is", "with", "for"),
+        "de": ("der", "die", "und", "ist", "nicht", "ein"),
+        "fr": ("le", "la", "et", "est", "les", "des"),
+        "es": ("el", "la", "y", "es", "los", "una"),
+    }
+
+    def __init__(self):
+        self.patterns = {
+            lang: re.compile(r"\b(?:" + "|".join(words) + r")\b")
+            for lang, words in self.PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            t = t or ""
+            best_lang, best = "und", 0
+            for lang in sorted(self.patterns):  # deterministic tie-break
+                n = len(self.patterns[lang].findall(t))
+                if n > best:
+                    best, best_lang = n, lang
+            langs.append(best_lang)
+            n_words = max(1, len(t.split()))
+            scores.append(round(best / n_words, 6))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(langs, type=pa.string()),
+            "lang_score": pa.array(scores, type=pa.float64()),
+        })
+
+
+def run_lang_id(sf_dir: str, concurrency: int = 4):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency))
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (rolling hash, winnowing)
+# --------------------------------------------------------------------------
+
+class Fingerprinter:
+    """Winnowed rolling-hash fingerprint (Schleimer et al. winnowing):
+    Rabin-Karp over character k-grams, min-sampled per window; the
+    fingerprint is the hex digest of the sorted sampled hashes.  Two
+    documents sharing long substrings share sampled hashes."""
+
+    K = 8          # gram size
+    WINDOW = 16    # winnow window
+    BASE = 257
+    MOD = (1 << 61) - 1
+
+    def __init__(self):
+        self.pow_k = pow(self.BASE, self.K - 1, self.MOD)
+
+    def _grams(self, t: str) -> list[int]:
+        if len(t) < self.K:
+            return [hash_bytes(t.encode())] if t else []
+        out = []
+        h = 0
+        for c in t[: self.K]:
+            h = (h * self.BASE + ord(c)) % self.MOD
+        out.append(h)
+        for i in range(self.K, len(t)):
+            h = ((h - ord(t[i - self.K]) * self.pow_k) * self.BASE + ord(t[i])) % self.MOD
+            out.append(h)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps, n_grams = [], []
+        for t in batch["text"].to_pylist():
+            grams = self._grams(t or "")
+            n_grams.append(len(grams))
+            if not grams:
+                fps.append("")
+                continue
+            sampled = set()
+            w = self.WINDOW
+            for i in range(0, max(1, len(grams) - w + 1)):
+                sampled.add(min(grams[i:i + w]))
+            digest = hashlib.sha1(
+                b"".join(g.to_bytes(8, "big") for g in sorted(sampled))).hexdigest()
+            fps.append(digest)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fps, type=pa.string()),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+        })
+
+
+def hash_bytes(b: bytes) -> int:
+    return int.from_bytes(hashlib.sha1(b).digest()[:8], "big")
+
+
+def run_fingerprint(sf_dir: str, concurrency: int = 4):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, concurrency))

@@ -57,7 +57,7 @@ import pyarrow.parquet as pq
 from ..canonical import host_shard
 
 SEED = 42
-CORPUS_VERSION = "v2"
+CORPUS_VERSION = "v3"
 DEFAULT_NUM_PARTS = 16
 
 
@@ -110,15 +110,16 @@ def robots_txt_for(h: int) -> str:
     return ""
 
 
-def seed_urls(n_docs: int) -> list[dict]:
-    """Seeds = first doc of every even host (FIFO priority order).
-    allowed_domains is derived from these, as in
-    /root/reference/dude/base.py:405 — odd hosts are reachable only via
-    cross-links and get dropped by the domain filter."""
+def seed_urls(n_docs: int, seed_every: int = 2) -> list[dict]:
+    """Seeds = first doc of every ``seed_every``-th host (FIFO priority
+    order).  allowed_domains is derived from these, as in
+    /root/reference/dude/base.py:405 — unseeded hosts are reachable only
+    via cross-links and get dropped by the domain filter.  The bench
+    profile uses seed_every=1 (all hosts crawlable, shallow BFS)."""
     bounds = host_boundaries(n_docs)
     out = []
     for h in range(num_hosts(n_docs)):
-        if h % 2 == 0:
+        if h % seed_every == 0:
             out.append({"url": url_for(bounds[h], h), "method": "GET",
                         "priority": len(out)})
     return out
@@ -142,12 +143,12 @@ def _build_struct(doc_id: int, text: str, n_docs: int, bounds: list[int]) -> _Pa
     start_h, end_h = bounds[h], bounds[h + 1]
     words = text.split() or ["empty"]
 
-    n_groups = rng.randint(1, 4)
+    n_groups = rng.randint(2, 6)
     groups = []
     for g in range(n_groups):
         t = start_h + rng.randrange(end_h - start_h)
         w0 = (g * 7) % len(words)
-        desc = " ".join(words[w0:w0 + 8]) if rng.random() < 0.7 else None
+        desc = " ".join(words[w0:w0 + 16]) if rng.random() < 0.7 else None
         image = f"/media/{doc_id}_{g}.png" if rng.random() < 0.4 else None
         groups.append({
             "title": f"Title {doc_id}-{g}",
@@ -156,7 +157,7 @@ def _build_struct(doc_id: int, text: str, n_docs: int, bounds: list[int]) -> _Pa
             "image": image,
         })
 
-    n_links = rng.randint(2, 5)
+    n_links = rng.randint(3, 8)
     nav_links = []
     for i in range(n_links):
         roll = rng.random()
@@ -176,11 +177,11 @@ def _build_struct(doc_id: int, text: str, n_docs: int, bounds: list[int]) -> _Pa
     if (doc_id - start_h) % 4 != 3 and doc_id + 1 < end_h:
         next_href = f"/docs/{doc_id + 1}.html"
 
-    n_paras = rng.randint(1, 3)
+    n_paras = rng.randint(2, 6)
     paras = []
     for p in range(n_paras):
         w0 = (p * 13) % len(words)
-        paras.append(" ".join(words[w0:w0 + 12]))
+        paras.append(" ".join(words[w0:w0 + 24]))
     return _PageStruct(groups, nav_links, next_href, paras)
 
 
@@ -257,19 +258,31 @@ def media_payload(media_ref: str) -> bytes:
     return (d * reps)[:n]
 
 
-def generate_batch(batch: pa.Table, n_docs: int, num_parts: int) -> pa.Table:
+def generate_batch(batch: pa.Table, n_docs: int, num_parts: int,
+                   scale: int = 1) -> pa.Table:
     """map_batches kernel: documents rows → corpus rows (stateless; all
-    topology is a pure function of (doc_id, n_docs))."""
+    topology is a pure function of (virtual doc id, n_docs*scale)).
+
+    ``scale`` expands each source doc into ``scale`` virtual pages
+    (virtual id = doc_id*scale + j, same text, different seeded page
+    structure) so the bench corpus can be sized independently of the
+    driver table while staying deterministic."""
     from ..stages.extract import SPANS_TYPE
 
-    bounds = host_boundaries(n_docs)
-    src_ids = batch["doc_id"].to_pylist()
-    texts = batch["text"].to_pylist()
+    n_virtual = n_docs * scale
+    bounds = host_boundaries(n_virtual)
+    in_ids = batch["doc_id"].to_pylist()
+    in_texts = batch["text"].to_pylist()
+    src_ids, texts = [], []
+    for d, t in zip(in_ids, in_texts):
+        for j in range(scale):
+            src_ids.append(d * scale + j)
+            texts.append(t)
     urls, spans_col, htmls, hosts, parts = [], [], [], [], []
     media_refs_col = []
     for doc_id, text in zip(src_ids, texts):
         h = host_of(doc_id, bounds)
-        s = _build_struct(doc_id, text or "", n_docs, bounds)
+        s = _build_struct(doc_id, text or "", n_virtual, bounds)
         urls.append(url_for(doc_id, h))
         spans_col.append(_golden_spans(s))
         htmls.append(_render_html(doc_id, s))
@@ -291,29 +304,33 @@ def generate_batch(batch: pa.Table, n_docs: int, num_parts: int) -> pa.Table:
 # corpus build + cache
 # --------------------------------------------------------------------------
 
-def corpus_dir_for(sf_dir: str, base: str = "/tmp/dude_ray_corpus") -> str:
+def corpus_dir_for(sf_dir: str, base: str = "/tmp/dude_ray_corpus",
+                   scale: int = 1, seed_every: int = 2) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(base, f"{tag}-{CORPUS_VERSION}")
+    return os.path.join(base, f"{tag}-{CORPUS_VERSION}-x{scale}-e{seed_every}")
 
 
 def ensure_corpus(sf_dir: str, out_dir: Optional[str] = None,
-                  num_parts: int = DEFAULT_NUM_PARTS) -> str:
+                  num_parts: int = DEFAULT_NUM_PARTS, scale: int = 1,
+                  seed_every: int = 2) -> str:
     """Generate (once, cached — generation is deterministic) the corpus
     for an sf dir.  Runs as a Ray Data pipeline: read documents →
     stateless map_batches → parquet partitioned by fetch-lookup ``part``
     so a fetch for one host-hash range touches one directory."""
     import ray.data as rd
 
-    out_dir = out_dir or corpus_dir_for(sf_dir)
+    out_dir = out_dir or corpus_dir_for(sf_dir, scale=scale, seed_every=seed_every)
     manifest_path = os.path.join(out_dir, "MANIFEST.json")
     if os.path.exists(manifest_path):
         return out_dir
-    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_src = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_docs = n_src * scale
     os.makedirs(out_dir, exist_ok=True)
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     ds = ds.map_batches(generate_batch, batch_format="pyarrow", batch_size=512,
-                        fn_kwargs={"n_docs": n_docs, "num_parts": num_parts})
+                        fn_kwargs={"n_docs": n_src, "num_parts": num_parts,
+                                   "scale": scale})
     ds.write_parquet(os.path.join(out_dir, "web"), partition_cols=["part"])
 
     robots = [{"host": host_name(h), "robots_txt": robots_txt_for(h)}
@@ -321,10 +338,11 @@ def ensure_corpus(sf_dir: str, out_dir: Optional[str] = None,
     with open(os.path.join(out_dir, "robots.json"), "w") as f:
         json.dump(robots, f)
     with open(os.path.join(out_dir, "seeds.json"), "w") as f:
-        json.dump(seed_urls(n_docs), f)
+        json.dump(seed_urls(n_docs, seed_every), f)
     with open(manifest_path, "w") as f:
         json.dump({"sf_dir": sf_dir, "n_docs": n_docs, "num_parts": num_parts,
-                   "num_hosts": num_hosts(n_docs), "version": CORPUS_VERSION}, f)
+                   "num_hosts": num_hosts(n_docs), "version": CORPUS_VERSION,
+                   "scale": scale, "seed_every": seed_every}, f)
     return out_dir
 
 

@@ -1,0 +1,192 @@
+"""Training-data pipeline tests (dedup / similarity / text ops /
+multimodal plumbing) at sf0.001."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_matches_local(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_exact_dedup
+
+    got = {r["h"]: (r["keeper_id"], r["dup_count"])
+           for r in run_exact_dedup(SF).take_all()}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want: dict = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        h = hashlib.md5(txt.encode()).hexdigest()
+        k, c = want.get(h, (d, 0))
+        want[h] = (min(k, d), c + 1)
+    assert got == want
+
+
+def test_minhash_finds_planted_neardups(ray_session, tmp_path):
+    """Plant shuffled/truncated copies; MinHash-LSH must pair them."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_minhash_dedup
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    texts = t["text"].to_pylist()
+    base = max(t["doc_id"].to_pylist()) + 1
+    extra_ids, extra_texts = [], []
+    for i in range(5):
+        words = texts[i].split()
+        # drop one word → high-Jaccard near-dup
+        extra_ids.append(base + i)
+        extra_texts.append(" ".join(words[:-1]) if len(words) > 4 else texts[i])
+    planted = pa.table({
+        "doc_id": pa.array(list(t["doc_id"].to_pylist()) + extra_ids, type=pa.int64()),
+        "text": pa.array(texts + extra_texts, type=pa.string()),
+        "lang": pa.array(["en"] * (len(texts) + 5)),
+        "source": pa.array(["x"] * (len(texts) + 5)),
+        "n_chars": pa.array([len(s) for s in texts + extra_texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(planted, str(d / "documents.parquet"))
+    pairs = {(r["a"], r["b"]) for r in run_minhash_dedup(str(d), threshold=0.7).take_all()}
+    for i in range(5):
+        if len(texts[i].split()) > 4:
+            assert (i, base + i) in pairs, f"planted pair {i} missed"
+
+
+def test_simhash_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_simhash_dedup
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    texts = t["text"].to_pylist()
+    base = max(t["doc_id"].to_pylist()) + 1
+    # exact copies → hamming 0
+    planted = pa.table({
+        "doc_id": pa.array(list(t["doc_id"].to_pylist()) + [base, base + 1], type=pa.int64()),
+        "text": pa.array(texts + [texts[0], texts[1]], type=pa.string()),
+        "lang": pa.array(["en"] * (len(texts) + 2)),
+        "source": pa.array(["x"] * (len(texts) + 2)),
+        "n_chars": pa.array([len(s) for s in texts] + [len(texts[0]), len(texts[1])],
+                            type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(planted, str(d / "documents.parquet"))
+    rows = run_simhash_dedup(str(d)).take_all()
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in rows}
+    assert pairs.get((0, base)) == 0
+    assert pairs.get((1, base + 1)) == 0
+
+
+def test_embedding_neardup_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_embedding_neardup
+
+    rng = np.random.RandomState(0)
+    emb = rng.standard_normal((50, 16)).astype(np.float32)
+    emb[10] = emb[3] + 0.01 * rng.standard_normal(16)  # near-dup of 3
+    t = pa.table({
+        "vec_id": pa.array(range(50), type=pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 50, type=pa.int32()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    pairs = {(r["a"], r["b"]) for r in run_embedding_neardup(str(d), threshold=0.99).take_all()}
+    assert (3, 10) in pairs
+
+
+def test_embedding_neardup_empty_keeps_schema(ray_session):
+    from dude_ray.pipelines.dedup import run_embedding_neardup
+
+    ds = run_embedding_neardup(SF, threshold=0.999)
+    assert set(ds.schema().names) == {"a", "b", "cosine"}
+
+
+def test_ann_topk_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.similarity import run_ann_topk
+
+    rows = run_ann_topk(SF, num_queries=3, k=5).take_all()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for q in range(3):
+        qi = np.argsort(ids)[q]
+        sims = emb @ emb[qi]
+        sims[qi] = -np.inf
+        want = set(ids[np.argsort(-sims)[:5]])
+        got = {r["vec_id"] for r in rows if r["query_id"] == ids[qi]}
+        assert got == want
+
+
+def test_ann_lsh_recall(ray_session):
+    from dude_ray.pipelines.similarity import run_ann_lsh, run_ann_topk
+
+    exact = run_ann_topk(SF, num_queries=5, k=10).take_all()
+    approx = run_ann_lsh(SF, num_queries=5, k=10, n_bits=8, radius=3).take_all()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["vec_id"] in exact_sets.get(r["query_id"], set()):
+            hit += 1
+    assert total > 0
+    assert hit / max(1, sum(len(s) for s in exact_sets.values())) > 0.3  # recall floor
+
+
+def test_token_and_quality_deterministic(ray_session):
+    from dude_ray.pipelines.textops import run_quality, run_token_count
+
+    a = run_token_count(SF).take_all()
+    b = run_token_count(SF).take_all()
+    assert a == b
+    q = run_quality(SF).take_all()
+    assert all(0 <= r["stop_ratio"] <= 1 for r in q)
+    assert len(q) == len(a)
+
+
+def test_lang_id_and_fingerprint(ray_session):
+    from dude_ray.pipelines.textops import run_fingerprint, run_lang_id
+
+    langs = run_lang_id(SF).take_all()
+    assert {r["pred_lang"] for r in langs} <= {"en", "de", "fr", "es", "und"}
+    fp = run_fingerprint(SF).take_all()
+    by_doc = {r["doc_id"]: r["fingerprint"] for r in fp}
+    assert len(by_doc) == len(fp)
+    # identical texts → identical fingerprints
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    seen: dict = {}
+    for d, txt in texts.items():
+        if txt in seen:
+            assert by_doc[d] == by_doc[seen[txt]]
+        seen[txt] = d
+
+
+def test_media_decode_plumbing(ray_session):
+    from dude_ray.stages.multimodal import run_media_decode
+
+    rows = run_media_decode(SF).take_all()
+    assert len(rows) > 50
+    ok = [r for r in rows if r["decode_status"] == "ok"]
+    assert len(ok) == len(rows)  # all synthetic payloads decode
+    assert all(r["width"] >= 64 and r["height"] >= 64 for r in ok)
+    assert all(len(r["feature"]) == 8 for r in ok)
+    # deterministic across runs
+    again = {r["media_ref"]: (r["width"], r["height"]) for r in run_media_decode(SF).take_all()}
+    assert all(again[r["media_ref"]] == (r["width"], r["height"]) for r in rows)
