@@ -23,7 +23,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CORPUS_SCALE = int(os.environ.get("BENCH_CORPUS_SCALE", "20"))
+CORPUS_SCALE = int(os.environ.get("BENCH_CORPUS_SCALE", "70"))
+NUM_PARTS = int(os.environ.get("BENCH_NUM_PARTS", "64"))
 
 
 def run_bench() -> dict:
@@ -45,13 +46,15 @@ def run_bench() -> dict:
 
     # corpus generation is one-time (cached) and untimed: it also warms
     # the page cache so the timed run measures compute + exchange
-    ensure_corpus(SF_DIR, scale=CORPUS_SCALE, seed_every=1)
+    ensure_corpus(SF_DIR, scale=CORPUS_SCALE, seed_every=1, num_parts=NUM_PARTS)
 
     # ---- headline: the crawl ------------------------------------------
     t0 = time.time()
     ds = run_crawl(SF_DIR, out_dir=f"/tmp/dude_ray_bench/crawl_{NUM_CPUS}",
-                   num_shards=max(4, NUM_CPUS // 4), batch_size=512,
-                   ticks_per_round=64, corpus_scale=CORPUS_SCALE, seed_every=1)
+                   num_shards=8, batch_size=128, checkpoint_every=8,
+                   ticks_per_round=8, corpus_scale=CORPUS_SCALE, seed_every=1,
+                   num_parts_hint=NUM_PARTS, politeness_burst=100_000,
+                   exact_confirm=False)
     n_visits = ds.count()
     crawl_sec = time.time() - t0
     timings["crawl"] = round(crawl_sec, 3)

@@ -49,7 +49,13 @@ from .canonical import canonicalize_url, url_host
 from .htmlparser import parse_html
 from .pipelines.flagship import flagship_rules
 from .sources.corpus import ensure_corpus, load_manifest, load_robots, load_seeds
-from .stages.extract import SPANS_TYPE, _CompiledRules, extract_all, rows_to_spans
+from .stages.extract import (
+    SPANS_TYPE,
+    _CompiledRules,
+    extract_all,
+    rows_to_spans,
+    spans_to_arrow,
+)
 from .stages.fetch import CorpusFetcher
 from .stages.links import collect_links, route_edges
 from .state.frontier import FrontierShard
@@ -75,9 +81,30 @@ class CrawlWorker:
         self.compiled = _CompiledRules(list(rules))
         self.shards = shards
         self.follow_urls = follow_urls
+        self._pending_offers: list = []
+        self.busy_s = 0.0
+        self.n_batches = 0
 
     def process(self, batch: pa.Table) -> pa.Table:
-        return self(batch)
+        import time as _t
+
+        t0 = _t.time()
+        out = self(batch)
+        self.busy_s += _t.time() - t0
+        self.n_batches += 1
+        return out
+
+    def flush_offers(self) -> int:
+        """Barrier this worker's in-flight offers (driver calls once per
+        round, before the next release)."""
+        n = len(self._pending_offers)
+        if n:
+            ray.get(self._pending_offers)
+            self._pending_offers.clear()
+        return n
+
+    def worker_stats(self) -> dict:
+        return {"busy_s": round(self.busy_s, 2), "n_batches": self.n_batches}
 
     def ping(self) -> bool:
         return True
@@ -112,7 +139,10 @@ class CrawlWorker:
             else:
                 n_links_col.append(0)
         if edge_urls:
-            ray.get(route_edges(edge_urls, edge_depths, edge_keys, self.shards))
+            # offers are fire-and-forget here; flush_offers barriers them
+            # at round end so the worker never blocks on shard RPCs
+            self._pending_offers.extend(
+                route_edges(edge_urls, edge_depths, edge_keys, self.shards))
         return pa.table({
             "doc_id": pa.array(urls, type=pa.string()),
             "host": pa.array([url_host(u) for u in urls], type=pa.string()),
@@ -124,7 +154,7 @@ class CrawlWorker:
             "ek_link": batch["ek_link"],
             "status": pa.array(statuses, type=pa.string()),
             "n_links": pa.array(n_links_col, type=pa.int32()),
-            "spans": pa.array(spans_col, type=SPANS_TYPE),
+            "spans": spans_to_arrow(spans_col),
         })
 
 
@@ -168,6 +198,9 @@ def run_crawl(
     rules=None,
     corpus_scale: int = 1,
     seed_every: int = 2,
+    num_parts_hint: int = 16,
+    politeness_burst: int = 1,
+    exact_confirm: bool = True,
 ):
     """Run the crawl; returns the visits/spans Dataset read back from the
     partitioned output (one ``round_k`` dir per frontier round).
@@ -178,7 +211,8 @@ def run_crawl(
     amortizes per-round pipeline startup when only crawl-delayed hosts
     remain.  ``stop_after_rounds`` simulates a crash for resume tests.
     """
-    corpus_dir = ensure_corpus(sf_dir, scale=corpus_scale, seed_every=seed_every)
+    corpus_dir = ensure_corpus(sf_dir, scale=corpus_scale, seed_every=seed_every,
+                               num_parts=num_parts_hint)
     manifest = load_manifest(corpus_dir)
     num_parts = manifest["num_parts"]
     robots = load_robots(corpus_dir)
@@ -199,6 +233,7 @@ def run_crawl(
     shards = [
         FrontierShard.remote(
             i, robots, allowed, capacity=seen_capacity // num_shards + 1,
+            exact_confirm=exact_confirm,
             ignore_robots_txt=ignore_robots_txt, politeness=politeness)
         for i in range(num_shards)
     ]
@@ -226,7 +261,10 @@ def run_crawl(
 
     rules = rules or flagship_rules()
     if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        # leave headroom for the (fractional-CPU) shards, writers and
+        # driver — oversubscription slows every stage
+        total = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, total - 2)
 
     WorkerActor = ray.remote(CrawlWorker)
     workers = [
@@ -247,14 +285,17 @@ def run_crawl(
         if stop_after_rounds is not None and rnd - start_round >= stop_after_rounds:
             break
         _t0 = _time.time()
-        released: list[tuple[tuple, str, int]] = []
-        for _ in range(ticks_per_round):
-            tick_out = ray.get([s.release.remote(release_budget) for s in shards])
-            got = [item for lst in tick_out for item in lst]
-            released.extend(got)
-            if not got or len(released) >= release_budget:
-                break
-        if not released:
+        # one RPC per shard per round; the tick loop runs inside the
+        # shard (politeness accounting is virtual-clock per tick) and
+        # the result crosses the store as Arrow columns, not pickles
+        tick_out = ray.get([
+            s.release_many_table.remote(ticks_per_round, release_budget,
+                                        burst=politeness_burst)
+            for s in shards
+        ])
+        tick_out = [t for t in tick_out if t.num_rows]
+        n_released = sum(t.num_rows for t in tick_out)
+        if not n_released:
             pending = sum(ray.get([s.pending.remote() for s in shards]))
             if pending == 0:
                 break
@@ -262,40 +303,55 @@ def run_crawl(
 
         _pt["release"] += _time.time() - _t0
         _t0 = _time.time()
-        released.sort(key=lambda t: t[0])  # global enqueue-key order
-        # order_in_round is assigned in key order (the visit-order label
-        # and the parent component of children keys); rows are then laid
-        # out by corpus partition so each fetch batch touches ~1 part
-        # (lookup-cache locality) — a pure physical reorder.
+        # Build the round table with Arrow compute (C++ sorts — the
+        # python-tuple sort dominated driver time at 10^5 rows/round):
+        # order_in_round is assigned in global enqueue-key order (the
+        # visit-order label and the parent component of children keys),
+        # then rows are laid out by corpus partition so each fetch batch
+        # touches ~1 part (lookup-cache locality) — a physical reorder.
         from .canonical import host_shard as _hs
 
-        labeled = [(i, k, u, d) for i, (k, u, d) in enumerate(released)]
-        labeled.sort(key=lambda t: (_hs(url_host(t[2]), num_parts), t[0]))
-        rows = pa.table({
-            "url": pa.array([u for _, _, u, _ in labeled], type=pa.string()),
-            "depth": pa.array([d for _, _, _, d in labeled], type=pa.int32()),
-            "round": pa.array([rnd] * len(labeled), type=pa.int32()),
-            "order_in_round": pa.array([i for i, _, _, _ in labeled], type=pa.int64()),
-            "ek_round": pa.array([k[0] for _, k, _, _ in labeled], type=pa.int64()),
-            "ek_parent": pa.array([k[1] for _, k, _, _ in labeled], type=pa.int64()),
-            "ek_link": pa.array([k[2] for _, k, _, _ in labeled], type=pa.int64()),
-        })
+        import pyarrow.compute as _pc
+
+        raw = pa.concat_tables(tick_out)
+        raw = raw.append_column("part", pa.array(
+            [_hs(url_host(u), num_parts) for u in raw["url"].to_pylist()],
+            type=pa.int32()))
+        key_idx = _pc.sort_indices(raw, sort_keys=[("ek_round", "ascending"),
+                                                   ("ek_parent", "ascending"),
+                                                   ("ek_link", "ascending")])
+        raw = raw.take(key_idx).append_column(
+            "order_in_round", pa.array(range(raw.num_rows), type=pa.int64()))
+        part_idx = _pc.sort_indices(raw, sort_keys=[("part", "ascending"),
+                                                    ("order_in_round", "ascending")])
+        rows = raw.take(part_idx).append_column(
+            "round", pa.array([rnd] * raw.num_rows, type=pa.int32()))
         _pt["build"] += _time.time() - _t0
         _t0 = _time.time()
-        # dispatch part-affine batches to the persistent pool; results
-        # stay in the object store (refs) and stream to parquet
+        # group this round's batches by corpus part, then assign workers:
+        # cold parts stay on their affine worker (lookup-cache locality);
+        # a hot part fans out over ceil(n/K) consecutive workers so one
+        # hot host cannot serialize the round (hot-host skew splitting)
+        # while the number of workers that must cache it stays bounded.
         refs = []
         n_rows = rows.num_rows
+        per_part: dict[int, list] = {}
         for lo in range(0, n_rows, batch_size):
             chunk = rows.slice(lo, min(batch_size, n_rows - lo))
-            part = _hs(url_host(chunk["url"][0].as_py()), num_parts)
-            w = workers[part % len(workers)]
-            refs.append(w.process.remote(chunk))
-        # barrier only on worker completion (offers applied); parquet
-        # writes proceed asynchronously and are gathered lazily — a
-        # checkpoint must not outrun its rounds' files, so pending
+            part = chunk["part"][0].as_py()
+            per_part.setdefault(part, []).append(chunk.drop_columns(["part"]))
+        SPLIT_K = 4  # max batches per worker per part per round
+        for part, chunks in per_part.items():
+            n_span = max(1, -(-len(chunks) // SPLIT_K))
+            for ci, chunk in enumerate(chunks):
+                w = workers[(part + ci % n_span) % len(workers)]
+                refs.append(w.process.remote(chunk))
+        # barrier only on worker completion (offers applied + flushed);
+        # parquet writes proceed asynchronously and are gathered lazily —
+        # a checkpoint must not outrun its rounds' files, so pending
         # writes are drained before each snapshot
         ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        ray.get([w.flush_offers.remote() for w in workers])
         _pt["dispatch"] += _time.time() - _t0
         _t0 = _time.time()
         round_dir = os.path.join(out_dir, f"round_{rnd:05d}")
@@ -341,6 +397,12 @@ def run_crawl(
     # final metrics → lineage manifest (SURVEY A4)
     stats = ray.get([s.get_stats.remote() for s in shards])
     hosts = [row for s in shards for row in ray.get(s.host_accounting.remote())]
+    wstats = ray.get([w.worker_stats.remote() for w in workers])
+    if _prof:
+        busy = sorted(w["busy_s"] for w in wstats)
+        print("WORKER_BUSY", json.dumps({"sum": round(sum(busy), 1),
+                                         "min": busy[0], "max": busy[-1],
+                                         "n": len(busy)}))
     _atomic_write(os.path.join(out_dir, "METRICS.json"), json.dumps({
         "rounds": rnd, "shards": stats, "hosts": hosts,
     }).encode())

@@ -267,7 +267,7 @@ def generate_batch(batch: pa.Table, n_docs: int, num_parts: int,
     (virtual id = doc_id*scale + j, same text, different seeded page
     structure) so the bench corpus can be sized independently of the
     driver table while staying deterministic."""
-    from ..stages.extract import SPANS_TYPE
+    from ..stages.extract import SPANS_TYPE, spans_to_arrow
 
     n_virtual = n_docs * scale
     bounds = host_boundaries(n_virtual)
@@ -291,7 +291,7 @@ def generate_batch(batch: pa.Table, n_docs: int, num_parts: int,
         media_refs_col.append([g["image"] for g in s.groups if g["image"] is not None])
     return pa.table({
         "doc_id": pa.array(urls, type=pa.string()),
-        "spans": pa.array(spans_col, type=SPANS_TYPE),
+        "spans": spans_to_arrow(spans_col),
         "html": pa.array(htmls, type=pa.string()),
         "host": pa.array(hosts, type=pa.string()),
         "part": pa.array(parts, type=pa.int32()),
@@ -305,9 +305,11 @@ def generate_batch(batch: pa.Table, n_docs: int, num_parts: int,
 # --------------------------------------------------------------------------
 
 def corpus_dir_for(sf_dir: str, base: str = "/tmp/dude_ray_corpus",
-                   scale: int = 1, seed_every: int = 2) -> str:
+                   scale: int = 1, seed_every: int = 2,
+                   num_parts: int = DEFAULT_NUM_PARTS) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(base, f"{tag}-{CORPUS_VERSION}-x{scale}-e{seed_every}")
+    return os.path.join(base,
+                        f"{tag}-{CORPUS_VERSION}-x{scale}-e{seed_every}-p{num_parts}")
 
 
 def ensure_corpus(sf_dir: str, out_dir: Optional[str] = None,
@@ -319,7 +321,8 @@ def ensure_corpus(sf_dir: str, out_dir: Optional[str] = None,
     so a fetch for one host-hash range touches one directory."""
     import ray.data as rd
 
-    out_dir = out_dir or corpus_dir_for(sf_dir, scale=scale, seed_every=seed_every)
+    out_dir = out_dir or corpus_dir_for(sf_dir, scale=scale, seed_every=seed_every,
+                                        num_parts=num_parts)
     manifest_path = os.path.join(out_dir, "MANIFEST.json")
     if os.path.exists(manifest_path):
         return out_dir

@@ -207,6 +207,31 @@ def rows_to_spans(rows: Iterable[ScrapedData]) -> List[dict]:
     return spans
 
 
+def spans_to_arrow(span_lists: List[List[dict]]) -> pa.Array:
+    """Build the list<struct> spans column from per-doc span rows in one
+    vectorized pass (pa.array over nested python dicts is several times
+    slower than flat columns + ListArray.from_arrays)."""
+    kinds: List[str] = []
+    texts: List[str] = []
+    refs: List[str] = []
+    offs: List[int] = []
+    offsets = [0]
+    for spans in span_lists:
+        for s in spans:
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+            offs.append(s["offset"])
+        offsets.append(len(kinds))
+    values = pa.StructArray.from_arrays(
+        [pa.array(kinds, type=pa.string()),
+         pa.array(texts, type=pa.string()),
+         pa.array(refs, type=pa.string()),
+         pa.array(offs, type=pa.int32())],
+        fields=list(SPAN_TYPE))
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+
+
 # --------------------------------------------------------------------------
 # Ray Data stage
 # --------------------------------------------------------------------------
@@ -233,7 +258,7 @@ class SpanExtractor:
             rows = extract_all(self.compiled, dom, url, page_number=1)
             span_lists.append(rows_to_spans(rows))
         cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
-        cols["spans"] = pa.array(span_lists, type=SPANS_TYPE)
+        cols["spans"] = spans_to_arrow(span_lists)
         for name in self.keep:
             cols[name] = batch[name]
         return pa.table(cols)

