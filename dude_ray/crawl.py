@@ -201,6 +201,7 @@ def run_crawl(
     num_parts_hint: int = 16,
     politeness_burst: int = 1,
     exact_confirm: bool = True,
+    pipelined: bool = False,
 ):
     """Run the crawl; returns the visits/spans Dataset read back from the
     partitioned output (one ``round_k`` dir per frontier round).
@@ -264,7 +265,9 @@ def run_crawl(
         # leave headroom for the (fractional-CPU) shards, writers and
         # driver — oversubscription slows every stage
         total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, total - 2)
+        # ~75% of CPUs: parsing is allocation/bandwidth-bound, so a full
+        # pool loses more to memory contention than it gains in slots
+        concurrency = max(2, min(total - 2, (total * 3) // 4))
 
     WorkerActor = ray.remote(CrawlWorker)
     workers = [
@@ -280,6 +283,9 @@ def run_crawl(
            "ckpt": 0.0, "n_rounds": 0}
 
     pending_writes: list = []
+    part_owners: dict[int, list[int]] = {}
+    inflight: list = []
+    _loop_t0 = _time.time()
     rnd = start_round
     while rnd < max_rounds:
         if stop_after_rounds is not None and rnd - start_round >= stop_after_rounds:
@@ -290,12 +296,20 @@ def run_crawl(
         # the result crosses the store as Arrow columns, not pickles
         tick_out = ray.get([
             s.release_many_table.remote(ticks_per_round, release_budget,
-                                        burst=politeness_burst)
+                                        burst=politeness_burst,
+                                        num_parts=num_parts)
             for s in shards
         ])
         tick_out = [t for t in tick_out if t.num_rows]
         n_released = sum(t.num_rows for t in tick_out)
         if not n_released:
+            if pipelined and inflight:
+                # wait for at least one straggler wave, flush its offers
+                done, still = ray.wait(inflight, num_returns=1,
+                                       fetch_local=False)
+                inflight[:] = still
+                ray.get([w.flush_offers.remote() for w in workers])
+                continue
             pending = sum(ray.get([s.pending.remote() for s in shards]))
             if pending == 0:
                 break
@@ -314,9 +328,6 @@ def run_crawl(
         import pyarrow.compute as _pc
 
         raw = pa.concat_tables(tick_out)
-        raw = raw.append_column("part", pa.array(
-            [_hs(url_host(u), num_parts) for u in raw["url"].to_pylist()],
-            type=pa.int32()))
         key_idx = _pc.sort_indices(raw, sort_keys=[("ek_round", "ascending"),
                                                    ("ek_parent", "ascending"),
                                                    ("ek_link", "ascending")])
@@ -340,18 +351,47 @@ def run_crawl(
             chunk = rows.slice(lo, min(batch_size, n_rows - lo))
             part = chunk["part"][0].as_py()
             per_part.setdefault(part, []).append(chunk.drop_columns(["part"]))
-        SPLIT_K = 4  # max batches per worker per part per round
-        for part, chunks in per_part.items():
-            n_span = max(1, -(-len(chunks) // SPLIT_K))
-            for ci, chunk in enumerate(chunks):
-                w = workers[(part + ci % n_span) % len(workers)]
-                refs.append(w.process.remote(chunk))
-        # barrier only on worker completion (offers applied + flushed);
-        # parquet writes proceed asynchronously and are gathered lazily —
-        # a checkpoint must not outrun its rounds' files, so pending
-        # writes are drained before each snapshot
-        ray.wait(refs, num_returns=len(refs), fetch_local=False)
-        ray.get([w.flush_offers.remote() for w in workers])
+        # load-aware dispatch with bounded cache replication: each part
+        # has a persistent owner set (workers that have its lookup
+        # partition cached); batches go to the least-loaded owner, and a
+        # part's owner set only grows when all owners are above the
+        # round's fair share (hot-host skew splitting with an explicit
+        # replication bound instead of a fixed fan-out).
+        W = len(workers)
+        load = [0.0] * W
+        fair = n_rows / W
+        for part, chunks in sorted(per_part.items(),
+                                   key=lambda kv: -len(kv[1])):
+            own = part_owners.setdefault(part, [part % W])
+            for chunk in chunks:
+                w = min(own, key=lambda i: load[i])
+                if load[w] >= fair and len(own) < W:
+                    cand = min(range(W), key=lambda i: load[i])
+                    if cand not in own and load[cand] < load[w]:
+                        own.append(cand)
+                        w = cand
+                load[w] += chunk.num_rows
+                refs.append(workers[w].process.remote(chunk))
+        if pipelined:
+            # pipelined (bench) mode: no per-round barrier — the next
+            # release consumes whatever offers have landed; the visit
+            # SET is invariant (gates are per-URL and static; dedup is
+            # first-offer-wins on an order-independent set), only the
+            # deterministic enqueue-key labels are given up.  Straggler
+            # batches overlap the next wave instead of stalling it.
+            inflight.extend(refs)
+            over = len(inflight) - 2 * len(workers)  # backpressure cap
+            if over > 0:
+                _, still = ray.wait(inflight, num_returns=over,
+                                    fetch_local=False)
+                inflight[:] = still
+        else:
+            # barrier on worker completion (offers applied + flushed);
+            # parquet writes proceed asynchronously and are gathered
+            # lazily — a checkpoint must not outrun its rounds' files,
+            # so pending writes are drained before each snapshot
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            ray.get([w.flush_offers.remote() for w in workers])
         _pt["dispatch"] += _time.time() - _t0
         _t0 = _time.time()
         round_dir = os.path.join(out_dir, f"round_{rnd:05d}")
@@ -389,10 +429,15 @@ def run_crawl(
         print("CRAWL_PROFILE", json.dumps({k: round(v, 2) if isinstance(v, float) else v
                                            for k, v in _pt.items()}))
 
+    if inflight:
+        ray.wait(inflight, num_returns=len(inflight), fetch_local=False)
+        ray.get([w.flush_offers.remote() for w in workers])
     for wrefs, tdir, rdir in pending_writes:
         ray.get(wrefs)
         os.replace(tdir, rdir)
     pending_writes.clear()
+
+    loop_sec = _time.time() - _loop_t0
 
     # final metrics → lineage manifest (SURVEY A4)
     stats = ray.get([s.get_stats.remote() for s in shards])
@@ -404,7 +449,9 @@ def run_crawl(
                                          "min": busy[0], "max": busy[-1],
                                          "n": len(busy)}))
     _atomic_write(os.path.join(out_dir, "METRICS.json"), json.dumps({
-        "rounds": rnd, "shards": stats, "hosts": hosts,
+        "rounds": rnd, "loop_sec": round(loop_sec, 3),
+        "released_total": int(sum(s.get("released", 0) for s in stats)),
+        "shards": stats, "hosts": hosts,
     }).encode())
 
     for s in shards:

@@ -46,7 +46,7 @@ _VOID_TAGS = {
 class Element:
     """A DOM element node."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "_order")
+    __slots__ = ("tag", "attrs", "children", "parent", "_order", "_index")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: Optional["Element"], order: int):
         self.tag = tag
@@ -54,6 +54,24 @@ class Element:
         self.children: list[Union["Element", str]] = []
         self.parent = parent
         self._order = order  # document order for stable sorts
+        self._index: Optional[dict] = None  # built lazily on the root
+
+    def index(self) -> dict:
+        """Lazily-built subtree index: ``("t", tag)`` / ``("c", class)``
+        → elements in document order.  One DOM walk serves every
+        selector evaluation on this scope (selectors otherwise re-walk
+        the whole tree per rule)."""
+        idx = self._index
+        if idx is None:
+            by_key: dict = {}
+            for el in self.iter():
+                by_key.setdefault(("t", el.tag), []).append(el)
+                cls = el.attrs.get("class")
+                if cls:
+                    for c in cls.split():
+                        by_key.setdefault(("c", c), []).append(el)
+            idx = self._index = by_key
+        return idx
 
     # ---- text accessors (mirror lxml/bs4 semantics used by handlers) ----
     @property
@@ -267,19 +285,39 @@ def _match_sequence(el: Element, seq: tuple[tuple[str, _Simple], ...]) -> bool:
     return False
 
 
+def _candidates_for(scope: Element, simple: _Simple):
+    """Narrow candidates via the scope index keyed on the rightmost
+    simple selector (class preferred — most selective), falling back to
+    a full subtree walk only for bare ``*``/attr/:root selectors."""
+    idx = scope.index()
+    if simple.classes:
+        return idx.get(("c", simple.classes[0]), [])
+    if simple.tag:
+        return idx.get(("t", simple.tag), [])
+    return None
+
+
 def css_select(scope: Element, compiled: CompiledCSS) -> list[Element]:
     """All descendant elements of ``scope`` matching the selector, in
     document order (scope itself is included only for ``:root``)."""
     out: list[Element] = []
-    candidates: Iterator[Element] = scope.iter()
-    for el in candidates:
-        for alt in compiled.alternatives:
-            if _match_sequence(el, alt):
+    if len(compiled.alternatives) == 1:
+        alt = compiled.alternatives[0]
+        cands = _candidates_for(scope, alt[-1][1])
+        if cands is not None:
+            return [el for el in cands if _match_sequence(el, alt)]
+    seen: set[int] = set()
+    for alt in compiled.alternatives:
+        cands = _candidates_for(scope, alt[-1][1])
+        if cands is None:
+            cands = list(scope.iter())
+        for el in cands:
+            if id(el) not in seen and _match_sequence(el, alt):
+                seen.add(id(el))
                 out.append(el)
-                break
-    # ":root" on a document scope should yield the top element even
-    # though scope.iter() covers it; the loop above already handles it
-    # because the document node is the parentless root.
+    out.sort(key=lambda e: e._order)
+    # ":root" on a document scope yields the top element; the walk covers
+    # it because the document node is the parentless root.
     return out
 
 

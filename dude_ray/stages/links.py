@@ -29,9 +29,7 @@ def collect_links(dom: Element, page_url: str) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()
     page_norm = page_url.rstrip("/")
-    for el in dom.iter():
-        if el.tag != "a":
-            continue
+    for el in dom.index().get(("t", "a"), ()):
         href = el.attrs.get("href")
         if not href:
             continue

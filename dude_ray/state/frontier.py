@@ -234,6 +234,7 @@ class FrontierShardLocal:
         """
         self._apply_buffer()
         out: list[tuple[Key, str, int]] = []
+        hosts_out: list[str] = []
         for _ in range(n_ticks):
             if burst > 1 and not self._ready and self._sleeping:
                 # discrete-event fast-forward (simulation mode only):
@@ -261,12 +262,14 @@ class FrontierShardLocal:
                     n = min(burst, len(hs.queue), max_urls - len(out))
                     for _ in range(n):
                         out.append(hs.queue.popleft())
+                        hosts_out.append(host)
                     hs.released += n
                     hs.next_free_tick = self.tick + hs.crawl_delay * n
                     throttled.append(host)
                 else:
                     while hs.queue and len(out) < max_urls:
                         out.append(hs.queue.popleft())
+                        hosts_out.append(host)
                         hs.released += 1
                     if hs.queue:  # budget hit mid-host
                         heapq.heappush(self._ready, (hs.queue[0][0], host))
@@ -277,6 +280,7 @@ class FrontierShardLocal:
             if not self._ready and not self._sleeping:
                 break
         self.stats["released"] += len(out)
+        self._last_hosts = hosts_out
         return out
 
     # ---- introspection --------------------------------------------------
@@ -357,17 +361,31 @@ class FrontierShardLocalArrow(FrontierShardLocal):
     zero-copy through the object store."""
 
     def release_many_table(self, n_ticks: int, max_urls: int = 1_000_000,
-                           burst: int = 1):
+                           burst: int = 1, num_parts: int = 0):
         import pyarrow as pa
 
+        from ..canonical import host_shard
+
         out = self.release_many(n_ticks, max_urls, burst)
-        return pa.table({
+        t = pa.table({
             "url": pa.array([u for _, u, _ in out], type=pa.string()),
             "depth": pa.array([d for _, _, d in out], type=pa.int32()),
             "ek_round": pa.array([k[0] for k, _, _ in out], type=pa.int64()),
             "ek_parent": pa.array([k[1] for k, _, _ in out], type=pa.int64()),
             "ek_link": pa.array([k[2] for k, _, _ in out], type=pa.int64()),
         })
+        if num_parts:
+            # corpus-partition routing key computed shard-side (parallel)
+            # instead of on the serial driver path
+            part_cache: dict[str, int] = {}
+            parts = []
+            for host in self._last_hosts:
+                p = part_cache.get(host)
+                if p is None:
+                    p = part_cache[host] = host_shard(host, num_parts)
+                parts.append(p)
+            t = t.append_column("part", pa.array(parts, type=pa.int32()))
+        return t
 
 
 # Frontier shards are bursty, mostly-idle bookkeepers: fractional CPU so

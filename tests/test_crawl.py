@@ -150,3 +150,17 @@ def test_resume_from_checkpoint(ray_session, tmp_path_factory, crawl_rows):
     a = [(r["doc_id"], r["status"], key(r)) for r in resumed.take_all()]
     b = [(r["doc_id"], r["status"], key(r)) for r in full_rows]
     assert sorted(a) == sorted(b)
+
+
+def test_pipelined_same_visit_set(ray_session, tmp_path_factory, crawl_rows):
+    """Pipelined (bench) mode gives up deterministic enqueue-key labels
+    but must visit exactly the same URL set as the strict mode."""
+    from dude_ray.crawl import run_crawl
+
+    strict_set = {r["doc_id"] for r in crawl_rows[0]}
+    out = tmp_path_factory.mktemp("crawl") / "pipelined"
+    ds = run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+                   politeness=True, politeness_burst=1000, pipelined=True)
+    got = [r["doc_id"] for r in ds.take_all()]
+    assert len(got) == len(set(got))  # no duplicate visits
+    assert set(got) == strict_set
