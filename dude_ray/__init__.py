@@ -24,6 +24,7 @@ Module-level decorator API mirroring the reference's
 from .canonical import canonicalize_url, url_host, url_sha1
 from .rule import Rule, Selector, SelectorType
 from .scraped import ScrapedData
+from .scraper import Scraper, follow_url, get_current_url
 from .spec import DudeApp, PipelineSpec, SeedRequest
 
 __version__ = "0.1.0"
@@ -46,8 +47,8 @@ def default_app() -> DudeApp:
 
 
 __all__ = [
-    "DudeApp", "PipelineSpec", "Rule", "ScrapedData", "SeedRequest", "Selector",
-    "SelectorType", "canonicalize_url", "default_app", "group", "post_setup",
-    "pre_setup", "save", "select", "shutdown", "start_requests", "startup",
-    "url_host", "url_sha1",
+    "DudeApp", "PipelineSpec", "Rule", "ScrapedData", "Scraper", "SeedRequest",
+    "Selector", "SelectorType", "canonicalize_url", "default_app", "follow_url",
+    "get_current_url", "group", "post_setup", "pre_setup", "save", "select",
+    "shutdown", "start_requests", "startup", "url_host", "url_sha1",
 ]

@@ -1,0 +1,301 @@
+"""The user-facing Scraper application — the reference's decorator API
+(`run(urls=…, pages=…, output=…, format=…)`) re-expressed on Ray Data.
+
+This is the API-parity layer (the analog of /root/reference/dude/
+scraper.py:15-99 + the backend crawl loops): seeds + @start_requests
+drain into a driver-local frontier with the reference's gate order,
+pages are fetched/extracted by a Ray Data ``map_batches`` stage, and
+flattened rows flow to the (format, per_page) save registry.  The
+web-scale engine with sharded frontier actors is ``dude_ray.crawl``;
+this class is the small-crawl front-end with exact reference
+semantics:
+
+* FIFO frontier + allowed-domains + robots + crawl-delay budget
+  (/root/reference/dude/base.py:361-391) with the engine's mandated
+  canonicalization + first-offer dedup;
+* custom requests drained after the URL deque, bypassing the domain
+  gate (/root/reference/dude/optional/utils.py:48-66);
+* adblock-style blocklist: a blocked fetch is an error → page skipped
+  (/root/reference/dude/optional/utils.py:32-46);
+* per-page lifecycle: pre-setup events → setup rules (priority order,
+  handler(element, page)) → post-setup events → extraction → optional
+  navigate loop bounded by ``pages``
+  (/root/reference/dude/playwright_scraper.py:71-129,190-199);
+* ``follow_urls`` appends every <a href> except self-links
+  (/root/reference/dude/optional/beautifulsoup_scraper.py:81-85);
+* ``dude.follow_url(url)`` handler-driven enqueue
+  (/root/reference/dude/base.py:358-359);
+* save: per-page flush or end-of-run via the (format, per_page)
+  registry (/root/reference/dude/base.py:624-666).
+
+Fetching dispatches on scheme: ``file://`` reads local HTML (the
+reference's browser tests run on local files —
+/root/reference/tests/conftest.py:50-54); ``http(s)://`` resolves
+against the synthetic-corpus table when ``corpus_dir`` is given (the
+"simulated web"); anything unresolvable is a fetch error → skip.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, Optional, Sequence
+from urllib.parse import urlparse
+
+import pyarrow as pa
+
+from .canonical import canonicalize_url, url_host
+from .htmlparser import Element, parse_html
+from .rule import rule_filter
+from .scraped import ScrapedData
+from .spec import DudeApp, PipelineSpec
+from .stages.extract import _CompiledRules, extract_all, flatten
+from .stages.fetch import CorpusFetcher
+from .stages.links import collect_links
+from .state.frontier import FrontierShardLocal
+from .storage import dispatch_save
+
+_page_ctx = threading.local()
+
+
+def follow_url(url: str) -> None:
+    """Handler-callable dynamic enqueue
+    (/root/reference/dude/base.py:358-359): the URL joins the frontier
+    after the current page's extraction."""
+    followed = getattr(_page_ctx, "followed", None)
+    if followed is not None:
+        followed.append(url)
+
+
+def get_current_url() -> str:
+    """(/root/reference/dude/base.py:355-356)"""
+    return getattr(_page_ctx, "url", "")
+
+
+class PageContext:
+    """What setup/navigate handlers receive as their second argument (the
+    analog of the backend page/soup object)."""
+
+    def __init__(self, url: str, dom: Element):
+        self.url = url
+        self.dom = dom
+
+
+class PageWorker:
+    """map_batches stage: fetch → parse → events/setup → extract (with
+    the ``pages`` navigate loop) → flattened rows + discovered links."""
+
+    def __init__(self, spec: PipelineSpec, corpus_dir: Optional[str],
+                 num_parts: int, pages: int, follow_urls: bool,
+                 blocklist: tuple = ()):
+        self.spec = spec
+        self.compiled = _CompiledRules(list(spec.scraping_rules()))
+        self.fetcher = CorpusFetcher(corpus_dir, num_parts) if corpus_dir else None
+        self.pages = pages
+        self.follow_urls = follow_urls
+        self.blocklist = tuple(blocklist)
+
+    # ---- fetch dispatch ------------------------------------------------
+    def _fetch(self, url: str) -> Optional[str]:
+        from fnmatch import fnmatch
+
+        if any(fnmatch(url, pat) for pat in self.blocklist):
+            return None  # blocked fetch = request error → skip
+        scheme = urlparse(url).scheme
+        if scheme == "file":
+            try:
+                with open(urlparse(url).path) as f:
+                    return f.read()
+            except OSError:
+                return None
+        if self.fetcher is not None:
+            return self.fetcher.lookup([url])[0]
+        return None
+
+    # ---- per-page lifecycle -------------------------------------------
+    def _setup(self, url: str, dom: Element, ctx: PageContext) -> None:
+        for func in self.spec.events.get("pre-setup", ()):
+            func(ctx)
+        setup_rules = sorted(
+            (r for r in self.spec.rules if rule_filter(url, setup=True)(r)),
+            key=lambda r: r.priority)
+        for rule in setup_rules:
+            matcher = self.compiled.matcher(rule.selector)
+            for element in matcher(dom):
+                rule.handler(element, ctx)
+        for func in self.spec.events.get("post-setup", ()):
+            func(ctx)
+
+    def _navigate(self, url: str, dom: Element, ctx: PageContext) -> Optional[str]:
+        """First matching navigate rule 'clicks' its first element →
+        target URL (/root/reference/dude/playwright_scraper.py:103-115)."""
+        nav_rules = sorted(
+            (r for r in self.spec.rules if rule_filter(url, navigate=True)(r)),
+            key=lambda r: r.priority)
+        for rule in nav_rules:
+            matcher = self.compiled.matcher(rule.selector)
+            for element in matcher(dom):
+                result = rule.handler(element, ctx)
+                if isinstance(result, str) and result:
+                    return canonicalize_url(result, base=url)
+                if isinstance(element, Element) and element.attrs.get("href"):
+                    return canonicalize_url(element.attrs["href"], base=url)
+        return None
+
+    def process_url(self, url: str) -> tuple[list[dict], list[str]]:
+        """The reference backend inner loop for one frontier URL
+        (/root/reference/dude/optional/beautifulsoup_scraper.py:73-94 +
+        pagination per playwright_scraper.py:190-199)."""
+        rows: list[ScrapedData] = []
+        links: list[str] = []
+        current = url
+        for i in range(1, self.pages + 1):
+            html = self._fetch(current)
+            if html is None:
+                break
+            dom = parse_html(html)
+            _page_ctx.url = current
+            _page_ctx.followed = []
+            if self.follow_urls:
+                links.extend(collect_links(dom, current))
+            ctx = PageContext(current, dom)
+            self._setup(current, dom, ctx)
+            rows.extend(extract_all(self.compiled, dom, current, page_number=i))
+            links.extend(canonicalize_url(u, base=current)
+                         for u in _page_ctx.followed)
+            _page_ctx.followed = None
+            if i == self.pages:
+                break
+            nxt = self._navigate(current, dom, ctx)
+            if not nxt or nxt == current:
+                break
+            current = nxt
+        flat = flatten(rows)
+        return flat, links
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows: list[dict] = []
+        links_col: list[list[str]] = []
+        seqs: list[int] = []
+        n_rows_col: list[int] = []
+        for seq, url in zip(batch["seq"].to_pylist(), batch["url"].to_pylist()):
+            flat, links = self.process_url(url)
+            for r in flat:
+                r["_seq"] = seq
+            out_rows.extend(flat)
+            links_col.append(links)
+            seqs.append(seq)
+            n_rows_col.append(len(flat))
+        import json as _json
+
+        return pa.table({
+            "seq": pa.array(seqs, type=pa.int64()),
+            "n_rows": pa.array(n_rows_col, type=pa.int32()),
+            "links": pa.array(links_col, type=pa.list_(pa.string())),
+            "rows_json": pa.array([_json.dumps(
+                [r for r in out_rows if r["_seq"] == s]) for s in seqs],
+                type=pa.string()),
+        })
+
+
+class Scraper(DudeApp):
+    """Decorator front-end + ``run`` — the reference's application class
+    (/root/reference/dude/scraper.py) on the Ray engine."""
+
+    def run(
+        self,
+        urls: Sequence[str],
+        pages: int = 1,
+        proxy: Any = None,  # accepted for API parity; no network here
+        output: Optional[str] = None,
+        format: str = "json",
+        follow_urls: bool = False,
+        save_per_page: bool = False,
+        ignore_robots_txt: bool = False,
+        corpus_dir: Optional[str] = None,
+        robots_map: Optional[dict] = None,
+        blocklist: Sequence[str] = (),
+        batch_size: int = 64,
+        concurrency: int = 4,
+    ) -> list[dict]:
+        """Returns the flattened rows (also dispatched to the save
+        registry, matching the reference's side effects)."""
+        import ray
+        import ray.data as rd
+
+        spec = self.build_spec()
+        for func in spec.events.get("startup", ()):
+            func()
+
+        num_parts = 16
+        if corpus_dir:
+            from .sources.corpus import load_manifest, load_robots
+
+            manifest = load_manifest(corpus_dir)
+            num_parts = manifest["num_parts"]
+            if robots_map is None:
+                robots_map = load_robots(corpus_dir)
+
+        seeds = [canonicalize_url(u) for u in urls]
+        frontier = FrontierShardLocal(
+            0, robots_map or {}, {url_host(u) for u in seeds},
+            capacity=1_000_000, ignore_robots_txt=ignore_robots_txt,
+            politeness=False, blocklist=tuple(blocklist))
+        frontier.offer(seeds, [0] * len(seeds),
+                       [(-1, i, 0) for i in range(len(seeds))])
+        # @start_requests rows drain after the URL deque and bypass the
+        # domain gate (/root/reference/dude/optional/utils.py:48-66)
+        req_urls = [canonicalize_url(r.url) for r in spec.requests]
+        frontier.offer(req_urls, [0] * len(req_urls),
+                       [(-1, len(seeds) + i, 0) for i in range(len(req_urls))],
+                       forced=True)
+
+        worker_kwargs = dict(
+            spec=spec, corpus_dir=corpus_dir, num_parts=num_parts,
+            pages=pages, follow_urls=follow_urls, blocklist=tuple(blocklist))
+
+        all_rows: list[dict] = []
+        page_chunks: list[list[dict]] = []
+        seq = 0
+        rnd = 0
+        while True:
+            released = frontier.release_many(1_000_000, burst=10 ** 9)
+            if not released:
+                break
+            urls_now = [u for _, u, _ in released]
+            ds = rd.from_arrow(pa.table({
+                "seq": pa.array(range(seq, seq + len(urls_now)), type=pa.int64()),
+                "url": pa.array(urls_now, type=pa.string()),
+            }))
+            out = ds.map_batches(
+                PageWorker, fn_constructor_kwargs=worker_kwargs,
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=(1, concurrency)).take_all()
+            import json as _json
+
+            for rec in sorted(out, key=lambda r: r["seq"]):
+                rows = _json.loads(rec["rows_json"])
+                for r in rows:
+                    r.pop("_seq", None)
+                if rows:
+                    page_chunks.append(rows)
+                    all_rows.extend(rows)
+                if rec["links"]:
+                    base = (rnd, rec["seq"])
+                    frontier.offer(list(rec["links"]),
+                                   [0] * len(rec["links"]),
+                                   [(rnd, rec["seq"], j)
+                                    for j in range(len(rec["links"]))])
+            seq += len(urls_now)
+            rnd += 1
+
+        if save_per_page:
+            for chunk in page_chunks:
+                dispatch_save(spec.save_rules, chunk, format=format,
+                              output=output, save_per_page=True)
+        elif all_rows:
+            dispatch_save(spec.save_rules, all_rows, format=format,
+                          output=output, save_per_page=False)
+
+        for func in spec.events.get("shutdown", ()):
+            func()
+        return all_rows

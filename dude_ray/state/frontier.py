@@ -55,6 +55,8 @@ from urllib.robotparser import RobotFileParser
 
 import ray
 
+from fnmatch import fnmatch as fn_match
+
 from ..canonical import url_host, url_sha1
 from .bloom import BloomFilter
 
@@ -90,6 +92,7 @@ class FrontierShardLocal:
         exact_confirm: bool = True,
         ignore_robots_txt: bool = False,
         politeness: bool = True,
+        blocklist: tuple = (),
     ):
         self.shard_id = shard_id
         self.bloom = BloomFilter(capacity=capacity)
@@ -100,6 +103,7 @@ class FrontierShardLocal:
         self.allowed_domains = set(allowed_domains)
         self.ignore_robots_txt = ignore_robots_txt
         self.politeness = politeness
+        self.blocklist = tuple(blocklist)  # adblock-style URL patterns (M11)
         self.tick = 0
         self._buffer: list[tuple[Key, str, int]] = []
         self._ready: list[tuple[Key, str]] = []      # (head_key, host)
@@ -127,7 +131,8 @@ class FrontierShardLocal:
     # ---- offer (buffered) ---------------------------------------------
     def offer(self, urls: list[str], depths: list[int], keys: list[Key],
               hosts: Optional[list[str]] = None,
-              digests: Optional[list[bytes]] = None) -> int:
+              digests: Optional[list[bytes]] = None,
+              forced: bool = False) -> int:
         """Buffer offered edges; gates/dedup apply at the next release in
         deterministic key order.  ``hosts``/``digests`` are normally
         precomputed by the (parallel) extract workers so the
@@ -137,7 +142,8 @@ class FrontierShardLocal:
             hosts = [url_host(u) for u in urls]
         if digests is None:
             digests = [url_sha1(u) for u in urls]
-        self._buffer.extend(zip(keys, urls, depths, hosts, digests))
+        self._buffer.extend(zip(keys, urls, depths, hosts, digests,
+                                [forced] * len(urls)))
         return len(self._buffer)
 
     def _apply_buffer(self) -> None:
@@ -154,10 +160,16 @@ class FrontierShardLocal:
         unique_digests: list[bytes] = []
         survivors: list[tuple] = []
         for entry in self._buffer:
-            key, url, depth, host, digest = entry
+            key, url, depth, host, digest, forced = entry
             c["offered"] += 1
-            if host not in allowed:
+            if not forced and host not in allowed:
+                # @start_requests rows bypass the domain gate (the
+                # reference drains them outside iter_urls —
+                # /root/reference/dude/optional/utils.py:48-66)
                 c[SKIP_DOMAIN] += 1
+                continue
+            if self.blocklist and any(fn_match(url, pat) for pat in self.blocklist):
+                c["blocked"] += 1
                 continue
             if digest in batch_first:
                 c[SKIP_DUP] += 1
@@ -169,7 +181,7 @@ class FrontierShardLocal:
                     continue
                 self.exact.add(digest)
             unique_digests.append(digest)
-            survivors.append(entry)
+            survivors.append((key, url, depth, host, digest))
         if self.exact is not None:
             # bloom kept in sync (snapshot/metrics); exact set decided dedup
             if unique_digests:
@@ -329,6 +341,7 @@ class FrontierShardLocal:
             "allowed_domains": self.allowed_domains,
             "ignore_robots_txt": self.ignore_robots_txt,
             "politeness": self.politeness,
+            "blocklist": self.blocklist,
         }, buf)
         return buf.getvalue()
 
@@ -350,6 +363,7 @@ class FrontierShardLocal:
         self.allowed_domains = d["allowed_domains"]
         self.ignore_robots_txt = d["ignore_robots_txt"]
         self.politeness = d["politeness"]
+        self.blocklist = d.get("blocklist", ())
         self._ready, self._sleeping = [], []
         for host in self.hosts:
             self._push_host(host)
