@@ -126,14 +126,24 @@ class MinHasher:
         })
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (a < b)."""
-    ids = sorted(g["doc_id"].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
-    pairs = list(itertools.combinations(ids, 2))
-    return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+def _band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs for one whole band: pandas-vectorized bucket
+    scan.  Grouping at band granularity (16 groups) instead of bucket
+    granularity (~1/doc) sidesteps Ray Data's per-group dispatch cost;
+    at 10^10-doc scale the groupby key becomes (band, hash-prefix) to
+    bound group size — same shape, finer split."""
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for _, bucket in g.groupby("band_hash", sort=False):
+        ids = bucket["doc_id"].unique()
+        if len(ids) < 2:
+            continue
+        ids = sorted(int(i) for i in ids)
+        for x, y in itertools.combinations(ids, 2):
+            out_a.append(x)
+            out_b.append(y)
+    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                         "b": pd.Series(out_b, dtype="int64")})
 
 
 class JaccardVerifier:
@@ -174,8 +184,7 @@ def candidate_pairs_minhash(sf_dir: str, concurrency: int = 4):
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, concurrency))
-    pairs = ds.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
+    pairs = ds.groupby("band").map_groups(_band_pairs, batch_format="pandas")
     # a pair found in several bands must dedup before (expensive) verify;
     # native Count aggregate (no per-group python) then project the key
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
@@ -271,8 +280,18 @@ def run_simhash_dedup(sf_dir: str, max_hamming: int = 3, concurrency: int = 4):
         concurrency=(1, concurrency))
     from ray.data.aggregate import Count, Min
 
-    pairs = ds.groupby(["band", "key"]).map_groups(
-        lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pandas")
+    def _band_simhash_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [_simhash_bucket_pairs(b, max_hamming)
+                  for _, b in g.groupby("key", sort=False)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = ds.groupby("band").map_groups(_band_simhash_pairs,
+                                          batch_format="pandas")
     return pairs.groupby(["a", "b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
@@ -340,7 +359,23 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95, concurrency: int
 
     from ray.data.aggregate import Min
 
-    pairs = keyed.groupby("key").map_groups(bucket_verify, batch_format="pandas")
+    def _coarse(batch):
+        import pyarrow.compute as _pc
+
+        return batch.append_column(
+            "kgroup", _pc.cast(_pc.bit_wise_and(batch["key"], 31), pa.int64()))
+
+    def _group_verify(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [bucket_verify(b) for _, b in g.groupby("key", sort=False)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = keyed.map_batches(_coarse, batch_format="pyarrow").groupby(
+        "kgroup").map_groups(_group_verify, batch_format="pandas")
     out = pairs.groupby(["a", "b"]).aggregate(
         Min("cosine", alias_name="cosine"))
     # pin the schema even when no pair clears the threshold (an empty
