@@ -109,7 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
         "simhash_dedup": dedup.run_simhash_dedup,
-        "embedding_neardup": dedup.run_embedding_neardup,
+        "embedding_neardup": _q_embedding_neardup,
         # similarity search
         "ann_topk": similarity.run_ann_topk,
         "ann_lsh": similarity.run_ann_lsh,
@@ -120,6 +120,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.run_pricing_summary,
         "top_orders": relational.run_top_orders,
     }
+
+
+def _q_embedding_neardup(sf_dir: str):
+    """Near-dup pairs at a threshold calibrated to the synthetic
+    embeddings (random vectors — no true near-identical pairs exist, so
+    the query surfaces the top similarity tail; coarse 4-bit buckets
+    give workable recall there)."""
+    from dude_ray.pipelines import dedup
+
+    return dedup.run_embedding_neardup(sf_dir, threshold=0.35, n_bits=4)
 
 
 def _q_lang_dist(sf_dir: str):

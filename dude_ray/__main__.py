@@ -1,0 +1,87 @@
+"""CLI — ``python -m dude_ray scrape --url … path/to/handlers.py``.
+
+Mirrors the reference console script (/root/reference/dude/__init__.py:
+49-249): user handler files are imported via importlib, which executes
+their decorators against the module-level application singleton; run()
+then drives the engine.  Backend selection collapses to the one Arrow
+extractor (the reference's five parser backends are a dataflow detail
+this engine doesn't need).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import sys
+from pathlib import Path
+
+
+def _import_handler_file(path: str) -> None:
+    """(/root/reference/dude/__init__.py:205-210) — importing executes
+    the @select/@save decorators against the module singleton."""
+    name = Path(path).stem
+    spec = importlib.util.spec_from_file_location(name, path)
+    assert spec and spec.loader, f"cannot import {path}"
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)
+    # handler files live outside any importable package: ship their
+    # functions to Ray workers by value, not by module reference
+    from ray import cloudpickle
+
+    cloudpickle.register_pickle_by_value(module)
+
+
+def cli(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="dude_ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+    scrape = sub.add_parser("scrape", help="Run the scraper")
+    scrape.add_argument("paths", nargs="+", help="Python files declaring rules")
+    scrape.add_argument("--url", dest="urls", action="append", required=True)
+    scrape.add_argument("--pages", type=int, default=1)
+    scrape.add_argument("--output", default=None)
+    scrape.add_argument("--format", default="json")
+    scrape.add_argument("--follow-urls", action="store_true")
+    scrape.add_argument("--save-per-page", action="store_true")
+    scrape.add_argument("--ignore-robots-txt", action="store_true")
+    scrape.add_argument("--corpus-dir", default=None)
+    scrape.add_argument("--num-cpus", type=int, default=4)
+    args = parser.parse_args(argv)
+
+    for path in args.paths:
+        _import_handler_file(path)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        import dude_ray
+        from dude_ray.scraper import Scraper
+
+        # adopt the module-singleton registries populated by the import
+        app = Scraper()
+        default = dude_ray.default_app()
+        app.rules = default.rules
+        app.groups = default.groups
+        app.save_rules = default.save_rules
+        app.events = default.events
+        app.requests = default.requests
+        app.run(
+            urls=args.urls,
+            pages=args.pages,
+            output=args.output,
+            format=args.format,
+            follow_urls=args.follow_urls,
+            save_per_page=args.save_per_page,
+            ignore_robots_txt=args.ignore_robots_txt,
+            corpus_dir=args.corpus_dir,
+        )
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(cli())

@@ -301,7 +301,9 @@ def run_simhash_dedup(sf_dir: str, max_hamming: int = 3, concurrency: int = 4):
 # --------------------------------------------------------------------------
 
 class HyperplaneLSH:
-    """Random-hyperplane signatures over the embedding column."""
+    """Random-hyperplane signatures over the embedding column.  Fewer
+    bits → larger buckets → higher recall at lower similarity (the
+    operator's recall/cost knob)."""
 
     def __init__(self, dim: int, n_bits: int = 16, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -317,7 +319,8 @@ class HyperplaneLSH:
         })
 
 
-def run_embedding_neardup(sf_dir: str, threshold: float = 0.95, concurrency: int = 4):
+def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
+                          n_bits: int = 16, concurrency: int = 4):
     """Cosine near-dup pairs: hyperplane-LSH bucket → exact cosine verify
     inside the bucket (embeddings broadcast at test scale)."""
     import ray
@@ -333,7 +336,8 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95, concurrency: int
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    keyed = ds.map_batches(HyperplaneLSH, fn_constructor_kwargs={"dim": dim},
+    keyed = ds.map_batches(HyperplaneLSH,
+                           fn_constructor_kwargs={"dim": dim, "n_bits": n_bits},
                            batch_format="pyarrow", batch_size=4096,
                            concurrency=(1, concurrency))
 
