@@ -81,3 +81,12 @@ def test_failed_save_raises():
 def test_empty_data_skips():
     app = DudeApp()
     assert dispatch_save(app.build_spec().save_rules, [], format="json") is False
+
+
+def test_yaml_roundtrip(tmp_path):
+    import yaml
+
+    out = tmp_path / "o.yaml"
+    app = DudeApp()
+    assert dispatch_save(app.build_spec().save_rules, ROWS, output=str(out))
+    assert yaml.safe_load(out.read_text()) == ROWS
