@@ -66,3 +66,17 @@ def test_seeds_are_even_hosts():
 def test_spans_cover_all_kinds(corpus_batch):
     kinds = {s["kind"] for spans in corpus_batch["spans"].to_pylist() for s in spans}
     assert kinds == {"title", "url", "description", "image", "link", "next", "text"}
+
+
+def test_scaled_corpus_span_equality():
+    """The scale knob (virtual pages per source doc) preserves the
+    extractor-vs-golden contract."""
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    small = t.slice(0, 50)
+    batch = generate_batch(small, n_docs=50, num_parts=8, scale=3)
+    assert batch.num_rows == 150
+    ex = SpanExtractor(rules=flagship_rules())
+    out = ex(batch.select(["doc_id", "html"]))
+    assert out["spans"].to_pylist() == batch["spans"].to_pylist()
+    # virtual ids partition hosts over n_docs*scale
+    assert len(set(batch["host"].to_pylist())) >= 4

@@ -164,3 +164,17 @@ def test_pipelined_same_visit_set(ray_session, tmp_path_factory, crawl_rows):
     got = [r["doc_id"] for r in ds.take_all()]
     assert len(got) == len(set(got))  # no duplicate visits
     assert set(got) == strict_set
+
+
+def test_shard_count_does_not_change_visit_sequence(ray_session, tmp_path_factory,
+                                                    strict_rows):
+    """Determinism across physical layouts: the enqueue-key-ordered
+    visit sequence is invariant to the number of frontier shards."""
+    from dude_ray.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("crawl") / "shards5"
+    ds = run_crawl(SF, out_dir=str(out), num_shards=5, concurrency=2,
+                   politeness=False)
+    a = [r["doc_id"] for r in visits_in_key_order(ds.take_all())]
+    b = [r["doc_id"] for r in visits_in_key_order(strict_rows)]
+    assert a == b
