@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
         "simhash_dedup": dedup.run_simhash_dedup,
+        "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
         # similarity search
         "ann_topk": similarity.run_ann_topk,
@@ -170,6 +171,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_dist": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "ngram_jaccard_pairs": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct([lower(w[i]) || ' ' || lower(w[i+1]) || ' ' || lower(w[i+2])
+                                      for i in generate_series(1, greatest(len(w) - 2, 0))]) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(list_distinct(a.g || b.g)), 1), 6) AS jaccard
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id < 100
         """,
         "exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS keeper_id,

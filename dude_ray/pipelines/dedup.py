@@ -390,3 +390,32 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
         "cosine": pa.array([], type=pa.float64()),
     }))
     return empty.union(out)
+
+
+def run_ngram_jaccard_pairs(sf_dir: str, limit: int = 100):
+    """Exact word-3-gram Jaccard for the deterministic consecutive-id
+    pair set (doc i vs doc i+1, i < limit) — the SQL-checkable variant
+    of the verify kernel (semantics mirror the DuckDB oracle: grams
+    from a single-space split, lowercased, empty set below 3 words)."""
+    import ray.data as rd
+
+    df = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    texts = dict(zip(df["doc_id"], df["text"]))
+    max_id = max(texts)
+    pairs = [(i, i + 1) for i in range(min(limit, max_id))]
+
+    def grams(t: str) -> set[str]:
+        w = [x.lower() for x in (t or "").split(" ")]
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    rows = []
+    for a, b in pairs:
+        ga, gb = grams(texts.get(a, "")), grams(texts.get(b, ""))
+        union = len(ga | gb)
+        rows.append({"a": a, "b": b,
+                     "jaccard": round(len(ga & gb) / union, 6) if union else 0.0})
+    import pandas as _pd
+
+    # tiny fixed-size result; from_pandas keeps it a Dataset for the
+    # driver contract (computation is the broadcast-kernel itself)
+    return rd.from_pandas(_pd.DataFrame(rows))
