@@ -12,26 +12,40 @@ SET is identical and per-host FIFO order is preserved.
 
 Ray shape per round:
 
-    shards.release()  ──►  Dataset[url,depth,keys...]           (metadata only)
-        ──► map_batches(CrawlWorker, concurrency=pool)          (actor pool)
-              fetch = corpus lookup (stateful partition cache)
-              parse DOM once → spans + links
-              links → canonicalize → host-hash exchange → shards.offer
-        ──► write_parquet(out/round_k)                          (streaming sink)
+    shards.release_many_table()  ──►  Arrow blocks of (url, keys, part)
+        │  concat + Arrow sort (enqueue-key order → order_in_round)
+        ▼
+    CrawlWorker pool — PERSISTENT raw actors (created once per crawl so
+    the corpus partition cache + compiled selectors stay warm; the one
+    stage whose state per-execution Dataset pools cannot amortize):
+        fetch = partitioned corpus lookup (LRU part cache,
+        load-aware dispatch: cold parts cache-affine, hot parts fan out
+        over a bounded, persistent owner set)
+        parse DOM once → span extraction + link collection
+        links → canonicalize+SHA-1 → host-hash exchange → shards.offer
+        (fire-and-forget; flushed per round)
+        │  result blocks stay in the object store (refs)
+        ▼
+    remote writer tasks → round-partitioned parquet (atomic dir commit)
 
-Checkpoint/resume: after each round the output partition is finalized
-and every shard snapshots (Bloom bytes + queues + counters) —
-``resume=True`` restores the newest complete (round, snapshot) pair,
-skips finished round partitions and continues; per-partition lineage
-lives in ``CHECKPOINT/meta.json``.
+``pipelined=True`` (bench mode) drops the per-round barrier: releases
+consume whatever offers have landed; the visit SET is provably
+unchanged (gates are per-URL and static, dedup is first-offer-wins on
+a set), only the deterministic enqueue-key labels are given up —
+asserted by tests/test_crawl.py::test_pipelined_same_visit_set.
 
-Scale notes: released URL batches transit the driver as metadata here
-(strings); the 10^10-frontier variant returns per-shard Arrow blocks
-as ObjectRefs (``from_arrow_refs``) so only refs touch the driver —
-the merge by enqueue key is then a per-shard property (each shard's
-list is already key-sorted) requiring only a k-way merge of block
-boundaries.  Output is partitioned per round, so a resumed run skips
-finished partitions.
+Checkpoint/resume: every ``checkpoint_every`` rounds pending writes are
+drained, output partitions commit atomically, and every shard snapshots
+(Bloom bytes + queues + counters) — ``resume=True`` restores the newest
+complete (round, snapshot) pair, deletes partial round dirs and
+continues; per-partition lineage lives in ``CHECKPOINT/meta.json``.
+
+Scale notes: released URL batches cross the store as Arrow columns and
+transit the driver once per round for the global key sort; the
+10^10-frontier variant keeps them as ObjectRefs (each shard's block is
+already key-sorted, so the global order needs only a k-way merge of
+block boundaries).  Output is partitioned per round, so a resumed run
+skips finished partitions.
 """
 
 from __future__ import annotations
