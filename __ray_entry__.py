@@ -134,11 +134,25 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_lang_dist(sf_dir: str):
-    import ray.data as rd
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    from dude_ray.io import read_parquet_clean
+
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
+
+    def _lang_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate([("lang", "count")])
+        return pa.table({"lang": g["lang"],
+                         "n": pc.cast(g["lang_count"], pa.int64())})
+
+    # partial counts per batch, tiny coalesced final combine (same
+    # rationale as relational.FINAL_COMBINE_BLOCKS)
+    partials = ds.map_batches(_lang_partials, batch_format="pyarrow",
+                              batch_size=8192)
+    return partials.repartition(2).groupby("lang").aggregate(
+        Sum("n", alias_name="n_docs"))
 
 
 # --------------------------------------------------------------------------

@@ -11,13 +11,17 @@ Shuffle discipline (the point at 100 TB):
   Jaccard afterwards;
 * SimHash: 64-bit signatures, 4×16-bit band buckets, Hamming≤k verify;
 * embedding near-dup: random-hyperplane LSH buckets then exact cosine
-  verify inside each bucket.
+  verify inside each bucket — the embedding vectors ride *inside* the
+  keyed dataset through the bucket groupby, so each verify task sees
+  only its own bucket's vectors (nothing is ever materialized on the
+  driver).
 
-Verification needs both documents' shingles: at test scale the text
-column is broadcast once via ``ray.put`` and read in each verify task
-(small-side broadcast, no shuffle); the 100 TB path replaces this with
-a two-sided hash join of the pair list against the documents table on
-doc_id — noted per stage.
+Verification needs both documents' shingles.  That is expressed as a
+two-sided distributed hash join (``Dataset.join``) of the candidate
+pair list against a (doc_id, shingle-hashes) dataset — first on ``a``,
+then on ``b`` — so the only rows in motion are (pair, uint64-hash
+list); the raw text never leaves the shingling stage and the driver
+never holds the corpus.
 """
 
 from __future__ import annotations
@@ -37,11 +41,15 @@ NUM_PERM = 128
 BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS
 
+# partitions for the verify-stage hash joins at test scale; at 100 TB
+# this scales with cluster size (it is the number of shuffle blocks)
+JOIN_PARTITIONS = 8
+
 
 def _docs(sf_dir: str, columns):
-    import ray.data as rd
+    from dude_ray.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --------------------------------------------------------------------------
@@ -146,35 +154,90 @@ def _band_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "b": pd.Series(out_b, dtype="int64")})
 
 
-class JaccardVerifier:
-    """Exact n-gram Jaccard for candidate pairs.  Texts come from a
-    broadcast ``ray.put`` ref (test-scale small side; the 100 TB path is
-    a doc_id hash join against documents instead)."""
+# --------------------------------------------------------------------------
+# distributed Jaccard verify (hash join on doc_id — no driver text)
+# --------------------------------------------------------------------------
 
-    def __init__(self, texts):
-        # plain dict, not an ObjectRef: Ray Data puts constructor args in
-        # the object store itself (one copy, fetched once per actor);
-        # a raw ObjectRef here gets dropped by the operator spec's ref
-        # tracking and ray.get deadlocks
-        self.texts = texts
-        self._cache: dict[int, set[int]] = {}
-
-    def _sh(self, doc_id: int) -> set[int]:
-        s = self._cache.get(doc_id)
-        if s is None:
-            s = self._cache[doc_id] = shingle_set(self.texts.get(doc_id, ""))
-        return s
+class ShingleLister:
+    """documents → (doc_id, sh: binary) rows — ``sh`` is the sorted
+    uint64 shingle-hash array as raw little-endian bytes (Acero hash
+    joins pass binary payloads but not list columns).  Only these
+    compact blobs — never the text — enter the verify joins."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch["a"].to_pylist()
-        b_ids = batch["b"].to_pylist()
-        jac = []
-        for a, b in zip(a_ids, b_ids):
-            sa, sb = self._sh(a), self._sh(b)
-            union = len(sa | sb)
-            jac.append(round(len(sa & sb) / union, 6) if union else 0.0)
-        return pa.table({"a": batch["a"], "b": batch["b"],
-                         "jaccard": pa.array(jac, type=pa.float64())})
+        ids = batch["doc_id"].to_pylist()
+        blobs = []
+        for text in batch["text"].to_pylist():
+            arr = np.fromiter(shingle_set(text), dtype="<u8")
+            arr.sort()
+            blobs.append(arr.tobytes())
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "sh": pa.array(blobs, type=pa.binary())})
+
+
+def _shingle_rows(sf_dir: str, concurrency: int = 4):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ShingleLister, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, concurrency))
+
+
+def _row_lists(col) -> list[np.ndarray]:
+    """Per-row sorted-uint64 views of a binary column of packed hashes."""
+    return [np.frombuffer(b or b"", dtype="<u8") for b in col.to_pylist()]
+
+
+def _jaccard_sorted(x: np.ndarray, y: np.ndarray) -> float:
+    inter = len(np.intersect1d(x, y, assume_unique=True))
+    union = len(x) + len(y) - inter
+    return round(inter / union, 6) if union else 0.0
+
+
+def _jaccard_join_batch(batch: pa.Table) -> pa.Table:
+    a_sets = _row_lists(batch["sh_a"])
+    b_sets = _row_lists(batch["sh_b"])
+    jac = [_jaccard_sorted(x, y) for x, y in zip(a_sets, b_sets)]
+    return pa.table({"a": batch["a"], "b": batch["b"],
+                     "jaccard": pa.array(jac, type=pa.float64())})
+
+
+def _verify_pairs_jaccard(pairs, sf_dir: str, concurrency: int = 4,
+                          num_partitions: int = JOIN_PARTITIONS):
+    """(a, b) pairs → (a, b, jaccard) via two distributed hash joins
+    against the shingle-list dataset.  Only (pair, hash-list) rows move
+    through the shuffle; the documents table is never collected."""
+    # zero-CPU aggregators: the join's shuffle actors must always be
+    # schedulable alongside the upstream map actor pools — with the
+    # default 1-CPU request the streaming DAG deadlocks on small CPU
+    # budgets (pools hold every slot while the aggregators that must
+    # drain them stay pending).  The aggregator work is tiny
+    # (hash-bucket append + one acero join per partition).
+    agg_args = {"num_cpus": 0}
+
+    # Sequence the two joins: lazily chained they form one streaming DAG
+    # with three input branches, two actor-pool stages and two join
+    # operators live at once, whose summed minimum resource floor can
+    # exceed a small cluster and live-lock the executor.  The
+    # materialized intermediates are pair-scoped (candidate pairs ×
+    # shingle blob), bounded by the near-dup candidate count — orders of
+    # magnitude below corpus size — and spill to the object store if
+    # large.  The corpus-scale shingle dataset itself is never
+    # materialized; it streams into each join's build side.
+    pairs = pairs.materialize()
+    j = pairs.join(_shingle_rows(sf_dir, concurrency), "inner",
+                   num_partitions, on=("a",), right_on=("doc_id",),
+                   aggregator_ray_remote_args=agg_args)
+    j = j.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "sh_a": t["sh"]}),
+        batch_format="pyarrow").materialize()
+    j = j.join(_shingle_rows(sf_dir, concurrency), "inner",
+               num_partitions, on=("b",), right_on=("doc_id",),
+               aggregator_ray_remote_args=agg_args)
+    j = j.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"],
+                            "sh_a": t["sh_a"], "sh_b": t["sh"]}),
+        batch_format="pyarrow")
+    return j.map_batches(_jaccard_join_batch, batch_format="pyarrow",
+                         batch_size=4096)
 
 
 def candidate_pairs_minhash(sf_dir: str, concurrency: int = 4):
@@ -192,17 +255,10 @@ def candidate_pairs_minhash(sf_dir: str, concurrency: int = 4):
 
 def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4):
     """Verified near-duplicate pairs (jaccard >= threshold)."""
-    import ray
-    import ray.data as rd
-
-    pairs = candidate_pairs_minhash(sf_dir, concurrency)
-    df = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    texts = dict(zip(df["doc_id"], df["text"]))
-    verified = pairs.map_batches(
-        JaccardVerifier, fn_constructor_kwargs={"texts": texts},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency))
     import pyarrow.compute as pc
 
+    pairs = candidate_pairs_minhash(sf_dir, concurrency)
+    verified = _verify_pairs_jaccard(pairs, sf_dir, concurrency)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow")
@@ -211,14 +267,8 @@ def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4)
 def run_ngram_jaccard(sf_dir: str, concurrency: int = 4):
     """Exact n-gram Jaccard for every LSH candidate pair (the verify
     stage exposed as its own operator)."""
-    import ray
-
     pairs = candidate_pairs_minhash(sf_dir, concurrency)
-    df = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    texts = dict(zip(df["doc_id"], df["text"]))
-    return pairs.map_batches(
-        JaccardVerifier, fn_constructor_kwargs={"texts": texts},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency))
+    return _verify_pairs_jaccard(pairs, sf_dir, concurrency)
 
 
 # --------------------------------------------------------------------------
@@ -226,19 +276,39 @@ def run_ngram_jaccard(sf_dir: str, concurrency: int = 4):
 # --------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash per doc + 4×16-bit band keys."""
+    """64-bit SimHash per doc + 4×16-bit band keys.  The bit-accumulate
+    kernel is vectorized (np.unpackbits over the token-hash bytes, one
+    count-weighted matmul per doc); token hashes are memoized per actor
+    because web-corpus vocabularies repeat heavily."""
 
     def __init__(self):
-        pass
+        self._tok_cache: dict[str, int] = {}
 
-    @staticmethod
-    def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (text or "").lower().split():
+    def _tok_hash(self, tok: str) -> int:
+        h = self._tok_cache.get(tok)
+        if h is None:
             h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += 2 * bits - 1
-        return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+            if len(self._tok_cache) < 1_000_000:
+                self._tok_cache[tok] = h
+        return h
+
+    def simhash(self, text: str) -> int:
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        hs = np.fromiter((self._tok_hash(t) for t in uniq),
+                         dtype=np.uint64, count=len(uniq))
+        # bits[i, k] = (hs[i] >> k) & 1 — little-endian byte view +
+        # LSB-first unpack reproduces the per-bit loop exactly
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(len(hs), 8), axis=1,
+            bitorder="little").astype(np.int64)
+        acc = 2 * (counts @ bits) - counts.sum()
+        sig_bits = (acc > 0).astype(np.uint8)
+        return int.from_bytes(
+            np.packbits(sig_bits, bitorder="little").tobytes(), "little")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_doc, out_band, out_key, out_sig = [], [], [], []
@@ -264,7 +334,12 @@ def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame
     out_a, out_b, out_d = [], [], []
     for i in range(len(ids)):
         x = sigs[i:i + 1] ^ sigs[i + 1:]
-        d = np.array([bin(int(v)).count("1") for v in x])
+        # vectorized popcount via byte-view + unpackbits
+        if len(x):
+            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                              axis=1).sum(axis=1)
+        else:
+            d = np.array([], dtype=np.int64)
         for j in np.nonzero(d <= max_hamming)[0]:
             out_a.append(int(ids[i]))
             out_b.append(int(ids[i + 1 + j]))
@@ -278,7 +353,7 @@ def run_simhash_dedup(sf_dir: str, max_hamming: int = 3, concurrency: int = 4):
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         SimHasher, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, concurrency))
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
     def _band_simhash_pairs(g: pd.DataFrame) -> pd.DataFrame:
         frames = [_simhash_bucket_pairs(b, max_hamming)
@@ -303,65 +378,58 @@ def run_simhash_dedup(sf_dir: str, max_hamming: int = 3, concurrency: int = 4):
 class HyperplaneLSH:
     """Random-hyperplane signatures over the embedding column.  Fewer
     bits → larger buckets → higher recall at lower similarity (the
-    operator's recall/cost knob)."""
+    operator's recall/cost knob).  Emits the L2-normalized vector along
+    with the bucket key so the verify groupby carries its own data —
+    no driver-side matrix, no closure capture.  Planes are built lazily
+    from the first batch's dimensionality (seeded → identical across
+    actors)."""
 
-    def __init__(self, dim: int, n_bits: int = 16, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, n_bits))
+    def __init__(self, n_bits: int = 16, seed: int = 42):
+        self.n_bits = n_bits
+        self.seed = seed
+        self.planes: np.ndarray | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.standard_normal((emb.shape[1], self.n_bits))
+        norm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         bits = (emb @ self.planes) > 0
         keys = bits.dot(1 << np.arange(bits.shape[1], dtype=np.int64))
         return pa.table({
             "vec_id": batch["vec_id"],
             "key": pa.array(keys, type=pa.int64()),
+            "nemb": pa.array(list(norm), type=pa.list_(pa.float64())),
         })
 
 
 def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
                           n_bits: int = 16, concurrency: int = 4):
-    """Cosine near-dup pairs: hyperplane-LSH bucket → exact cosine verify
-    inside the bucket (embeddings broadcast at test scale)."""
-    import ray
+    """Cosine near-dup pairs: hyperplane-LSH bucket → exact cosine
+    verify inside each bucket.  The normalized embeddings travel inside
+    the keyed dataset through the bucket groupby, so each verify task
+    works from its own group's vectors only (scale-safe: the shuffle
+    moves each vector exactly once; nothing is materialized globally)."""
     import ray.data as rd
 
-    t = pa.Table.from_pandas(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"]).to_pandas())
-    ids = np.asarray(t["vec_id"].to_pylist())
-    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-    dim = emb.shape[1]
+    from dude_ray.io import read_parquet_clean
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
     keyed = ds.map_batches(HyperplaneLSH,
-                           fn_constructor_kwargs={"dim": dim, "n_bits": n_bits},
+                           fn_constructor_kwargs={"n_bits": n_bits},
                            batch_format="pyarrow", batch_size=4096,
                            concurrency=(1, concurrency))
 
-    all_ids, all_emb = ids, emb  # captured by value in the groupby UDF
-    pos = {int(v): i for i, v in enumerate(all_ids)}
-
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        vids = sorted(int(v) for v in g["vec_id"].unique())
-        out_a, out_b, out_s = [], [], []
-        if len(vids) >= 2:
-            sub = all_emb[[pos[v] for v in vids]]
-            sims = sub @ sub.T
-            for i in range(len(vids)):
-                for j in range(i + 1, len(vids)):
-                    s = float(sims[i, j])
-                    if s >= threshold:
-                        out_a.append(vids[i])
-                        out_b.append(vids[j])
-                        out_s.append(round(s, 6))
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "cosine": pd.Series(out_s, dtype="float64")})
-
-    from ray.data.aggregate import Min
+    def bucket_verify(vids: np.ndarray, vecs: np.ndarray):
+        order = np.argsort(vids)
+        vids, vecs = vids[order], vecs[order]
+        sims = vecs @ vecs.T
+        iu, ju = np.triu_indices(len(vids), k=1)
+        keep = sims[iu, ju] >= threshold
+        return (vids[iu[keep]], vids[ju[keep]],
+                np.round(sims[iu[keep], ju[keep]], 6))
 
     def _coarse(batch):
         import pyarrow.compute as _pc
@@ -369,14 +437,26 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
         return batch.append_column(
             "kgroup", _pc.cast(_pc.bit_wise_and(batch["key"], 31), pa.int64()))
 
-    def _group_verify(g: pd.DataFrame) -> pd.DataFrame:
-        frames = [bucket_verify(b) for _, b in g.groupby("key", sort=False)]
-        frames = [f for f in frames if len(f)]
-        if not frames:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        return pd.concat(frames, ignore_index=True)
+    def _group_verify(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for _, bucket in g.groupby("key", sort=False):
+            bucket = bucket.drop_duplicates("vec_id")
+            if len(bucket) < 2:
+                continue
+            vids = bucket["vec_id"].to_numpy(dtype=np.int64)
+            vecs = np.stack(bucket["nemb"].to_numpy())
+            a, b, s = bucket_verify(vids, vecs)
+            out_a.extend(int(v) for v in a)
+            out_b.extend(int(v) for v in b)
+            out_s.extend(float(v) for v in s)
+        # arrow output keeps every block schema identical to the pinned
+        # empty table unioned below (mixed pandas/arrow blocks trip the
+        # executor's schema-consistency warning)
+        return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                         "b": pa.array(out_b, type=pa.int64()),
+                         "cosine": pa.array(out_s, type=pa.float64())})
+
+    from ray.data.aggregate import Min
 
     pairs = keyed.map_batches(_coarse, batch_format="pyarrow").groupby(
         "kgroup").map_groups(_group_verify, batch_format="pandas")
@@ -392,30 +472,76 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
     return empty.union(out)
 
 
+# --------------------------------------------------------------------------
+# consecutive-pair n-gram Jaccard (SQL-checkable variant)
+# --------------------------------------------------------------------------
+
+class GramHasher:
+    """documents → (pair, side, g: sorted list<uint64>) rows matching
+    the DuckDB oracle's gram semantics: split on single spaces,
+    lowercase, distinct word-3-grams; docs under 3 words → empty set.
+    Doc d feeds pair d (left side) and pair d-1 (right side)."""
+
+    def __init__(self, limit: int):
+        self.limit = limit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_pair, out_side, lists = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            w = [x.lower() for x in (text or "").split(" ")]
+            grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+            arr = np.fromiter(
+                (int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "big")
+                 for g in grams), dtype=np.uint64, count=len(grams))
+            arr.sort()
+            if doc_id < self.limit:
+                out_pair.append(doc_id)
+                out_side.append(0)
+                lists.append(arr)
+            if 0 <= doc_id - 1 < self.limit:
+                out_pair.append(doc_id - 1)
+                out_side.append(1)
+                lists.append(arr)
+        offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+        if lists:
+            offsets[1:] = np.cumsum([len(v) for v in lists])
+        values = (np.concatenate(lists) if lists and offsets[-1]
+                  else np.array([], dtype=np.uint64))
+        g = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()),
+                                     pa.array(values, type=pa.uint64()))
+        return pa.table({"pair": pa.array(out_pair, type=pa.int64()),
+                         "side": pa.array(out_side, type=pa.int32()),
+                         "g": g})
+
+
 def run_ngram_jaccard_pairs(sf_dir: str, limit: int = 100):
     """Exact word-3-gram Jaccard for the deterministic consecutive-id
-    pair set (doc i vs doc i+1, i < limit) — the SQL-checkable variant
-    of the verify kernel (semantics mirror the DuckDB oracle: grams
-    from a single-space split, lowercased, empty set below 3 words)."""
-    import ray.data as rd
+    pair set (doc i vs doc i+1, i < limit) — a real Ray pipeline: each
+    doc emits its gram-hash set keyed to the pair(s) it belongs to, a
+    groupby on the pair id co-locates the two sides, and the Jaccard is
+    computed per group.  Only (pair, hash-list) rows shuffle; no text
+    or corpus ever reaches the driver.  Gram hashing is 64-bit sha1 —
+    collision-free at any realistic gram count, so values equal the
+    string-set oracle."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).filter(
+        expr=f"doc_id <= {limit}")
+    rows = ds.map_batches(GramHasher, fn_constructor_kwargs={"limit": limit},
+                          batch_format="pyarrow", batch_size=2048,
+                          concurrency=(1, 4))
 
-    df = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    texts = dict(zip(df["doc_id"], df["text"]))
-    max_id = max(texts)
-    pairs = [(i, i + 1) for i in range(min(limit, max_id))]
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:  # partner doc missing → pair undefined (oracle inner join)
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        g = g.sort_values("side")
+        ga = np.asarray(g.iloc[0]["g"], dtype=np.uint64)
+        gb = np.asarray(g.iloc[1]["g"], dtype=np.uint64)
+        p = int(g.iloc[0]["pair"])
+        return pd.DataFrame({"a": pd.Series([p], dtype="int64"),
+                             "b": pd.Series([p + 1], dtype="int64"),
+                             "jaccard": pd.Series([_jaccard_sorted(ga, gb)],
+                                                  dtype="float64")})
 
-    def grams(t: str) -> set[str]:
-        w = [x.lower() for x in (t or "").split(" ")]
-        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
-
-    rows = []
-    for a, b in pairs:
-        ga, gb = grams(texts.get(a, "")), grams(texts.get(b, ""))
-        union = len(ga | gb)
-        rows.append({"a": a, "b": b,
-                     "jaccard": round(len(ga & gb) / union, 6) if union else 0.0})
-    import pandas as _pd
-
-    # tiny fixed-size result; from_pandas keeps it a Dataset for the
-    # driver contract (computation is the broadcast-kernel itself)
-    return rd.from_pandas(_pd.DataFrame(rows))
+    return rows.groupby("pair").map_groups(pair_jaccard, batch_format="pandas")

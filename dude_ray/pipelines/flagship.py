@@ -68,9 +68,9 @@ def flagship_rules() -> list[Rule]:
 
 def read_corpus(corpus_dir: str, columns: Optional[list[str]] = None):
     """Column-pruned read of the corpus web table."""
-    import ray.data as rd
+    from dude_ray.io import read_parquet_clean
 
-    return rd.read_parquet(f"{corpus_dir}/web", columns=columns)
+    return read_parquet_clean(f"{corpus_dir}/web", columns=columns)
 
 
 def run_extract(sf_dir: str, concurrency: Optional[int] = None, batch_size: int = 256):

@@ -18,9 +18,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from dude_ray.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # --------------------------------------------------------------------------
@@ -28,6 +28,20 @@ def _read(sf_dir: str, table: str, columns=None):
 # --------------------------------------------------------------------------
 
 WINDOW_S = 300
+
+# Reducer count for the final combine over partial-aggregate rows.  Ray's
+# sort-based aggregate emits one output block per input block; a tiny
+# partials stream arriving in hundreds of blocks therefore yields
+# mostly-empty (schemaless) output blocks and executor warnings.  The
+# partials are pre-combined (one row per key per batch), so coalescing
+# them to a handful of blocks is cheap at any scale — size this to
+# roughly the cluster's node count on a real deployment.
+FINAL_COMBINE_BLOCKS = 2
+
+
+def _combine(partials):
+    """Bound the final groupby's reducer count (see FINAL_COMBINE_BLOCKS)."""
+    return partials.repartition(FINAL_COMBINE_BLOCKS)
 
 
 
@@ -41,14 +55,18 @@ def _py_round(arr, n: int) -> pa.Array:
 
 def _window_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial aggregation: one row per (event_type, window)
-    per batch — the pre-shuffle combiner."""
+    per batch — the pre-shuffle combiner.  Arrow-native (TableGroupBy)
+    so no pandas round-trip and no schema-metadata churn."""
     us = pc.cast(batch["ts"], pa.int64())  # timestamp[us] → microseconds
     win = pc.multiply(pc.divide(us, WINDOW_S * 1_000_000), WINDOW_S * 1_000_000)
-    t = batch.append_column("window_us", win)
-    df = t.select(["event_type", "window_us", "value"]).to_pandas()
-    g = df.groupby(["event_type", "window_us"], as_index=False).agg(
-        n=("value", "size"), sum_value=("value", "sum"))
-    return pa.Table.from_pandas(g, preserve_index=False)
+    t = pa.table({"event_type": batch["event_type"], "window_us": win,
+                  "value": batch["value"]})
+    g = t.group_by(["event_type", "window_us"]).aggregate(
+        [("value", "count"), ("value", "sum")])
+    return pa.table({"event_type": g["event_type"],
+                     "window_us": g["window_us"],
+                     "n": pc.cast(g["value_count"], pa.int64()),
+                     "sum_value": g["value_sum"]})
 
 
 def run_events_window(sf_dir: str):
@@ -58,7 +76,7 @@ def run_events_window(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
     partials = ds.map_batches(_window_partials, batch_format="pyarrow",
                               batch_size=8192)
-    out = partials.groupby(["event_type", "window_us"]).aggregate(
+    out = _combine(partials).groupby(["event_type", "window_us"]).aggregate(
         Sum("n", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -72,16 +90,30 @@ def run_events_window(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _stats_partials(batch: pa.Table) -> pa.Table:
+    g = batch.group_by("event_type").aggregate(
+        [("value", "count"), ("value", "sum"),
+         ("value", "min"), ("value", "max")])
+    return pa.table({"event_type": g["event_type"],
+                     "n": pc.cast(g["value_count"], pa.int64()),
+                     "s": g["value_sum"],
+                     "mn": g["value_min"],
+                     "mx": g["value_max"]})
+
+
 def run_events_stats(sf_dir: str):
-    """Per-event-type stats (count, sum, min, max of value)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """Per-event-type stats (count, sum, min, max of value) — partial
+    combine per batch, then a tiny final groupby."""
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    partials = ds.map_batches(_stats_partials, batch_format="pyarrow",
+                              batch_size=8192)
+    out = _combine(partials).groupby("event_type").aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("s", alias_name="sum_value"),
+        Min("mn", alias_name="min_value"),
+        Max("mx", alias_name="max_value"),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -112,21 +144,24 @@ def run_segment_revenue(sf_dir: str):
 
     class SegmentJoin:
         def __init__(self):
-            self.seg = ray.get(seg_map_ref)
+            # dict → pandas Series once per actor for vectorized .map
+            self.seg = pd.Series(ray.get(seg_map_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_pylist()
-            segs = [self.seg.get(k, "UNKNOWN") for k in keys]
-            df = pd.DataFrame({"mktsegment": segs,
-                               "price": batch["o_totalprice"].to_pylist()})
-            g = df.groupby("mktsegment", as_index=False).agg(
-                n=("price", "size"), revenue=("price", "sum"))
-            return pa.Table.from_pandas(g, preserve_index=False)
+            keys = pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
+            segs = keys.map(self.seg).fillna("UNKNOWN")
+            t = pa.table({"mktsegment": pa.array(segs, type=pa.string()),
+                          "price": batch["o_totalprice"]})
+            g = t.group_by("mktsegment").aggregate(
+                [("price", "count"), ("price", "sum")])
+            return pa.table({"mktsegment": g["mktsegment"],
+                             "n": pc.cast(g["price_count"], pa.int64()),
+                             "revenue": g["price_sum"]})
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = ds.map_batches(SegmentJoin, batch_format="pyarrow",
                               batch_size=8192, concurrency=(1, 2))
-    out = partials.groupby("mktsegment").aggregate(
+    out = _combine(partials).groupby("mktsegment").aggregate(
         Sum("n", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -152,11 +187,18 @@ def _pricing_partials(batch: pa.Table) -> pa.Table:
         "qty": batch["l_quantity"],
         "base_price": batch["l_extendedprice"],
         "disc_price": disc_price,
-    }).to_pandas()
-    g = t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-        sum_qty=("qty", "sum"), sum_base_price=("base_price", "sum"),
-        sum_disc_price=("disc_price", "sum"), count_order=("qty", "size"))
-    return pa.Table.from_pandas(g, preserve_index=False)
+    })
+    g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("qty", "sum"), ("base_price", "sum"), ("disc_price", "sum"),
+         ("qty", "count")])
+    return pa.table({
+        "l_returnflag": g["l_returnflag"],
+        "l_linestatus": g["l_linestatus"],
+        "sum_qty": g["qty_sum"],
+        "sum_base_price": g["base_price_sum"],
+        "sum_disc_price": g["disc_price_sum"],
+        "count_order": pc.cast(g["qty_count"], pa.int64()),
+    })
 
 
 def run_pricing_summary(sf_dir: str):
@@ -167,7 +209,7 @@ def run_pricing_summary(sf_dir: str):
                 "l_extendedprice", "l_discount"])
     partials = ds.map_batches(_pricing_partials, batch_format="pyarrow",
                               batch_size=16384)
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    out = _combine(partials).groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price", alias_name="sum_base_price"),
         Sum("sum_disc_price", alias_name="sum_disc_price"),

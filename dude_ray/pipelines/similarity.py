@@ -87,8 +87,10 @@ def run_ann_topk(sf_dir: str, num_queries: int = 5, k: int = 10,
     qsel = order[:num_queries]
     queries = (ids[qsel], _normalize(emb[qsel]))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         BruteTopK, fn_constructor_kwargs={"queries": queries, "k": k},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency))
@@ -142,8 +144,10 @@ def run_ann_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
                 "sim": pa.array(out_s, type=pa.float64()),
             })
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
     partials = ds.map_batches(LshTopK, batch_format="pyarrow",
                               batch_size=4096, concurrency=(1, concurrency))
     return partials.groupby("query_id").map_groups(

@@ -25,9 +25,9 @@ PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]"
 
 
 def _docs(sf_dir: str, columns):
-    import ray.data as rd
+    from dude_ray.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --------------------------------------------------------------------------

@@ -329,8 +329,10 @@ def ensure_corpus(sf_dir: str, out_dir: Optional[str] = None,
     n_src = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     n_docs = n_src * scale
     os.makedirs(out_dir, exist_ok=True)
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
     ds = ds.map_batches(generate_batch, batch_format="pyarrow", batch_size=512,
                         fn_kwargs={"n_docs": n_src, "num_parts": num_parts,
                                    "scale": scale})

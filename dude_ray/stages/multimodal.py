@@ -30,9 +30,9 @@ def build_media_table(corpus_dir: str):
     (deterministic fake bytes — see sources.corpus.media_payload).
     Wide binary rows → small batch_size so batch × concurrency stays in
     worker heap."""
-    import ray.data as rd
+    from dude_ray.io import read_parquet_clean
 
-    refs = rd.read_parquet(f"{corpus_dir}/web", columns=["media_refs"])
+    refs = read_parquet_clean(f"{corpus_dir}/web", columns=["media_refs"])
 
     def explode(batch: pa.Table) -> pa.Table:
         flat: list[str] = []
