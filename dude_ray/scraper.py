@@ -37,6 +37,7 @@ against the synthetic-corpus table when ``corpus_dir`` is given (the
 
 from __future__ import annotations
 
+import inspect
 import threading
 from typing import Any, Callable, Optional, Sequence
 from urllib.parse import urlparse
@@ -48,7 +49,7 @@ from .htmlparser import Element, parse_html
 from .rule import rule_filter
 from .scraped import ScrapedData
 from .spec import DudeApp, PipelineSpec
-from .stages.extract import _CompiledRules, extract_all, flatten
+from .stages.extract import _CompiledRules, _event_loop, extract_all, flatten
 from .stages.fetch import CorpusFetcher
 from .stages.links import collect_links
 from .state.frontier import FrontierShardLocal
@@ -73,11 +74,25 @@ def get_current_url() -> str:
 
 class PageContext:
     """What setup/navigate handlers receive as their second argument (the
-    analog of the backend page/soup object)."""
+    analog of the backend page/soup object).  ``method``/``body`` expose
+    the originating request (the reference hands handlers the httpx
+    request via the client, /root/reference/dude/optional/utils.py:48-66)."""
 
-    def __init__(self, url: str, dom: Element):
+    def __init__(self, url: str, dom: Element, method: str = "GET",
+                 body: Optional[str] = None):
         self.url = url
         self.dom = dom
+        self.method = method
+        self.body = body
+
+
+def _resolve(result):
+    """Await coroutine results from setup/navigate/event handlers on the
+    per-worker loop (reference async events,
+    /root/reference/dude/base.py:505-530)."""
+    if inspect.iscoroutine(result):
+        return _event_loop().run_until_complete(result)
+    return result
 
 
 class PageWorker:
@@ -95,7 +110,13 @@ class PageWorker:
         self.blocklist = tuple(blocklist)
 
     # ---- fetch dispatch ------------------------------------------------
-    def _fetch(self, url: str) -> Optional[str]:
+    def _fetch(self, url: str, method: str = "GET") -> Optional[str]:
+        """Corpus-replay fetch.  Non-GET methods resolve to the same
+        document as GET — the corpus is the mock server, and the
+        reference's test router answers POST/PUT/PATCH on a URL with
+        the page body too (/root/reference/tests/test_bs4.py:374-398);
+        the method still travels with the request so handlers and the
+        drain log see it."""
         from fnmatch import fnmatch
 
         if any(fnmatch(url, pat) for pat in self.blocklist):
@@ -114,16 +135,16 @@ class PageWorker:
     # ---- per-page lifecycle -------------------------------------------
     def _setup(self, url: str, dom: Element, ctx: PageContext) -> None:
         for func in self.spec.events.get("pre-setup", ()):
-            func(ctx)
+            _resolve(func(ctx))
         setup_rules = sorted(
             (r for r in self.spec.rules if rule_filter(url, setup=True)(r)),
             key=lambda r: r.priority)
         for rule in setup_rules:
             matcher = self.compiled.matcher(rule.selector)
             for element in matcher(dom):
-                rule.handler(element, ctx)
+                _resolve(rule.handler(element, ctx))
         for func in self.spec.events.get("post-setup", ()):
-            func(ctx)
+            _resolve(func(ctx))
 
     def _navigate(self, url: str, dom: Element, ctx: PageContext) -> Optional[str]:
         """First matching navigate rule 'clicks' its first element →
@@ -134,22 +155,26 @@ class PageWorker:
         for rule in nav_rules:
             matcher = self.compiled.matcher(rule.selector)
             for element in matcher(dom):
-                result = rule.handler(element, ctx)
+                result = _resolve(rule.handler(element, ctx))
                 if isinstance(result, str) and result:
                     return canonicalize_url(result, base=url)
                 if isinstance(element, Element) and element.attrs.get("href"):
                     return canonicalize_url(element.attrs["href"], base=url)
         return None
 
-    def process_url(self, url: str) -> tuple[list[dict], list[str]]:
+    def process_url(self, url: str, method: str = "GET",
+                    body: Optional[str] = None) -> tuple[list[dict], list[str]]:
         """The reference backend inner loop for one frontier URL
         (/root/reference/dude/optional/beautifulsoup_scraper.py:73-94 +
-        pagination per playwright_scraper.py:190-199)."""
+        pagination per playwright_scraper.py:190-199).  ``method``/
+        ``body`` come from @start_requests custom requests
+        (/root/reference/dude/base.py:340-353); pagination clicks are
+        always GET."""
         rows: list[ScrapedData] = []
         links: list[str] = []
         current = url
         for i in range(1, self.pages + 1):
-            html = self._fetch(current)
+            html = self._fetch(current, method if i == 1 else "GET")
             if html is None:
                 break
             dom = parse_html(html)
@@ -157,7 +182,8 @@ class PageWorker:
             _page_ctx.followed = []
             if self.follow_urls:
                 links.extend(collect_links(dom, current))
-            ctx = PageContext(current, dom)
+            ctx = PageContext(current, dom, method if i == 1 else "GET",
+                              body if i == 1 else None)
             self._setup(current, dom, ctx)
             rows.extend(extract_all(self.compiled, dom, current, page_number=i))
             links.extend(canonicalize_url(u, base=current)
@@ -173,27 +199,30 @@ class PageWorker:
         return flat, links
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_rows: list[dict] = []
+        import json as _json
+
         links_col: list[list[str]] = []
         seqs: list[int] = []
         n_rows_col: list[int] = []
-        for seq, url in zip(batch["seq"].to_pylist(), batch["url"].to_pylist()):
-            flat, links = self.process_url(url)
-            for r in flat:
-                r["_seq"] = seq
-            out_rows.extend(flat)
+        rows_json: list[str] = []
+        methods = (batch["method"].to_pylist() if "method" in batch.column_names
+                   else ["GET"] * batch.num_rows)
+        bodies = (batch["body"].to_pylist() if "body" in batch.column_names
+                  else [None] * batch.num_rows)
+        for seq, url, method, body in zip(
+                batch["seq"].to_pylist(), batch["url"].to_pylist(),
+                methods, bodies):
+            flat, links = self.process_url(url, method or "GET", body)
             links_col.append(links)
             seqs.append(seq)
             n_rows_col.append(len(flat))
-        import json as _json
+            rows_json.append(_json.dumps(flat))
 
         return pa.table({
             "seq": pa.array(seqs, type=pa.int64()),
             "n_rows": pa.array(n_rows_col, type=pa.int32()),
             "links": pa.array(links_col, type=pa.list_(pa.string())),
-            "rows_json": pa.array([_json.dumps(
-                [r for r in out_rows if r["_seq"] == s]) for s in seqs],
-                type=pa.string()),
+            "rows_json": pa.array(rows_json, type=pa.string()),
         })
 
 
@@ -243,8 +272,12 @@ class Scraper(DudeApp):
         frontier.offer(seeds, [0] * len(seeds),
                        [(-1, i, 0) for i in range(len(seeds))])
         # @start_requests rows drain after the URL deque and bypass the
-        # domain gate (/root/reference/dude/optional/utils.py:48-66)
+        # domain gate (/root/reference/dude/optional/utils.py:48-66);
+        # method/body travel with the request via a URL-keyed side map
+        # (followed links are always GET)
         req_urls = [canonicalize_url(r.url) for r in spec.requests]
+        req_meta = {u: (r.method, r.body)
+                    for u, r in zip(req_urls, spec.requests)}
         frontier.offer(req_urls, [0] * len(req_urls),
                        [(-1, len(seeds) + i, 0) for i in range(len(req_urls))],
                        forced=True)
@@ -262,9 +295,12 @@ class Scraper(DudeApp):
             if not released:
                 break
             urls_now = [u for _, u, _ in released]
+            meta_now = [req_meta.get(u, ("GET", None)) for u in urls_now]
             ds = rd.from_arrow(pa.table({
                 "seq": pa.array(range(seq, seq + len(urls_now)), type=pa.int64()),
                 "url": pa.array(urls_now, type=pa.string()),
+                "method": pa.array([m for m, _ in meta_now], type=pa.string()),
+                "body": pa.array([b for _, b in meta_now], type=pa.string()),
             }))
             out = ds.map_batches(
                 PageWorker, fn_constructor_kwargs=worker_kwargs,
@@ -274,8 +310,6 @@ class Scraper(DudeApp):
 
             for rec in sorted(out, key=lambda r: r["seq"]):
                 rows = _json.loads(rec["rows_json"])
-                for r in rows:
-                    r.pop("_seq", None)
                 if rows:
                     page_chunks.append(rows)
                     all_rows.extend(rows)

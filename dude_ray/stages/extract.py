@@ -28,6 +28,8 @@ parses each document's HTML and emits one span-list row per doc.
 
 from __future__ import annotations
 
+import asyncio
+import inspect
 import itertools
 import re
 from types import GeneratorType
@@ -136,16 +138,48 @@ def collect_elements(
                     yield url, group_index, gid, element_index, element, rule.handler
 
 
+_LOOP: Optional[asyncio.AbstractEventLoop] = None
+
+
+def _event_loop() -> asyncio.AbstractEventLoop:
+    """One event loop per worker process for coroutine handlers (the
+    reference runs the whole crawl under one loop when any handler is
+    async, /root/reference/dude/base.py:110-126; here only the handler
+    dispatch needs it, so a lazily-created per-worker loop suffices)."""
+    global _LOOP
+    if _LOOP is None or _LOOP.is_closed():
+        _LOOP = asyncio.new_event_loop()
+    return _LOOP
+
+
+def _drain_async_gen(agen) -> List[Any]:
+    out: List[Any] = []
+
+    async def _collect():
+        async for d in agen:
+            out.append(d)
+
+    _event_loop().run_until_complete(_collect())
+    return out
+
+
 def extract_all(
     compiled: _CompiledRules, dom: Element, url: str, page_number: int = 1
 ) -> Iterable[ScrapedData]:
-    """Handler application (/root/reference/dude/base.py:532-563):
-    generator handlers fan out with re-assigned element_index; falsy
-    results are dropped."""
+    """Handler application (/root/reference/dude/base.py:532-563, async
+    variant 565-599): generator and async-generator handlers fan out
+    with re-assigned element_index; coroutine handlers are awaited;
+    falsy non-generator results are dropped."""
     for page_url, group_index, group_id, element_index, element, handler in collect_elements(
         compiled, dom, url
     ):
+        if inspect.isasyncgenfunction(handler):
+            for index, d in enumerate(_drain_async_gen(handler(element))):
+                yield ScrapedData(page_number, page_url, group_id, group_index, index, d)
+            continue
         data = handler(element)
+        if inspect.iscoroutine(data):
+            data = _event_loop().run_until_complete(data)
         if isinstance(data, GeneratorType):
             for index, d in enumerate(data):
                 yield ScrapedData(page_number, page_url, group_id, group_index, index, d)
