@@ -16,12 +16,29 @@ Python loop over a batch column is the practical kernel).
 from __future__ import annotations
 
 import hashlib
-from urllib.parse import quote, unquote, urljoin, urlparse, urlunparse
+import re
+from urllib.parse import quote, urljoin, urlparse, urlunparse
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
 
 # RFC 3986 unreserved characters: ALPHA / DIGIT / "-" / "." / "_" / "~"
 _SAFE = "-._~!$&'()*+,;=:@/"
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _norm_pct(s: str) -> str:
+    """RFC 3986 §6.2.2.1-.2: decode ONLY unreserved-character escapes,
+    uppercase the hex of every other escape.  Reserved escapes (%2F in a
+    path, %26/%3D in a query value) stay encoded — decoding them would
+    collapse distinct URLs onto one canonical form."""
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
 
 
 def _remove_dot_segments(path: str) -> str:
@@ -60,9 +77,11 @@ def canonicalize_url(url: str, base: str | None = None) -> str:
         cred = parts.username + (f":{parts.password}" if parts.password else "")
         netloc = f"{cred}@{netloc}"
     path = _remove_dot_segments(parts.path) or "/"
-    # normalize percent-encoding: decode then re-encode with a fixed safe set
-    path = quote(unquote(path), safe=_SAFE)
-    query = quote(unquote(parts.query), safe=_SAFE + "?&=")
+    # normalize percent-encoding per escape triplet (keeps reserved
+    # escapes intact), then encode any literal chars that need it; '%'
+    # is safe so existing escapes aren't double-encoded
+    path = quote(_norm_pct(path), safe=_SAFE + "%")
+    query = quote(_norm_pct(parts.query), safe=_SAFE + "%?&=")
     return urlunparse((scheme, netloc, path, parts.params, query, ""))
 
 

@@ -244,6 +244,18 @@ def run_crawl(
         shutil.rmtree(out_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    # a checkpoint's shard files are indexed by its num_shards — adopt
+    # the recorded value (and refuse a different corpus) before any
+    # shard exists, so resume never drops or misses a shard file
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _meta_peek = json.load(f)
+        if _meta_peek.get("corpus_dir") not in (None, corpus_dir):
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} was written for corpus "
+                f"{_meta_peek['corpus_dir']!r}, not {corpus_dir!r}")
+        num_shards = _meta_peek.get("num_shards", num_shards)
+
     # robots table is small config → broadcast once via constructor args
     shards = [
         FrontierShard.remote(
@@ -427,6 +439,14 @@ def run_crawl(
                 ray.get(wrefs)
                 os.replace(tdir, rdir)  # atomic round commit (lineage unit)
             pending_writes.clear()
+            if pipelined and inflight:
+                # a snapshot must contain every edge of its committed
+                # rounds: drain in-flight worker waves and barrier their
+                # offers into the shards before serializing shard state
+                ray.wait(inflight, num_returns=len(inflight),
+                         fetch_local=False)
+                inflight.clear()
+                ray.get([w.flush_offers.remote() for w in workers])
             snaps = ray.get([s.snapshot.remote() for s in shards])
             for i, raw in enumerate(snaps):
                 _atomic_write(os.path.join(ckpt_dir, f"shard_{i}.bin"), raw)

@@ -328,7 +328,15 @@ def ensure_corpus(sf_dir: str, out_dir: Optional[str] = None,
         return out_dir
     n_src = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     n_docs = n_src * scale
-    os.makedirs(out_dir, exist_ok=True)
+    # build into a temp sibling and rename into place (same atomic-commit
+    # pattern as crawl round dirs): an interrupted build can never leave
+    # partial parquet that a retry would then append to and the manifest
+    # check would cache permanently
+    import shutil
+    tmp_dir = out_dir + ".build"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
     from dude_ray.io import read_parquet_clean
 
     ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
@@ -336,18 +344,21 @@ def ensure_corpus(sf_dir: str, out_dir: Optional[str] = None,
     ds = ds.map_batches(generate_batch, batch_format="pyarrow", batch_size=512,
                         fn_kwargs={"n_docs": n_src, "num_parts": num_parts,
                                    "scale": scale})
-    ds.write_parquet(os.path.join(out_dir, "web"), partition_cols=["part"])
+    ds.write_parquet(os.path.join(tmp_dir, "web"), partition_cols=["part"])
 
     robots = [{"host": host_name(h), "robots_txt": robots_txt_for(h)}
               for h in range(num_hosts(n_docs))]
-    with open(os.path.join(out_dir, "robots.json"), "w") as f:
+    with open(os.path.join(tmp_dir, "robots.json"), "w") as f:
         json.dump(robots, f)
-    with open(os.path.join(out_dir, "seeds.json"), "w") as f:
+    with open(os.path.join(tmp_dir, "seeds.json"), "w") as f:
         json.dump(seed_urls(n_docs, seed_every), f)
-    with open(manifest_path, "w") as f:
+    with open(os.path.join(tmp_dir, "MANIFEST.json"), "w") as f:
         json.dump({"sf_dir": sf_dir, "n_docs": n_docs, "num_parts": num_parts,
                    "num_hosts": num_hosts(n_docs), "version": CORPUS_VERSION,
                    "scale": scale, "seed_every": seed_every}, f)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
     return out_dir
 
 

@@ -36,6 +36,19 @@ def test_percent_normalization():
     assert canonicalize_url("https://e.com/a%20b") == "https://e.com/a%20b"
 
 
+def test_reserved_escapes_preserved():
+    """RFC 3986 §6.2.2: only unreserved escapes decode; %2F in a path and
+    %26/%3D in a query are semantically distinct from their literals and
+    must survive canonicalization."""
+    assert canonicalize_url("https://e.com/a%2Fb") == "https://e.com/a%2Fb"
+    assert canonicalize_url("https://e.com/a%2Fb") != canonicalize_url("https://e.com/a/b")
+    assert canonicalize_url("https://e.com/p?q=a%26b%3Dc") == "https://e.com/p?q=a%26b%3Dc"
+    # escape hex is uppercased; unreserved escapes decode even mixed-case
+    assert canonicalize_url("https://e.com/a%2fb%7E") == "https://e.com/a%2Fb~"
+    # literal unsafe chars still get encoded
+    assert canonicalize_url("https://e.com/a b") == "https://e.com/a%20b"
+
+
 def test_idempotent():
     u = "HTTPS://E.com:443/a/../b%7E?q=1#f"
     once = canonicalize_url(u)

@@ -152,6 +152,60 @@ def test_resume_from_checkpoint(ray_session, tmp_path_factory, crawl_rows):
     assert sorted(a) == sorted(b)
 
 
+def test_resume_adopts_checkpoint_shard_count(ray_session, tmp_path_factory,
+                                              crawl_rows):
+    """meta.json's num_shards wins on resume: a caller passing a
+    different count must not drop shard state (fewer) or crash on a
+    missing shard file (more)."""
+    from dude_ray.crawl import run_crawl
+
+    full_rows, _ = crawl_rows
+    out = tmp_path_factory.mktemp("crawl") / "resume_shards"
+    run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+              politeness=True, stop_after_rounds=2)
+    resumed = run_crawl(SF, out_dir=str(out), num_shards=5, concurrency=3,
+                        politeness=True, resume=True)
+    key = lambda r: (r["ek_round"], r["ek_parent"], r["ek_link"])
+    a = [(r["doc_id"], r["status"], key(r)) for r in resumed.take_all()]
+    b = [(r["doc_id"], r["status"], key(r)) for r in full_rows]
+    assert sorted(a) == sorted(b)
+
+
+def test_resume_rejects_other_corpus(ray_session, tmp_path_factory):
+    """A checkpoint is bound to its corpus; resuming against a different
+    one is refused instead of silently mixing seen-sets."""
+    import pytest as _pytest
+
+    from dude_ray.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("crawl") / "resume_corpus"
+    run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+              politeness=True, stop_after_rounds=1)
+    with _pytest.raises(ValueError, match="corpus"):
+        run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+                  politeness=True, resume=True, corpus_scale=2)
+
+
+def test_pipelined_resume_complete_visit_set(ray_session, tmp_path_factory,
+                                             crawl_rows):
+    """Pipelined checkpoints drain in-flight waves before snapshotting,
+    so a pipelined crash+resume still visits the full URL set (edges
+    discovered by straggler batches are in the shard snapshots)."""
+    from dude_ray.crawl import run_crawl
+
+    strict_set = {r["doc_id"] for r in crawl_rows[0]}
+    out = tmp_path_factory.mktemp("crawl") / "pipelined_resume"
+    run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+              politeness=True, politeness_burst=1000, pipelined=True,
+              stop_after_rounds=2)
+    ds = run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+                   politeness=True, politeness_burst=1000, pipelined=True,
+                   resume=True)
+    got = [r["doc_id"] for r in ds.take_all()]
+    assert len(got) == len(set(got))
+    assert set(got) == strict_set
+
+
 def test_pipelined_same_visit_set(ray_session, tmp_path_factory, crawl_rows):
     """Pipelined (bench) mode gives up deterministic enqueue-key labels
     but must visit exactly the same URL set as the strict mode."""
