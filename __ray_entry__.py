@@ -73,14 +73,21 @@ def _q_crawl_host_counts(sf_dir: str):
     """Politeness accounting (SURVEY A3): visited pages per host."""
     import os
 
-    from ray.data.aggregate import Count, Sum
-
     from dude_ray.crawl import run_crawl
+    from dude_ray.pipelines.relational import tree_combine
 
     out = os.path.join("/tmp/dude_ray_crawl", "qh_" + os.path.basename(sf_dir))
     ds = run_crawl(sf_dir, out_dir=out, num_shards=4)
-    return ds.groupby("host").aggregate(Count(alias_name="n_pages"),
-                                        Sum("n_links", alias_name="n_links"))
+
+    def _host_partials(batch: pa.Table) -> pa.Table:
+        g = batch.select(["host", "n_links"]).group_by("host").aggregate(
+            [("host", "count"), ("n_links", "sum")])
+        return pa.table({"host": g["host"],
+                         "n_pages": pc.cast(g["host_count"], pa.int64()),
+                         "n_links": pc.cast(g["n_links_sum"], pa.int64())})
+
+    partials = ds.map_batches(_host_partials, batch_format="pyarrow")
+    return tree_combine(partials, ["host"], sums=("n_pages", "n_links"))
 
 
 def _q_media_decode(sf_dir: str):
@@ -134,11 +141,8 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_lang_dist(sf_dir: str):
-    from ray.data.aggregate import Count
-
     from dude_ray.io import read_parquet_clean
-
-    from ray.data.aggregate import Sum
+    from dude_ray.pipelines.relational import tree_combine
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
 
@@ -147,12 +151,15 @@ def _q_lang_dist(sf_dir: str):
         return pa.table({"lang": g["lang"],
                          "n": pc.cast(g["lang_count"], pa.int64())})
 
-    # partial counts per batch, tiny coalesced final combine (same
-    # rationale as relational.FINAL_COMBINE_BLOCKS)
+    # partial counts per batch, Arrow-native tree merge (see
+    # relational.tree_combine for why not Ray's sort-based aggregate)
     partials = ds.map_batches(_lang_partials, batch_format="pyarrow",
                               batch_size=8192)
-    return partials.repartition(2).groupby("lang").aggregate(
-        Sum("n", alias_name="n_docs"))
+    out = tree_combine(partials, ["lang"], sums=("n",))
+    return out.map_batches(
+        lambda b: pa.table({"lang": b["lang"],
+                            "n_docs": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

@@ -12,8 +12,10 @@ SET is identical and per-host FIFO order is preserved.
 
 Ray shape per round:
 
-    shards.release_many_table()  ──►  Arrow blocks of (url, keys, part)
-        │  concat + Arrow sort (enqueue-key order → order_in_round)
+    shards.release_round()  ──►  key-sorted Arrow table per shard, kept
+        │  in the object store; driver sees only int64 keys + int32
+        │  parts (numpy lexsort → global order_in_round ranks; URL
+        │  strings never transit the driver)
         ▼
     CrawlWorker pool — PERSISTENT raw actors (created once per crawl so
     the corpus partition cache + compiled selectors stay warm; the one
@@ -107,6 +109,20 @@ class CrawlWorker:
         self.busy_s += _t.time() - t0
         self.n_batches += 1
         return out
+
+    def process_slice(self, shard_table: pa.Table, idx, order, rnd: int) -> pa.Table:
+        """Scale-path entry: the driver dispatches (shard table ref, row
+        indices, visit ranks) instead of materialized row chunks, so URL
+        payload flows shard → object store → worker without transiting
+        the driver.  ``shard_table`` arrives auto-dereferenced from the
+        plasma store (zero-copy on the same node, one transfer/node)."""
+        import numpy as np
+
+        batch = shard_table.take(pa.array(idx))
+        batch = batch.append_column(
+            "round", pa.array(np.full(len(idx), rnd, dtype=np.int32)))
+        batch = batch.append_column("order_in_round", pa.array(order, type=pa.int64()))
+        return self.process(batch)
 
     def flush_offers(self) -> int:
         """Barrier this worker's in-flight offers (driver calls once per
@@ -318,16 +334,18 @@ def run_crawl(
             break
         _t0 = _time.time()
         # one RPC per shard per round; the tick loop runs inside the
-        # shard (politeness accounting is virtual-clock per tick) and
-        # the result crosses the store as Arrow columns, not pickles
+        # shard (politeness accounting is virtual-clock per tick).  Each
+        # shard key-sorts its released rows locally and ray.puts the
+        # Arrow table; only fixed-width key/part metadata (28 B/row)
+        # reaches the driver — URL strings never transit it.
         tick_out = ray.get([
-            s.release_many_table.remote(ticks_per_round, release_budget,
-                                        burst=politeness_burst,
-                                        num_parts=num_parts)
+            s.release_round.remote(ticks_per_round, release_budget,
+                                   burst=politeness_burst,
+                                   num_parts=num_parts)
             for s in shards
         ])
-        tick_out = [t for t in tick_out if t.num_rows]
-        n_released = sum(t.num_rows for t in tick_out)
+        tick_out = [t for t in tick_out if t["n"]]
+        n_released = sum(t["n"] for t in tick_out)
         if not n_released:
             if pipelined and inflight:
                 # wait for at least one straggler wave, flush its offers
@@ -343,40 +361,45 @@ def run_crawl(
 
         _pt["release"] += _time.time() - _t0
         _t0 = _time.time()
-        # Build the round table with Arrow compute (C++ sorts — the
-        # python-tuple sort dominated driver time at 10^5 rows/round):
-        # order_in_round is assigned in global enqueue-key order (the
-        # visit-order label and the parent component of children keys),
-        # then rows are laid out by corpus partition so each fetch batch
-        # touches ~1 part (lookup-cache locality) — a physical reorder.
-        from .canonical import host_shard as _hs
+        # Global visit ranks from key metadata only (numpy lexsort over
+        # int64 columns): order_in_round is assigned in global
+        # enqueue-key order (the visit-order label and the parent
+        # component of children keys).  Shard tables are already
+        # key-sorted, so each shard's rank slice is ascending and rows
+        # are addressed by (shard ref, index array) — the driver never
+        # concatenates, sorts, or even sees the string payload.
+        import numpy as np
 
-        import pyarrow.compute as _pc
-
-        raw = pa.concat_tables(tick_out)
-        key_idx = _pc.sort_indices(raw, sort_keys=[("ek_round", "ascending"),
-                                                   ("ek_parent", "ascending"),
-                                                   ("ek_link", "ascending")])
-        raw = raw.take(key_idx).append_column(
-            "order_in_round", pa.array(range(raw.num_rows), type=pa.int64()))
-        part_idx = _pc.sort_indices(raw, sort_keys=[("part", "ascending"),
-                                                    ("order_in_round", "ascending")])
-        rows = raw.take(part_idx).append_column(
-            "round", pa.array([rnd] * raw.num_rows, type=pa.int32()))
+        keys = np.concatenate([t["keys"] for t in tick_out], axis=1)
+        g = np.lexsort((keys[2], keys[1], keys[0]))
+        ranks = np.empty(keys.shape[1], dtype=np.int64)
+        ranks[g] = np.arange(keys.shape[1], dtype=np.int64)
+        offs = np.cumsum([0] + [t["n"] for t in tick_out])
         _pt["build"] += _time.time() - _t0
         _t0 = _time.time()
         # group this round's batches by corpus part, then assign workers:
         # cold parts stay on their affine worker (lookup-cache locality);
-        # a hot part fans out over ceil(n/K) consecutive workers so one
-        # hot host cannot serialize the round (hot-host skew splitting)
-        # while the number of workers that must cache it stays bounded.
+        # a hot part fans out so one hot host cannot serialize the round
+        # (hot-host skew splitting).  Chunks never span shards: a chunk
+        # is (shard index, row-index array, rank array) and the worker
+        # takes the rows from the shard table ref directly.
         refs = []
-        n_rows = rows.num_rows
         per_part: dict[int, list] = {}
-        for lo in range(0, n_rows, batch_size):
-            chunk = rows.slice(lo, min(batch_size, n_rows - lo))
-            part = chunk["part"][0].as_py()
-            per_part.setdefault(part, []).append(chunk.drop_columns(["part"]))
+        for i, t in enumerate(tick_out):
+            lr = ranks[offs[i]:offs[i + 1]]
+            pt_arr = t["parts"]
+            perm = np.lexsort((lr, pt_arr))
+            pt_s = pt_arr[perm]
+            bounds = np.flatnonzero(np.diff(pt_s)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(pt_s)]))
+            for s0, e0 in zip(starts, ends):
+                part = int(pt_s[s0])
+                lst = per_part.setdefault(part, [])
+                for a in range(s0, e0, batch_size):
+                    b = min(a + batch_size, e0)
+                    sel = perm[a:b]
+                    lst.append((i, sel, lr[sel]))
         # load-aware dispatch with bounded cache replication: each part
         # has a persistent owner set (workers that have its lookup
         # partition cached); batches go to the least-loaded owner, and a
@@ -385,19 +408,20 @@ def run_crawl(
         # replication bound instead of a fixed fan-out).
         W = len(workers)
         load = [0.0] * W
-        fair = n_rows / W
+        fair = n_released / W
         for part, chunks in sorted(per_part.items(),
                                    key=lambda kv: -len(kv[1])):
             own = part_owners.setdefault(part, [part % W])
-            for chunk in chunks:
+            for si, sel, order_vals in chunks:
                 w = min(own, key=lambda i: load[i])
                 if load[w] >= fair and len(own) < W:
                     cand = min(range(W), key=lambda i: load[i])
                     if cand not in own and load[cand] < load[w]:
                         own.append(cand)
                         w = cand
-                load[w] += chunk.num_rows
-                refs.append(workers[w].process.remote(chunk))
+                load[w] += len(sel)
+                refs.append(workers[w].process_slice.remote(
+                    tick_out[si]["ref"], sel, order_vals, rnd))
         if pipelined:
             # pipelined (bench) mode: no per-round barrier — the next
             # release consumes whatever offers have landed; the visit
@@ -439,14 +463,16 @@ def run_crawl(
                 ray.get(wrefs)
                 os.replace(tdir, rdir)  # atomic round commit (lineage unit)
             pending_writes.clear()
-            if pipelined and inflight:
+            if pipelined:
                 # a snapshot must contain every edge of its committed
-                # rounds: drain in-flight worker waves and barrier their
-                # offers into the shards before serializing shard state
-                ray.wait(inflight, num_returns=len(inflight),
-                         fetch_local=False)
-                inflight.clear()
+                # rounds.  Every chunk task of those rounds has already
+                # completed transitively through the pending-write gather
+                # above (each round's write refs depend on its chunk
+                # refs); what remains in flight are only the workers'
+                # fire-and-forget offer RPCs — barrier those into the
+                # shards before serializing shard state.
                 ray.get([w.flush_offers.remote() for w in workers])
+                inflight.clear()
             snaps = ray.get([s.snapshot.remote() for s in shards])
             for i, raw in enumerate(snaps):
                 _atomic_write(os.path.join(ckpt_dir, f"shard_{i}.bin"), raw)

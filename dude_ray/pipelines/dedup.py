@@ -27,13 +27,11 @@ never holds the corpus.
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-MERSENNE = (1 << 61) - 1      # shingle-id space (exact Jaccard)
 MERSENNE31 = (1 << 31) - 1    # minhash permutation modulus — products of
                               # two 31-bit values fit in uint64, keeping the
                               # signature kernel pure-numpy vectorized
@@ -76,17 +74,57 @@ def run_exact_dedup(sf_dir: str):
 # shingling + MinHash
 # --------------------------------------------------------------------------
 
-def shingle_set(text: str, n: int = 3) -> set[int]:
-    """Word n-gram shingles hashed to 61-bit ints."""
-    toks = (text or "").lower().split()
-    if len(toks) < n:
-        joined = " ".join(toks)
-        return {_h61(joined)} if joined else set()
-    return {_h61(" ".join(toks[i:i + n])) for i in range(len(toks) - n + 1)}
+_M1 = np.uint64(0x9E3779B97F4A7C15)
+_M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_M3 = np.uint64(0x165667B19E3779F9)
+_MIXC = np.uint64(0xFF51AFD7ED558CCD)
+_S33 = np.uint64(33)
 
 
-def _h61(s: str) -> int:
-    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big") % MERSENNE
+def _avalanche(x: np.ndarray) -> np.ndarray:
+    """64-bit finalizer (murmur3 fmix shape) — vectorized."""
+    x = x ^ (x >> _S33)
+    x = x * _MIXC
+    return x ^ (x >> _S33)
+
+
+class Shingler:
+    """Word-3-gram shingle hashing, vectorized: tokens hash once through
+    a per-actor memo (web vocabularies repeat heavily; sha1 only on
+    cache miss), then every 3-gram hash is one numpy expression over the
+    token-hash array — no per-shingle Python or sha1.  Hash values are
+    internal to the dedup pipelines (Jaccard over 64-bit hash sets
+    equals Jaccard over the string sets absent collisions)."""
+
+    def __init__(self, n: int = 3):
+        self.n = n
+        self._cache: dict[str, int] = {}
+
+    def _tok_hashes(self, toks: list[str]) -> np.ndarray:
+        c = self._cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = c.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big")
+                if len(c) < 1_000_000:
+                    c[t] = h
+            out[i] = h
+        return out
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        """Sorted unique uint64 shingle hashes for one doc."""
+        toks = (text or "").lower().split()
+        if not toks:
+            return np.array([], dtype=np.uint64)
+        th = self._tok_hashes(toks)
+        if len(th) < self.n:
+            x = np.uint64(0)
+            for i, v in enumerate(th):
+                x = x * _M1 + v * (_M2 if i % 2 else _M3)
+            return np.unique(_avalanche(np.array([x], dtype=np.uint64)))
+        x = th[:-2] * _M1 ^ th[1:-1] * _M2 ^ th[2:] * _M3
+        return np.unique(_avalanche(x))
 
 
 def _perm_params(num_perm: int = NUM_PERM, seed: int = 42):
@@ -97,8 +135,13 @@ def _perm_params(num_perm: int = NUM_PERM, seed: int = 42):
 
 
 class MinHasher:
-    """Per-batch minhash signatures + banded LSH keys (state — the
-    permutation table — built once per actor)."""
+    """Banded minhash over the precomputed shingle dataset — consumes
+    (doc_id, sh: packed uint64 blob) rows from ``shingle_dataset`` so
+    shingling runs exactly once per corpus across the whole dedup
+    pipeline (signatures + both verify joins).  The signature kernel
+    and the per-band LSH keys are fully vectorized per batch: one
+    (num_perm × shingles) universal-hash min per doc, then one mixing
+    fold over the (docs × bands × rows) signature cube."""
 
     def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS, seed: int = 42):
         self.a, self.b = _perm_params(num_perm, seed)
@@ -106,52 +149,71 @@ class MinHasher:
         self.bands = bands
         self.rows = num_perm // bands
 
-    def signature(self, shingles: set[int]) -> np.ndarray:
-        if not shingles:
+    def signature(self, hashes: np.ndarray) -> np.ndarray:
+        if not len(hashes):
             return np.full(self.num_perm, MERSENNE31, dtype=np.uint64)
-        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-        x %= np.uint64(MERSENNE31)
+        x = hashes % np.uint64(MERSENNE31)
         # (a*x + b) mod p, p = 2^31-1: both operands < 2^31 so the
         # product fits in uint64 — fully vectorized (num_perm, n_shingles)
         sig = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(MERSENNE31)
         return sig.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode each doc to (band, band_hash, doc_id) rows."""
-        out_band, out_hash, out_doc = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.signature(shingle_set(text))
-            for band in range(self.bands):
-                chunk = sig[band * self.rows:(band + 1) * self.rows]
-                h = hashlib.sha1(chunk.tobytes()).hexdigest()[:16]
-                out_band.append(band)
-                out_hash.append(h)
-                out_doc.append(doc_id)
+        """(doc_id, sh) rows → (band, band_hash, doc_id) rows."""
+        ids = batch["doc_id"].to_pylist()
+        sigs = np.stack([
+            self.signature(np.frombuffer(b or b"", dtype="<u8"))
+            for b in batch["sh"].to_pylist()
+        ]) if len(ids) else np.empty((0, self.num_perm), dtype=np.uint64)
+        # per-band key: mixing fold over each band's rows, all docs and
+        # bands at once — (docs, bands, rows) → (docs, bands) uint64
+        cube = sigs.reshape(len(ids), self.bands, self.rows)
+        keys = np.zeros((len(ids), self.bands), dtype=np.uint64)
+        for r in range(self.rows):
+            keys = _avalanche(keys * _M1 ^ cube[:, :, r] * _M2)
+        band_idx = np.tile(np.arange(self.bands, dtype=np.int32), len(ids))
         return pa.table({
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.string()),
-            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "band": pa.array(band_idx),
+            "band_hash": pa.array(keys.reshape(-1), type=pa.uint64()),
+            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64),
+                                         self.bands), type=pa.int64()),
         })
 
 
 def _band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs for one whole band: pandas-vectorized bucket
-    scan.  Grouping at band granularity (16 groups) instead of bucket
+    """Candidate pairs for one whole band: numpy bucket scan (lexsort →
+    run boundaries → vectorized pairing; only the rare >2-doc buckets
+    loop).  Grouping at band granularity (16 groups) instead of bucket
     granularity (~1/doc) sidesteps Ray Data's per-group dispatch cost;
     at 10^10-doc scale the groupby key becomes (band, hash-prefix) to
     bound group size — same shape, finer split."""
-    out_a: list[int] = []
-    out_b: list[int] = []
-    for _, bucket in g.groupby("band_hash", sort=False):
-        ids = bucket["doc_id"].unique()
-        if len(ids) < 2:
-            continue
-        ids = sorted(int(i) for i in ids)
-        for x, y in itertools.combinations(ids, 2):
-            out_a.append(x)
-            out_b.append(y)
-    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                         "b": pd.Series(out_b, dtype="int64")})
+    h = g["band_hash"].to_numpy(dtype=np.uint64)
+    d = g["doc_id"].to_numpy(dtype=np.int64)
+    if not len(h):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    order = np.lexsort((d, h))
+    h, d = h[order], d[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    h, d = h[keep], d[keep]
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    ends = np.r_[starts[1:], len(h)]
+    sizes = ends - starts
+    out_a = []
+    out_b = []
+    s2 = starts[sizes == 2]
+    out_a.append(d[s2])
+    out_b.append(d[s2 + 1])
+    for s0, e0 in zip(starts[sizes > 2], ends[sizes > 2]):
+        ids = d[s0:e0]  # already ascending → a < b preserved
+        for i in range(len(ids) - 1):
+            out_a.append(np.repeat(ids[i], len(ids) - 1 - i))
+            out_b.append(ids[i + 1:])
+    a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+    return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                         "b": pd.Series(b, dtype="int64")})
 
 
 # --------------------------------------------------------------------------
@@ -162,23 +224,28 @@ class ShingleLister:
     """documents → (doc_id, sh: binary) rows — ``sh`` is the sorted
     uint64 shingle-hash array as raw little-endian bytes (Acero hash
     joins pass binary payloads but not list columns).  Only these
-    compact blobs — never the text — enter the verify joins."""
+    compact blobs — never the text — enter the signature stage and the
+    verify joins."""
+
+    def __init__(self):
+        self.shingler = Shingler()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        blobs = []
-        for text in batch["text"].to_pylist():
-            arr = np.fromiter(shingle_set(text), dtype="<u8")
-            arr.sort()
-            blobs.append(arr.tobytes())
+        blobs = [self.shingler.shingle_hashes(t).astype("<u8").tobytes()
+                 for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "sh": pa.array(blobs, type=pa.binary())})
 
 
-def _shingle_rows(sf_dir: str, concurrency: int = 4):
+def shingle_dataset(sf_dir: str, concurrency: int = 4):
+    """The per-corpus (doc_id, sh) dataset, shingled ONCE and pinned in
+    the (distributed, spillable) object store for reuse by the minhash
+    signature stage and both sides of the verify joins — the text
+    column is read exactly once per dedup run and never again."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ShingleLister, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, concurrency))
+        concurrency=(1, concurrency)).materialize()
 
 
 def _row_lists(col) -> list[np.ndarray]:
@@ -200,11 +267,11 @@ def _jaccard_join_batch(batch: pa.Table) -> pa.Table:
                      "jaccard": pa.array(jac, type=pa.float64())})
 
 
-def _verify_pairs_jaccard(pairs, sf_dir: str, concurrency: int = 4,
-                          num_partitions: int = JOIN_PARTITIONS):
+def _verify_pairs_jaccard(pairs, sh, num_partitions: int = JOIN_PARTITIONS):
     """(a, b) pairs → (a, b, jaccard) via two distributed hash joins
-    against the shingle-list dataset.  Only (pair, hash-list) rows move
-    through the shuffle; the documents table is never collected."""
+    against the materialized shingle dataset ``sh``.  Only (pair,
+    hash-list) rows move through the shuffle; the documents table is
+    never collected and the text is never re-read."""
     # zero-CPU aggregators: the join's shuffle actors must always be
     # schedulable alongside the upstream map actor pools — with the
     # default 1-CPU request the streaming DAG deadlocks on small CPU
@@ -214,23 +281,21 @@ def _verify_pairs_jaccard(pairs, sf_dir: str, concurrency: int = 4,
     agg_args = {"num_cpus": 0}
 
     # Sequence the two joins: lazily chained they form one streaming DAG
-    # with three input branches, two actor-pool stages and two join
-    # operators live at once, whose summed minimum resource floor can
-    # exceed a small cluster and live-lock the executor.  The
-    # materialized intermediates are pair-scoped (candidate pairs ×
-    # shingle blob), bounded by the near-dup candidate count — orders of
-    # magnitude below corpus size — and spill to the object store if
-    # large.  The corpus-scale shingle dataset itself is never
-    # materialized; it streams into each join's build side.
+    # with three input branches and two join operators live at once,
+    # whose summed minimum resource floor can exceed a small cluster and
+    # live-lock the executor.  The materialized intermediates are
+    # pair-scoped (candidate pairs × shingle blob), bounded by the
+    # near-dup candidate count — orders of magnitude below corpus size —
+    # and spill to the object store if large.
     pairs = pairs.materialize()
-    j = pairs.join(_shingle_rows(sf_dir, concurrency), "inner",
-                   num_partitions, on=("a",), right_on=("doc_id",),
+    j = pairs.join(sh, "inner", num_partitions,
+                   on=("a",), right_on=("doc_id",),
                    aggregator_ray_remote_args=agg_args)
     j = j.map_batches(
         lambda t: pa.table({"a": t["a"], "b": t["b"], "sh_a": t["sh"]}),
         batch_format="pyarrow").materialize()
-    j = j.join(_shingle_rows(sf_dir, concurrency), "inner",
-               num_partitions, on=("b",), right_on=("doc_id",),
+    j = j.join(sh, "inner", num_partitions,
+               on=("b",), right_on=("doc_id",),
                aggregator_ray_remote_args=agg_args)
     j = j.map_batches(
         lambda t: pa.table({"a": t["a"], "b": t["b"],
@@ -240,25 +305,40 @@ def _verify_pairs_jaccard(pairs, sf_dir: str, concurrency: int = 4,
                          batch_size=4096)
 
 
-def candidate_pairs_minhash(sf_dir: str, concurrency: int = 4):
-    """documents → banded minhash rows → bucket groupby → unique pairs."""
-    from ray.data.aggregate import Count
+def _distinct_pairs(pairs, blocks: int = 4):
+    """Two-level Arrow distinct on (a, b) — a pair found in several
+    bands must dedup before the (expensive) verify.  Ray's sort-based
+    aggregate runs its combine in Python per row; the candidate pair
+    set is the verify working set (orders of magnitude below corpus
+    size), so per-block C++ distinct then one exact distinct is both
+    faster and scale-honest."""
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, concurrency))
+    def distinct(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["a", "b"]).aggregate([])
+        return g.select(["a", "b"])
+
+    lvl1 = pairs.repartition(blocks).map_batches(
+        distinct, batch_format="pyarrow", batch_size=None)
+    return lvl1.repartition(1).map_batches(
+        distinct, batch_format="pyarrow", batch_size=None)
+
+
+def candidate_pairs_minhash(sh, concurrency: int = 4):
+    """shingle dataset → banded minhash rows → bucket groupby →
+    unique candidate pairs."""
+    ds = sh.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
+                        concurrency=(1, concurrency))
     pairs = ds.groupby("band").map_groups(_band_pairs, batch_format="pandas")
-    # a pair found in several bands must dedup before (expensive) verify;
-    # native Count aggregate (no per-group python) then project the key
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+    return _distinct_pairs(pairs)
 
 
 def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4):
     """Verified near-duplicate pairs (jaccard >= threshold)."""
     import pyarrow.compute as pc
 
-    pairs = candidate_pairs_minhash(sf_dir, concurrency)
-    verified = _verify_pairs_jaccard(pairs, sf_dir, concurrency)
+    sh = shingle_dataset(sf_dir, concurrency)
+    pairs = candidate_pairs_minhash(sh, concurrency)
+    verified = _verify_pairs_jaccard(pairs, sh)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow")
@@ -267,8 +347,9 @@ def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4)
 def run_ngram_jaccard(sf_dir: str, concurrency: int = 4):
     """Exact n-gram Jaccard for every LSH candidate pair (the verify
     stage exposed as its own operator)."""
-    pairs = candidate_pairs_minhash(sf_dir, concurrency)
-    return _verify_pairs_jaccard(pairs, sf_dir, concurrency)
+    sh = shingle_dataset(sf_dir, concurrency)
+    pairs = candidate_pairs_minhash(sh, concurrency)
+    return _verify_pairs_jaccard(pairs, sh)
 
 
 # --------------------------------------------------------------------------
@@ -327,48 +408,67 @@ class SimHasher:
         })
 
 
-def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
-    rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = rows["doc_id"].to_numpy()
-    sigs = rows["sig"].to_numpy(dtype=np.uint64)
-    out_a, out_b, out_d = [], [], []
-    for i in range(len(ids)):
-        x = sigs[i:i + 1] ^ sigs[i + 1:]
-        # vectorized popcount via byte-view + unpackbits
-        if len(x):
-            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                              axis=1).sum(axis=1)
-        else:
-            d = np.array([], dtype=np.int64)
-        for j in np.nonzero(d <= max_hamming)[0]:
-            out_a.append(int(ids[i]))
-            out_b.append(int(ids[i + 1 + j]))
-            out_d.append(int(d[j]))
-    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                         "b": pd.Series(out_b, dtype="int64"),
-                         "hamming": pd.Series(out_d, dtype="int64")})
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    if not len(x):
+        return np.array([], dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1).astype(np.int64)
 
 
 def run_simhash_dedup(sf_dir: str, max_hamming: int = 3, concurrency: int = 4):
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         SimHasher, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, concurrency))
-    from ray.data.aggregate import Min
+    from dude_ray.pipelines.relational import tree_combine
 
     def _band_simhash_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        frames = [_simhash_bucket_pairs(b, max_hamming)
-                  for _, b in g.groupby("key", sort=False)]
-        frames = [f for f in frames if len(f)]
-        if not frames:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.concat(frames, ignore_index=True)
+        """One numpy bucket scan per band (same run-boundary shape as
+        ``_band_pairs``): 2-doc buckets pair vectorized, larger buckets
+        do a vectorized one-vs-rest XOR/popcount per doc."""
+        key = g["key"].to_numpy(dtype=np.int64)
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        sig = g["sig"].to_numpy(dtype=np.uint64)
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if not len(key):
+            return empty
+        order = np.lexsort((d, key))
+        key, d, sig = key[order], d[order], sig[order]
+        keep = np.ones(len(key), dtype=bool)
+        keep[1:] = (key[1:] != key[:-1]) | (d[1:] != d[:-1])
+        key, d, sig = key[keep], d[keep], sig[keep]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        sizes = ends - starts
+        out_a, out_b, out_h = [], [], []
+        s2 = starts[sizes == 2]
+        if len(s2):
+            ham = _popcount64(sig[s2] ^ sig[s2 + 1])
+            ok = ham <= max_hamming
+            out_a.append(d[s2][ok])
+            out_b.append(d[s2 + 1][ok])
+            out_h.append(ham[ok])
+        for s0, e0 in zip(starts[sizes > 2], ends[sizes > 2]):
+            ids, sg = d[s0:e0], sig[s0:e0]
+            for i in range(len(ids) - 1):
+                ham = _popcount64(sg[i] ^ sg[i + 1:])
+                ok = ham <= max_hamming
+                if ok.any():
+                    out_a.append(np.repeat(ids[i], int(ok.sum())))
+                    out_b.append(ids[i + 1:][ok])
+                    out_h.append(ham[ok])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "a": pd.Series(np.concatenate(out_a), dtype="int64"),
+            "b": pd.Series(np.concatenate(out_b), dtype="int64"),
+            "hamming": pd.Series(np.concatenate(out_h), dtype="int64")})
 
     pairs = ds.groupby("band").map_groups(_band_simhash_pairs,
                                           batch_format="pandas")
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    return tree_combine(pairs, ["a", "b"], mins=("hamming",))
 
 
 # --------------------------------------------------------------------------
@@ -456,12 +556,11 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
                          "b": pa.array(out_b, type=pa.int64()),
                          "cosine": pa.array(out_s, type=pa.float64())})
 
-    from ray.data.aggregate import Min
+    from dude_ray.pipelines.relational import tree_combine
 
     pairs = keyed.map_batches(_coarse, batch_format="pyarrow").groupby(
         "kgroup").map_groups(_group_verify, batch_format="pandas")
-    out = pairs.groupby(["a", "b"]).aggregate(
-        Min("cosine", alias_name="cosine"))
+    out = tree_combine(pairs, ["a", "b"], mins=("cosine",))
     # pin the schema even when no pair clears the threshold (an empty
     # aggregate otherwise yields a schemaless dataset)
     empty = rd.from_arrow(pa.table({

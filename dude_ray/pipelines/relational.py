@@ -29,19 +29,46 @@ def _read(sf_dir: str, table: str, columns=None):
 
 WINDOW_S = 300
 
-# Reducer count for the final combine over partial-aggregate rows.  Ray's
-# sort-based aggregate emits one output block per input block; a tiny
-# partials stream arriving in hundreds of blocks therefore yields
-# mostly-empty (schemaless) output blocks and executor warnings.  The
-# partials are pre-combined (one row per key per batch), so coalescing
-# them to a handful of blocks is cheap at any scale — size this to
-# roughly the cluster's node count on a real deployment.
+# Fan-in of the first combine level over partial-aggregate rows — size
+# this to roughly the cluster's node count on a real deployment.
 FINAL_COMBINE_BLOCKS = 2
 
 
-def _combine(partials):
-    """Bound the final groupby's reducer count (see FINAL_COMBINE_BLOCKS)."""
-    return partials.repartition(FINAL_COMBINE_BLOCKS)
+def tree_combine(partials, keys, sums=(), mins=(), maxs=(),
+                 blocks=FINAL_COMBINE_BLOCKS):
+    """Arrow-native two-level merge of partial-aggregate rows.
+
+    Ray's sort-based ``groupby().aggregate()`` runs its combine in
+    Python per row (~5k rows/s measured) — 1000× slower than Arrow's
+    C++ hash aggregation for the same merge.  Since each input batch
+    already emitted ≤1 row per key, the merge is: repartition to
+    ``blocks`` blocks → per-block ``pyarrow`` group_by → repartition(1)
+    → one exact group_by.  Column names are preserved through each
+    level so the same combine applies at every depth.
+
+    Scale assumption (documented, checked by the caller's semantics):
+    the FINAL key cardinality fits one block — true for every
+    aggregate here (≤100k windows/keys).  A high-cardinality final
+    combine would instead need a hash-shuffle groupby; the partial
+    stream itself never exceeds (#input blocks × keys/block) rows."""
+    aggs = ([(c, "sum") for c in sums] + [(c, "min") for c in mins]
+            + [(c, "max") for c in maxs])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(list(keys)).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
+        for c in sums:
+            cols[c] = g[c + "_sum"]
+        for c in mins:
+            cols[c] = g[c + "_min"]
+        for c in maxs:
+            cols[c] = g[c + "_max"]
+        return pa.table(cols)
+
+    lvl1 = partials.repartition(blocks).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+    return lvl1.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
 
 
 
@@ -71,19 +98,17 @@ def _window_partials(batch: pa.Table) -> pa.Table:
 
 def run_events_window(sf_dir: str):
     """Tumbling 5-minute windows per event_type: count + sum(value)."""
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
     partials = ds.map_batches(_window_partials, batch_format="pyarrow",
                               batch_size=8192)
-    out = _combine(partials).groupby(["event_type", "window_us"]).aggregate(
-        Sum("n", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    out = tree_combine(partials, ["event_type", "window_us"],
+                       sums=("n", "sum_value"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": batch["event_type"],
             "window_start_us": pc.cast(batch["window_us"], pa.int64()),
-            "n_events": pc.cast(batch["n_events"], pa.int64()),
+            "n_events": pc.cast(batch["n"], pa.int64()),
             "sum_value": _py_round(batch["sum_value"], 4),
         })
 
@@ -103,26 +128,20 @@ def _stats_partials(batch: pa.Table) -> pa.Table:
 
 def run_events_stats(sf_dir: str):
     """Per-event-type stats (count, sum, min, max of value) — partial
-    combine per batch, then a tiny final groupby."""
-    from ray.data.aggregate import Max, Min, Sum
-
+    combine per batch, then a tiny final merge."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
     partials = ds.map_batches(_stats_partials, batch_format="pyarrow",
                               batch_size=8192)
-    out = _combine(partials).groupby("event_type").aggregate(
-        Sum("n", alias_name="n_events"),
-        Sum("s", alias_name="sum_value"),
-        Min("mn", alias_name="min_value"),
-        Max("mx", alias_name="max_value"),
-    )
+    out = tree_combine(partials, ["event_type"], sums=("n", "s"),
+                       mins=("mn",), maxs=("mx",))
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": batch["event_type"],
-            "n_events": pc.cast(batch["n_events"], pa.int64()),
-            "sum_value": _py_round(batch["sum_value"], 4),
-            "min_value": _py_round(batch["min_value"], 6),
-            "max_value": _py_round(batch["max_value"], 6),
+            "n_events": pc.cast(batch["n"], pa.int64()),
+            "sum_value": _py_round(batch["s"], 4),
+            "min_value": _py_round(batch["mn"], 6),
+            "max_value": _py_round(batch["mx"], 6),
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
@@ -137,7 +156,6 @@ def run_segment_revenue(sf_dir: str):
     (ray.put once, read per actor) and joined inside map_batches — no
     shuffle of the fact table."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
@@ -161,13 +179,12 @@ def run_segment_revenue(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = ds.map_batches(SegmentJoin, batch_format="pyarrow",
                               batch_size=8192, concurrency=(1, 2))
-    out = _combine(partials).groupby("mktsegment").aggregate(
-        Sum("n", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
+    out = tree_combine(partials, ["mktsegment"], sums=("n", "revenue"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
             "mktsegment": batch["mktsegment"],
-            "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+            "n_orders": pc.cast(batch["n"], pa.int64()),
             "revenue": _py_round(batch["revenue"], 2),
         })
 
@@ -202,19 +219,14 @@ def _pricing_partials(batch: pa.Table) -> pa.Table:
 
 
 def run_pricing_summary(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
     partials = ds.map_batches(_pricing_partials, batch_format="pyarrow",
                               batch_size=16384)
-    out = _combine(partials).groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("count_order", alias_name="count_order"),
-    )
+    out = tree_combine(partials, ["l_returnflag", "l_linestatus"],
+                       sums=("sum_qty", "sum_base_price", "sum_disc_price",
+                             "count_order"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({

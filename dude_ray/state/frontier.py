@@ -401,6 +401,34 @@ class FrontierShardLocalArrow(FrontierShardLocal):
             t = t.append_column("part", pa.array(parts, type=pa.int32()))
         return t
 
+    def release_round(self, n_ticks: int, max_urls: int = 1_000_000,
+                      burst: int = 1, num_parts: int = 16) -> dict:
+        """Scale-path release: the URL payload never leaves this shard's
+        node via the driver.  The shard key-sorts its own released rows
+        (parallel across shards), ``ray.put``s the Arrow table into the
+        object store, and hands the driver only fixed-width metadata —
+        the 3 enqueue-key int64 columns and the int32 corpus part per
+        row (28 B/row) — from which the driver computes global visit
+        ranks and part-affine dispatch without ever touching a URL
+        string.  Workers later ``take`` row slices straight from the
+        shard table ref (plasma shared memory; one transfer per node)."""
+        import numpy as np
+        import pyarrow as pa
+
+        t = self.release_many_table(n_ticks, max_urls, burst, num_parts)
+        n = t.num_rows
+        if not n:
+            return {"n": 0}
+        ekr = t["ek_round"].to_numpy()
+        ekp = t["ek_parent"].to_numpy()
+        ekl = t["ek_link"].to_numpy()
+        order = np.lexsort((ekl, ekp, ekr))
+        t = t.take(pa.array(order))
+        keys = np.stack([ekr[order], ekp[order], ekl[order]])
+        parts = t["part"].to_numpy()
+        return {"n": n, "keys": keys, "parts": parts,
+                "ref": ray.put(t.drop_columns(["part"]))}
+
 
 # Frontier shards are bursty, mostly-idle bookkeepers: fractional CPU so
 # an 8-CPU cluster does not spend every core on frontier actors.
