@@ -69,6 +69,8 @@ def run_bench() -> dict:
     timings["crawl"] = round(crawl_loop_sec, 3)
 
     if os.environ.get("BENCH_CRAWL_ONLY") == "1":
+        busy = m.get("worker_busy_s", 0.0)
+        n_workers = m.get("n_workers", 1)
         result = {
             "metric": "crawl fetch+extract (crawl-only run)",
             "value": round(crawl_loop_sec, 3),
@@ -79,6 +81,10 @@ def run_bench() -> dict:
             "crawl_urls": n_visits,
             "crawl_urls_per_sec": round(n_visits / crawl_loop_sec, 1),
             "corpus_scale": CORPUS_SCALE,
+            "worker_busy_s": busy,
+            "n_workers": n_workers,
+            "utilization": round(busy / (crawl_loop_sec * n_workers), 3),
+            "busy_us_per_url": round(1e6 * busy / max(n_visits, 1), 1),
         }
         ray.shutdown()
         return result
@@ -160,6 +166,13 @@ def run_scaling() -> dict:
     t_lo = r_lo["queries"]["crawl"]
     t_hi = r_hi["queries"]["crawl"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # busy-time efficiency: ratio of per-URL worker CPU seconds between
+    # the two levels.  1.0 = the engine does the same compute per URL
+    # regardless of parallelism (no contention/coordination inflation);
+    # this isolates engine scaling from shared-host wall-clock noise.
+    bpu_lo = r_lo.get("busy_us_per_url", 0.0)
+    bpu_hi = r_hi.get("busy_us_per_url", 0.0)
+    busy_eff = round(bpu_lo / bpu_hi, 3) if bpu_hi else None
     return {
         "metric": "crawl scaling efficiency (N→4N CPUs, fresh processes)",
         "value": round(eff, 3),
@@ -173,6 +186,11 @@ def run_scaling() -> dict:
         "urls_per_sec_hi": r_hi["crawl_urls_per_sec"],
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
+        "busy_us_per_url_lo": bpu_lo,
+        "busy_us_per_url_hi": bpu_hi,
+        "busy_efficiency": busy_eff,
+        "utilization_lo": r_lo.get("utilization"),
+        "utilization_hi": r_hi.get("utilization"),
     }
 
 

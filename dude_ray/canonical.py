@@ -85,6 +85,43 @@ def canonicalize_url(url: str, base: str | None = None) -> str:
     return urlunparse((scheme, netloc, path, parts.params, query, ""))
 
 
+# Fast-path link canonicalization: the overwhelmingly common hrefs on
+# real pages are plain relative or site-absolute paths of safe
+# characters with no dot segments, queries, fragments or escapes.  For
+# those, canonicalize_url(urljoin(base, href)) reduces to string
+# concatenation against a once-per-page parsed base.  Anything else
+# falls back to the full canonicalizer; equality of the two paths is
+# asserted by tests/test_canonical.py::test_fast_path_matches_full.
+_SIMPLE_ABS = re.compile(r"^/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*$")
+# ':' excluded everywhere in the relative form — 'a:b' would parse as a
+# scheme, and ':' after the first '/' is rare enough for the slow path
+_SIMPLE_REL = re.compile(r"^[A-Za-z0-9\-._~!$&'()*+,;=@/]+$")
+_DOTSEG = re.compile(r"(?:^|/)\.\.?(?:/|$)")
+
+
+class LinkCanonicalizer:
+    """Per-page canonicalizer: parses the (already canonical) page URL
+    once, then canonicalizes each href with a string fast path."""
+
+    __slots__ = ("base", "prefix", "dir_prefix")
+
+    def __init__(self, page_url: str):
+        self.base = page_url
+        p = urlparse(page_url)
+        self.prefix = f"{p.scheme}://{p.netloc}"
+        path = p.path or "/"
+        self.dir_prefix = self.prefix + path[:path.rfind("/") + 1]
+
+    def __call__(self, href: str) -> str:
+        if href.startswith("/"):
+            if not href.startswith("//") and _SIMPLE_ABS.match(href) \
+                    and not _DOTSEG.search(href):
+                return self.prefix + href
+        elif _SIMPLE_REL.match(href) and not _DOTSEG.search(href):
+            return self.dir_prefix + href
+        return canonicalize_url(href, base=self.base)
+
+
 def url_sha1(url: str) -> bytes:
     """20-byte SHA-1 digest of the canonical URL — the seen-set key."""
     return hashlib.sha1(url.encode("utf-8")).digest()

@@ -511,6 +511,11 @@ def run_crawl(
     _atomic_write(os.path.join(out_dir, "METRICS.json"), json.dumps({
         "rounds": rnd, "loop_sec": round(loop_sec, 3),
         "released_total": int(sum(s.get("released", 0) for s in stats)),
+        # engine-level accounting for the scaling criterion: worker busy
+        # seconds measure actual compute, independent of VM wall-clock
+        # noise (see bench.py --scaling)
+        "worker_busy_s": round(sum(w["busy_s"] for w in wstats), 2),
+        "n_workers": len(wstats),
         "shards": stats, "hosts": hosts,
     }).encode())
 

@@ -32,6 +32,7 @@ selector programs are built once per actor/worker, never per row.
 
 from __future__ import annotations
 
+import bisect
 import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
@@ -46,7 +47,8 @@ _VOID_TAGS = {
 class Element:
     """A DOM element node."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "_order", "_index")
+    __slots__ = ("tag", "attrs", "children", "parent", "_order", "_index",
+                 "_end")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: Optional["Element"], order: int):
         self.tag = tag
@@ -55,21 +57,39 @@ class Element:
         self.parent = parent
         self._order = order  # document order for stable sorts
         self._index: Optional[dict] = None  # built lazily on the root
+        self._end = order  # max descendant order (set by index())
+
+    def root(self) -> "Element":
+        el = self
+        while el.parent is not None:
+            el = el.parent
+        return el
 
     def index(self) -> dict:
         """Lazily-built subtree index: ``("t", tag)`` / ``("c", class)``
         → elements in document order.  One DOM walk serves every
-        selector evaluation on this scope (selectors otherwise re-walk
-        the whole tree per rule)."""
+        selector evaluation anywhere in the tree: the walk also assigns
+        each element its subtree interval ``[_order, _end]``, so a
+        scoped selection is a binary-searched slice of the root's
+        candidate list instead of a per-scope subtree walk/index."""
         idx = self._index
         if idx is None:
             by_key: dict = {}
-            for el in self.iter():
-                by_key.setdefault(("t", el.tag), []).append(el)
-                cls = el.attrs.get("class")
-                if cls:
-                    for c in cls.split():
-                        by_key.setdefault(("c", c), []).append(el)
+
+            def walk(el: "Element") -> int:
+                end = el._order
+                for c in el.children:
+                    if isinstance(c, Element):
+                        by_key.setdefault(("t", c.tag), []).append(c)
+                        cls = c.attrs.get("class")
+                        if cls:
+                            for cl in cls.split():
+                                by_key.setdefault(("c", cl), []).append(c)
+                        end = max(end, walk(c))
+                el._end = end
+                return end
+
+            walk(self)
             idx = self._index = by_key
         return idx
 
@@ -286,15 +306,24 @@ def _match_sequence(el: Element, seq: tuple[tuple[str, _Simple], ...]) -> bool:
 
 
 def _candidates_for(scope: Element, simple: _Simple):
-    """Narrow candidates via the scope index keyed on the rightmost
-    simple selector (class preferred — most selective), falling back to
-    a full subtree walk only for bare ``*``/attr/:root selectors."""
-    idx = scope.index()
+    """Narrow candidates via the ROOT index keyed on the rightmost
+    simple selector (class preferred — most selective), sliced to the
+    scope's subtree interval by binary search — no per-scope index is
+    ever built.  Falls back to a subtree walk only for bare
+    ``*``/attr/:root selectors."""
+    root = scope.root()
+    idx = root.index()  # also ensures every element's _end is set
     if simple.classes:
-        return idx.get(("c", simple.classes[0]), [])
-    if simple.tag:
-        return idx.get(("t", simple.tag), [])
-    return None
+        lst = idx.get(("c", simple.classes[0]), [])
+    elif simple.tag:
+        lst = idx.get(("t", simple.tag), [])
+    else:
+        return None
+    if scope is root or not lst:
+        return lst
+    lo = bisect.bisect_right(lst, scope._order, key=lambda e: e._order)
+    hi = bisect.bisect_right(lst, scope._end, key=lambda e: e._order)
+    return lst[lo:hi]
 
 
 def css_select(scope: Element, compiled: CompiledCSS) -> list[Element]:

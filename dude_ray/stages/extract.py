@@ -109,6 +109,9 @@ class _CompiledRules:
         # the reference's nondeterministic id(group) — see scraped.py)
         distinct_groups = sorted({r.group.to_str(with_type=True) for r in rules})
         self.group_ordinal = {g: i for i, g in enumerate(distinct_groups)}
+        # (group, selector) order is URL-independent — sort ONCE per
+        # worker; per-doc enumeration only filters (stably) over this
+        self.presorted = sorted(rules, key=rule_sorter)
 
     def matcher(self, sel: Selector) -> Callable:
         key = sel.to_str(with_type=True)
@@ -124,8 +127,8 @@ def collect_elements(
     """Yield (url, group_index, group_id, element_index, element, handler)
     in the reference's enumeration order
     (/root/reference/dude/optional/beautifulsoup_scraper.py:158-172)."""
-    scraping_rules = list(filter(rule_filter(url), compiled.rules))
-    for group_selector, g in itertools.groupby(sorted(scraping_rules, key=rule_sorter), key=rule_grouper):
+    scraping_rules = filter(rule_filter(url), compiled.presorted)
+    for group_selector, g in itertools.groupby(scraping_rules, key=rule_grouper):
         rules = sorted(g, key=lambda r: r.priority)
         gid = compiled.group_ordinal[group_selector.to_str(with_type=True)]
         group_matcher = compiled.matcher(group_selector)
@@ -152,6 +155,20 @@ def _event_loop() -> asyncio.AbstractEventLoop:
     return _LOOP
 
 
+_ASYNCGEN_MEMO: dict[int, bool] = {}
+
+
+def _is_asyncgen(handler) -> bool:
+    """Memoized isasyncgenfunction — the inspect call walks code flags
+    and showed up at ~6µs per element in the extraction hot loop;
+    handlers live for the worker's lifetime so id-keying is safe."""
+    k = id(handler)
+    v = _ASYNCGEN_MEMO.get(k)
+    if v is None:
+        v = _ASYNCGEN_MEMO[k] = inspect.isasyncgenfunction(handler)
+    return v
+
+
 def _drain_async_gen(agen) -> List[Any]:
     out: List[Any] = []
 
@@ -173,7 +190,7 @@ def extract_all(
     for page_url, group_index, group_id, element_index, element, handler in collect_elements(
         compiled, dom, url
     ):
-        if inspect.isasyncgenfunction(handler):
+        if _is_asyncgen(handler):
             for index, d in enumerate(_drain_async_gen(handler(element))):
                 yield ScrapedData(page_number, page_url, group_id, group_index, index, d)
             continue

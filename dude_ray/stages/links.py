@@ -15,9 +15,7 @@ driver.
 
 from __future__ import annotations
 
-from urllib.parse import urljoin
-
-from ..canonical import canonicalize_url, host_shard, url_host
+from ..canonical import LinkCanonicalizer, host_shard, url_host
 from ..htmlparser import Element
 
 
@@ -25,18 +23,20 @@ def collect_links(dom: Element, page_url: str) -> list[str]:
     """All <a href> absolutized, self-links dropped, canonicalized,
     order-preserving de-dup within the page (first occurrence wins —
     harmless strengthening of the reference, which appends dups that
-    its missing seen-set would re-fetch)."""
+    its missing seen-set would re-fetch).  The page URL is parsed once;
+    simple hrefs canonicalize by string concatenation
+    (``LinkCanonicalizer``) — this loop is the crawl's hottest edge."""
     out: list[str] = []
     seen: set[str] = set()
     page_norm = page_url.rstrip("/")
+    canon_of = LinkCanonicalizer(page_url)
     for el in dom.index().get(("t", "a"), ()):
         href = el.attrs.get("href")
         if not href:
             continue
-        absolute = urljoin(page_url, href)
-        if absolute.rstrip("/") == page_norm:
+        canon = canon_of(href)
+        if canon.rstrip("/") == page_norm:
             continue
-        canon = canonicalize_url(absolute)
         if canon not in seen:
             seen.add(canon)
             out.append(canon)

@@ -60,6 +60,32 @@ def test_join_base():
         "https://e.com/dir/url-1.html"
 
 
+def test_fast_path_matches_full():
+    """LinkCanonicalizer's string fast path must agree byte-for-byte
+    with canonicalize_url(href, base=page) for every href shape — the
+    frontier seen-set keys on this equality."""
+    from urllib.parse import urljoin
+
+    from dude_ray.canonical import LinkCanonicalizer
+
+    bases = ["https://h0001.test/docs/454.html", "https://e.com/",
+             "https://e.com/a/b/", "file:///tmp/site/index.html",
+             "http://e.com:8080/x/y.html"]
+    hrefs = ["/docs/469.html", "url-1.html", "a/b/c.html", "/", "/a",
+             "../up.html", "./here.html", "/a/../b", "a%20b.html",
+             "?q=1", "#frag", "https://other.test/x", "HTTPS://E.com/Y",
+             "//proto.test/x", "a:b", "/deep/path/with-chars_~!$&'()*+,;=@",
+             "x/", "/x/", "mailto:someone@e.com", "a..b.html", "..",
+             "a b.html", "/p?x=%26y", "img.png?v=2#top"]
+    for base in bases:
+        lc = LinkCanonicalizer(base)
+        for href in hrefs:
+            assert lc(href) == canonicalize_url(href, base=base), (base, href)
+            # and the full path agrees with join-then-canonicalize
+            assert canonicalize_url(href, base=base) == \
+                canonicalize_url(urljoin(base, href)), (base, href)
+
+
 def test_sha1_and_shards():
     u = "https://example.com/"
     assert url_sha1(u) == hashlib.sha1(u.encode()).digest()
