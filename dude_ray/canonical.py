@@ -133,6 +133,26 @@ def url_host(url: str) -> str:
     return h.lower() if h else ""
 
 
+def canonical_url_host(url: str) -> str:
+    """``url_host`` for URLs ALREADY in canonical form (scheme and host
+    lowercased by ``canonicalize_url``): plain string slicing instead
+    of a full urlparse — this runs once per discovered edge in the
+    crawl's hottest loop.  Equality with ``url_host`` on canonical
+    input is asserted by tests/test_canonical.py."""
+    i = url.find("//")
+    if i < 0:
+        return ""
+    j = url.find("/", i + 2)
+    netloc = url[i + 2:] if j < 0 else url[i + 2:j]
+    at = netloc.rfind("@")
+    if at >= 0:
+        netloc = netloc[at + 1:]
+    colon = netloc.rfind(":")
+    if colon >= 0 and netloc.find("]", colon) < 0:  # not inside [v6]
+        netloc = netloc[:colon]
+    return netloc
+
+
 def url_shard(url: str, num_shards: int) -> int:
     """Frontier shard id: first 8 bytes of SHA-1(canonical url) mod shards.
 

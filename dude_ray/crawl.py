@@ -61,16 +61,16 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .canonical import canonicalize_url, url_host
+from .canonical import canonical_url_host, canonicalize_url, url_host
 from .htmlparser import parse_html
 from .pipelines.flagship import flagship_rules
 from .sources.corpus import ensure_corpus, load_manifest, load_robots, load_seeds
 from .stages.extract import (
     SPANS_TYPE,
     _CompiledRules,
+    accumulate_spans,
     extract_all,
-    rows_to_spans,
-    spans_to_arrow,
+    spans_column,
 )
 from .stages.fetch import CorpusFetcher
 from .stages.links import collect_links, route_edges
@@ -100,6 +100,18 @@ class CrawlWorker:
         self._pending_offers: list = []
         self.busy_s = 0.0
         self.n_batches = 0
+        # DOM trees are cyclic (parent pointers) so cyclic GC must stay
+        # on, but the default gen0 threshold (700) makes every worker
+        # scan its whole young heap thousands of times per batch of
+        # parses — a measurable fraction of the 8→32 busy-time
+        # inflation.  Freeze the warm corpus/selector state out of GC
+        # and collect much less often; DOMs are batch-local so peak
+        # heap stays bounded by a few batches.
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.set_threshold(50_000, 20, 20)
 
     def process(self, batch: pa.Table) -> pa.Table:
         import time as _t
@@ -145,7 +157,12 @@ class CrawlWorker:
         rounds = batch["round"].to_pylist()
         orders = batch["order_in_round"].to_pylist()
         htmls = self.fetcher.lookup(urls)
-        statuses, spans_col, n_links_col = [], [], []
+        statuses, n_links_col = [], []
+        kinds: list[str] = []
+        texts: list[str] = []
+        refs_c: list[str] = []
+        offs: list[int] = []
+        offsets = [0]
         edge_urls: list[str] = []
         edge_depths: list[int] = []
         edge_keys: list[tuple] = []
@@ -154,11 +171,13 @@ class CrawlWorker:
                 # fetch error → status row, page skipped
                 # (/root/reference/dude/optional/utils.py:16-28)
                 statuses.append("missing")
-                spans_col.append([])
+                offsets.append(len(kinds))
                 n_links_col.append(0)
                 continue
             dom = parse_html(html)
-            spans_col.append(rows_to_spans(extract_all(self.compiled, dom, url)))
+            accumulate_spans(extract_all(self.compiled, dom, url),
+                             kinds, texts, refs_c, offs)
+            offsets.append(len(kinds))
             statuses.append("ok")
             if self.follow_urls:
                 links = collect_links(dom, url)
@@ -175,7 +194,8 @@ class CrawlWorker:
                 route_edges(edge_urls, edge_depths, edge_keys, self.shards))
         return pa.table({
             "doc_id": pa.array(urls, type=pa.string()),
-            "host": pa.array([url_host(u) for u in urls], type=pa.string()),
+            "host": pa.array([canonical_url_host(u) for u in urls],
+                             type=pa.string()),
             "depth": pa.array(depths, type=pa.int32()),
             "round": batch["round"],
             "order_in_round": batch["order_in_round"],
@@ -184,7 +204,7 @@ class CrawlWorker:
             "ek_link": batch["ek_link"],
             "status": pa.array(statuses, type=pa.string()),
             "n_links": pa.array(n_links_col, type=pa.int32()),
-            "spans": spans_to_arrow(spans_col),
+            "spans": spans_column(kinds, texts, refs_c, offs, offsets),
         })
 
 
@@ -232,6 +252,7 @@ def run_crawl(
     politeness_burst: int = 1,
     exact_confirm: bool = True,
     pipelined: bool = False,
+    adblock_rules: tuple = (),
 ):
     """Run the crawl; returns the visits/spans Dataset read back from the
     partitioned output (one ``round_k`` dir per frontier round).
@@ -277,7 +298,8 @@ def run_crawl(
         FrontierShard.remote(
             i, robots, allowed, capacity=seen_capacity // num_shards + 1,
             exact_confirm=exact_confirm,
-            ignore_robots_txt=ignore_robots_txt, politeness=politeness)
+            ignore_robots_txt=ignore_robots_txt, politeness=politeness,
+            adblock_rules=tuple(adblock_rules))
         for i in range(num_shards)
     ]
 
@@ -329,6 +351,7 @@ def run_crawl(
     inflight: list = []
     _loop_t0 = _time.time()
     rnd = start_round
+    release_refs = None
     while rnd < max_rounds:
         if stop_after_rounds is not None and rnd - start_round >= stop_after_rounds:
             break
@@ -337,13 +360,19 @@ def run_crawl(
         # shard (politeness accounting is virtual-clock per tick).  Each
         # shard key-sorts its released rows locally and ray.puts the
         # Arrow table; only fixed-width key/part metadata (28 B/row)
-        # reaches the driver — URL strings never transit it.
-        tick_out = ray.get([
-            s.release_round.remote(ticks_per_round, release_budget,
-                                   burst=politeness_burst,
-                                   num_parts=num_parts)
-            for s in shards
-        ])
+        # reaches the driver — URL strings never transit it.  In
+        # pipelined mode the NEXT round's release is issued right after
+        # dispatch, so the shards compute it while workers are busy and
+        # this ray.get usually returns immediately.
+        if release_refs is None:
+            release_refs = [
+                s.release_round.remote(ticks_per_round, release_budget,
+                                       burst=politeness_burst,
+                                       num_parts=num_parts)
+                for s in shards
+            ]
+        tick_out = ray.get(release_refs)
+        release_refs = None
         tick_out = [t for t in tick_out if t["n"]]
         n_released = sum(t["n"] for t in tick_out)
         if not n_released:
@@ -429,6 +458,15 @@ def run_crawl(
             # first-offer-wins on an order-independent set), only the
             # deterministic enqueue-key labels are given up.  Straggler
             # batches overlap the next wave instead of stalling it.
+            # Prefetch the next release NOW so the shards' tick/sort/put
+            # work overlaps this round's fetching instead of stalling
+            # the loop head.
+            release_refs = [
+                s.release_round.remote(ticks_per_round, release_budget,
+                                       burst=politeness_burst,
+                                       num_parts=num_parts)
+                for s in shards
+            ]
             inflight.extend(refs)
             over = len(inflight) - 2 * len(workers)  # backpressure cap
             if over > 0:

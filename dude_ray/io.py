@@ -48,3 +48,38 @@ def read_parquet_clean(paths, *, columns=None, **kwargs):
     # batch_size=None → whole blocks, no concat, metadata-only rewrite
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow",
                           batch_size=None)
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def write_interleaved(ds, path: str, **kwargs) -> str:
+    """Write an interleaved-document Dataset to Lance when pylance is
+    importable (the north rule's storage format — ``Dataset.write_lance``
+    is in this Ray build), else to parquet with the identical schema.
+    The ``pip install pylance`` attempt in this sandbox fails (no
+    network, 2026-08-17 — recorded in BASELINE.md), so the parquet path
+    is what tests exercise; both layouts carry (doc_id, spans) with the
+    span struct ordered (kind, text, media_ref, offset).  Returns the
+    format written."""
+    if lance_available():
+        ds.write_lance(path, **kwargs)
+        return "lance"
+    ds.write_parquet(path, **kwargs)
+    return "parquet"
+
+
+def read_interleaved(path: str, **kwargs):
+    """Read an interleaved corpus written by :func:`write_interleaved`."""
+    import ray.data as rd
+
+    if os.path.isdir(path) and glob.glob(os.path.join(path, "**", "*.lance"),
+                                         recursive=True):
+        return rd.read_lance(path, **kwargs)
+    return read_parquet_clean(path, **kwargs)

@@ -538,23 +538,36 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
             "kgroup", _pc.cast(_pc.bit_wise_and(batch["key"], 31), pa.int64()))
 
     def _group_verify(g: pd.DataFrame) -> pa.Table:
+        """Run-boundary bucket scan (sort by key, slice runs ≥ 2) —
+        no per-bucket pandas groupby dispatch; each multi-doc bucket
+        verifies with one dense matmul."""
+        key = g["key"].to_numpy(dtype=np.int64)
+        vid = g["vec_id"].to_numpy(dtype=np.int64)
         out_a, out_b, out_s = [], [], []
-        for _, bucket in g.groupby("key", sort=False):
-            bucket = bucket.drop_duplicates("vec_id")
-            if len(bucket) < 2:
-                continue
-            vids = bucket["vec_id"].to_numpy(dtype=np.int64)
-            vecs = np.stack(bucket["nemb"].to_numpy())
-            a, b, s = bucket_verify(vids, vecs)
-            out_a.extend(int(v) for v in a)
-            out_b.extend(int(v) for v in b)
-            out_s.extend(float(v) for v in s)
+        if len(key):
+            order = np.lexsort((vid, key))
+            key, vid = key[order], vid[order]
+            vecs = np.stack(g["nemb"].to_numpy()[order])
+            keep = np.ones(len(key), dtype=bool)
+            keep[1:] = (key[1:] != key[:-1]) | (vid[1:] != vid[:-1])
+            key, vid, vecs = key[keep], vid[keep], vecs[keep]
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            ends = np.r_[starts[1:], len(key)]
+            for s0, e0 in zip(starts[ends - starts >= 2],
+                              ends[ends - starts >= 2]):
+                a, b, s = bucket_verify(vid[s0:e0], vecs[s0:e0])
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(s)
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        s = np.concatenate(out_s) if out_s else np.array([], dtype=np.float64)
         # arrow output keeps every block schema identical to the pinned
         # empty table unioned below (mixed pandas/arrow blocks trip the
         # executor's schema-consistency warning)
-        return pa.table({"a": pa.array(out_a, type=pa.int64()),
-                         "b": pa.array(out_b, type=pa.int64()),
-                         "cosine": pa.array(out_s, type=pa.float64())})
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64()),
+                         "cosine": pa.array(s, type=pa.float64())})
 
     from dude_ray.pipelines.relational import tree_combine
 

@@ -93,3 +93,13 @@ def run_extract(sf_dir: str, concurrency: Optional[int] = None, batch_size: int 
 
     conc = concurrency or max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     return ds.map_batches(SpanExtractor, concurrency=(1, conc), **kwargs)
+
+
+def export_spans(sf_dir: str, dest: str, **extract_kwargs) -> str:
+    """Extract and persist the interleaved (doc_id, spans) table in the
+    north rule's storage format — Lance when pylance is importable,
+    parquet with the identical schema otherwise (see
+    dude_ray.io.write_interleaved).  Returns the format written."""
+    from dude_ray.io import write_interleaved
+
+    return write_interleaved(run_extract(sf_dir, **extract_kwargs), dest)

@@ -101,13 +101,19 @@ class PageWorker:
 
     def __init__(self, spec: PipelineSpec, corpus_dir: Optional[str],
                  num_parts: int, pages: int, follow_urls: bool,
-                 blocklist: tuple = ()):
+                 blocklist: tuple = (), adblock_rules: tuple = ()):
         self.spec = spec
         self.compiled = _CompiledRules(list(spec.scraping_rules()))
         self.fetcher = CorpusFetcher(corpus_dir, num_parts) if corpus_dir else None
         self.pages = pages
         self.follow_urls = follow_urls
         self.blocklist = tuple(blocklist)
+        if adblock_rules:
+            from .adblock import Adblocker
+
+            self.adblock: Optional[Adblocker] = Adblocker(adblock_rules)
+        else:
+            self.adblock = None
 
     # ---- fetch dispatch ------------------------------------------------
     def _fetch(self, url: str, method: str = "GET") -> Optional[str]:
@@ -121,6 +127,11 @@ class PageWorker:
 
         if any(fnmatch(url, pat) for pat in self.blocklist):
             return None  # blocked fetch = request error → skip
+        if self.adblock is not None and self.adblock.check_network_urls(
+                url, source_url=url):
+            # reference: route.abort() on a braveblock match →
+            # request error → page skipped (playwright_scraper.py:138-153)
+            return None
         scheme = urlparse(url).scheme
         if scheme == "file":
             try:
@@ -243,6 +254,7 @@ class Scraper(DudeApp):
         corpus_dir: Optional[str] = None,
         robots_map: Optional[dict] = None,
         blocklist: Sequence[str] = (),
+        adblock_rules: Sequence[str] = (),
         batch_size: int = 64,
         concurrency: int = 4,
     ) -> list[dict]:
@@ -268,7 +280,8 @@ class Scraper(DudeApp):
         frontier = FrontierShardLocal(
             0, robots_map or {}, {url_host(u) for u in seeds},
             capacity=1_000_000, ignore_robots_txt=ignore_robots_txt,
-            politeness=False, blocklist=tuple(blocklist))
+            politeness=False, blocklist=tuple(blocklist),
+            adblock_rules=tuple(adblock_rules))
         frontier.offer(seeds, [0] * len(seeds),
                        [(-1, i, 0) for i in range(len(seeds))])
         # @start_requests rows drain after the URL deque and bypass the
@@ -284,7 +297,8 @@ class Scraper(DudeApp):
 
         worker_kwargs = dict(
             spec=spec, corpus_dir=corpus_dir, num_parts=num_parts,
-            pages=pages, follow_urls=follow_urls, blocklist=tuple(blocklist))
+            pages=pages, follow_urls=follow_urls, blocklist=tuple(blocklist),
+            adblock_rules=tuple(adblock_rules))
 
         all_rows: list[dict] = []
         page_chunks: list[list[dict]] = []

@@ -236,26 +236,54 @@ def extract_page_flat(
     return flatten(extract_all(compiled, dom, url, page_number))
 
 
+def accumulate_spans(rows: Iterable[ScrapedData], kinds: List[str],
+                     texts: List[str], refs: List[str],
+                     offs: List[int]) -> int:
+    """Append one doc's spans straight onto flat column accumulators
+    (no per-span dict allocation — this is the crawl's span hot loop);
+    returns the span count.  Semantics identical to
+    :func:`rows_to_spans`."""
+    offset = 0
+    for d in sorted(rows, key=scraped_data_sorter):
+        data = d.data
+        for k in data:
+            v = data[k]
+            if isinstance(v, tuple) and len(v) == 2:
+                text, ref = v
+            else:
+                text, ref = v, ""
+            kinds.append(k)
+            texts.append("" if text is None else str(text))
+            refs.append("" if ref is None else str(ref))
+            offs.append(offset)
+            offset += 1
+    return offset
+
+
 def rows_to_spans(rows: Iterable[ScrapedData]) -> List[dict]:
     """Span-sequence output (the ``input_hint`` contract): one span per
     (handler key, value) in deterministic ScrapedData order.  ``kind``
     is the handler dict key; values that are (text, ref) pairs carry a
     media_ref, plain strings carry text only."""
-    spans: List[dict] = []
-    offset = 0
-    for d in sorted(rows, key=scraped_data_sorter):
-        for k in d.data:
-            v = d.data[k]
-            if isinstance(v, tuple) and len(v) == 2:
-                text, ref = v
-            else:
-                text, ref = v, ""
-            spans.append(
-                {"kind": k, "text": "" if text is None else str(text),
-                 "media_ref": "" if ref is None else str(ref), "offset": offset}
-            )
-            offset += 1
-    return spans
+    kinds: List[str] = []
+    texts: List[str] = []
+    refs: List[str] = []
+    offs: List[int] = []
+    accumulate_spans(rows, kinds, texts, refs, offs)
+    return [{"kind": k, "text": t, "media_ref": r, "offset": o}
+            for k, t, r, o in zip(kinds, texts, refs, offs)]
+
+
+def spans_column(kinds: List[str], texts: List[str], refs: List[str],
+                 offs: List[int], offsets: List[int]) -> pa.Array:
+    """list<struct> spans column straight from flat accumulators."""
+    values = pa.StructArray.from_arrays(
+        [pa.array(kinds, type=pa.string()),
+         pa.array(texts, type=pa.string()),
+         pa.array(refs, type=pa.string()),
+         pa.array(offs, type=pa.int32())],
+        fields=list(SPAN_TYPE))
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
 
 
 def spans_to_arrow(span_lists: List[List[dict]]) -> pa.Array:
@@ -303,13 +331,19 @@ class SpanExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         htmls = batch["html"].to_pylist()
-        span_lists = []
+        kinds: List[str] = []
+        texts: List[str] = []
+        refs: List[str] = []
+        offs: List[int] = []
+        offsets = [0]
         for url, html in zip(doc_ids, htmls):
             dom = parse_html(html)
-            rows = extract_all(self.compiled, dom, url, page_number=1)
-            span_lists.append(rows_to_spans(rows))
+            accumulate_spans(extract_all(self.compiled, dom, url,
+                                         page_number=1),
+                             kinds, texts, refs, offs)
+            offsets.append(len(kinds))
         cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
-        cols["spans"] = spans_to_arrow(span_lists)
+        cols["spans"] = spans_column(kinds, texts, refs, offs, offsets)
         for name in self.keep:
             cols[name] = batch[name]
         return pa.table(cols)

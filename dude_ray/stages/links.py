@@ -15,7 +15,7 @@ driver.
 
 from __future__ import annotations
 
-from ..canonical import LinkCanonicalizer, host_shard, url_host
+from ..canonical import LinkCanonicalizer, canonical_url_host
 from ..htmlparser import Element
 
 
@@ -52,11 +52,16 @@ def route_edges(urls: list[str], depths: list[int], keys: list[tuple], shards: l
     import hashlib
 
     n = len(shards)
+    sha1 = hashlib.sha1
+    host_buckets: dict[str, int] = {}
     buckets: dict[int, tuple[list, list, list, list, list]] = {}
     for url, depth, key in zip(urls, depths, keys):
-        host = url_host(url)
-        digest = hashlib.sha1(url.encode("utf-8")).digest()
-        b = int.from_bytes(hashlib.sha1(host.encode()).digest()[:8], "big") % n
+        host = canonical_url_host(url)  # edges are canonical by here
+        digest = sha1(url.encode("utf-8")).digest()
+        b = host_buckets.get(host)
+        if b is None:
+            b = host_buckets[host] = int.from_bytes(
+                sha1(host.encode()).digest()[:8], "big") % n
         entry = buckets.get(b)
         if entry is None:
             entry = buckets[b] = ([], [], [], [], [])

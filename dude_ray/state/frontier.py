@@ -93,6 +93,7 @@ class FrontierShardLocal:
         ignore_robots_txt: bool = False,
         politeness: bool = True,
         blocklist: tuple = (),
+        adblock_rules: tuple = (),
     ):
         self.shard_id = shard_id
         self.bloom = BloomFilter(capacity=capacity)
@@ -103,7 +104,16 @@ class FrontierShardLocal:
         self.allowed_domains = set(allowed_domains)
         self.ignore_robots_txt = ignore_robots_txt
         self.politeness = politeness
-        self.blocklist = tuple(blocklist)  # adblock-style URL patterns (M11)
+        self.blocklist = tuple(blocklist)  # glob URL patterns (M11 lite)
+        # EasyList network rules, compiled once per shard (T3/M11); the
+        # reference gates every request through braveblock the same way
+        self.adblock_rules = tuple(adblock_rules)
+        if adblock_rules:
+            from ..adblock import Adblocker
+
+            self.adblock: Optional[object] = Adblocker(adblock_rules)
+        else:
+            self.adblock = None
         self.tick = 0
         self._buffer: list[tuple[Key, str, int]] = []
         self._ready: list[tuple[Key, str]] = []      # (head_key, host)
@@ -169,6 +179,12 @@ class FrontierShardLocal:
                 c[SKIP_DOMAIN] += 1
                 continue
             if self.blocklist and any(fn_match(url, pat) for pat in self.blocklist):
+                c["blocked"] += 1
+                continue
+            if self.adblock is not None and self.adblock.check_network_urls(
+                    url, source_url=url):
+                # frontier edges carry no referrer; first-party source
+                # assumption (document-type requests, as in a crawl)
                 c["blocked"] += 1
                 continue
             if digest in batch_first:
@@ -342,6 +358,7 @@ class FrontierShardLocal:
             "ignore_robots_txt": self.ignore_robots_txt,
             "politeness": self.politeness,
             "blocklist": self.blocklist,
+            "adblock_rules": self.adblock_rules,
         }, buf)
         return buf.getvalue()
 
@@ -364,6 +381,13 @@ class FrontierShardLocal:
         self.ignore_robots_txt = d["ignore_robots_txt"]
         self.politeness = d["politeness"]
         self.blocklist = d.get("blocklist", ())
+        self.adblock_rules = d.get("adblock_rules", ())
+        if self.adblock_rules:
+            from ..adblock import Adblocker
+
+            self.adblock = Adblocker(self.adblock_rules)
+        else:
+            self.adblock = None
         self._ready, self._sleeping = [], []
         for host in self.hosts:
             self._push_host(host)

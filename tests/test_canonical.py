@@ -92,3 +92,14 @@ def test_sha1_and_shards():
     assert 0 <= url_shard(u, 16) < 16
     assert 0 <= host_shard("example.com", 16) < 16
     assert url_host("https://Example.COM:8443/x") == "example.com"
+
+
+def test_canonical_url_host_matches_url_host():
+    from dude_ray.canonical import canonical_url_host
+
+    urls = ["https://h0001.test/docs/1.html", "http://e.com:8080/x",
+            "https://user:pw@e.com/x", "file:///tmp/x/index.html",
+            "https://e.com/", "https://e.com"]
+    for u in urls:
+        c = canonicalize_url(u)
+        assert canonical_url_host(c) == url_host(c), c

@@ -125,3 +125,76 @@ def test_index_consistency_after_reuse():
     a1 = texts(sel(".a", dom))
     a2 = texts(sel(".a", dom))  # cached index path
     assert a1 == a2 == ["one", "two", "three"]
+
+
+def test_fast_parser_matches_strict(dude_html):
+    """The fast tokenizer must build the identical tree (modulo adjacent
+    text-node merging, which stdlib splits arbitrarily) to the stdlib
+    html.parser reference over every fixture and tricky shapes."""
+    from dude_ray.htmlparser import parse_html_strict
+
+    def norm(el):
+        kids, buf = [], []
+        for c in el.children:
+            if isinstance(c, str):
+                buf.append(c)
+            else:
+                if buf:
+                    kids.append("".join(buf))
+                    buf = []
+                kids.append(norm(c))
+        if buf:
+            kids.append("".join(buf))
+        return (el.tag, dict(el.attrs), kids)
+
+    cases = [
+        dude_html,
+        HTML,
+        '<ul><li>a<li>b</ul>',
+        '<a href=foo>x</a><a href>y</a><a href="a&amp;b">z</a>',
+        '<script>if (a<b) { x(); }</script><p>after</p>',
+        '<style>p{color:red}</style>text',
+        '<!-- c --><!DOCTYPE html><p>x</p>',
+        '<div><span>unclosed<p>para</div>tail',
+        '<p>5 < 6 and & more</p>',
+        '<A HREF="X">UP</A>',
+        '<div data-x="1" data-x="2">dup</div>',
+        '<div/>selfclosed<p>q</p>',
+        '<em>stray</b></em>done',
+        '<td rowspan=2 nowrap>cell',
+        "<p title='sin&#39;gle'>q</p>",
+        '<x:ns attr:b="1">ns</x:ns>',
+        '<br><img src=x.png><hr/>',
+    ]
+    for h in cases:
+        assert norm(parse_html(h)) == norm(parse_html_strict(h)), h
+
+
+def test_fast_parser_matches_strict_on_corpus():
+    """Whole-corpus tree equivalence (sf0.001 generated pages)."""
+    from dude_ray.htmlparser import parse_html_strict
+    from dude_ray.sources.corpus import ensure_corpus, load_manifest
+    from dude_ray.stages.fetch import CorpusFetcher
+
+    def norm(el):
+        kids, buf = [], []
+        for c in el.children:
+            if isinstance(c, str):
+                buf.append(c)
+            else:
+                if buf:
+                    kids.append("".join(buf))
+                    buf = []
+                kids.append(norm(c))
+        if buf:
+            kids.append("".join(buf))
+        return (el.tag, dict(el.attrs), kids)
+
+    cd = ensure_corpus("/root/testdata/sf0.001", scale=1, seed_every=2)
+    f = CorpusFetcher(cd, load_manifest(cd)["num_parts"])
+    import pyarrow.dataset as pads
+
+    urls = pads.dataset(f"{cd}/web", partitioning="hive").to_table(
+        columns=["doc_id"])["doc_id"].to_pylist()
+    for h in f.lookup(urls):
+        assert norm(parse_html(h)) == norm(parse_html_strict(h))
