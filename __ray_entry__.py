@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": relational.run_segment_revenue,
         "pricing_summary": relational.run_pricing_summary,
         "top_orders": relational.run_top_orders,
+        "user_sessions": relational.run_user_sessions,
+        "top_orders_per_segment": relational.run_top_orders_per_segment,
     }
 
 
@@ -243,6 +245,39 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "user_sessions": """
+            WITH marked AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts_us, value,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   CAST(min(ts_us) AS BIGINT) AS session_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "top_orders_per_segment": """
+            SELECT mktsegment, o_orderkey, o_totalprice, rank FROM (
+                SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+                       o.o_orderkey, o.o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY coalesce(c.c_mktsegment, 'UNKNOWN')
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+                           AS BIGINT) AS rank
+                FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rank <= 3
         """,
         "ann_topk": """
             WITH q AS (

@@ -242,6 +242,122 @@ def run_pricing_summary(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# sessionization (gap-based windows — the classic streaming operator)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30-min inactivity gap
+
+
+def run_user_sessions(sf_dir: str, users_per_group: int = 64):
+    """Per-user sessions split on >30-min inactivity; one row per
+    session (user_id, session_start_us, n_events, sum_value).
+
+    Scale shape: sessionization needs each user's full timeline in one
+    place — the one unavoidable shuffle is a hash partition on user_id.
+    Users are coarsened ``user_id % users_per_group`` so Ray dispatches
+    one task per bucket of users rather than one per user; inside a
+    bucket the scan is a single vectorized pass (lexsort → gap/user
+    boundaries → np.add.reduceat per-session aggregates).  Hot-user
+    skew at 10^12-event scale would salt by (user, day) with a
+    session-stitch pass across day boundaries."""
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": us,
+            "value": batch["value"],
+        })
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        new_sess = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            new_sess[1:] = (uid[1:] != uid[:-1]) | \
+                (ts[1:] - ts[:-1] > SESSION_GAP_US)
+        starts = np.flatnonzero(new_sess)
+        n = np.diff(np.r_[starts, len(uid)])
+        sums = np.add.reduceat(val, starts) if len(starts) else np.array([])
+        return pd.DataFrame({
+            "user_id": pd.Series(uid[starts], dtype="int64"),
+            "session_start_us": pd.Series(ts[starts], dtype="int64"),
+            "n_events": pd.Series(n, dtype="int64"),
+            "sum_value": pd.Series(np.round(sums, 4), dtype="float64"),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow", batch_size=16384)
+    return keyed.groupby("ugroup").map_groups(_sessions, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# ranked join: top-k orders per market segment (broadcast + partial top-k)
+# --------------------------------------------------------------------------
+
+def run_top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Top-k orders by totalprice within each market segment — a ranked
+    broadcast join: the customer dimension is broadcast, each batch
+    emits its local per-segment top-k (the shuffle only ever carries
+    k × segments rows per batch), one final combine ranks."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class LocalTopK:
+        def __init__(self):
+            self.seg = pd.Series(ray.get(seg_map_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
+            df = pd.DataFrame({
+                "mktsegment": keys.map(self.seg).fillna("UNKNOWN"),
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_totalprice": batch["o_totalprice"].to_numpy(zero_copy_only=False),
+            })
+            top = df.sort_values(["o_totalprice", "o_orderkey"],
+                                 ascending=[False, True]) \
+                    .groupby("mktsegment", sort=False).head(k)
+            return pa.table({
+                "mktsegment": pa.array(top["mktsegment"], type=pa.string()),
+                "o_orderkey": pa.array(top["o_orderkey"], type=pa.int64()),
+                "o_totalprice": pa.array(top["o_totalprice"], type=pa.float64()),
+            })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "mktsegment": batch["mktsegment"].to_pylist(),
+            "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+            "o_totalprice": batch["o_totalprice"].to_numpy(zero_copy_only=False),
+        }).sort_values(["mktsegment", "o_totalprice", "o_orderkey"],
+                       ascending=[True, False, True])
+        df["rank"] = df.groupby("mktsegment").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table({
+            "mktsegment": pa.array(df["mktsegment"], type=pa.string()),
+            "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+            "o_totalprice": pa.array(df["o_totalprice"], type=pa.float64()),
+            "rank": pa.array(df["rank"], type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    partials = ds.map_batches(LocalTopK, batch_format="pyarrow",
+                              batch_size=16384, concurrency=(1, 2))
+    return partials.repartition(1).map_batches(finalize,
+                                               batch_format="pyarrow",
+                                               batch_size=None)
+
+
+# --------------------------------------------------------------------------
 # top-k sort (orders by totalprice)
 # --------------------------------------------------------------------------
 

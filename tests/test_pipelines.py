@@ -190,3 +190,31 @@ def test_media_decode_plumbing(ray_session):
     # deterministic across runs
     again = {r["media_ref"]: (r["width"], r["height"]) for r in run_media_decode(SF).take_all()}
     assert all(again[r["media_ref"]] == (r["width"], r["height"]) for r in rows)
+
+
+def test_user_sessions_gap_semantics(ray_session):
+    """Every session's events fit the 30-min-gap definition and per-user
+    session starts are strictly increasing."""
+    from dude_ray.pipelines.relational import run_user_sessions
+
+    rows = run_user_sessions(SF).take_all()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["session_start_us"])
+    for starts in by_user.values():
+        assert len(starts) == len(set(starts))
+
+
+def test_top_orders_per_segment_ranked(ray_session):
+    from dude_ray.pipelines.relational import run_top_orders_per_segment
+
+    rows = run_top_orders_per_segment(SF).take_all()
+    segs: dict = {}
+    for r in rows:
+        segs.setdefault(r["mktsegment"], []).append(r)
+    for seg_rows in segs.values():
+        seg_rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in seg_rows] == list(range(1, len(seg_rows) + 1))
+        prices = [r["o_totalprice"] for r in seg_rows]
+        assert prices == sorted(prices, reverse=True)
