@@ -135,47 +135,57 @@ def run_lang_id(sf_dir: str, concurrency: int = 4):
 # --------------------------------------------------------------------------
 
 class Fingerprinter:
-    """Winnowed rolling-hash fingerprint (Schleimer et al. winnowing):
-    Rabin-Karp over character k-grams, min-sampled per window; the
-    fingerprint is the hex digest of the sorted sampled hashes.  Two
-    documents sharing long substrings share sampled hashes."""
+    """Winnowed fingerprint (Schleimer et al. winnowing): hashed
+    character k-grams, min-sampled per window; the fingerprint is the
+    hex digest of the sorted sampled hashes.  Two documents sharing
+    long substrings share sampled hashes.
+
+    Fully vectorized: the k-gram hash is a weighted byte sum with
+    wraparound uint64 arithmetic + a murmur-style finalizer (K shifted
+    vector ops per doc instead of a per-character Python loop), and the
+    window minima come from one ``sliding_window_view(...).min(axis=1)``
+    — the property that equal substrings hash equal (position-
+    independent) is all winnowing requires."""
 
     K = 8          # gram size
     WINDOW = 16    # winnow window
-    BASE = 257
-    MOD = (1 << 61) - 1
 
     def __init__(self):
-        self.pow_k = pow(self.BASE, self.K - 1, self.MOD)
+        rng = np.random.RandomState(7)
+        self.w = rng.randint(1, np.iinfo(np.int64).max,
+                             size=self.K).astype(np.uint64) | np.uint64(1)
 
-    def _grams(self, t: str) -> list[int]:
-        if len(t) < self.K:
-            return [hash_bytes(t.encode())] if t else []
-        out = []
-        h = 0
-        for c in t[: self.K]:
-            h = (h * self.BASE + ord(c)) % self.MOD
-        out.append(h)
-        for i in range(self.K, len(t)):
-            h = ((h - ord(t[i - self.K]) * self.pow_k) * self.BASE + ord(t[i])) % self.MOD
-            out.append(h)
-        return out
+    def _grams(self, t: str) -> np.ndarray:
+        b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        if len(b) < self.K:
+            return (np.array([hash_bytes(bytes(b))], dtype=np.uint64)
+                    if len(b) else np.array([], dtype=np.uint64))
+        n = len(b) - self.K + 1
+        h = np.zeros(n, dtype=np.uint64)
+        bu = b.astype(np.uint64)
+        for j in range(self.K):
+            h += bu[j:j + n] * self.w[j]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps, n_grams = [], []
+        w = self.WINDOW
         for t in batch["text"].to_pylist():
             grams = self._grams(t or "")
             n_grams.append(len(grams))
-            if not grams:
+            if not len(grams):
                 fps.append("")
                 continue
-            sampled = set()
-            w = self.WINDOW
-            for i in range(0, max(1, len(grams) - w + 1)):
-                sampled.add(min(grams[i:i + w]))
-            digest = hashlib.sha1(
-                b"".join(g.to_bytes(8, "big") for g in sorted(sampled))).hexdigest()
-            fps.append(digest)
+            if len(grams) <= w:
+                sampled = grams.min(keepdims=True)
+            else:
+                sampled = np.lib.stride_tricks.sliding_window_view(
+                    grams, w).min(axis=1)
+            uniq = np.unique(sampled)
+            fps.append(hashlib.sha1(uniq.astype(">u8").tobytes()).hexdigest())
         return pa.table({
             "doc_id": batch["doc_id"],
             "fingerprint": pa.array(fps, type=pa.string()),
