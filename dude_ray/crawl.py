@@ -468,7 +468,11 @@ def run_crawl(
                 for s in shards
             ]
             inflight.extend(refs)
-            over = len(inflight) - 2 * len(workers)  # backpressure cap
+            # backpressure: allow 4 batches per worker in flight so the
+            # pool stays fed across round transitions (the release
+            # prefetch + this window together hide the per-round gap);
+            # bounded, so object-store pressure stays O(workers)
+            over = len(inflight) - 4 * len(workers)
             if over > 0:
                 _, still = ray.wait(inflight, num_returns=over,
                                     fetch_local=False)

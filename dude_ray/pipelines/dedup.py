@@ -288,6 +288,10 @@ def _verify_pairs_jaccard(pairs, sh, num_partitions: int = JOIN_PARTITIONS):
     # near-dup candidate count — orders of magnitude below corpus size —
     # and spill to the object store if large.
     pairs = pairs.materialize()
+    # partition count scales with the pair count (it is the number of
+    # shuffle blocks AND of aggregator actors — a 25-pair verify does
+    # not need 8 cold-started aggregators per side)
+    num_partitions = max(2, min(num_partitions, pairs.count() // 512 + 1))
     j = pairs.join(sh, "inner", num_partitions,
                    on=("a",), right_on=("doc_id",),
                    aggregator_ray_remote_args=agg_args)
