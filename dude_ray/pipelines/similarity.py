@@ -152,3 +152,86 @@ def run_ann_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
                               batch_size=4096, concurrency=(1, concurrency))
     return partials.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas")
+
+
+def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Seeded mini k-means on a bounded training sample (spherical:
+    rows and centroids L2-normalized, assignment by max dot)."""
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    cent = _normalize(cent)
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def run_ann_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
+                n_cells: int = 16, nprobe: int = 4, train_rows: int = 2048,
+                concurrency: int = 4, seed: int = 42):
+    """IVF approximate top-k — the coarse-quantizer scale path: a
+    seeded k-means codebook is trained ONCE on a bounded sample
+    (``Dataset.limit(train_rows)`` — the only driver materialization,
+    fixed-size at any corpus scale), centroids are broadcast, and each
+    batch scores only the vectors living in one of a query's ``nprobe``
+    nearest cells.  Shuffle traffic stays at Q × k local partials per
+    batch, like the brute-force baseline; recall vs brute force is
+    asserted in tests."""
+    import ray
+
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    sample_df = ds.limit(train_rows).to_pandas()
+    sids = sample_df["vec_id"].to_numpy(dtype=np.int64)
+    semb = _normalize(np.stack(sample_df["embedding"].to_numpy()))
+    cent = _kmeans(semb, min(n_cells, len(semb)), seed=seed)
+
+    # queries: lowest vec_ids (deterministic, same convention as the
+    # other ANN entry points); drawn from the sample for boundedness
+    order = np.argsort(sids)
+    qsel = order[:num_queries]
+    qids, qmat = sids[qsel], semb[qsel]
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    state = (qids, qmat, cent, qcells)
+    state_ref = ray.put(state)
+
+    class IvfTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.cent, self.qcells = ray.get(state_ref)
+            self.probe_sets = [set(map(int, row)) for row in self.qcells]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            emb = _normalize(np.stack(
+                batch["embedding"].to_pylist()).astype(np.float64))
+            cells = (emb @ self.cent.T).argmax(axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cells, self.qcells[qi]) & (vids != qid)
+                cand_v = vids[mask]
+                if not len(cand_v):
+                    continue
+                cand_s = emb[mask] @ self.qmat[qi]
+                if len(cand_v) > k:
+                    idx = np.argpartition(-cand_s, k)[:k]
+                    cand_v, cand_s = cand_v[idx], cand_s[idx]
+                out_q.extend([int(qid)] * len(cand_v))
+                out_v.extend(int(v) for v in cand_v)
+                out_s.extend(float(s) for s in cand_s)
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.map_batches(IvfTopK, batch_format="pyarrow",
+                              batch_size=4096, concurrency=(1, concurrency))
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas")

@@ -147,6 +147,32 @@ def test_ann_lsh_recall(ray_session):
     assert hit / max(1, sum(len(s) for s in exact_sets.values())) > 0.3  # recall floor
 
 
+def test_ann_ivf_recall(ray_session):
+    """IVF coarse-quantizer variant: nprobe cells of 16 must recover a
+    solid share of the exact top-10 (random synthetic vectors — cells
+    are weak, so the floor is modest; nprobe=16 == exhaustive must hit
+    recall 1.0)."""
+    from dude_ray.pipelines.similarity import run_ann_ivf, run_ann_topk
+
+    exact = run_ann_topk(SF, num_queries=5, k=10).take_all()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows):
+        hit = 0
+        for r in rows:
+            if r["vec_id"] in exact_sets.get(r["query_id"], set()):
+                hit += 1
+        return hit / max(1, sum(len(s) for s in exact_sets.values()))
+
+    approx = run_ann_ivf(SF, num_queries=5, k=10, n_cells=16, nprobe=6).take_all()
+    assert recall(approx) > 0.3
+    exhaustive = run_ann_ivf(SF, num_queries=5, k=10, n_cells=16,
+                             nprobe=16).take_all()
+    assert recall(exhaustive) == 1.0
+
+
 def test_token_and_quality_deterministic(ray_session):
     from dude_ray.pipelines.textops import run_quality, run_token_count
 
