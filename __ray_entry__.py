@@ -96,6 +96,18 @@ def _q_media_decode(sf_dir: str):
     return run_media_decode(sf_dir)
 
 
+def _q_media_frames(sf_dir: str):
+    from dude_ray.stages.multimodal import run_media_frames
+
+    return run_media_frames(sf_dir)
+
+
+def _q_media_thumbs(sf_dir: str):
+    from dude_ray.stages.multimodal import run_media_thumbs
+
+    return run_media_thumbs(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from dude_ray.pipelines import dedup, relational, similarity, textops
 
@@ -105,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_visits": _q_crawl_visits,
         "crawl_host_counts": _q_crawl_host_counts,
         "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
+        "media_thumbs": _q_media_thumbs,
         # text analysis
         "token_count": textops.run_token_count,
         "quality_score": textops.run_quality,

@@ -29,9 +29,11 @@ from .spec import DudeApp, PipelineSpec, SeedRequest
 
 __version__ = "0.1.0"
 
-_app = DudeApp()
+_app = Scraper()
 
-# module-level singleton decorators (reference: /root/reference/dude/context.py:7-18)
+# module-level singleton decorators + run (reference:
+# /root/reference/dude/context.py:7-18 — its singleton is a Scraper so
+# `dude.run(urls=…)` works at module level; same here)
 select = _app.select
 group = _app.group
 save = _app.save
@@ -40,6 +42,7 @@ pre_setup = _app.pre_setup
 post_setup = _app.post_setup
 shutdown = _app.shutdown
 start_requests = _app.start_requests
+run = _app.run
 
 
 def default_app() -> DudeApp:
@@ -49,6 +52,6 @@ def default_app() -> DudeApp:
 __all__ = [
     "DudeApp", "PipelineSpec", "Rule", "ScrapedData", "Scraper", "SeedRequest",
     "Selector", "SelectorType", "canonicalize_url", "default_app", "follow_url",
-    "get_current_url", "group", "post_setup", "pre_setup", "save", "select",
-    "shutdown", "start_requests", "startup", "url_host", "url_sha1",
+    "get_current_url", "group", "post_setup", "pre_setup", "run", "save",
+    "select", "shutdown", "start_requests", "startup", "url_host", "url_sha1",
 ]

@@ -105,3 +105,106 @@ def run_media_decode(sf_dir: str, concurrency: int = 2):
     media = build_media_table(corpus_dir)
     return media.map_batches(MediaDecoder, batch_format="pyarrow",
                              batch_size=256, concurrency=(1, concurrency))
+
+
+def _have_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+class MediaResizer:
+    """Actor-pool resize stage: consumes decode output plus the raw
+    payload, emits a resized payload and the new dimensions.  With PIL
+    importable the kernel would be ``Image.open(...).resize(...)``
+    built once per actor; in this container (no codecs) the kernel is a
+    deterministic stub whose OUTPUT SIZE scales like a real thumbnail
+    (target_w × target_h × 3 bytes) so the batch-size/memory behavior
+    downstream is realistic."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.target_w = target_w
+        self.target_h = target_h
+        self.real = _have_pil()  # a real impl builds its PIL pipeline here
+
+    def _resize(self, payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        n = self.target_w * self.target_h * 3
+        seed = hashlib.blake2b(payload, digest_size=32).digest()
+        reps = n // len(seed) + 1
+        return (seed * reps)[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs = [self._resize(p) for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "media_ref": batch["media_ref"],
+            "width": pa.array([self.target_w] * batch.num_rows, type=pa.int32()),
+            "height": pa.array([self.target_h] * batch.num_rows, type=pa.int32()),
+            "thumb": pa.array(thumbs, type=pa.binary()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (flat_map shape — output rows >
+    input rows): every ``every_n``-th frame of each media row becomes
+    its own (media_ref, frame_index, frame) row.  A real impl seeks with
+    ffmpeg per sampled index; the stub derives deterministic frame bytes
+    from (payload, index).  Small input batches keep the widened output
+    bounded in worker heap."""
+
+    def __init__(self, every_n: int = 2):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, idxs, frames = [], [], []
+        for ref, payload, n_frames in zip(batch["media_ref"].to_pylist(),
+                                          batch["payload"].to_pylist(),
+                                          batch["n_frames"].to_pylist()):
+            for i in range(0, int(n_frames), self.every_n):
+                refs.append(ref)
+                idxs.append(i)
+                frames.append(hashlib.blake2b(
+                    (payload or b"") + i.to_bytes(4, "big"),
+                    digest_size=32).digest())
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "frame_index": pa.array(idxs, type=pa.int32()),
+            "frame": pa.array(frames, type=pa.binary()),
+        })
+
+
+def run_media_frames(sf_dir: str, every_n: int = 2, concurrency: int = 2):
+    """Full multimodal chain: payload table → decode (metadata) →
+    frame sample.  The decode output is re-joined with the payload
+    column inside one stage (carry-through, no shuffle) so the sampler
+    sees (payload, n_frames) together."""
+    from ..sources.corpus import ensure_corpus
+
+    corpus_dir = ensure_corpus(sf_dir)
+    media = build_media_table(corpus_dir)
+
+    class DecodeCarry(MediaDecoder):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            return out.append_column("payload", batch["payload"])
+
+    decoded = media.map_batches(DecodeCarry, batch_format="pyarrow",
+                                batch_size=256, concurrency=(1, concurrency))
+    return decoded.map_batches(FrameSampler,
+                               fn_constructor_kwargs={"every_n": every_n},
+                               batch_format="pyarrow", batch_size=128,
+                               concurrency=(1, concurrency))
+
+
+def run_media_thumbs(sf_dir: str, target: int = 32, concurrency: int = 2):
+    """payload table → actor-pool resize stage."""
+    from ..sources.corpus import ensure_corpus
+
+    corpus_dir = ensure_corpus(sf_dir)
+    media = build_media_table(corpus_dir)
+    return media.map_batches(MediaResizer,
+                             fn_constructor_kwargs={"target_w": target,
+                                                    "target_h": target},
+                             batch_format="pyarrow", batch_size=256,
+                             concurrency=(1, concurrency))

@@ -244,3 +244,31 @@ def test_top_orders_per_segment_ranked(ray_session):
         assert [r["rank"] for r in seg_rows] == list(range(1, len(seg_rows) + 1))
         prices = [r["o_totalprice"] for r in seg_rows]
         assert prices == sorted(prices, reverse=True)
+
+
+def test_media_frames_and_thumbs(ray_session):
+    """Frame sampling (flat_map shape) and resize plumbing: every
+    sampled frame index respects every_n and n_frames; thumbnails have
+    the realistic target byte size; both deterministic."""
+    from dude_ray.stages.multimodal import (
+        run_media_decode,
+        run_media_frames,
+        run_media_thumbs,
+    )
+
+    n_frames = {r["media_ref"]: r["n_frames"]
+                for r in run_media_decode(SF).take_all()}
+    frames = run_media_frames(SF, every_n=2).take_all()
+    assert frames
+    by_ref: dict = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_index"])
+        assert len(r["frame"]) == 32
+    for ref, idxs in by_ref.items():
+        expect = list(range(0, n_frames[ref], 2))
+        assert sorted(idxs) == expect, ref
+
+    thumbs = run_media_thumbs(SF, target=16).take_all()
+    assert thumbs
+    assert all(len(r["thumb"]) == 16 * 16 * 3 for r in thumbs)
+    assert all(r["width"] == 16 and r["height"] == 16 for r in thumbs)

@@ -204,3 +204,25 @@ def test_json_output_file(ray_session, site, tmp_path):
     out = tmp_path / "result.json"
     rows = app.run(urls=[file_url(site / "index.html")], output=str(out))
     assert json.loads(out.read_text()) == rows
+
+
+def test_module_level_run(ray_session, site):
+    """`import dude; @dude.select(...); dude.run(urls=...)` — the
+    reference's module-level singleton is a Scraper with a bound run
+    (/root/reference/dude/context.py:7-18)."""
+    import importlib
+
+    import dude_ray as dr
+
+    app = dr.default_app()
+    saved_rules = list(app.rules)
+    try:
+        @dr.select(css=".title", group_css=".custom-group")
+        def title(el):
+            return {"title": el.text_content()}
+
+        rows = dr.run(urls=[file_url(site / "index.html")])
+        assert [r["title"] for r in rows] == ["Title 1", "Title 2", "Title 3"]
+    finally:
+        app.rules[:] = saved_rules
+        app.groups.clear()
