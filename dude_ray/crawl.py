@@ -451,6 +451,7 @@ def run_crawl(
                 load[w] += len(sel)
                 refs.append(workers[w].process_slice.remote(
                     tick_out[si]["ref"], sel, order_vals, rnd))
+        do_ckpt = (rnd + 1) % checkpoint_every == 0
         if pipelined:
             # pipelined (bench) mode: no per-round barrier — the next
             # release consumes whatever offers have landed; the visit
@@ -459,14 +460,20 @@ def run_crawl(
             # deterministic enqueue-key labels are given up.  Straggler
             # batches overlap the next wave instead of stalling it.
             # Prefetch the next release NOW so the shards' tick/sort/put
-            # work overlaps this round's fetching instead of stalling
-            # the loop head.
-            release_refs = [
-                s.release_round.remote(ticks_per_round, release_budget,
-                                       burst=politeness_burst,
-                                       num_parts=num_parts)
-                for s in shards
-            ]
+            # work overlaps this round's fetching — EXCEPT on checkpoint
+            # rounds: a release pops URLs from the shard queues, so it
+            # must be ordered AFTER the snapshot on each shard actor, or
+            # a crash between the two loses the popped URLs from both
+            # the snapshot and the (never-written) next round.  The
+            # prefetch for checkpoint rounds is issued after the
+            # snapshot RPCs below.
+            if not do_ckpt:
+                release_refs = [
+                    s.release_round.remote(ticks_per_round, release_budget,
+                                           burst=politeness_burst,
+                                           num_parts=num_parts)
+                    for s in shards
+                ]
             inflight.extend(refs)
             # backpressure: allow 4 batches per worker in flight so the
             # pool stays fed across round transitions (the release
@@ -500,7 +507,7 @@ def run_crawl(
         _pt["write"] += _time.time() - _t0
         _t0 = _time.time()
 
-        if (rnd + 1) % checkpoint_every == 0:
+        if do_ckpt:
             for wrefs, tdir, rdir in pending_writes:
                 ray.get(wrefs)
                 os.replace(tdir, rdir)  # atomic round commit (lineage unit)
@@ -523,6 +530,16 @@ def run_crawl(
                 "num_shards": num_shards,
                 "corpus_dir": corpus_dir,
             }).encode())
+            if pipelined:
+                # deferred prefetch (see dispatch block): safe now —
+                # the snapshot above precedes this release on every
+                # shard's task queue
+                release_refs = [
+                    s.release_round.remote(ticks_per_round, release_budget,
+                                           burst=politeness_burst,
+                                           num_parts=num_parts)
+                    for s in shards
+                ]
         _pt["ckpt"] += _time.time() - _t0
         _pt["n_rounds"] += 1
         rnd += 1
