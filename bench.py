@@ -57,8 +57,11 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/dude_ray_bench/crawl_{NUM_CPUS}"
     t0 = time.time()
+    # shards scale with the cluster (fractional-CPU actors): more shards
+    # = more parallel release/sort/put work per round
     ds = run_crawl(SF_DIR, out_dir=out_dir,
-                   num_shards=4, batch_size=192, checkpoint_every=8,
+                   num_shards=max(4, NUM_CPUS // 4),
+                   batch_size=192, checkpoint_every=8,
                    ticks_per_round=8, corpus_scale=CORPUS_SCALE, seed_every=1,
                    num_parts_hint=NUM_PARTS, politeness_burst=100_000,
                    exact_confirm=False, pipelined=True)
