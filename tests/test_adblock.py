@@ -96,3 +96,30 @@ def test_crawl_engine_applies_rules(ray_session, tmp_path):
     got = {r["doc_id"] for r in ds.take_all()}
     assert not (got & blocked_docs)
     assert got <= base_ids
+
+
+def test_scraper_fetch_gate(ray_session, tmp_path):
+    """Scraper.run(adblock_rules=...): a matching fetch is aborted like
+    the reference's route.abort() → page skipped, crawl continues."""
+    from dude_ray.scraper import Scraper
+
+    (tmp_path / "index.html").write_text(
+        '<div class="g"><a class="u" href="ads/banner.html">x</a>'
+        '<a class="u" href="ok.html">y</a></div>')
+    (tmp_path / "ok.html").write_text(
+        '<div class="g"><p class="t">fine</p></div>')
+    (tmp_path / "ads").mkdir()
+    (tmp_path / "ads" / "banner.html").write_text(
+        '<div class="g"><p class="t">AD</p></div>')
+
+    app = Scraper()
+
+    @app.select(css=".t", group_css=".g")
+    def t(el):
+        return {"t": el.text_content()}
+
+    rows = app.run(urls=[f"file://{tmp_path}/index.html"], follow_urls=True,
+                   adblock_rules=("/ads/",))
+    texts = {r["t"] for r in rows}
+    assert "fine" in texts
+    assert "AD" not in texts
