@@ -73,16 +73,22 @@ def read_corpus(corpus_dir: str, columns: Optional[list[str]] = None):
     return read_parquet_clean(f"{corpus_dir}/web", columns=columns)
 
 
-def run_extract(sf_dir: str, concurrency: Optional[int] = None, batch_size: int = 256):
+def run_extract(sf_dir: str, concurrency: Optional[int] = None,
+                batch_size: int = 256, corpus_scale: int = 1,
+                seed_every: int = 2, num_parts: Optional[int] = None):
     """Headline extraction pipeline: corpus html → span sequences.
 
     Stateless map_batches (selector programs compiled once per worker);
     pyarrow batches end-to-end; reads only (doc_id, html).
-    """
-    from ..sources.corpus import ensure_corpus
+    ``corpus_scale`` selects the corpus profile (bench uses the same
+    scaled corpus as the crawl so "whole-corpus extraction" measures the
+    full page set)."""
+    from ..sources.corpus import DEFAULT_NUM_PARTS, ensure_corpus
     from ..stages.extract import SpanExtractor
 
-    corpus_dir = ensure_corpus(sf_dir)
+    corpus_dir = ensure_corpus(sf_dir, scale=corpus_scale,
+                               seed_every=seed_every,
+                               num_parts=num_parts or DEFAULT_NUM_PARTS)
     ds = read_corpus(corpus_dir, columns=["doc_id", "html"])
     kwargs = dict(
         fn_constructor_kwargs={"rules": flagship_rules()},
