@@ -333,7 +333,20 @@ def run_crawl(
         # pool loses more to memory contention than it gains in slots
         concurrency = max(2, min(total - 2, (total * 3) // 4))
 
-    WorkerActor = ray.remote(CrawlWorker)
+    # Workers are fault-tolerant: their only state is warm caches
+    # (corpus parts, compiled selectors) rebuilt in __init__, so a
+    # crashed worker restarts and its failed chunk task retries.  The
+    # retry's side effects are safe — edge offers are at-least-once and
+    # the frontier's first-offer dedup makes them idempotent; the chunk
+    # result itself is exactly-once via the object ref.  Frontier
+    # SHARDS stay non-restartable (they are the stateful component;
+    # their recovery path is the checkpoint snapshots).  One narrow
+    # window remains: offers of an already-completed chunk whose worker
+    # dies before they are barriered are fire-and-forget tasks that
+    # normally still execute; if their inlined args die with the owner,
+    # those edges are lost — the crash-consistent ground truth for that
+    # case is checkpoint+resume, not in-run recovery.
+    WorkerActor = ray.remote(max_restarts=3, max_task_retries=3)(CrawlWorker)
     workers = [
         WorkerActor.remote(corpus_dir, num_parts, rules, shards)
         for _ in range(concurrency)
