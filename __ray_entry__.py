@@ -144,7 +144,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.run_top_orders,
         "user_sessions": relational.run_user_sessions,
         "top_orders_per_segment": relational.run_top_orders_per_segment,
+        "streaming_window": _q_streaming_window,
     }
+
+
+def _q_streaming_window(sf_dir: str):
+    from dude_ray.pipelines.streaming import run_streaming_window
+
+    return run_streaming_window(sf_dir)
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -282,6 +289,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "streaming_window": """
+            WITH arr AS (
+                SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+                       max(epoch_us(ts)) OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS wm_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(floor(ts_us / 300000000) * 300000000 AS BIGINT)
+                       AS window_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM arr
+            WHERE wm_us IS NULL
+               OR wm_us < CAST(floor(ts_us / 300000000) * 300000000 AS BIGINT)
+                          + 300000000 + 600000000
+            GROUP BY 1, 2
         """,
         "top_orders_per_segment": """
             SELECT mktsegment, o_orderkey, o_totalprice, rank FROM (

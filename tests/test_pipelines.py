@@ -272,3 +272,46 @@ def test_media_frames_and_thumbs(ray_session):
     assert thumbs
     assert all(len(r["thumb"]) == 16 * 16 * 3 for r in thumbs)
     assert all(r["width"] == 16 and r["height"] == 16 for r in thumbs)
+
+
+def test_streaming_window_drops_late_events(ray_session, tmp_path):
+    """Watermark semantics: an event arriving after its window is final
+    (watermark >= window_end + lateness) is dropped; an in-lateness
+    straggler is kept."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.streaming import run_streaming_window
+
+    US = 1_000_000
+    base = 1_700_000_000 * US
+    rows = [
+        # (event_id = arrival order, ts_us, value)
+        (0, base + 10 * US, 1.0),            # window 0
+        (1, base + 2000 * US, 1.0),          # watermark jumps far ahead
+        (2, base + 20 * US, 100.0),          # LATE for window 0: wm=2000s
+                                             # >= 300s + 600s → dropped
+        (3, base + 1500 * US, 5.0),          # within lateness of its own
+                                             # window (1200-1500s): kept
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    W = 300 * US
+    win_of = lambda ts_us: ts_us // W * W
+    out = {r["window_start_us"]: (r["n_events"], r["sum_value"])
+           for r in run_streaming_window(str(d)).take_all()}
+    # event 0's window: only event 0 survives (event 2 dropped as late —
+    # watermark 2000s is past its window end + 600s lateness)
+    assert out[win_of(base + 10 * US)] == (1, 1.0)
+    # event 1's and event 3's windows both kept (3 within lateness)
+    assert out[win_of(base + 2000 * US)] == (1, 1.0)
+    assert out[win_of(base + 1500 * US)] == (1, 5.0)
+    assert sum(n for n, _ in out.values()) == 3  # exactly one drop
