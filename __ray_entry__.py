@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.run_user_sessions,
         "top_orders_per_segment": relational.run_top_orders_per_segment,
         "streaming_window": _q_streaming_window,
+        "asof_join": relational.run_asof_join,
     }
 
 
@@ -289,6 +290,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "asof_join": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS o_orderkey,
+                       max_by(o_totalprice, o_orderkey) AS o_totalprice
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id AS user_id,
+                   epoch_us(e.ts) AS ts_us,
+                   o.o_orderkey,
+                   round(o.o_totalprice, 2) AS o_totalprice
+            FROM events e ASOF LEFT JOIN o1 o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "streaming_window": """
             WITH arr AS (

@@ -358,6 +358,125 @@ def run_top_orders_per_segment(sf_dir: str, k: int = 3):
 
 
 # --------------------------------------------------------------------------
+# as-of join (events ⋈asof orders on user/customer + time)
+# --------------------------------------------------------------------------
+
+def run_asof_join(sf_dir: str, users_per_group: int = 64):
+    """For every event, the most recent order of the same customer with
+    ``o_orderdate <= ts`` (LEFT semantics: no prior order → nulls) —
+    the classic AS-OF join Ray Data lacks as a primitive.
+
+    Composition (documented partitioning assumption): both sides hash-
+    partition on the user/customer key (coarsened per dispatch bucket),
+    then one vectorized merge per key run — orders sorted by date,
+    events resolved with ``np.searchsorted``.  Date ties are broken by
+    max o_orderkey (deduped per (custkey, date) pre-shuffle) so the
+    result is deterministic; the oracle encodes the same tie-break."""
+
+    def _ev(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(pc.bit_wise_and(batch["user_id"],
+                                         users_per_group - 1), pa.int64()),
+            "uid": batch["user_id"],
+            "side": pa.array(np.ones(batch.num_rows, dtype=np.int32)),
+            "event_id": batch["event_id"],
+            "t_us": pc.cast(batch["ts"], pa.int64()),
+            "o_orderkey": pa.nulls(batch.num_rows, pa.int64()),
+            "o_totalprice": pa.nulls(batch.num_rows, pa.float64()),
+        })
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        # pre-shuffle dedup per (custkey, date): keep max orderkey row
+        g = batch.select(["o_custkey", "o_orderdate", "o_orderkey",
+                          "o_totalprice"])
+        t = pa.table({
+            "cust": g["o_custkey"],
+            "d_us": pc.cast(g["o_orderdate"], pa.int64()),
+            "key": g["o_orderkey"],
+            "price": g["o_totalprice"],
+        })
+        idx = pc.sort_indices(t, sort_keys=[("cust", "ascending"),
+                                            ("d_us", "ascending"),
+                                            ("key", "ascending")])
+        t = t.take(idx)
+        cust = t["cust"].to_numpy()
+        d = t["d_us"].to_numpy()
+        last = np.ones(len(cust), dtype=bool)
+        if len(cust) > 1:
+            last[:-1] = (cust[1:] != cust[:-1]) | (d[1:] != d[:-1])
+        t = t.filter(pa.array(last))
+        return pa.table({
+            "k": pc.cast(pc.bit_wise_and(t["cust"], users_per_group - 1),
+                         pa.int64()),
+            "uid": t["cust"],
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+            "event_id": pa.nulls(t.num_rows, pa.int64()),
+            "t_us": t["d_us"],
+            "o_orderkey": t["key"],
+            "o_totalprice": t["price"],
+        })
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["uid"].to_numpy(dtype=np.int64)
+        side = g["side"].to_numpy(dtype=np.int64)
+        t = g["t_us"].to_numpy(dtype=np.int64)
+        okey_f = g["o_orderkey"].to_numpy(dtype=np.float64)  # NaN on events
+        # order rows by (uid, side, time, orderkey): side-0 orders come
+        # first per uid run; duplicate dates surviving the per-batch
+        # dedup (pairs split across batches) sort orderkey-ascending so
+        # searchsorted's right-1 lands on the max-orderkey row — the
+        # deterministic tie-break the oracle encodes
+        order = np.lexsort((okey_f, t, side, uid))
+        uid, side, t = uid[order], side[order], t[order]
+        eid = g["event_id"].to_numpy()[order]
+        okey = okey_f[order]
+        oprice = g["o_totalprice"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out = {"event_id": [], "user_id": [], "ts_us": [],
+               "o_orderkey": [], "o_totalprice": []}
+        for s0, e0 in zip(starts, ends):
+            sd = side[s0:e0]
+            n_ord = int((sd == 0).sum())
+            odates = t[s0:s0 + n_ord]
+            ev = slice(s0 + n_ord, e0)
+            if ev.start == ev.stop:
+                continue
+            pos = np.searchsorted(odates, t[ev], side="right") - 1
+            hit = pos >= 0
+            out["event_id"].extend(eid[ev])
+            out["user_id"].extend(uid[ev])
+            out["ts_us"].extend(t[ev])
+            ok = np.full(ev.stop - ev.start, np.nan)
+            op = np.full(ev.stop - ev.start, np.nan)
+            if hit.any():
+                ok[hit] = okey[s0:s0 + n_ord][pos[hit]]
+                op[hit] = oprice[s0:s0 + n_ord][pos[hit]]
+            out["o_orderkey"].extend(ok)
+            out["o_totalprice"].extend(op)
+        return pd.DataFrame({
+            "event_id": pd.Series(out["event_id"], dtype="int64"),
+            "user_id": pd.Series(out["user_id"], dtype="int64"),
+            "ts_us": pd.Series(out["ts_us"], dtype="int64"),
+            "o_orderkey": pd.Series(out["o_orderkey"], dtype="Int64"),
+            # masked Float64 so a no-prior-order event is a true null,
+            # not NaN (matches the SQL LEFT-join output)
+            "o_totalprice": pd.array(
+                np.round(np.asarray(out["o_totalprice"], dtype=np.float64), 2),
+                dtype="Float64"),
+        })
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        _ev, batch_format="pyarrow", batch_size=16384)
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey",
+                    "o_totalprice"]).map_batches(
+        _ord, batch_format="pyarrow", batch_size=16384)
+    return ev.union(orders).groupby("k").map_groups(_merge,
+                                                    batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # top-k sort (orders by totalprice)
 # --------------------------------------------------------------------------
 

@@ -315,3 +315,43 @@ def test_streaming_window_drops_late_events(ray_session, tmp_path):
     assert out[win_of(base + 2000 * US)] == (1, 1.0)
     assert out[win_of(base + 1500 * US)] == (1, 5.0)
     assert sum(n for n, _ in out.values()) == 3  # exactly one drop
+
+
+def test_asof_join_left_nulls(ray_session, tmp_path):
+    """An event before its user's first order gets nulls (LEFT asof);
+    later events pick the most recent prior order with date ties broken
+    by max orderkey."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.relational import run_asof_join
+
+    US = 1_000_000
+    day = 86400 * US
+    t0 = 1_600_000_000 * US
+    ev = pa.table({
+        "event_id": pa.array([0, 1, 2], type=pa.int64()),
+        "ts": pa.array([t0 - day, t0 + day, t0 + 3 * day],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "event_type": pa.array(["click"] * 3),
+        "value": pa.array([1.0] * 3, type=pa.float64()),
+        "props": pa.array(["{}"] * 3),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([100, 101, 102], type=pa.int64()),
+        "o_custkey": pa.array([7, 7, 7], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        # orders 101 and 102 share a date → tie broken by max orderkey
+        "o_totalprice": pa.array([10.0, 20.0, 30.0], type=pa.float64()),
+        "o_orderdate": pa.array([t0, t0 + 2 * day, t0 + 2 * day],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(ev, str(d / "events.parquet"))
+    pq.write_table(orders, str(d / "orders.parquet"))
+    rows = {r["event_id"]: r for r in run_asof_join(str(d)).take_all()}
+    assert rows[0]["o_orderkey"] is None and rows[0]["o_totalprice"] is None
+    assert rows[1]["o_orderkey"] == 100
+    assert rows[2]["o_orderkey"] == 102 and rows[2]["o_totalprice"] == 30.0
