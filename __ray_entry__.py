@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": relational.run_top_orders_per_segment,
         "streaming_window": _q_streaming_window,
         "asof_join": relational.run_asof_join,
+        "events_band_join": relational.run_events_band_join,
     }
 
 
@@ -290,6 +291,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "events_band_join": """
+            SELECT a.event_id AS a, b.event_id AS b,
+                   a.event_type AS event_type,
+                   abs(epoch_us(b.ts) - epoch_us(a.ts)) AS dt_us
+            FROM events a JOIN events b
+              ON a.event_type = b.event_type
+             AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30000000
         """,
         "asof_join": """
             WITH o1 AS (

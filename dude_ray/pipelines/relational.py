@@ -477,6 +477,90 @@ def run_asof_join(sf_dir: str, users_per_group: int = 64):
 
 
 # --------------------------------------------------------------------------
+# band (range) join: same-type event pairs within a time band
+# --------------------------------------------------------------------------
+
+BAND_US = 30 * 1_000_000
+# coarse partition block (1024 bands ≈ 8.5 h): ghost duplication is
+# 1/1024 of rows and the (type, block) group count stays in the
+# hundreds — map_groups dispatch cost, not pair work, dominates if
+# blocks are too fine
+BAND_BLOCK = BAND_US * 1024
+
+
+def run_events_band_join(sf_dir: str):
+    """All pairs of same-type events within 30 s of each other
+    (a.event_id < b.event_id) — a banded range join, the inequality-
+    predicate join Ray Data has no primitive for.
+
+    Composition: partition by (event_type, coarse time block); a pair
+    belongs to its EARLIER event's block, so events within one band of
+    a block START are also emitted to the PREVIOUS block as GHOST rows
+    (possible later partners of that block's real rows).  Inside a
+    block a single sorted scan pairs each REAL row with every later
+    in-band row; ghosts never start a pair, so no pair is emitted
+    twice.  Shuffle volume is rows × (1 + boundary fraction); no
+    all-pairs blowup anywhere."""
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        eid = batch["event_id"].to_numpy()
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        block = ts // BAND_BLOCK
+        near_start = ts % BAND_BLOCK <= BAND_US
+        out_et = np.concatenate([et, et[near_start]])
+        out_block = np.concatenate([block, block[near_start] - 1])
+        out_eid = np.concatenate([eid, eid[near_start]])
+        out_ts = np.concatenate([ts, ts[near_start]])
+        ghost = np.concatenate([np.zeros(len(ts), dtype=np.int8),
+                                np.ones(int(near_start.sum()), dtype=np.int8)])
+        return pa.table({
+            "event_type": pa.array(out_et, type=pa.string()),
+            "block": pa.array(out_block, type=pa.int64()),
+            "event_id": pa.array(out_eid, type=pa.int64()),
+            "ts_us": pa.array(out_ts, type=pa.int64()),
+            "ghost": pa.array(ghost, type=pa.int8()),
+        })
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        ghost = g["ghost"].to_numpy(dtype=np.int8)
+        order = np.lexsort((eid, ts))
+        ts, eid, ghost = ts[order], eid[order], ghost[order]
+        # j-range per real i: [i+1, hi_i) — expanded fully vectorized
+        hi = np.searchsorted(ts, ts + BAND_US, side="right")
+        i_idx = np.flatnonzero(ghost == 0)
+        cnt = hi[i_idx] - (i_idx + 1)
+        pos = cnt > 0
+        i_idx, cnt = i_idx[pos], cnt[pos]
+        if not len(i_idx):
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "dt_us": pd.Series([], dtype="int64"),
+            })
+        ii = np.repeat(i_idx, cnt)
+        offs = np.cumsum(cnt) - cnt
+        jj = np.arange(cnt.sum()) - np.repeat(offs, cnt) + ii + 1
+        a = np.minimum(eid[ii], eid[jj])
+        b = np.maximum(eid[ii], eid[jj])
+        return pd.DataFrame({
+            "a": pd.Series(a, dtype="int64"),
+            "b": pd.Series(b, dtype="int64"),
+            "event_type": pd.Series([g["event_type"].iloc[0]] * len(a),
+                                    dtype="object"),
+            "dt_us": pd.Series(ts[jj] - ts[ii], dtype="int64"),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    rows = ds.map_batches(_emit, batch_format="pyarrow", batch_size=16384)
+    return rows.groupby(["event_type", "block"]).map_groups(
+        _pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # top-k sort (orders by totalprice)
 # --------------------------------------------------------------------------
 

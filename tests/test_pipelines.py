@@ -355,3 +355,31 @@ def test_asof_join_left_nulls(ray_session, tmp_path):
     assert rows[0]["o_orderkey"] is None and rows[0]["o_totalprice"] is None
     assert rows[1]["o_orderkey"] == 100
     assert rows[2]["o_orderkey"] == 102 and rows[2]["o_totalprice"] == 30.0
+
+
+def test_band_join_block_boundary(ray_session, tmp_path):
+    """A pair straddling a coarse partition block boundary must still be
+    found exactly once (ghost-row handling)."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.relational import BAND_BLOCK, run_events_band_join
+
+    US = 1_000_000
+    edge = 5 * BAND_BLOCK  # a block boundary
+    ts = [edge - 10 * US, edge + 5 * US,   # pair straddling the boundary
+          edge + 6 * US,                   # also pairs with both above
+          edge + 500 * US]                 # out of band with everything
+    t = pa.table({
+        "event_id": pa.array(range(len(ts)), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array([1] * len(ts), type=pa.int64()),
+        "event_type": pa.array(["click"] * len(ts)),
+        "value": pa.array([1.0] * len(ts), type=pa.float64()),
+        "props": pa.array(["{}"] * len(ts)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    rows = run_events_band_join(str(d)).take_all()
+    pairs = sorted((r["a"], r["b"], r["dt_us"]) for r in rows)
+    assert pairs == [(0, 1, 15 * US), (0, 2, 16 * US), (1, 2, 1 * US)]
