@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_window": _q_streaming_window,
         "asof_join": relational.run_asof_join,
         "events_band_join": relational.run_events_band_join,
+        "value_percentiles": relational.run_value_percentiles,
+        "distinct_users": relational.run_distinct_users,
     }
 
 
@@ -291,6 +293,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "value_percentiles": """
+            WITH ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT event_type,
+                   max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                            THEN value END) AS p50,
+                   max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                            THEN value END) AS p90,
+                   max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                            THEN value END) AS p99
+            FROM ranked GROUP BY event_type
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "events_band_join": """
             SELECT a.event_id AS a, b.event_id AS b,

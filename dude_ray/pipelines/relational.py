@@ -358,6 +358,89 @@ def run_top_orders_per_segment(sf_dir: str, k: int = 3):
 
 
 # --------------------------------------------------------------------------
+# histogram quantiles + mergeable distinct (sketch-family aggregates)
+# --------------------------------------------------------------------------
+
+def run_value_percentiles(sf_dir: str, ps=(0.5, 0.9, 0.99)):
+    """EXACT p50/p90/p99 of ``value`` per event_type via a mergeable
+    value histogram: per-batch (type, value) counts, Arrow tree merge,
+    then quantiles from cumulative counts.  Exact because the column's
+    2-decimal precision bounds the histogram domain; for unbounded
+    domains the same shape carries a mergeable t-digest/KLL sketch
+    instead of exact counts.  Quantile definition: smallest value whose
+    cumulative count reaches ``ceil(p·n)`` (the oracle encodes the same
+    rank arithmetic, independent of DuckDB's quantile builtins)."""
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["event_type", "value"]).group_by(
+            ["event_type", "value"]).aggregate([("value", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"],
+                         "n": pc.cast(g["value_count"], pa.int64())})
+
+    def _quantiles(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+            "n": batch["n"].to_numpy(zero_copy_only=False),
+        }).sort_values(["event_type", "value"])
+        out = {"event_type": []}
+        for p in ps:
+            out[f"p{int(p * 100)}"] = []
+        for et, grp in df.groupby("event_type", sort=True):
+            cum = grp["n"].cumsum().to_numpy()
+            vals = grp["value"].to_numpy()
+            total = cum[-1]
+            out["event_type"].append(et)
+            for p in ps:
+                rank = int(np.ceil(p * total))
+                out[f"p{int(p * 100)}"].append(
+                    float(vals[np.searchsorted(cum, rank, side="left")]))
+        cols = {"event_type": pa.array(out["event_type"], type=pa.string())}
+        for p in ps:
+            k = f"p{int(p * 100)}"
+            cols[k] = pa.array(out[k], type=pa.float64())
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    partials = ds.map_batches(_hist, batch_format="pyarrow", batch_size=16384)
+    hist = tree_combine(partials, ["event_type", "value"], sums=("n",))
+    return hist.map_batches(_quantiles, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def run_distinct_users(sf_dir: str):
+    """Exact count-distinct users per event_type via the mergeable-set
+    pattern: per-batch distinct (type, user) pairs, tree distinct merge,
+    then a count per type — only distinct pairs ever shuffle.  (The
+    approximate path at unbounded cardinality swaps the set for an HLL
+    register array with the identical merge shape.)"""
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        g = batch.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]).aggregate([])
+        return g.select(["event_type", "user_id"])
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g.select(["event_type", "user_id"])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([("user_id", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "n_users": pc.cast(g["user_id_count"], pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    partials = ds.map_batches(_pairs, batch_format="pyarrow",
+                              batch_size=16384)
+    lvl1 = partials.repartition(FINAL_COMBINE_BLOCKS).map_batches(
+        _distinct, batch_format="pyarrow", batch_size=None)
+    return lvl1.repartition(1).map_batches(_distinct, batch_format="pyarrow",
+                                           batch_size=None).map_batches(
+        _count, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
 # as-of join (events ⋈asof orders on user/customer + time)
 # --------------------------------------------------------------------------
 
