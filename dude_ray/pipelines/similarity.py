@@ -18,14 +18,30 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _load_embeddings(sf_dir: str):
-    import pyarrow.parquet as pq
+def _load_queries(sf_dir: str, num_queries: int):
+    """The query set = the ``num_queries`` globally-lowest vec_ids,
+    found distributed (per-batch local min-k → tiny sort+limit) — the
+    driver only ever holds the Q query rows, never the embedding
+    matrix."""
+    import pyarrow.compute as pc
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-    return ids, emb
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(batch, num_queries,
+                                   [("vec_id", "ascending")])
+        return batch.take(idx)
+
+    rows = ds.map_batches(local_min, batch_format="pyarrow",
+                          batch_size=8192).sort("vec_id") \
+             .limit(num_queries).take_all()
+    qids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in rows])
+    return qids, qmat
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -79,13 +95,8 @@ def run_ann_topk(sf_dir: str, num_queries: int = 5, k: int = 10,
                  concurrency: int = 4):
     """Exact cosine top-k for queries = the first ``num_queries`` vec_ids
     (deterministic; ties broken by ascending vec_id)."""
-    import ray
-    import ray.data as rd
-
-    ids, emb = _load_embeddings(sf_dir)
-    order = np.argsort(ids)
-    qsel = order[:num_queries]
-    queries = (ids[qsel], _normalize(emb[qsel]))
+    qids, qmat = _load_queries(sf_dir, num_queries)
+    queries = (qids, _normalize(qmat))
 
     from dude_ray.io import read_parquet_clean
 
@@ -103,15 +114,10 @@ def run_ann_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
                 seed: int = 42):
     """LSH-bucketed approximate top-k: candidates = vectors whose
     hyperplane signature is within Hamming ``radius`` of the query's."""
-    import ray
-    import ray.data as rd
-
-    ids, emb = _load_embeddings(sf_dir)
-    order = np.argsort(ids)
-    qsel = order[:num_queries]
-    qids, qmat = ids[qsel], _normalize(emb[qsel])
+    qids, qmat = _load_queries(sf_dir, num_queries)
+    qmat = _normalize(qmat)
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((emb.shape[1], n_bits))
+    planes = rng.standard_normal((qmat.shape[1], n_bits))
     qsig = ((qmat @ planes) > 0).dot(1 << np.arange(n_bits, dtype=np.int64))
     qstate = (qids, qmat, planes, qsig, radius)
 
