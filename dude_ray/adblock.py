@@ -140,8 +140,10 @@ class Adblocker:
     braveblock call the reference gates requests through."""
 
     def __init__(self, rules: Iterable[str] = ()):
-        self._block: list[_Rule] = []
+        self._block: list[_Rule] = []        # option-carrying rules only
         self._except: list[_Rule] = []
+        self._plain_block: list[_Rule] = []  # option-free, persist across
+        self._plain_except: list[_Rule] = []  # add_rules calls (re-fused)
         self._fused_block: Optional[re.Pattern] = None
         self._fused_except: Optional[re.Pattern] = None
         self.add_rules(rules)
@@ -150,14 +152,16 @@ class Adblocker:
         for line in rules:
             is_exc = line.startswith("@@")
             r = _parse_line(line[2:] if is_exc else line)
-            if r is not None:
+            if r is None:
+                continue
+            if r.plain:
+                (self._plain_except if is_exc else self._plain_block).append(r)
+            else:
                 (self._except if is_exc else self._block).append(r)
         # fuse all option-free rules into one alternation per side: one
         # C-level regex scan per URL instead of len(rules) scans
-        self._fused_block = self._fuse([r for r in self._block if r.plain])
-        self._fused_except = self._fuse([r for r in self._except if r.plain])
-        self._block = [r for r in self._block if not r.plain]
-        self._except = [r for r in self._except if not r.plain]
+        self._fused_block = self._fuse(self._plain_block)
+        self._fused_except = self._fuse(self._plain_except)
 
     @staticmethod
     def _fuse(rules: list[_Rule]) -> Optional[re.Pattern]:

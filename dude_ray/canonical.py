@@ -27,18 +27,24 @@ _SAFE = "-._~!$&'()*+,;=:@/"
 _UNRESERVED = set(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
 _PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_STRAY_PCT_RE = re.compile(r"%(?![0-9A-Fa-f]{2})")
 
 
 def _norm_pct(s: str) -> str:
     """RFC 3986 §6.2.2.1-.2: decode ONLY unreserved-character escapes,
     uppercase the hex of every other escape.  Reserved escapes (%2F in a
     path, %26/%3D in a query value) stay encoded — decoding them would
-    collapse distinct URLs onto one canonical form."""
+    collapse distinct URLs onto one canonical form.  A literal '%' not
+    starting a valid escape (e.g. '/100%off') is itself encoded as %25
+    so the output is always RFC-valid ('%' is in the quote safe set)."""
     def repl(m: re.Match) -> str:
         ch = chr(int(m.group(1), 16))
         return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
 
-    return _PCT_RE.sub(repl, s)
+    if "%" in s:
+        s = _STRAY_PCT_RE.sub("%25", s)
+        s = _PCT_RE.sub(repl, s)
+    return s
 
 
 def _remove_dot_segments(path: str) -> str:

@@ -247,17 +247,24 @@ def parse_html(html: str) -> Element:
         end_tag, tag, blob = m.group(1, 2, 3)
         if tag is not None:
             tag = tag.lower()
+            # A trailing '/' marks a self-closing tag ONLY if it is not
+            # consumed by an unquoted attribute value (stdlib html.parser
+            # semantics: the unquoted-value regex [^>\s]* eats the '/',
+            # so '<a href=http://e.com/a/b/>' is a normal open tag with
+            # href 'http://e.com/a/b/').  Parse attrs first, then decide.
             selfclose = blob.endswith("/")
-            if selfclose:
-                blob = blob[:-1]
             attrs: dict[str, str] = {}
             if blob:
+                blob_end = len(blob)
                 for am in _ATTR.finditer(blob):
                     val = am.group(3)
                     if val is None:
                         val = ""
                     elif val[:1] in "\"'" and val[:1] == val[-1:]:
                         val = val[1:-1]
+                    elif selfclose and am.end() == blob_end:
+                        # unquoted value consumed the trailing '/'
+                        selfclose = False
                     attrs[am.group(1).lower()] = (
                         unescape(val) if "&" in val else val)
             counter += 1

@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from dude_ray.pipelines.dedup import _popcount64
+
 
 def _load_queries(sf_dir: str, num_queries: int):
     """The query set = the ``num_queries`` globally-lowest vec_ids,
@@ -130,9 +132,10 @@ def run_ann_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
             embb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
             sig = ((embb @ self.planes) > 0).dot(
                 1 << np.arange(self.planes.shape[1], dtype=np.int64))
+            sig_u64 = sig.astype(np.uint64)
             out_q, out_v, out_s = [], [], []
             for qi, qid in enumerate(self.qids):
-                ham = np.array([bin(int(s ^ self.qsig[qi])).count("1") for s in sig])
+                ham = _popcount64(sig_u64 ^ np.uint64(int(self.qsig[qi])))
                 mask = (ham <= self.radius) & (vids != qid)
                 cand_v = vids[mask]
                 if len(cand_v) == 0:
@@ -195,15 +198,16 @@ def run_ann_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     sample_df = ds.limit(train_rows).to_pandas()
-    sids = sample_df["vec_id"].to_numpy(dtype=np.int64)
     semb = _normalize(np.stack(sample_df["embedding"].to_numpy()))
     cent = _kmeans(semb, min(n_cells, len(semb)), seed=seed)
 
-    # queries: lowest vec_ids (deterministic, same convention as the
-    # other ANN entry points); drawn from the sample for boundedness
-    order = np.argsort(sids)
-    qsel = order[:num_queries]
-    qids, qmat = sids[qsel], semb[qsel]
+    # queries: the globally-lowest vec_ids via the same distributed
+    # min-k every ANN entry point uses — the limit(train_rows) sample
+    # above is ONLY the k-means training set (block order is not
+    # guaranteed vec_id-ascending, so sampling queries from it would
+    # silently diverge from run_ann_topk/run_ann_lsh)
+    qids, qmat = _load_queries(sf_dir, num_queries)
+    qmat = _normalize(qmat)
     qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     state = (qids, qmat, cent, qcells)
     state_ref = ray.put(state)

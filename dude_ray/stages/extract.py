@@ -32,6 +32,7 @@ import asyncio
 import inspect
 import itertools
 import re
+import weakref
 from types import GeneratorType
 from typing import Any, Callable, Iterable, List, Optional, Tuple, Union
 
@@ -155,17 +156,24 @@ def _event_loop() -> asyncio.AbstractEventLoop:
     return _LOOP
 
 
-_ASYNCGEN_MEMO: dict[int, bool] = {}
+_ASYNCGEN_MEMO: "weakref.WeakKeyDictionary[Any, bool]" = (
+    weakref.WeakKeyDictionary())
 
 
 def _is_asyncgen(handler) -> bool:
     """Memoized isasyncgenfunction — the inspect call walks code flags
-    and showed up at ~6µs per element in the extraction hot loop;
-    handlers live for the worker's lifetime so id-keying is safe."""
-    k = id(handler)
-    v = _ASYNCGEN_MEMO.get(k)
+    and showed up at ~6µs per element in the extraction hot loop.  Keyed
+    on the handler object itself via weakref (an id() key could be
+    reused by a new function after the original is GC'd, and the memo
+    would grow unboundedly); non-weakrefable callables just pay the
+    inspect call."""
+    try:
+        v = _ASYNCGEN_MEMO.get(handler)
+    except TypeError:
+        return inspect.isasyncgenfunction(handler)
     if v is None:
-        v = _ASYNCGEN_MEMO[k] = inspect.isasyncgenfunction(handler)
+        v = inspect.isasyncgenfunction(handler)
+        _ASYNCGEN_MEMO[handler] = v
     return v
 
 

@@ -123,3 +123,19 @@ def test_scraper_fetch_gate(ray_session, tmp_path):
     texts = {r["t"] for r in rows}
     assert "fine" in texts
     assert "AD" not in texts
+
+
+def test_add_rules_twice_keeps_earlier_plain_rules():
+    """Regression: a second add_rules call must not drop option-free
+    rules fused by the first call."""
+    from dude_ray.adblock import Adblocker
+
+    ab = Adblocker(["/banner/"])
+    assert ab.check_network_urls("http://x.com/banner/ad.png")
+    ab.add_rules(["/popup/"])
+    assert ab.check_network_urls("http://x.com/banner/ad.png")
+    assert ab.check_network_urls("http://x.com/popup/ad.png")
+    # exceptions persist too
+    ab.add_rules(["@@/banner/ok"])
+    assert not ab.check_network_urls("http://x.com/banner/ok.png")
+    assert ab.check_network_urls("http://x.com/banner/ad.png")

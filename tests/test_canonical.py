@@ -103,3 +103,17 @@ def test_canonical_url_host_matches_url_host():
     for u in urls:
         c = canonicalize_url(u)
         assert canonical_url_host(c) == url_host(c), c
+
+
+def test_stray_percent_encoded():
+    """A literal '%' not starting a valid escape is itself %25-encoded
+    (RFC-valid output); valid escapes are untouched; idempotent."""
+    from dude_ray.canonical import canonicalize_url
+
+    u = canonicalize_url("http://x.com/100%off?q=50%")
+    assert u == "http://x.com/100%25off?q=50%25"
+    assert canonicalize_url(u) == u
+    # valid escape preserved (reserved) / decoded (unreserved), as before
+    assert canonicalize_url("http://x.com/a%2Fb%41") == "http://x.com/a%2FbA"
+    # '%2' (one hex digit) is stray too
+    assert canonicalize_url("http://x.com/a%2") == "http://x.com/a%252"

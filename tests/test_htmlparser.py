@@ -165,6 +165,12 @@ def test_fast_parser_matches_strict(dude_html):
         "<p title='sin&#39;gle'>q</p>",
         '<x:ns attr:b="1">ns</x:ns>',
         '<br><img src=x.png><hr/>',
+        '<a href=http://e.com/a/b/>link</a>',   # unquoted value eats '/'
+        '<a href=foo/>bar</a>',                  # ditto: href == 'foo/'
+        '<a href=foo />bar</a>',                 # space: real self-close
+        '<input disabled/>',                     # bare attr + self-close
+        '<x a=b c/>',                            # valueless attr then '/'
+        '<input value=/>',                       # value is literally '/'
     ]
     for h in cases:
         assert norm(parse_html(h)) == norm(parse_html_strict(h)), h
