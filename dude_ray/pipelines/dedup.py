@@ -509,18 +509,36 @@ class HyperplaneLSH:
 
 
 def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
-                          n_bits: int = 16, concurrency: int = 4):
+                          n_bits: int = 16, concurrency: int = 4,
+                          n_groups: int | None = None,
+                          target_rows_per_group: int = 20_000):
     """Cosine near-dup pairs: hyperplane-LSH bucket → exact cosine
     verify inside each bucket.  The normalized embeddings travel inside
     the keyed dataset through the bucket groupby, so each verify task
     works from its own group's vectors only (scale-safe: the shuffle
-    moves each vector exactly once; nothing is materialized globally)."""
+    moves each vector exactly once; nothing is materialized globally).
+
+    Dispatch granularity is DATA-SCALED: LSH buckets are coarsened to
+    ``n_groups`` map_groups tasks (low bits of the bucket key, so a
+    bucket always lands whole in one group), with ``n_groups`` derived
+    from the input row count so a task holds ~``target_rows_per_group``
+    vectors (20k × d=128 f64 ≈ 20 MB) — a fixed mask would concentrate
+    a constant fraction of ALL vectors per task at any scale.  Verify
+    semantics are mask-width-independent (pairs only form inside a full
+    bucket key); asserted by the parametrized width test."""
     import ray.data as rd
 
     from dude_ray.io import read_parquet_clean
+    from dude_ray.partitioning import estimate_rows, scaled_group_count
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"])
+    path = f"{sf_dir}/embeddings.parquet"
+    if n_groups is None:
+        n_groups = scaled_group_count(
+            estimate_rows(path), target_rows_per_group,
+            lo=32, hi=1 << n_bits)
+    kmask = n_groups - 1
+
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     keyed = ds.map_batches(HyperplaneLSH,
                            fn_constructor_kwargs={"n_bits": n_bits},
                            batch_format="pyarrow", batch_size=4096,
@@ -539,7 +557,8 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
         import pyarrow.compute as _pc
 
         return batch.append_column(
-            "kgroup", _pc.cast(_pc.bit_wise_and(batch["key"], 31), pa.int64()))
+            "kgroup",
+            _pc.cast(_pc.bit_wise_and(batch["key"], kmask), pa.int64()))
 
     def _group_verify(g: pd.DataFrame) -> pa.Table:
         """Run-boundary bucket scan (sort by key, slice runs ≥ 2) —

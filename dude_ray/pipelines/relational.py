@@ -247,19 +247,40 @@ def run_pricing_summary(sf_dir: str):
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30-min inactivity gap
 
+# Rows a single coarse-keyed map_groups task should hold — the dispatch
+# granularity knob every bucketed groupby here derives its key width
+# from (see dude_ray/partitioning.py).
+TARGET_ROWS_PER_GROUP = 100_000
 
-def run_user_sessions(sf_dir: str, users_per_group: int = 64):
+
+def _scaled_buckets(sf_dir: str, table: str,
+                    target: int = TARGET_ROWS_PER_GROUP,
+                    lo: int = 64) -> int:
+    from dude_ray.partitioning import estimate_rows, scaled_group_count
+
+    return scaled_group_count(
+        estimate_rows(f"{sf_dir}/{table}.parquet"), target, lo=lo)
+
+
+def run_user_sessions(sf_dir: str, users_per_group: int | None = None):
     """Per-user sessions split on >30-min inactivity; one row per
     session (user_id, session_start_us, n_events, sum_value).
 
     Scale shape: sessionization needs each user's full timeline in one
     place — the one unavoidable shuffle is a hash partition on user_id.
-    Users are coarsened ``user_id % users_per_group`` so Ray dispatches
+    Users are coarsened ``user_id & (n_buckets-1)`` so Ray dispatches
     one task per bucket of users rather than one per user; inside a
     bucket the scan is a single vectorized pass (lexsort → gap/user
-    boundaries → np.add.reduceat per-session aggregates).  Hot-user
-    skew at 10^12-event scale would salt by (user, day) with a
-    session-stitch pass across day boundaries."""
+    boundaries → np.add.reduceat per-session aggregates).  The bucket
+    count is DATA-SCALED (~TARGET_ROWS_PER_GROUP event rows per task,
+    estimated from parquet footers) — a fixed 64 would concentrate
+    1/64 of ALL events in one task at any scale.  Results are
+    bucket-width-independent (a user's timeline always lands whole in
+    exactly one bucket); asserted by the parametrized width test.
+    Hot-user skew at 10^12-event scale would salt by (user, day) with
+    a session-stitch pass across day boundaries."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
 
     def _coarse(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch["ts"], pa.int64())
@@ -409,42 +430,57 @@ def run_value_percentiles(sf_dir: str, ps=(0.5, 0.9, 0.99)):
                             batch_size=None)
 
 
-def run_distinct_users(sf_dir: str):
-    """Exact count-distinct users per event_type via the mergeable-set
-    pattern: per-batch distinct (type, user) pairs, tree distinct merge,
-    then a count per type — only distinct pairs ever shuffle.  (The
-    approximate path at unbounded cardinality swaps the set for an HLL
+def run_distinct_users(sf_dir: str, n_buckets: int | None = None):
+    """Exact count-distinct users per event_type via hash-bucketed
+    distinct: per-batch distinct (type, user) pairs, hash-shuffle the
+    pairs on ``user_id & (n_buckets-1)`` (a pair always lands whole in
+    exactly one bucket), per-bucket exact distinct count per type, then
+    a tiny sum over (type, bucket) partials.  Only distinct pairs ever
+    shuffle and NO stage materializes the full pair set in one task —
+    the previous repartition(1) exact distinct was the single-block
+    bottleneck/OOM at web scale.  Bucket count is data-scaled; results
+    are width-independent (parametrized test).  (The approximate path
+    at unbounded cardinality swaps the per-bucket set for an HLL
     register array with the identical merge shape.)"""
+    if n_buckets is None:
+        n_buckets = _scaled_buckets(sf_dir, "events", lo=16)
 
     def _pairs(batch: pa.Table) -> pa.Table:
         g = batch.select(["event_type", "user_id"]).group_by(
             ["event_type", "user_id"]).aggregate([])
-        return g.select(["event_type", "user_id"])
+        return pa.table({
+            "bucket": pc.cast(
+                pc.bit_wise_and(g["user_id"], n_buckets - 1), pa.int64()),
+            "event_type": g["event_type"],
+            "user_id": g["user_id"],
+        })
 
-    def _distinct(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["event_type", "user_id"]).aggregate([])
-        return g.select(["event_type", "user_id"])
+    def _bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        c = d.groupby("event_type", sort=False).size()
+        return pd.DataFrame({
+            "event_type": c.index.astype(str),
+            "n": pd.Series(c.to_numpy(), dtype="int64"),
+        })
 
     def _count(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("event_type").aggregate([("user_id", "count")])
-        return pa.table({"event_type": g["event_type"],
-                         "n_users": pc.cast(g["user_id_count"], pa.int64())})
+        return pa.table({"event_type": batch["event_type"],
+                         "n_users": pc.cast(batch["n"], pa.int64())})
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     partials = ds.map_batches(_pairs, batch_format="pyarrow",
                               batch_size=16384)
-    lvl1 = partials.repartition(FINAL_COMBINE_BLOCKS).map_batches(
-        _distinct, batch_format="pyarrow", batch_size=None)
-    return lvl1.repartition(1).map_batches(_distinct, batch_format="pyarrow",
-                                           batch_size=None).map_batches(
-        _count, batch_format="pyarrow", batch_size=None)
+    per_bucket = partials.groupby("bucket").map_groups(
+        _bucket_count, batch_format="pandas")
+    out = tree_combine(per_bucket, ["event_type"], sums=("n",))
+    return out.map_batches(_count, batch_format="pyarrow", batch_size=None)
 
 
 # --------------------------------------------------------------------------
 # as-of join (events ⋈asof orders on user/customer + time)
 # --------------------------------------------------------------------------
 
-def run_asof_join(sf_dir: str, users_per_group: int = 64):
+def run_asof_join(sf_dir: str, users_per_group: int | None = None):
     """For every event, the most recent order of the same customer with
     ``o_orderdate <= ts`` (LEFT semantics: no prior order → nulls) —
     the classic AS-OF join Ray Data lacks as a primitive.
@@ -452,9 +488,14 @@ def run_asof_join(sf_dir: str, users_per_group: int = 64):
     Composition (documented partitioning assumption): both sides hash-
     partition on the user/customer key (coarsened per dispatch bucket),
     then one vectorized merge per key run — orders sorted by date,
-    events resolved with ``np.searchsorted``.  Date ties are broken by
+    events resolved with ``np.searchsorted``.  The bucket count is
+    DATA-SCALED from the larger (probe) side's row estimate — see
+    run_user_sessions — and results are width-independent because a
+    key's rows land whole in one bucket.  Date ties are broken by
     max o_orderkey (deduped per (custkey, date) pre-shuffle) so the
     result is deterministic; the oracle encodes the same tie-break."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
 
     def _ev(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -357,6 +357,45 @@ def test_asof_join_left_nulls(ray_session, tmp_path):
     assert rows[2]["o_orderkey"] == 102 and rows[2]["o_totalprice"] == 30.0
 
 
+@pytest.mark.parametrize("widths", [(16, 128)])
+def test_bucketed_pipelines_width_independent(ray_session, widths):
+    """The coarse dispatch-bucket width is a pure parallelism knob —
+    results must be identical at any two widths (a key's rows always
+    land whole in one bucket).  Guards the data-scaled key sizing:
+    scaling n_groups with input size must never change answers."""
+    from dude_ray.pipelines.dedup import run_embedding_neardup
+    from dude_ray.pipelines.relational import (
+        run_asof_join,
+        run_distinct_users,
+        run_user_sessions,
+    )
+
+    w0, w1 = widths
+
+    def rows(ds):
+        return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+    assert rows(run_user_sessions(SF, users_per_group=w0)) == \
+        rows(run_user_sessions(SF, users_per_group=w1))
+    assert rows(run_asof_join(SF, users_per_group=w0)) == \
+        rows(run_asof_join(SF, users_per_group=w1))
+    assert rows(run_distinct_users(SF, n_buckets=w0)) == \
+        rows(run_distinct_users(SF, n_buckets=w1))
+    assert rows(run_embedding_neardup(SF, threshold=0.9, n_groups=8)) == \
+        rows(run_embedding_neardup(SF, threshold=0.9, n_groups=64))
+
+
+def test_scaled_group_count():
+    from dude_ray.partitioning import estimate_rows, scaled_group_count
+
+    # floor for small inputs, grows with rows, capped at hi
+    assert scaled_group_count(1_000, 100_000, lo=64) == 64
+    assert scaled_group_count(10_000_000, 100_000, lo=64) == 128
+    assert scaled_group_count(10**12, 100_000, lo=64, hi=1 << 16) == 1 << 16
+    n = estimate_rows(f"{SF}/events.parquet")
+    assert n > 0
+
+
 def test_band_join_block_boundary(ray_session, tmp_path):
     """A pair straddling a coarse partition block boundary must still be
     found exactly once (ghost-row handling)."""
