@@ -25,7 +25,8 @@ Ray shape per round:
         over a bounded, persistent owner set)
         parse DOM once → span extraction + link collection
         links → canonicalize+SHA-1 → host-hash exchange → shards.offer
-        (fire-and-forget; flushed per round)
+        (fire-and-forget; refs returned with the chunk and confirmed by
+        the driver, which replays maybe-lost chunks — lossless)
         │  result blocks stay in the object store (refs)
         ▼
     remote writer tasks → round-partitioned parquet (atomic dir commit)
@@ -88,16 +89,32 @@ class CrawlWorker:
     slice of the corpus.
 
     One DOM parse serves both span extraction and link collection.
-    Offers are barriered inside the task so a finished round implies
-    every discovered edge has reached its frontier shard."""
+    Offers are fire-and-forget (the worker never blocks on shard RPCs).
+    Edge-delivery accounting is two-tier:
+    * fast path — ``flush_offers`` barriers this worker's pending offer
+      refs owner-locally (cheap) and returns the worker's incarnation
+      ``token``; unchanged tokens across a barrier prove no worker died,
+      hence every offer either flushed now or in an earlier flush;
+    * slow path — each chunk ALSO returns its offer refs to the driver
+      (tiny second return), so when a token changes (worker died — its
+      un-flushed offers may have died with it) the driver verifies each
+      outstanding chunk's refs and re-dispatches the maybe-lost ones.
+      Re-offering is idempotent (first-offer-wins seen set); a replay's
+      span output is discarded."""
 
     def __init__(self, corpus_dir: str, num_parts: int, rules, shards,
                  follow_urls: bool = True):
+        import time as _t
+
         self.fetcher = CorpusFetcher(corpus_dir, num_parts)
         self.compiled = _CompiledRules(list(rules))
         self.shards = shards
         self.follow_urls = follow_urls
+        self._last_offers: list = []
         self._pending_offers: list = []
+        # incarnation token: changes iff this actor restarted (new
+        # process) — the driver's cheap worker-death detector
+        self.token = f"{os.getpid()}-{_t.time_ns()}"
         self.busy_s = 0.0
         self.n_batches = 0
         # DOM trees are cyclic (parent pointers) so cyclic GC must stay
@@ -122,28 +139,34 @@ class CrawlWorker:
         self.n_batches += 1
         return out
 
-    def process_slice(self, shard_table: pa.Table, idx, order, rnd: int) -> pa.Table:
+    def process_slice(self, shard_table: pa.Table, idx, order, rnd: int):
         """Scale-path entry: the driver dispatches (shard table ref, row
         indices, visit ranks) instead of materialized row chunks, so URL
         payload flows shard → object store → worker without transiting
         the driver.  ``shard_table`` arrives auto-dereferenced from the
-        plasma store (zero-copy on the same node, one transfer/node)."""
+        plasma store (zero-copy on the same node, one transfer/node).
+
+        Called with ``num_returns=2``: (result table, this chunk's
+        in-flight offer ObjectRefs).  The driver fetches only the tiny
+        second return to confirm edge delivery — the table ref goes
+        straight to the writer tasks."""
         import numpy as np
 
         batch = shard_table.take(pa.array(idx))
         batch = batch.append_column(
             "round", pa.array(np.full(len(idx), rnd, dtype=np.int32)))
         batch = batch.append_column("order_in_round", pa.array(order, type=pa.int64()))
-        return self.process(batch)
+        out = self.process(batch)
+        offers, self._last_offers = self._last_offers, []
+        return out, offers
 
-    def flush_offers(self) -> int:
-        """Barrier this worker's in-flight offers (driver calls once per
-        round, before the next release)."""
-        n = len(self._pending_offers)
-        if n:
+    def flush_offers(self) -> str:
+        """Owner-local barrier on this worker's in-flight offers;
+        returns the incarnation token (see class docstring)."""
+        if self._pending_offers:
             ray.get(self._pending_offers)
             self._pending_offers.clear()
-        return n
+        return self.token
 
     def worker_stats(self) -> dict:
         return {"busy_s": round(self.busy_s, 2), "n_batches": self.n_batches}
@@ -188,10 +211,13 @@ class CrawlWorker:
             else:
                 n_links_col.append(0)
         if edge_urls:
-            # offers are fire-and-forget here; flush_offers barriers them
-            # at round end so the worker never blocks on shard RPCs
-            self._pending_offers.extend(
-                route_edges(edge_urls, edge_depths, edge_keys, self.shards))
+            # fire-and-forget; refs kept for the owner-local flush AND
+            # returned with the chunk (process_slice) for the driver's
+            # slow-path delivery verification
+            offers = route_edges(edge_urls, edge_depths, edge_keys,
+                                 self.shards)
+            self._pending_offers.extend(offers)
+            self._last_offers.extend(offers)
         return pa.table({
             "doc_id": pa.array(urls, type=pa.string()),
             "host": pa.array([canonical_url_host(u) for u in urls],
@@ -338,20 +364,20 @@ def run_crawl(
     # crashed worker restarts and its failed chunk task retries.  The
     # retry's side effects are safe — edge offers are at-least-once and
     # the frontier's first-offer dedup makes them idempotent; the chunk
-    # result itself is exactly-once via the object ref.  Frontier
-    # SHARDS stay non-restartable (they are the stateful component;
-    # their recovery path is the checkpoint snapshots).  One narrow
-    # window remains: offers of an already-completed chunk whose worker
-    # dies before they are barriered are fire-and-forget tasks that
-    # normally still execute; if their inlined args die with the owner,
-    # those edges are lost — the crash-consistent ground truth for that
-    # case is checkpoint+resume, not in-run recovery.
+    # result itself is exactly-once via the object ref.  Each chunk
+    # returns its offer refs (see CrawlWorker); _confirm_offers replays
+    # any chunk whose offers may have died with their owner, so worker
+    # death at ANY point is lossless in-run.  Frontier SHARDS stay
+    # non-restartable (they are the stateful component; their recovery
+    # path is the checkpoint snapshots).
     WorkerActor = ray.remote(max_restarts=3, max_task_retries=3)(CrawlWorker)
     workers = [
         WorkerActor.remote(corpus_dir, num_parts, rules, shards)
         for _ in range(concurrency)
     ]
-    ray.get([w.ping.remote() for w in workers])  # surface init errors early
+    # surface init errors early + capture incarnation tokens (the
+    # worker-death detector for the offer-delivery fast path)
+    worker_tokens0 = ray.get([w.flush_offers.remote() for w in workers])
 
     import time as _time
 
@@ -362,6 +388,60 @@ def run_crawl(
     pending_writes: list = []
     part_owners: dict[int, list[int]] = {}
     inflight: list = []
+    # (offers_ref, tick table ref, row sel, ranks, round) per dispatched
+    # chunk — the delivery-confirmation ledger.  Holding the tick table
+    # ref keeps the chunk replayable until its offers are confirmed.
+    offer_pending: list = []
+    _rr = [0]
+
+    worker_tokens: list = list(worker_tokens0)
+
+    def _confirm_offers() -> bool:
+        """Barrier: every outstanding chunk's edge offers are applied in
+        their shards.  Fast path (no worker died): one owner-local flush
+        RPC per worker; unchanged incarnation tokens prove every offer
+        since the last barrier either flushed now or earlier.  Slow path
+        (a token changed or a flush RPC failed): verify each outstanding
+        chunk's offer refs and replay maybe-lost chunks on another
+        worker — re-offering is idempotent (first-offer-wins) and the
+        replay's span output is discarded (the original result was
+        already written).  Returns True if anything was replayed (the
+        frontier may have gained edges, so emptiness must be
+        re-checked)."""
+        if not offer_pending:
+            return False
+        try:
+            toks = ray.get([w.flush_offers.remote() for w in workers])
+        except Exception:
+            toks = None
+        if toks is not None and toks == worker_tokens:
+            offer_pending.clear()
+            return False
+        replayed = False
+        for o_ref, t_ref, sel, order_vals, ernd in offer_pending:
+            try:
+                ray.get(ray.get(o_ref))
+                continue
+            except Exception:
+                pass
+            for _ in range(2 * len(workers)):
+                _rr[0] = (_rr[0] + 1) % len(workers)
+                _tbl, o2 = workers[_rr[0]].process_slice.options(
+                    num_returns=2).remote(t_ref, sel, order_vals, ernd)
+                try:
+                    ray.get(ray.get(o2))
+                    replayed = True
+                    break
+                except Exception:
+                    continue
+            else:
+                raise RuntimeError(
+                    "edge replay failed on every worker — frontier "
+                    "state is incomplete; resume from checkpoint")
+        offer_pending.clear()
+        worker_tokens[:] = ray.get([w.flush_offers.remote() for w in workers])
+        return replayed
+
     _loop_t0 = _time.time()
     rnd = start_round
     release_refs = None
@@ -390,12 +470,14 @@ def run_crawl(
         n_released = sum(t["n"] for t in tick_out)
         if not n_released:
             if pipelined and inflight:
-                # wait for at least one straggler wave, flush its offers
+                # wait for at least one straggler wave; the confirmation
+                # below (or at the next checkpoint) barriers its offers
                 done, still = ray.wait(inflight, num_returns=1,
                                        fetch_local=False)
                 inflight[:] = still
-                ray.get([w.flush_offers.remote() for w in workers])
                 continue
+            if _confirm_offers():
+                continue  # replayed edges may have refilled the frontier
             pending = sum(ray.get([s.pending.remote() for s in shards]))
             if pending == 0:
                 break
@@ -462,8 +544,12 @@ def run_crawl(
                         own.append(cand)
                         w = cand
                 load[w] += len(sel)
-                refs.append(workers[w].process_slice.remote(
-                    tick_out[si]["ref"], sel, order_vals, rnd))
+                t_ref, o_ref = workers[w].process_slice.options(
+                    num_returns=2).remote(
+                    tick_out[si]["ref"], sel, order_vals, rnd)
+                refs.append(t_ref)
+                offer_pending.append(
+                    (o_ref, tick_out[si]["ref"], sel, order_vals, rnd))
         do_ckpt = (rnd + 1) % checkpoint_every == 0
         if pipelined:
             # pipelined (bench) mode: no per-round barrier — the next
@@ -498,12 +584,13 @@ def run_crawl(
                                     fetch_local=False)
                 inflight[:] = still
         else:
-            # barrier on worker completion (offers applied + flushed);
-            # parquet writes proceed asynchronously and are gathered
-            # lazily — a checkpoint must not outrun its rounds' files,
-            # so pending writes are drained before each snapshot
+            # barrier on worker completion AND edge delivery (the
+            # confirmation doubles as the round's offer flush); parquet
+            # writes proceed asynchronously and are gathered lazily — a
+            # checkpoint must not outrun its rounds' files, so pending
+            # writes are drained before each snapshot
             ray.wait(refs, num_returns=len(refs), fetch_local=False)
-            ray.get([w.flush_offers.remote() for w in workers])
+            _confirm_offers()
         _pt["dispatch"] += _time.time() - _t0
         _t0 = _time.time()
         round_dir = os.path.join(out_dir, f"round_{rnd:05d}")
@@ -530,10 +617,10 @@ def run_crawl(
                 # rounds.  Every chunk task of those rounds has already
                 # completed transitively through the pending-write gather
                 # above (each round's write refs depend on its chunk
-                # refs); what remains in flight are only the workers'
-                # fire-and-forget offer RPCs — barrier those into the
-                # shards before serializing shard state.
-                ray.get([w.flush_offers.remote() for w in workers])
+                # refs); confirming delivery barriers the in-flight
+                # offer RPCs (replaying any that died with a worker)
+                # before shard state is serialized.
+                _confirm_offers()
                 inflight.clear()
             snaps = ray.get([s.snapshot.remote() for s in shards])
             for i, raw in enumerate(snaps):
@@ -563,7 +650,7 @@ def run_crawl(
 
     if inflight:
         ray.wait(inflight, num_returns=len(inflight), fetch_local=False)
-        ray.get([w.flush_offers.remote() for w in workers])
+    _confirm_offers()
     for wrefs, tdir, rdir in pending_writes:
         ray.get(wrefs)
         os.replace(tdir, rdir)

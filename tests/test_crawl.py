@@ -261,6 +261,60 @@ def test_worker_death_mid_crawl_recovers(ray_session, tmp_path_factory,
     assert set(got) == strict_set
 
 
+def test_worker_death_pipelined_recovers(ray_session, tmp_path_factory,
+                                         crawl_rows):
+    """Same SIGKILL probe in pipelined mode — the mode with no per-round
+    offer barrier.  Offers are acked inside each chunk, so a killed
+    worker's unfinished chunk retries and re-offers its edges; the visit
+    set must still equal the oracle's (closes the old loss window where
+    a completed chunk's un-flushed fire-and-forget offers died with
+    their owner)."""
+    import threading
+    import time as _t
+
+    from dude_ray.crawl import run_crawl
+
+    strict_set = {r["doc_id"] for r in crawl_rows[0]}
+    out = tmp_path_factory.mktemp("crawl") / "killworker_pipelined"
+
+    stop = threading.Event()
+    killed: list[int] = []
+
+    def killer():
+        deadline = _t.time() + 30
+        while _t.time() < deadline and not stop.is_set():
+            try:
+                import ray._private.state as _st
+
+                alive = [a for a in _st.actors().values()
+                         if a.get("ActorClassName") == "CrawlWorker"
+                         and a.get("State") == "ALIVE" and a.get("Pid")]
+                if alive:
+                    import os as _os
+                    import signal as _sig
+
+                    _os.kill(alive[0]["Pid"], _sig.SIGKILL)
+                    killed.append(alive[0]["Pid"])
+                    return
+            except Exception:
+                pass
+            _t.sleep(0.3)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    try:
+        ds = run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+                       politeness=True, politeness_burst=1000,
+                       pipelined=True)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+    assert killed, "killer thread never found a CrawlWorker to SIGKILL"
+    got = [r["doc_id"] for r in ds.take_all()]
+    assert len(got) == len(set(got))
+    assert set(got) == strict_set
+
+
 def test_pipelined_same_visit_set(ray_session, tmp_path_factory, crawl_rows):
     """Pipelined (bench) mode gives up deterministic enqueue-key labels
     but must visit exactly the same URL set as the strict mode."""
