@@ -218,6 +218,28 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
         """,
+        "lang_id": r"""
+            WITH scored AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\b(?:der|die|und|ist|nicht|ein)\b')) AS de,
+                       len(regexp_extract_all(text, '\b(?:the|and|of|is|with|for)\b')) AS en,
+                       len(regexp_extract_all(text, '\b(?:el|la|y|es|los|una)\b')) AS es,
+                       len(regexp_extract_all(text, '\b(?:le|la|et|est|les|des)\b')) AS fr,
+                       greatest(1, len(regexp_extract_all(text, '\S+'))) AS n_words
+                FROM documents
+            )
+            -- first-max-wins over languages in sorted order (de,en,es,fr),
+            -- 'und' when nothing matches — the LangId tie-break exactly
+            SELECT doc_id,
+                   CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                        WHEN en >= es AND en >= fr THEN 'en'
+                        WHEN es >= fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   round(CAST(greatest(de, en, es, fr) AS DOUBLE) / n_words, 6)
+                       AS lang_score
+            FROM scored
+        """,
         "lang_dist": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
         """,
