@@ -12,12 +12,19 @@ that surface on ``html.parser``:
   descendant (space) and child (``>``) combinators, ``[attr]``,
   ``[attr=val]``, ``:root``, comma-separated selector lists, and the
   parsel pseudo-elements ``::text`` / ``::attr(name)``.
-* XPath subset: ``.//tag`` / ``//tag`` / ``.//*`` steps with
+* XPath subset: location paths of ``.//tag`` / ``//tag`` / ``/tag`` /
+  ``.//*`` steps plus the explicit axes ``child::``, ``descendant::``,
+  ``following-sibling::``, ``preceding-sibling::``, ``self::``,
+  ``parent::`` (and ``.`` / ``..``); ordered predicates
   ``[contains(@attr, "x")]``, ``[contains(text(), "x")]``,
-  ``[@attr="x"]``, ``[@attr]`` predicates and terminal ``/text()`` or
-  ``/@attr`` steps (covers the reference test xpaths, e.g.
+  ``[text()="x"]``, ``[@attr="x"]``, ``[@attr]``, positional ``[n]`` /
+  ``[last()]`` / ``[position()=n]`` (abbreviated ``//tag[n]`` counts
+  per parent, per the spec's ``descendant-or-self::node()/child::``
+  expansion); terminal ``/text()`` or ``/@attr`` value steps (covers
+  the reference test xpaths, e.g.
   ``.//p[contains(@class, "title")]/text()`` —
-  /root/reference/tests/test_lxml.py:57-63).
+  /root/reference/tests/test_lxml.py:57-63 — and the
+  ``//div[@id='x']/following-sibling::p[2]`` family).
 * TEXT selector: elements whose *direct* text contains the needle —
   lxml semantics ``.//*[contains(text(), sel)]``
   (/root/reference/dude/optional/lxml_scraper.py:186-188).
@@ -475,9 +482,15 @@ def css_select(scope: Element, compiled: CompiledCSS) -> list[Element]:
 
 @dataclass(frozen=True)
 class _XStep:
-    axis: str            # "descendant" | "child"
+    # "child" | "descendant" (abbreviated //) | "descendant-explicit"
+    # (descendant::) | "following-sibling" | "preceding-sibling" |
+    # "self" | "parent"
+    axis: str
     tag: Optional[str]   # None = "*"
-    predicates: tuple[tuple, ...] = ()  # ("contains_attr",name,val)|("contains_text",val)|("attr_eq",name,val)|("has_attr",name)
+    # Ordered predicate list — order matters in XPath ([2][@a] ≠
+    # [@a][2]).  Boolean predicates filter; ("pos", k) selects the k-th
+    # (1-based, -1 = last()) of the CURRENT candidate list per context.
+    predicates: tuple[tuple, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -486,12 +499,41 @@ class CompiledXPath:
     extract: Optional[object] = None  # None | "text" | ("attr", name)
 
 
-_XP_PRED = re.compile(
-    r"contains\(\s*@([\w-]+)\s*,\s*['\"]([^'\"]*)['\"]\s*\)"
-    r"|contains\(\s*text\(\)\s*,\s*['\"]([^'\"]*)['\"]\s*\)"
-    r"|@([\w-]+)\s*=\s*['\"]([^'\"]*)['\"]"
-    r"|@([\w-]+)"
-)
+_XP_AXES = ("child", "descendant", "following-sibling",
+            "preceding-sibling", "self", "parent")
+
+_XP_PRED_ONE = re.compile(
+    r"^(?:"
+    r"contains\(\s*@([\w-]+)\s*,\s*['\"]([^'\"]*)['\"]\s*\)"      # 1,2
+    r"|contains\(\s*text\(\)\s*,\s*['\"]([^'\"]*)['\"]\s*\)"      # 3
+    r"|text\(\)\s*=\s*['\"]([^'\"]*)['\"]"                        # 4
+    r"|@([\w-]+)\s*=\s*['\"]([^'\"]*)['\"]"                       # 5,6
+    r"|@([\w-]+)"                                                 # 7
+    r"|last\(\)"                                                  # (pos -1)
+    r"|position\(\)\s*=\s*(\d+)"                                  # 8
+    r"|(\d+)"                                                     # 9
+    r")$")
+
+
+def _parse_pred(src: str) -> tuple:
+    m = _XP_PRED_ONE.match(src.strip())
+    if not m:
+        raise ValueError(f"Unsupported XPath predicate: [{src}]")
+    if m.group(1) is not None:
+        return ("contains_attr", m.group(1), m.group(2))
+    if m.group(3) is not None:
+        return ("contains_text", m.group(3))
+    if m.group(4) is not None:
+        return ("text_eq", m.group(4))
+    if m.group(5) is not None:
+        return ("attr_eq", m.group(5), m.group(6))
+    if m.group(7) is not None:
+        return ("has_attr", m.group(7))
+    if m.group(8) is not None:
+        return ("pos", int(m.group(8)))
+    if m.group(9) is not None:
+        return ("pos", int(m.group(9)))
+    return ("pos", -1)  # last()
 
 
 def compile_xpath(expr: str) -> CompiledXPath:
@@ -505,10 +547,12 @@ def compile_xpath(expr: str) -> CompiledXPath:
         if m:
             extract = ("attr", m.group(1))
             expr = expr[: m.start()]
-    if expr.startswith("."):
+    if expr.startswith("./"):
         expr = expr[1:]
+    elif expr == ".":
+        expr = "self::*"
     steps: list[_XStep] = []
-    # split into steps: "//" → descendant, "/" → child
+    # split into steps: "//" → descendant, "/" → child, axis::name
     i = 0
     while i < len(expr):
         if expr.startswith("//", i):
@@ -516,6 +560,8 @@ def compile_xpath(expr: str) -> CompiledXPath:
         elif expr.startswith("/", i):
             axis, i = "child", i + 1
         else:
+            # bare relative path ("p[...]"): kept as descendant — the
+            # historical behavior of this engine's selector surface
             axis = "descendant"
         j = i
         depth = 0
@@ -529,56 +575,125 @@ def compile_xpath(expr: str) -> CompiledXPath:
             j += 1
         step_src = expr[i:j]
         i = j
+        if step_src == "..":
+            steps.append(_XStep(axis="parent", tag=None))
+            continue
+        if step_src == ".":
+            steps.append(_XStep(axis="self", tag=None))
+            continue
+        am = re.match(r"([a-z-]+)::", step_src)
+        if am:
+            ax = am.group(1)
+            if ax not in _XP_AXES:
+                raise ValueError(f"Unsupported XPath axis: {ax}::")
+            # an explicit descendant:: counts positions over the whole
+            # subtree, unlike abbreviated // (per-parent groups)
+            axis = "descendant-explicit" if ax == "descendant" else ax
+            step_src = step_src[am.end():]
         m2 = re.match(r"([\w-]+|\*)", step_src)
         if not m2:
             raise ValueError(f"Unsupported XPath step: {step_src!r}")
         tag = None if m2.group(1) == "*" else m2.group(1).lower()
+        rest = step_src[m2.end():].strip()
         preds: list[tuple] = []
-        for pm in _XP_PRED.finditer(step_src[m2.end():]):
-            if pm.group(1) is not None:
-                preds.append(("contains_attr", pm.group(1), pm.group(2)))
-            elif pm.group(3) is not None:
-                preds.append(("contains_text", pm.group(3)))
-            elif pm.group(4) is not None:
-                preds.append(("attr_eq", pm.group(4), pm.group(5)))
-            else:
-                preds.append(("has_attr", pm.group(6)))
+        k = 0
+        while k < len(rest):
+            if rest[k] != "[":
+                raise ValueError(f"Unsupported XPath step: {step_src!r}")
+            depth, k2 = 1, k + 1
+            while k2 < len(rest) and depth:
+                if rest[k2] == "[":
+                    depth += 1
+                elif rest[k2] == "]":
+                    depth -= 1
+                k2 += 1
+            preds.append(_parse_pred(rest[k + 1:k2 - 1]))
+            k = k2
         steps.append(_XStep(axis=axis, tag=tag, predicates=tuple(preds)))
     return CompiledXPath(steps=tuple(steps), extract=extract)
 
 
-def _xstep_matches(el: Element, step: _XStep) -> bool:
-    if step.tag and el.tag != step.tag:
-        return False
-    for p in step.predicates:
-        kind = p[0]
-        if kind == "contains_attr":
-            if p[2] not in el.attrs.get(p[1], ""):
-                return False
-        elif kind == "contains_text":
-            if p[1] not in el.text:
-                return False
-        elif kind == "attr_eq":
-            if el.attrs.get(p[1]) != p[2]:
-                return False
-        elif kind == "has_attr":
-            if p[1] not in el.attrs:
-                return False
-    return True
+def _xbool_matches(el: Element, p: tuple) -> bool:
+    kind = p[0]
+    if kind == "contains_attr":
+        return p[2] in el.attrs.get(p[1], "")
+    if kind == "contains_text":
+        return p[1] in el.text
+    if kind == "text_eq":
+        return el.text == p[1]
+    if kind == "attr_eq":
+        return el.attrs.get(p[1]) == p[2]
+    if kind == "has_attr":
+        return p[1] in el.attrs
+    raise AssertionError(p)
+
+
+def _elem_children(node: Element) -> list[Element]:
+    return [c for c in node.children if isinstance(c, Element)]
+
+
+def _axis_groups(node: Element, axis: str):
+    """Ordered candidate groups for one step from one context node.
+    Positional predicates count WITHIN a group — abbreviated ``//tag[n]``
+    means "n-th matching child of its parent" (XPath: ``//`` expands to
+    ``/descendant-or-self::node()/child::``), so the descendant axis
+    yields one child group per descendant-or-self node; the explicit
+    axes yield a single group."""
+    if axis == "child":
+        yield _elem_children(node)
+    elif axis == "descendant":
+        yield _elem_children(node)
+        for d in node.iter():
+            yield _elem_children(d)
+    elif axis == "descendant-explicit":
+        yield list(node.iter())
+    elif axis == "following-sibling":
+        if node.parent is not None:
+            sibs = _elem_children(node.parent)
+            yield sibs[sibs.index(node) + 1:]
+    elif axis == "preceding-sibling":
+        if node.parent is not None:
+            sibs = _elem_children(node.parent)
+            # reverse document order: [1] is the NEAREST preceding
+            yield sibs[:sibs.index(node)][::-1]
+    elif axis == "self":
+        yield [node]
+    elif axis == "parent":
+        if node.parent is not None and node.parent.tag != ":document":
+            yield [node.parent]
+    else:  # pragma: no cover
+        raise AssertionError(axis)
 
 
 def xpath_select(scope: Element, compiled: CompiledXPath) -> list[Element]:
+    """Evaluate the compiled location path; node-set in document order."""
     current = [scope]
     for step in compiled.steps:
         nxt: list[Element] = []
         seen_ids = set()
         for node in current:
-            pool = node.iter() if step.axis == "descendant" else (
-                c for c in node.children if isinstance(c, Element))
-            for el in pool:
-                if _xstep_matches(el, step) and id(el) not in seen_ids:
-                    seen_ids.add(id(el))
-                    nxt.append(el)
+            for group in _axis_groups(node, step.axis):
+                if step.tag is not None:
+                    cands = [el for el in group if el.tag == step.tag]
+                else:
+                    cands = list(group)
+                for p in step.predicates:
+                    if not cands:
+                        break
+                    if p[0] == "pos":
+                        k = p[1]
+                        if k == -1:
+                            cands = [cands[-1]]
+                        elif 1 <= k <= len(cands):
+                            cands = [cands[k - 1]]
+                        else:
+                            cands = []
+                    else:
+                        cands = [el for el in cands if _xbool_matches(el, p)]
+                for el in cands:
+                    if id(el) not in seen_ids:
+                        seen_ids.add(id(el))
+                        nxt.append(el)
         nxt.sort(key=lambda e: e._order)
         current = nxt
     return current

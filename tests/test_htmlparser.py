@@ -89,6 +89,70 @@ def test_xpath_steps_and_predicates():
     assert texts(els) == ["three"]
 
 
+XHTML = """
+<html><body>
+<div id="x" class="hd">H</div>
+<p>p1</p>
+<p>p2</p>
+<p>p3</p>
+<div id="y">
+  <span>s1</span><span class="m">s2</span><span class="m">s3</span>
+</div>
+<div><span>d1</span></div>
+</body></html>
+"""
+
+
+def test_xpath_axes_and_indexing():
+    """The broadened location-path grammar: attribute predicates +
+    positional indexing + explicit axes (the
+    /root/reference/tests/test_lxml.py:178-226-family forms a real dude
+    user writes, e.g. //div[@id='x']/following-sibling::p[2])."""
+    dom = parse_html(XHTML)
+    x = lambda e: xpath_select(dom, compile_xpath(e))
+    # attribute predicate + indexing
+    assert texts(x("//div[@id='x']")) == ["H"]
+    assert texts(x("//p[2]")) == ["p2"]
+    assert texts(x("//p[last()]")) == ["p3"]
+    assert texts(x("//p[position()=3]")) == ["p3"]
+    # following-sibling with index
+    assert texts(x("//div[@id='x']/following-sibling::p[2]")) == ["p2"]
+    assert [t.strip() for t in
+            texts(x("//div[@id='x']/following-sibling::div[1]"))] == ["s1s2s3"]
+    # preceding-sibling counts nearest-first
+    assert texts(x("//div[@id='y']/preceding-sibling::p[1]")) == ["p3"]
+    # child:: axis and chained ordered predicates
+    assert texts(x("//div[@id='y']/child::span[2]")) == ["s2"]
+    assert texts(x("//div[@id='y']/span[@class='m'][2]")) == ["s3"]
+    assert texts(x("//div[@id='y']/span[2][@class='m']")) == ["s2"]
+    # abbreviated //tag[n] counts per parent (spec expansion)
+    assert texts(x("//span[1]")) == ["s1", "d1"]
+    # explicit descendant:: counts over the whole subtree
+    assert texts(x("descendant::span[4]")) == ["d1"]
+    # parent:: / self:: / .. steps
+    assert [e.attrs.get("id") for e in x("//span[@class='m']/..")] == ["y"]
+    assert texts(x("//p[2]/self::p")) == ["p2"]
+    # text()= equality
+    assert texts(x("//span[text()='s3']")) == ["s3"]
+
+
+def test_xpath_reference_fixture_forms(dude_html):
+    """The exact reference-test xpaths (test_lxml.py:57-63) over the
+    dude.html fixture: group + value extraction shapes."""
+    dom = parse_html(dude_html)
+    groups = xpath_select(
+        dom, compile_xpath('.//div[contains(@class, "custom-group")]'))
+    assert len(groups) == 3
+    c = compile_xpath('.//p[contains(@class, "title")]/text()')
+    assert c.extract == "text"
+    titles = [el.text for g in groups for el in xpath_select(g, c)]
+    assert titles == ["Title 1", "Title 2", "Title 3"]
+    c2 = compile_xpath('.//a[contains(@class, "url")]/@href')
+    assert c2.extract == ("attr", "href")
+    hrefs = [el.attrs["href"] for g in groups for el in xpath_select(g, c2)]
+    assert hrefs == ["url-1.html", "url-2.html", "url-3.html"]
+
+
 def test_xpath_extractors():
     x = compile_xpath('.//li/@data-x')
     assert x.extract == ("attr", "data-x")
