@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.run_simhash_dedup,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         # similarity search
         "ann_topk": similarity.run_ann_topk,
         "ann_lsh": similarity.run_ann_lsh,
@@ -166,6 +167,15 @@ def _q_embedding_neardup(sf_dir: str):
     from dude_ray.pipelines import dedup
 
     return dedup.run_embedding_neardup(sf_dir, threshold=0.35, n_bits=4)
+
+
+def _q_embedding_neardup_exact(sf_dir: str):
+    """Recall-1 blocked all-pairs cosine join (SQL-checkable — the LSH
+    variant above is approximate, so only this one can hash-match a
+    DuckDB cross join)."""
+    from dude_ray.pipelines import dedup
+
+    return dedup.run_embedding_neardup_exact(sf_dir, threshold=0.35)
 
 
 def _q_lang_dist(sf_dir: str):
@@ -242,6 +252,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_dist": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "embedding_neardup_exact": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                             AS DOUBLE), 4) >= 0.35
         """,
         "ngram_jaccard_pairs": """
             WITH grams AS (

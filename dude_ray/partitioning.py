@@ -50,6 +50,31 @@ def estimate_rows(paths, sample_files: int = 64) -> int:
     return int(n * len(files) / len(take))
 
 
+def parquet_row_groups(paths) -> list[tuple[str, int, int]]:
+    """(file, row_group_index, num_rows) for every row group under
+    ``paths`` — the natural block unit for blocked pair joins (footer
+    metadata only; no data read)."""
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, (list, tuple)):
+        cands = list(paths)
+    else:
+        cands = [paths]
+    files: list[str] = []
+    for p in cands:
+        if os.path.isdir(p):
+            files.extend(sorted(glob.glob(
+                os.path.join(p, "**", "*.parquet"), recursive=True)))
+        else:
+            files.append(p)
+    out: list[tuple[str, int, int]] = []
+    for f in files:
+        meta = pq.read_metadata(f)
+        for rg in range(meta.num_row_groups):
+            out.append((f, rg, meta.row_group(rg).num_rows))
+    return out
+
+
 def scaled_group_count(n_rows: int, target_rows_per_group: int,
                        lo: int = 64, hi: int = 1 << 20) -> int:
     """Power-of-two group count for a coarse ``map_groups`` dispatch.

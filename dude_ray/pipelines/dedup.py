@@ -607,6 +607,96 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
     return empty.union(out)
 
 
+class _BlockPairJoin:
+    """Stateful pair-join worker for the exact all-pairs cosine scan:
+    an LRU of L2-normalized float64 block matrices keyed by
+    (file, row-group), loaded straight from parquet row groups (never
+    via the driver); each pair row triggers one dense A @ B.T."""
+
+    CACHE = 16  # blocks × (4096 rows × d=128 × 8 B) ≈ 64 MB ceiling
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+        self._cache: dict = {}
+
+    def _block(self, path: str, rg: int):
+        import pyarrow.parquet as pq
+
+        key = (path, rg)
+        hit = self._cache.pop(key, None)
+        if hit is None:
+            t = pq.ParquetFile(path).read_row_group(
+                rg, columns=["vec_id", "embedding"])
+            vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                              1e-12)
+            hit = (vid, emb)
+            if len(self._cache) >= self.CACHE:
+                self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = hit  # re-insert = LRU touch
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for row in batch.to_pylist():
+            avid, amat = self._block(row["a_file"], row["a_rg"])
+            bvid, bmat = self._block(row["b_file"], row["b_rg"])
+            sims = amat @ bmat.T
+            if row["same"]:
+                ii, jj = np.triu_indices(len(avid), k=1)
+            else:
+                ii, jj = np.unravel_index(np.arange(sims.size), sims.shape)
+            s = np.round(sims[ii, jj], 4)
+            keep = s >= self.threshold
+            a, b = avid[ii[keep]], bvid[jj[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(s[keep])
+        cat = lambda xs, dt: (np.concatenate(xs) if xs
+                              else np.array([], dtype=dt))
+        return pa.table({
+            "a": pa.array(cat(out_a, np.int64), type=pa.int64()),
+            "b": pa.array(cat(out_b, np.int64), type=pa.int64()),
+            "cosine": pa.array(cat(out_s, np.float64), type=pa.float64()),
+        })
+
+
+def run_embedding_neardup_exact(sf_dir: str, threshold: float = 0.35,
+                                concurrency: int = 8):
+    """EXACT all-pairs cosine near-dup — the recall-1 counterpart to the
+    LSH-bucketed ``run_embedding_neardup``, built as a blocked pair
+    join: parquet row groups are the blocks, a driver-side enumeration
+    of the B·(B+1)/2 block pairs (metadata only — O(B²) ints, no
+    vectors) fans out to an actor pool whose workers stream the two
+    blocks from storage and run one dense matmul per pair.  Work is
+    inherently O(n²) — that is the operator's contract (use the LSH
+    variant when approximate recall is acceptable); what scales is the
+    layout: no task ever holds more than two blocks, nothing transits
+    the driver, and the pair list is embarrassingly parallel."""
+    import ray.data as rd
+
+    from dude_ray.partitioning import parquet_row_groups
+
+    blocks = parquet_row_groups(f"{sf_dir}/embeddings.parquet")
+    items = []
+    for i, (fa, ra, _na) in enumerate(blocks):
+        for fb, rb, _nb in blocks[i:]:
+            items.append({"a_file": fa, "a_rg": ra, "b_file": fb,
+                          "b_rg": rb, "same": (fa, ra) == (fb, rb)})
+    pairs = rd.from_items(items).map_batches(
+        _BlockPairJoin, fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pyarrow", batch_size=4,
+        concurrency=(1, concurrency))
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "cosine": pa.array([], type=pa.float64()),
+    }))
+    return empty.union(pairs)
+
+
 # --------------------------------------------------------------------------
 # consecutive-pair n-gram Jaccard (SQL-checkable variant)
 # --------------------------------------------------------------------------

@@ -111,6 +111,40 @@ def test_embedding_neardup_empty_keeps_schema(ray_session):
     assert set(ds.schema().names) == {"a", "b", "cosine"}
 
 
+def test_embedding_neardup_exact_matches_bruteforce(ray_session, tmp_path):
+    """The blocked all-pairs join must equal a single-matrix brute force
+    (recall 1), across a multi-row-group layout."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_embedding_neardup_exact
+
+    rng = np.random.RandomState(3)
+    emb = rng.standard_normal((120, 16)).astype(np.float32)
+    emb[50] = emb[7] + 0.05 * rng.standard_normal(16)   # planted near-dup
+    emb[99] = emb[20] + 0.02 * rng.standard_normal(16)
+    t = pa.table({
+        "vec_id": pa.array(range(120), type=pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in emb],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 120, type=pa.int32()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    # tiny row groups → many block pairs, exercising the pair fan-out
+    pq.write_table(t, str(d / "embeddings.parquet"), row_group_size=32)
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in run_embedding_neardup_exact(str(d), threshold=0.6).take_all()}
+    nm = emb.astype(np.float64)
+    nm /= np.linalg.norm(nm, axis=1, keepdims=True)
+    sims = np.round(nm @ nm.T, 4)
+    iu, ju = np.triu_indices(120, k=1)
+    keep = sims[iu, ju] >= 0.6
+    want = {(int(a), int(b)): float(s)
+            for a, b, s in zip(iu[keep], ju[keep], sims[iu, ju][keep])}
+    assert got == want
+    assert (7, 50) in got and (20, 99) in got
+
+
 def test_ann_topk_matches_numpy(ray_session):
     import pyarrow.parquet as pq
 
