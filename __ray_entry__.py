@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.run_lang_id,
         "doc_fingerprint": textops.run_fingerprint,
         "lang_dist": _q_lang_dist,
+        "corpus_prep": textops.run_corpus_prep,
         # dedup family
         "exact_dedup": dedup.run_exact_dedup,
         "minhash_dedup": dedup.run_minhash_dedup,
@@ -252,6 +253,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_dist": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "corpus_prep": f"""
+            WITH m AS (
+                SELECT md5(text) AS h,
+                       CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
+                       round(len(regexp_extract_all(text, '{_STOP_RE}'))
+                             / greatest(len(regexp_extract_all(text, '{_TOKEN_RE}')), 1), 6) AS stop_ratio,
+                       len(regexp_extract_all(text, '\\b(?:der|die|und|ist|nicht|ein)\\b')) AS de,
+                       len(regexp_extract_all(text, '\\b(?:the|and|of|is|with|for)\\b')) AS en,
+                       len(regexp_extract_all(text, '\\b(?:el|la|y|es|los|una)\\b')) AS es,
+                       len(regexp_extract_all(text, '\\b(?:le|la|et|est|les|des)\\b')) AS fr
+                FROM documents
+            ), f AS (
+                SELECT h, n_tokens,
+                       CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                            WHEN en >= es AND en >= fr THEN 'en'
+                            WHEN es >= fr THEN 'es'
+                            ELSE 'fr' END AS pred_lang
+                FROM m WHERE n_tokens >= 30 AND stop_ratio >= 0.05
+            ), d AS (
+                SELECT DISTINCT h, pred_lang, n_tokens FROM f
+            )
+            SELECT pred_lang, count(*) AS kept_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM d GROUP BY pred_lang
         """,
         "embedding_neardup_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,

@@ -201,3 +201,91 @@ def run_fingerprint(sf_dir: str, concurrency: int = 4):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         Fingerprinter, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, concurrency))
+
+
+# --------------------------------------------------------------------------
+# corpus prep — the composed flagship LLM-training-data pipeline
+# --------------------------------------------------------------------------
+
+class CorpusPrep:
+    """Fused single-pass corpus-preparation stage: one text scan emits
+    content hash + language + token count + quality gate, so the full
+    filter→dedup→stats chain reads the corpus exactly once (at 100 TB,
+    chaining run_quality → run_lang_id → md5_batch would scan the text
+    column three times).
+
+    Vectorized gates (pyarrow.compute regex counters) run FIRST and
+    shrink the batch before the per-row work (md5, language profile
+    scoring), so rejected documents never reach a Python loop.  Language
+    patterns compile once per actor."""
+
+    def __init__(self, min_tokens: int = 30, min_stop_ratio: float = 0.05):
+        self.min_tokens = min_tokens
+        self.min_stop_ratio = min_stop_ratio
+        self.patterns = {
+            lang: re.compile(r"\b(?:" + "|".join(words) + r")\b")
+            for lang, words in LangId.PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(text, STOP_RE), pa.float64())
+        safe = pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())
+        stop_ratio = pc.round(pc.divide(n_stop, safe), 6)
+        keep = pc.and_(pc.greater_equal(n_tokens, self.min_tokens),
+                       pc.greater_equal(stop_ratio, self.min_stop_ratio))
+        kept = pa.table({"text": text, "n_tokens": n_tokens}).filter(keep)
+
+        hs, langs = [], []
+        for t in kept["text"].to_pylist():
+            t = t or ""
+            hs.append(hashlib.md5(t.encode()).hexdigest())
+            best_lang, best = "und", 0
+            for lang in sorted(self.patterns):  # deterministic tie-break
+                n = len(self.patterns[lang].findall(t))
+                if n > best:
+                    best, best_lang = n, lang
+            langs.append(best_lang)
+        return pa.table({
+            "h": pa.array(hs, type=pa.string()),
+            "pred_lang": pa.array(langs, type=pa.string()),
+            "n_tokens": kept["n_tokens"],
+        })
+
+
+def run_corpus_prep(sf_dir: str, min_tokens: int = 30,
+                    min_stop_ratio: float = 0.05, concurrency: int = 4):
+    """Quality filter → exact dedup → per-language token stats, as one
+    streaming chain.  Only (h, pred_lang, n_tokens) rows (~50 B each)
+    reach the dedup shuffle — the text column never leaves the fused
+    first stage.  Duplicate documents have identical text, hence
+    identical pred_lang/n_tokens, so grouping by all three keys equals
+    grouping by ``h`` while carrying the stats columns for free.  The
+    per-language rollup is a bounded-key partial combine (≤5 languages),
+    Arrow tree merge — no second all-to-all."""
+    from ray.data.aggregate import Count
+
+    from dude_ray.pipelines.relational import tree_combine
+
+    ds = _docs(sf_dir, ["text"]).map_batches(
+        CorpusPrep, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"min_tokens": min_tokens,
+                               "min_stop_ratio": min_stop_ratio})
+    distinct = ds.groupby(["h", "pred_lang", "n_tokens"]).aggregate(
+        Count(alias_name="dup_count"))
+
+    def _lang_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("pred_lang").aggregate(
+            [("h", "count"), ("n_tokens", "sum")])
+        return pa.table({
+            "pred_lang": g["pred_lang"],
+            "kept_docs": pc.cast(g["h_count"], pa.int64()),
+            "total_tokens": pc.cast(g["n_tokens_sum"], pa.int64()),
+        })
+
+    partials = distinct.map_batches(_lang_partials, batch_format="pyarrow",
+                                    batch_size=8192)
+    return tree_combine(partials, ["pred_lang"],
+                        sums=("kept_docs", "total_tokens")).sort("pred_lang")
