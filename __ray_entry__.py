@@ -109,7 +109,8 @@ def _q_media_thumbs(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from dude_ray.pipelines import dedup, relational, similarity, textops
+    from dude_ray.pipelines import (cleaning, dedup, relational, similarity,
+                                    textops)
 
     return {
         # crawl/extract engine (non-SQL; rows-only driver check)
@@ -126,6 +127,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.run_fingerprint,
         "lang_dist": _q_lang_dist,
         "corpus_prep": textops.run_corpus_prep,
+        # corpus cleaning / hygiene
+        "pii_redact": cleaning.run_pii_redact,
+        "text_normalize": cleaning.run_text_normalize,
+        "repetition_quality": cleaning.run_repetition_quality,
+        "decontaminate": cleaning.run_decontaminate,
+        "top_terms_per_source": cleaning.run_top_terms_per_source,
         # dedup family
         "exact_dedup": dedup.run_exact_dedup,
         "minhash_dedup": dedup.run_minhash_dedup,
@@ -279,6 +286,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_lang, count(*) AS kept_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM d GROUP BY pred_lang
+        """,
+        "pii_redact": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(
+                       regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+            FROM documents
+        """,
+        "text_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g')) AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(nfc_normalize(text)),
+                                                   '\s+', ' ', 'g'))) AS BIGINT)
+                       AS n_chars_norm
+            FROM documents
+        """,
+        "repetition_quality": f"""
+            WITH words AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS w
+                FROM documents
+            ), c AS (
+                SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(c.n), 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(count(c.w), 0) AS BIGINT) AS n_distinct,
+                   round(coalesce(1.0 - count(c.w) / sum(c.n), 0.0), 6) AS dup_word_frac,
+                   round(coalesce(max(c.n) * 1.0 / sum(c.n), 0.0), 6) AS top_word_frac
+            FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+            GROUP BY d.doc_id
+        """,
+        "decontaminate": """
+            SELECT d.doc_id,
+                   CAST(EXISTS (
+                       SELECT 1 FROM documents c
+                       WHERE c.doc_id % 97 = 0
+                         AND length(c.text) > 0
+                         AND contains(d.text, substr(c.text, 1, 40))
+                   ) AS INT) AS contaminated
+            FROM documents d
+        """,
+        "top_terms_per_source": f"""
+            WITH words AS (
+                SELECT source, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS term
+                FROM documents
+            ), c AS (
+                SELECT source, term, CAST(count(*) AS BIGINT) AS n
+                FROM words GROUP BY source, term
+            )
+            SELECT source, term, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n DESC, term ASC) AS BIGINT) AS rank
+            FROM c QUALIFY rank <= 5
         """,
         "embedding_neardup_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,

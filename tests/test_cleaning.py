@@ -1,0 +1,125 @@
+"""Corpus-cleaning operator tests: planted PII, unicode normalization
+edge cases, repetition stats on crafted documents, decontamination of
+planted benchmark snippets, deterministic top-terms ranking."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts, *, sources=None, ids=None):
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(ids or list(range(n)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(sources or ["x"] * n),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pii_redact_planted(ray_session, tmp_path):
+    from dude_ray.pipelines.cleaning import run_pii_redact
+
+    sf = _write_docs(tmp_path, [
+        "contact bob.smith+x@example.co.uk or 555-123-4567 now",
+        "server at 192.168.1.255 and 10.0.0.1, call 555.987.6543",
+        "nothing sensitive here",
+        "two mails a@b.io c@d.org",
+    ])
+    rows = {r["doc_id"]: r for r in run_pii_redact(sf).take_all()}
+    assert rows[0]["n_email"] == 1 and rows[0]["n_phone"] == 1
+    assert rows[0]["clean_text"] == "contact <EMAIL> or <PHONE> now"
+    assert rows[1]["n_ipv4"] == 2 and rows[1]["n_phone"] == 1
+    assert rows[1]["clean_text"] == "server at <IP> and <IP>, call <PHONE>"
+    assert rows[2]["clean_text"] == "nothing sensitive here"
+    assert rows[2]["n_email"] == rows[2]["n_phone"] == rows[2]["n_ipv4"] == 0
+    assert rows[3]["n_email"] == 2
+
+
+def test_text_normalize_unicode(ray_session, tmp_path):
+    from dude_ray.pipelines.cleaning import run_text_normalize
+
+    # 'e' + combining acute (NFD) must NFC-fold to the composed char
+    nfd = "Café  \t Menu\n\nX"
+    sf = _write_docs(tmp_path, [nfd, "  AlReAdY clean  "])
+    rows = {r["doc_id"]: r for r in run_text_normalize(sf).take_all()}
+    assert rows[0]["norm_text"] == "café menu x"
+    assert rows[0]["n_chars_norm"] == len("café menu x")
+    assert rows[1]["norm_text"] == "already clean"
+
+
+def test_repetition_stats(ray_session, tmp_path):
+    from dude_ray.pipelines.cleaning import run_repetition_quality
+
+    sf = _write_docs(tmp_path, [
+        "spam spam spam spam",       # 4 words, 1 distinct
+        "all words here differ",     # 0 repetition
+        "",                          # empty doc
+        "a b a b c",                 # 5 words, 3 distinct, top=2
+    ])
+    rows = {r["doc_id"]: r for r in run_repetition_quality(sf).take_all()}
+    assert rows[0]["n_words"] == 4 and rows[0]["n_distinct"] == 1
+    assert rows[0]["dup_word_frac"] == 0.75 and rows[0]["top_word_frac"] == 1.0
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[2]["n_words"] == 0 and rows[2]["dup_word_frac"] == 0.0
+    assert rows[3]["n_distinct"] == 3 and rows[3]["top_word_frac"] == 0.4
+
+
+def test_decontaminate_flags_planted(ray_session, tmp_path):
+    from dude_ray.pipelines.cleaning import (SNIPPET_LEN, SNIPPET_MOD,
+                                             run_decontaminate)
+
+    bench = "the quick brown fox jumps over the lazy benchmark dog"
+    snippet = bench[:SNIPPET_LEN]
+    texts, ids = [], []
+    for i in range(6):
+        ids.append(i * SNIPPET_MOD if i < 2 else i * SNIPPET_MOD + 1)
+        texts.append(bench if i == 0 else
+                     f"prefix {snippet} suffix" if i == 3 else
+                     f"clean document number {i} with plain words")
+    sf = _write_docs(tmp_path, texts, ids=ids)
+    rows = {r["doc_id"]: r["contaminated"]
+            for r in run_decontaminate(sf).take_all()}
+    assert rows[0] == 1                       # the benchmark doc itself
+    assert rows[3 * SNIPPET_MOD + 1] == 1     # verbatim snippet inside
+    assert rows[2 * SNIPPET_MOD + 1] == 0     # clean
+    # doc_id 97 (i=1) is also % 97 == 0 → its own prefix is a snippet
+    assert rows[SNIPPET_MOD] == 1
+
+
+def test_top_terms_deterministic_ties(ray_session, tmp_path):
+    from dude_ray.pipelines.cleaning import run_top_terms_per_source
+
+    sf = _write_docs(
+        tmp_path,
+        ["b a c a b", "z z q", "c"],
+        sources=["s1", "s2", "s1"],
+    )
+    out = run_top_terms_per_source(sf, k=2).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["rank"], r["term"], r["n"]))
+    for v in by_src.values():
+        v.sort()
+    # s1: a=2, b=2, c=2 → tie broken alphabetically
+    assert by_src["s1"] == [(1, "a", 2), (2, "b", 2)]
+    assert by_src["s2"] == [(1, "z", 2), (2, "q", 1)]
+
+
+def test_cleaning_real_corpus_row_counts(ray_session):
+    """All four per-doc ops preserve cardinality on the real table."""
+    from dude_ray.pipelines import cleaning
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert cleaning.run_pii_redact(SF).count() == n
+    assert cleaning.run_text_normalize(SF).count() == n
+    assert cleaning.run_repetition_quality(SF).count() == n
+    assert cleaning.run_decontaminate(SF).count() == n
