@@ -12,17 +12,25 @@ that surface on ``html.parser``:
   descendant (space) and child (``>``) combinators, ``[attr]``,
   ``[attr=val]``, ``:root``, comma-separated selector lists, and the
   parsel pseudo-elements ``::text`` / ``::attr(name)``.
-* XPath subset: location paths of ``.//tag`` / ``//tag`` / ``/tag`` /
+* XPath: location paths of ``.//tag`` / ``//tag`` / ``/tag`` /
   ``.//*`` steps plus the explicit axes ``child::``, ``descendant::``,
-  ``following-sibling::``, ``preceding-sibling::``, ``self::``,
-  ``parent::`` (and ``.`` / ``..``); ordered predicates
-  ``[contains(@attr, "x")]``, ``[contains(text(), "x")]``,
-  ``[text()="x"]``, ``[@attr="x"]``, ``[@attr]``, positional ``[n]`` /
-  ``[last()]`` / ``[position()=n]`` (abbreviated ``//tag[n]`` counts
-  per parent, per the spec's ``descendant-or-self::node()/child::``
-  expansion); terminal ``/text()`` or ``/@attr`` value steps (covers
-  the reference test xpaths, e.g.
-  ``.//p[contains(@class, "title")]/text()`` —
+  ``descendant-or-self::``, ``following-sibling::``,
+  ``preceding-sibling::``, ``following::``, ``preceding::``,
+  ``ancestor::``, ``ancestor-or-self::``, ``self::``, ``parent::``
+  (and ``.`` / ``..``); full boolean predicate expressions with
+  ``and`` / ``or`` / ``not(...)`` / parentheses over the leaves
+  ``contains(...)`` / ``starts-with(...)`` (on ``@attr``, ``text()``
+  or ``.``), ``normalize-space() = "x"``, ``text()="x"`` / ``.="x"``
+  (and ``!=``), ``[@attr="x"]`` / ``[@attr!="x"]`` / ``[@attr]``,
+  positional ``[n]`` / ``[last()]`` / ``[position() <op> n]``,
+  and location-path predicates (``[a]``, ``[img/@src]``,
+  ``[.//a[@href='x']]``, ``[span/text()='v']``); top-level unions
+  ``a | b`` with per-branch value extraction; ordered-predicate
+  semantics (``[2][@a]`` ≠ ``[@a][2]``; abbreviated ``//tag[n]``
+  counts per parent, per the spec's
+  ``descendant-or-self::node()/child::`` expansion); terminal
+  ``/text()`` or ``/@attr`` value steps (covers the reference test
+  xpaths, e.g. ``.//p[contains(@class, "title")]/text()`` —
   /root/reference/tests/test_lxml.py:57-63 — and the
   ``//div[@id='x']/following-sibling::p[2]`` family).
 * TEXT selector: elements whose *direct* text contains the needle —
@@ -497,47 +505,147 @@ class _XStep:
 class CompiledXPath:
     steps: tuple[_XStep, ...]
     extract: Optional[object] = None  # None | "text" | ("attr", name)
+    # non-empty → this is a union expression ("a | b"); ``steps`` is
+    # empty and each alternative is a full CompiledXPath of its own
+    alts: tuple["CompiledXPath", ...] = ()
 
 
-_XP_AXES = ("child", "descendant", "following-sibling",
-            "preceding-sibling", "self", "parent")
+_XP_AXES = ("child", "descendant", "descendant-or-self",
+            "following-sibling", "preceding-sibling", "following",
+            "preceding", "ancestor", "ancestor-or-self", "self", "parent")
 
-_XP_PRED_ONE = re.compile(
+
+# ---- predicate expression parser --------------------------------------
+#
+# Full boolean grammar:  or_expr := and_expr ('or' and_expr)*
+#                        and_expr := unary ('and' unary)*
+#                        unary := 'not(' expr ')' | '(' expr ')' | leaf
+# Leaves cover the selector surface lxml users actually write:
+# contains/starts-with over @attr, text() (direct text) and '.'
+# (string-value), =/!= string tests, @attr existence, position()
+# comparisons, last(), and bare integers.  Evaluation context is
+# (element, 1-based position, candidate-list size) so positional terms
+# compose with boolean ones ("[position()>1 and @a]").
+
+_XP_LEAF = re.compile(
     r"^(?:"
-    r"contains\(\s*@([\w-]+)\s*,\s*['\"]([^'\"]*)['\"]\s*\)"      # 1,2
-    r"|contains\(\s*text\(\)\s*,\s*['\"]([^'\"]*)['\"]\s*\)"      # 3
-    r"|text\(\)\s*=\s*['\"]([^'\"]*)['\"]"                        # 4
-    r"|@([\w-]+)\s*=\s*['\"]([^'\"]*)['\"]"                       # 5,6
-    r"|@([\w-]+)"                                                 # 7
-    r"|last\(\)"                                                  # (pos -1)
-    r"|position\(\)\s*=\s*(\d+)"                                  # 8
-    r"|(\d+)"                                                     # 9
+    r"(contains|starts-with)\(\s*(@[\w-]+|text\(\)|\.)\s*,\s*"
+    r"(['\"])(.*?)\3\s*\)"                                        # 1,2,4
+    r"|normalize-space\(\s*(?:text\(\)|\.)?\s*\)\s*(=|!=)\s*"
+    r"(['\"])(.*?)\6"                                             # 5,7
+    r"|(text\(\)|\.)\s*(=|!=)\s*(['\"])(.*?)\10"                  # 8,9,11
+    r"|@([\w-]+)\s*(=|!=)\s*(['\"])(.*?)\14"                      # 12,13,15
+    r"|@([\w-]+)"                                                 # 16
+    r"|position\(\)\s*(=|!=|<=|>=|<|>)\s*(?:(\d+)|last\(\))"      # 17,18
+    r"|last\(\)"
+    r"|(\d+)"                                                     # 19
     r")$")
 
 
+def _split_top(src: str, word: str, *, word_op: bool = False) -> list[str]:
+    """Split on an operator at paren/bracket/quote depth 0.  With
+    ``word_op`` the operator is a keyword (and/or) and must be bounded
+    by characters that cannot belong to a name."""
+    def _bound(c: str) -> bool:
+        return not (c.isalnum() or c in "-_@")
+
+    parts, depth, i, start, q = [], 0, 0, 0, None
+    n, w = len(src), len(word)
+    while i < n:
+        c = src[i]
+        if q:
+            if c == q:
+                q = None
+        elif c in "'\"":
+            q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif (depth == 0 and src.startswith(word, i)
+              and (not word_op or ((i == 0 or _bound(src[i - 1]))
+                                   and (i + w == n or _bound(src[i + w]))))):
+            parts.append(src[start:i])
+            start = i + w
+            i += w
+            continue
+        i += 1
+    parts.append(src[start:])
+    return parts
+
+
 def _parse_pred(src: str) -> tuple:
-    m = _XP_PRED_ONE.match(src.strip())
+    src = src.strip()
+    ors = _split_top(src, "or", word_op=True)
+    if len(ors) > 1:
+        return ("or", tuple(_parse_pred(p) for p in ors))
+    ands = _split_top(src, "and", word_op=True)
+    if len(ands) > 1:
+        return ("and", tuple(_parse_pred(p) for p in ands))
+    if src.startswith("not(") and src.endswith(")"):
+        return ("not", _parse_pred(src[4:-1]))
+    if src.startswith("(") and src.endswith(")"):
+        inner = src[1:-1]
+        # only strip if the parens actually match each other
+        depth = 0
+        for j, c in enumerate(inner):
+            depth += (c == "(") - (c == ")")
+            if depth < 0:
+                break
+        else:
+            if depth == 0:
+                return _parse_pred(inner)
+    m = _XP_LEAF.match(src)
     if not m:
+        # location-path predicates: existence ("[.//a]", "[img/@src]")
+        # and path = value comparisons ("[span/text()='v']").  A bare
+        # relative step inside a predicate is child::, not descendant.
+        cm = re.match(r"^(.*?)\s*(!?=)\s*(['\"])(.*)\3$", src)
+        if cm:
+            try:
+                sub = _compile_pred_path(cm.group(1).strip())
+            except ValueError:
+                sub = None
+            if sub is not None:
+                return ("path_cmp", sub, cm.group(2), cm.group(4))
+        try:
+            return ("path", _compile_pred_path(src))
+        except ValueError:
+            pass
         raise ValueError(f"Unsupported XPath predicate: [{src}]")
-    if m.group(1) is not None:
-        return ("contains_attr", m.group(1), m.group(2))
-    if m.group(3) is not None:
-        return ("contains_text", m.group(3))
-    if m.group(4) is not None:
-        return ("text_eq", m.group(4))
-    if m.group(5) is not None:
-        return ("attr_eq", m.group(5), m.group(6))
-    if m.group(7) is not None:
-        return ("has_attr", m.group(7))
-    if m.group(8) is not None:
-        return ("pos", int(m.group(8)))
-    if m.group(9) is not None:
-        return ("pos", int(m.group(9)))
-    return ("pos", -1)  # last()
+    if m.group(1) is not None:  # contains / starts-with
+        return ("strfn", m.group(1), m.group(2), m.group(4))
+    if m.group(5) is not None:  # normalize-space(...) = / !=
+        return ("normspace", m.group(5), m.group(7))
+    if m.group(8) is not None:  # text() / . string test
+        return ("streq", m.group(8), m.group(9), m.group(11))
+    if m.group(12) is not None:  # @attr = / !=
+        return ("attr_cmp", m.group(12), m.group(13), m.group(15))
+    if m.group(16) is not None:  # @attr existence
+        return ("has_attr", m.group(16))
+    if m.group(17) is not None:  # position() cmp
+        return ("pos_cmp", m.group(17),
+                int(m.group(18)) if m.group(18) is not None else -1)
+    if m.group(19) is not None:  # bare integer
+        return ("pos_cmp", "=", int(m.group(19)))
+    return ("pos_cmp", "=", -1)  # last()
+
+
+def _compile_pred_path(src: str) -> CompiledXPath:
+    """Compile a predicate-relative location path (child:: default)."""
+    if not (src.startswith(".") or src.startswith("/")
+            or re.match(r"[\w*-]|[a-z-]+::", src)):
+        raise ValueError(src)
+    return compile_xpath(src if src.startswith(".") else "./" + src)
 
 
 def compile_xpath(expr: str) -> CompiledXPath:
     expr = expr.strip()
+    parts = _split_top(expr, "|")
+    if len(parts) > 1:
+        return CompiledXPath(
+            steps=(), extract=None,
+            alts=tuple(compile_xpath(p) for p in parts))
     extract: Optional[object] = None
     if expr.endswith("/text()"):
         extract = "text"
@@ -613,18 +721,57 @@ def compile_xpath(expr: str) -> CompiledXPath:
     return CompiledXPath(steps=tuple(steps), extract=extract)
 
 
-def _xbool_matches(el: Element, p: tuple) -> bool:
+_WS_RUN = re.compile(r"\s+")
+
+
+def _xstrval(el: Element, which: str) -> str:
+    """'@name' → attribute value, 'text()' → direct text, '.' →
+    string-value (all descendant text, lxml text_content)."""
+    if which.startswith("@"):
+        return el.attrs.get(which[1:], "")
+    if which == "text()":
+        return el.text
+    return el.text_content()
+
+
+def _xeval(el: Element, p: tuple, pos: int, size: int) -> bool:
     kind = p[0]
-    if kind == "contains_attr":
-        return p[2] in el.attrs.get(p[1], "")
-    if kind == "contains_text":
-        return p[1] in el.text
-    if kind == "text_eq":
-        return el.text == p[1]
-    if kind == "attr_eq":
-        return el.attrs.get(p[1]) == p[2]
+    if kind == "and":
+        return all(_xeval(el, q, pos, size) for q in p[1])
+    if kind == "or":
+        return any(_xeval(el, q, pos, size) for q in p[1])
+    if kind == "not":
+        return not _xeval(el, p[1], pos, size)
+    if kind == "strfn":
+        hay = _xstrval(el, p[2])
+        return hay.startswith(p[3]) if p[1] == "starts-with" else p[3] in hay
+    if kind == "normspace":
+        v = _WS_RUN.sub(" ", el.text_content()).strip()
+        return (v == p[2]) if p[1] == "=" else (v != p[2])
+    if kind == "streq":
+        v = _xstrval(el, p[1])
+        return (v == p[3]) if p[2] == "=" else (v != p[3])
+    if kind == "attr_cmp":
+        v = el.attrs.get(p[1])
+        if p[2] == "=":
+            return v == p[3]
+        return v is not None and v != p[3]  # XPath: absent attr → false
     if kind == "has_attr":
         return p[1] in el.attrs
+    if kind == "path":
+        return bool(xpath_eval(el, p[1]))
+    if kind == "path_cmp":
+        vals = [v.text if isinstance(v, Element) else v
+                for v in xpath_eval(el, p[1])]
+        if p[2] == "=":
+            return any(v == p[3] for v in vals)
+        return any(v != p[3] for v in vals)
+    if kind == "pos_cmp":
+        op, k = p[1], p[2]
+        if k == -1:
+            k = size  # last()
+        return {"=": pos == k, "!=": pos != k, "<": pos < k,
+                ">": pos > k, "<=": pos <= k, ">=": pos >= k}[op]
     raise AssertionError(p)
 
 
@@ -661,12 +808,53 @@ def _axis_groups(node: Element, axis: str):
     elif axis == "parent":
         if node.parent is not None and node.parent.tag != ":document":
             yield [node.parent]
+    elif axis == "descendant-or-self":
+        yield [node] + list(node.iter())
+    elif axis == "ancestor":
+        yield list(_ancestors(node))  # reverse axis: [1] = nearest
+    elif axis == "ancestor-or-self":
+        yield [node] + list(_ancestors(node))
+    elif axis == "following":
+        root = _doc_root(node)
+        sub = {id(d) for d in node.iter()}
+        yield [el for el in root.iter()
+               if el._order > node._order and id(el) not in sub]
+    elif axis == "preceding":
+        root = _doc_root(node)
+        anc = {id(a) for a in _ancestors(node)}
+        # reverse axis: nearest (largest _order) first
+        yield [el for el in root.iter()
+               if el._order < node._order and id(el) not in anc][::-1]
     else:  # pragma: no cover
         raise AssertionError(axis)
 
 
+def _ancestors(node: Element):
+    p = node.parent
+    while p is not None and p.tag != ":document":
+        yield p
+        p = p.parent
+
+
+def _doc_root(node: Element) -> Element:
+    while node.parent is not None:
+        node = node.parent
+    return node
+
+
 def xpath_select(scope: Element, compiled: CompiledXPath) -> list[Element]:
-    """Evaluate the compiled location path; node-set in document order."""
+    """Evaluate the compiled location path; node-set in document order.
+    For unions, the branches' node-sets are merged and deduped (XPath
+    ``|`` set semantics)."""
+    if compiled.alts:
+        out, seen = [], set()
+        for alt in compiled.alts:
+            for el in xpath_select(scope, alt):
+                if id(el) not in seen:
+                    seen.add(id(el))
+                    out.append(el)
+        out.sort(key=lambda e: e._order)
+        return out
     current = [scope]
     for step in compiled.steps:
         nxt: list[Element] = []
@@ -677,19 +865,14 @@ def xpath_select(scope: Element, compiled: CompiledXPath) -> list[Element]:
                     cands = [el for el in group if el.tag == step.tag]
                 else:
                     cands = list(group)
+                # each predicate filters, then positions recount over
+                # the SURVIVORS for the next predicate ([2][@a] ≠ [@a][2])
                 for p in step.predicates:
                     if not cands:
                         break
-                    if p[0] == "pos":
-                        k = p[1]
-                        if k == -1:
-                            cands = [cands[-1]]
-                        elif 1 <= k <= len(cands):
-                            cands = [cands[k - 1]]
-                        else:
-                            cands = []
-                    else:
-                        cands = [el for el in cands if _xbool_matches(el, p)]
+                    size = len(cands)
+                    cands = [el for i, el in enumerate(cands, 1)
+                             if _xeval(el, p, i, size)]
                 for el in cands:
                     if id(el) not in seen_ids:
                         seen_ids.add(id(el))
@@ -697,6 +880,29 @@ def xpath_select(scope: Element, compiled: CompiledXPath) -> list[Element]:
         nxt.sort(key=lambda e: e._order)
         current = nxt
     return current
+
+
+def xpath_eval(scope: Element, compiled: CompiledXPath) -> list:
+    """Evaluate including the trailing ``/text()`` / ``/@attr``
+    extraction — elements for node paths, strings for value paths.
+    Union branches extract independently, concatenated in branch order
+    (lxml interleaves by document position; for the element-only case
+    we match it via xpath_select, mixed string unions keep branch
+    order — documented deviation)."""
+    if compiled.alts:
+        if all(a.extract is None for a in compiled.alts):
+            return xpath_select(scope, compiled)
+        out = []
+        for alt in compiled.alts:
+            out.extend(xpath_eval(scope, alt))
+        return out
+    els = xpath_select(scope, compiled)
+    if compiled.extract == "text":
+        return [e.text for e in els]
+    if isinstance(compiled.extract, tuple):
+        name = compiled.extract[1]
+        return [e.attrs[name] for e in els if name in e.attrs]
+    return list(els)
 
 
 # --------------------------------------------------------------------------

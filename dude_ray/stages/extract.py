@@ -46,7 +46,7 @@ from ..htmlparser import (
     parse_html,
     regex_select,
     text_select,
-    xpath_select,
+    xpath_eval,
 )
 from ..rule import Rule, Selector, SelectorType, rule_filter, rule_grouper, rule_sorter
 from ..scraped import ScrapedData, scraped_data_grouper, scraped_data_sorter
@@ -85,13 +85,7 @@ def compile_selector(sel: Selector) -> Callable[[Element], List[Union[Element, s
         compiled_x = compile_xpath(s)
 
         def xpath_fn(scope: Element) -> List[Union[Element, str]]:
-            els = xpath_select(scope, compiled_x)
-            if compiled_x.extract == "text":
-                return [e.text for e in els]
-            if isinstance(compiled_x.extract, tuple):
-                name = compiled_x.extract[1]
-                return [e.attrs[name] for e in els if name in e.attrs]
-            return list(els)
+            return xpath_eval(scope, compiled_x)
 
         return xpath_fn
     if stype == SelectorType.TEXT:

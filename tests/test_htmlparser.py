@@ -268,3 +268,77 @@ def test_fast_parser_matches_strict_on_corpus():
         columns=["doc_id"])["doc_id"].to_pylist()
     for h in f.lookup(urls):
         assert norm(parse_html(h)) == norm(parse_html_strict(h))
+
+
+# --------------------------------------------------------------------------
+# extended XPath grammar (round 3): boolean predicates, new axes,
+# unions, predicate sub-paths
+# --------------------------------------------------------------------------
+
+XGRAM_HTML = """<html><body>
+<div id="x"><span class="a b">one</span></div>
+<p class="p1">alpha</p>
+<p class="p2">beta</p>
+<p class="p3">gamma</p>
+<ul><li data-x="1">L1</li><li data-x="2">L2</li><li>L3</li></ul>
+<div class="wrap"><a href="u1">A1</a><img src="i1"/><a href="u2">A2</a></div>
+<div class="wrap2"><a href="u2">A2b</a></div>
+</body></html>"""
+
+
+def _xg(expr):
+    from dude_ray.htmlparser import compile_xpath, parse_html, xpath_eval
+
+    dom = parse_html(XGRAM_HTML)
+    return [(x.tag, x.text) if hasattr(x, "tag") else x
+            for x in xpath_eval(dom, compile_xpath(expr))]
+
+
+def test_xpath_boolean_predicates():
+    assert _xg("//p[@class='p1' or @class='p3']") == [
+        ("p", "alpha"), ("p", "gamma")]
+    assert _xg("//li[@data-x and position()<3]") == [
+        ("li", "L1"), ("li", "L2")]
+    assert _xg("//li[not(@data-x)]") == [("li", "L3")]
+    assert _xg("//p[position()>1 and position()<=3]") == [
+        ("p", "beta"), ("p", "gamma")]
+    assert _xg("//li[(@data-x='1' or @data-x='2') and not(position()=1)]") == [
+        ("li", "L2")]
+
+
+def test_xpath_string_functions():
+    assert _xg("//p[starts-with(@class,'p')][last()]") == [("p", "gamma")]
+    assert _xg("//p[normalize-space()='beta']") == [("p", "beta")]
+    assert _xg("//span[contains(.,'one')]") == [("span", "one")]
+    assert _xg("//li[@data-x!='1']") == [("li", "L2")]  # absent attr → false
+
+
+def test_xpath_new_axes():
+    assert _xg("//span/ancestor::div") == [("div", "")]
+    assert _xg("//span/ancestor-or-self::span") == [("span", "one")]
+    assert _xg("//li[1]/following::a") == [
+        ("a", "A1"), ("a", "A2"), ("a", "A2b")]
+    # reverse axis: [1] = nearest preceding in reverse document order
+    assert _xg("//a[@href='u1']/preceding::li[1]") == [("li", "L3")]
+    assert _xg("/descendant-or-self::p[1]") == [("p", "alpha")]
+
+
+def test_xpath_union():
+    # element union: merged, document order, deduped
+    assert _xg("//p[@class='p3'] | //p[@class='p1'] | //p[@class='p1']") == [
+        ("p", "alpha"), ("p", "gamma")]
+    # value union: per-branch extraction
+    assert _xg("//a/@href | //img/@src") == ["u1", "u2", "u2", "i1"]
+
+
+def test_xpath_predicate_subpaths():
+    assert _xg("//div[.//a[@href='u2']][1]") == [("div", "")]
+    assert _xg("//div[img/@src]")[0][0] == "div"
+    assert _xg("//div[a and not(img)]") == [("div", "")]
+    assert _xg("//li[not(span)]") == [
+        ("li", "L1"), ("li", "L2"), ("li", "L3")]
+    from dude_ray.htmlparser import compile_xpath, parse_html, xpath_eval
+
+    dom = parse_html(XGRAM_HTML)
+    wrap2 = xpath_eval(dom, compile_xpath("//div[a/text()='A2b']"))
+    assert [e.attrs.get("class") for e in wrap2] == ["wrap2"]
