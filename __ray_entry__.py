@@ -109,8 +109,8 @@ def _q_media_thumbs(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from dude_ray.pipelines import (cleaning, dedup, relational, similarity,
-                                    textops)
+    from dude_ray.pipelines import (cleaning, dedup, relational, sampling,
+                                    similarity, textops)
 
     return {
         # crawl/extract engine (non-SQL; rows-only driver check)
@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": cleaning.run_repetition_quality,
         "decontaminate": cleaning.run_decontaminate,
         "top_terms_per_source": cleaning.run_top_terms_per_source,
+        # data mixing
+        "sample_stratified": sampling.run_sample_stratified,
+        "token_pack": sampling.run_token_pack,
         # dedup family
         "exact_dedup": dedup.run_exact_dedup,
         "minhash_dedup": dedup.run_minhash_dedup,
@@ -353,6 +356,34 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY source
                        ORDER BY n DESC, term ASC) AS BIGINT) AS rank
             FROM c QUALIFY rank <= 5
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS UBIGINT) % 1048576 AS DOUBLE) / 1048576.0
+                  < CASE lang WHEN 'en' THEN 0.5
+                              WHEN 'de' THEN 0.25
+                              WHEN 'fr' THEN 0.25
+                              WHEN 'es' THEN 0.25
+                              ELSE 0.125 END
+        """,
+        "token_pack": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       // 1024 AS BIGINT) AS pack_id
+            FROM t
         """,
         "embedding_neardup_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,

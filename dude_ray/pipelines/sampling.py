@@ -1,0 +1,148 @@
+"""Data-mixing operators: deterministic stratified sampling and
+token-budget sequence packing.
+
+Both are the "assemble the training mix" stage that follows cleaning
+and dedup in an LLM data pipeline.  Sampling is a stateless streaming
+filter keyed on a content-independent deterministic hash (rerunnable,
+resumable, and identical across cluster sizes — no RNG state to
+coordinate).  Packing is a distributed prefix-sum scan: per-block
+partials to the driver (one tiny row per block), offsets broadcast
+back, per-block vectorized cumsum — the classic two-pass scan shape
+that keeps 100 TB streaming while the driver only ever holds
+block-count rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dude_ray.pipelines.textops import TOKEN_RE
+
+
+def _docs(sf_dir: str, columns):
+    from dude_ray.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# stratified sampling
+# --------------------------------------------------------------------------
+
+# per-language keep rates (the "data mix"); rates are exact multiples
+# of 2^-20 comparisons against a 20-bit hash bucket, so Ray and the
+# SQL oracle agree bit-for-bit with no float rounding at the boundary
+DEFAULT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+DEFAULT_RATE = 0.125
+_HASH_BUCKETS = 1 << 20
+
+
+def _keep_mask(doc_ids, langs, rates, default_rate) -> np.ndarray:
+    """Deterministic per-doc uniform: md5 of the decimal doc_id string,
+    top 8 hex chars, reduced mod 2^20.  md5 (a C primitive, ~0.5 µs/row,
+    embarrassingly parallel) is used instead of a numpy avalanche
+    because the DuckDB oracle must reproduce the exact stream."""
+    u = np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+         for i in doc_ids),
+        dtype=np.uint64, count=len(doc_ids)) % _HASH_BUCKETS
+    thresh = np.fromiter(
+        (rates.get(l, default_rate) for l in langs),
+        dtype=np.float64, count=len(langs))
+    return u / _HASH_BUCKETS < thresh
+
+
+def run_sample_stratified(sf_dir: str, rates: dict | None = None,
+                          default_rate: float = DEFAULT_RATE):
+    """Per-language proportional sample of ``documents`` — the data-mix
+    downsampler.  Stateless streaming filter; sampling decisions depend
+    only on doc_id, so a resumed or re-sharded run keeps the identical
+    sample and per-partition outputs can be retried independently."""
+    rates = DEFAULT_RATES if rates is None else rates
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = _keep_mask(batch["doc_id"].to_pylist(),
+                          batch["lang"].to_pylist(), rates, default_rate)
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        sample, batch_format="pyarrow", batch_size=8192)
+
+
+# --------------------------------------------------------------------------
+# token-budget sequence packing (distributed prefix-sum scan)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 1024
+
+
+def run_token_pack(sf_dir: str, budget: int = PACK_BUDGET):
+    """Concat-then-chunk sequence packing: documents in doc_id order are
+    laid head-to-tail into one virtual token stream and cut every
+    ``budget`` tokens; each doc is assigned the pack (training sequence)
+    its FIRST token lands in — the streaming loader semantics of
+    GPT-style pretraining.
+
+    Distributed scan shape:
+      1. one streaming pass reduces text → (doc_id, n_tokens) rows
+         (16 B/doc) and sorts them by doc_id (range-partitioned blocks);
+      2. per-block partials (first doc_id, token sum) — ONE row per
+         block — come to the driver, which prefix-sums them into a
+         start-offset per block (driver state = #blocks rows, not data);
+      3. a second per-block pass adds the broadcast block offset to the
+         block-local exclusive cumsum.
+    The corpus text is read once; everything after step 1 moves only
+    fixed-width rows."""
+    counted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(b["text"], TOKEN_RE), pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=4096)
+    ordered = counted.sort("doc_id").materialize()
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"first_id": pa.array([], type=pa.int64()),
+                             "total": pa.array([], type=pa.int64())})
+        return pa.table({
+            "first_id": pa.array([batch["doc_id"][0].as_py()],
+                                 type=pa.int64()),
+            "total": pa.array([pc.sum(batch["n_tokens"]).as_py() or 0],
+                              type=pa.int64()),
+        })
+
+    # batch_size=None → exactly one partial row per (range-sorted) block
+    partials = ordered.map_batches(block_partial, batch_format="pyarrow",
+                                   batch_size=None).take_all()
+    partials.sort(key=lambda r: r["first_id"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in partials:
+        offsets[p["first_id"]] = acc
+        acc += p["total"]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "start_offset": pa.array([], type=pa.int64()),
+                             "pack_id": pa.array([], type=pa.int64())})
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        start = offsets[batch["doc_id"][0].as_py()]
+        off = start + np.concatenate(([0], np.cumsum(n[:-1])))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["n_tokens"],
+            "start_offset": pa.array(off, type=pa.int64()),
+            "pack_id": pa.array(off // budget, type=pa.int64()),
+        })
+
+    return ordered.map_batches(assign, batch_format="pyarrow",
+                               batch_size=None)

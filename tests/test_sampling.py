@@ -1,0 +1,93 @@
+"""Stratified-sampling and token-packing tests: determinism,
+rate accuracy, prefix-sum correctness vs a local oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sample_deterministic_and_ratewise(ray_session):
+    from dude_ray.pipelines.sampling import (DEFAULT_RATE, DEFAULT_RATES,
+                                             run_sample_stratified)
+
+    ids1 = sorted(r["doc_id"] for r in run_sample_stratified(SF).take_all())
+    ids2 = sorted(r["doc_id"] for r in run_sample_stratified(SF).take_all())
+    assert ids1 == ids2, "sampling must be deterministic across runs"
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    by_lang_total: dict[str, int] = {}
+    for lang in t["lang"].to_pylist():
+        by_lang_total[lang] = by_lang_total.get(lang, 0) + 1
+    kept = {r["doc_id"]: r["lang"]
+            for r in run_sample_stratified(SF).take_all()}
+    by_lang_kept: dict[str, int] = {}
+    for lang in kept.values():
+        by_lang_kept[lang] = by_lang_kept.get(lang, 0) + 1
+    for lang, total in by_lang_total.items():
+        rate = DEFAULT_RATES.get(lang, DEFAULT_RATE)
+        got = by_lang_kept.get(lang, 0) / total
+        # binomial tolerance at these tiny strata sizes
+        sigma = (rate * (1 - rate) / total) ** 0.5
+        assert abs(got - rate) < max(4 * sigma, 0.08), (lang, got, rate)
+
+
+def test_sample_subsets_nest(ray_session):
+    """Halving a rate keeps a subset of the higher-rate sample iff the
+    threshold comparison uses the same hash stream — the property that
+    makes remixing cheap (no re-scan of dropped docs)."""
+    from dude_ray.pipelines.sampling import run_sample_stratified
+
+    hi = {r["doc_id"] for r in run_sample_stratified(
+        SF, rates={}, default_rate=0.5).take_all()}
+    lo = {r["doc_id"] for r in run_sample_stratified(
+        SF, rates={}, default_rate=0.25).take_all()}
+    assert lo <= hi
+
+
+def test_token_pack_prefix_sum(ray_session):
+    from dude_ray.pipelines.sampling import run_token_pack
+    from dude_ray.pipelines.textops import run_token_count
+
+    budget = 512
+    rows = sorted(run_token_pack(SF, budget=budget).take_all(),
+                  key=lambda r: r["doc_id"])
+    counts = {r["doc_id"]: r["n_tokens"]
+              for r in run_token_count(SF).take_all()}
+    off = 0
+    for r in rows:
+        assert r["n_tokens"] == counts[r["doc_id"]]
+        assert r["start_offset"] == off
+        assert r["pack_id"] == off // budget
+        off += r["n_tokens"]
+    # packs are contiguous, non-decreasing
+    packs = [r["pack_id"] for r in rows]
+    assert packs == sorted(packs)
+
+
+def test_token_pack_block_boundary(ray_session, tmp_path):
+    """Many small blocks → the scan must stitch offsets across blocks."""
+    from dude_ray.pipelines.sampling import run_token_pack
+
+    n = 200
+    texts = [" ".join(["w"] * (i % 7 + 1)) for i in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["x"] * n),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    import pyarrow.parquet as pqw
+    pqw.write_table(t, str(d / "documents.parquet"), row_group_size=16)
+    rows = sorted(run_token_pack(str(d), budget=10).take_all(),
+                  key=lambda r: r["doc_id"])
+    expected_off = np.concatenate(
+        ([0], np.cumsum([i % 7 + 1 for i in range(n)])[:-1]))
+    got = [r["start_offset"] for r in rows]
+    assert got == expected_off.tolist()
