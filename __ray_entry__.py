@@ -161,7 +161,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_band_join": relational.run_events_band_join,
         "value_percentiles": relational.run_value_percentiles,
         "distinct_users": relational.run_distinct_users,
+        "distinct_users_approx": _q_distinct_users_approx,
     }
+
+
+def _q_distinct_users_approx(sf_dir: str):
+    """HLL sketch — approximate, so no SQL hash-match (rows-only
+    driver check); accuracy vs exact asserted in
+    tests/test_pipelines.py::test_hll_accuracy_and_merge_invariance."""
+    from dude_ray.pipelines.sketches import run_distinct_users_approx
+
+    return run_distinct_users_approx(sf_dir)
 
 
 def _q_streaming_window(sf_dir: str):

@@ -456,3 +456,32 @@ def test_band_join_block_boundary(ray_session, tmp_path):
     rows = run_events_band_join(str(d)).take_all()
     pairs = sorted((r["a"], r["b"], r["dt_us"]) for r in rows)
     assert pairs == [(0, 1, 15 * US), (0, 2, 16 * US), (1, 2, 1 * US)]
+
+
+def test_hll_accuracy_and_merge_invariance(ray_session):
+    """HLL estimate within 4σ of exact; registers identical regardless
+    of how the input is batched (mergeability)."""
+    import duckdb
+    import numpy as np
+
+    from dude_ray.pipelines.sketches import (hll_estimate, hll_registers,
+                                             run_distinct_users_approx)
+
+    sf = "/root/testdata/sf0.01"
+    exact = dict(duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY event_type").fetchall())
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in run_distinct_users_approx(sf).take_all()}
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.07, (et, approx[et], n)
+
+    # merge-invariance: one pass vs max-merge of arbitrary splits
+    vals = np.arange(100_000, dtype=np.uint64) * 2654435761 % 999983
+    whole = hll_registers(vals)
+    parts = np.maximum.reduce([hll_registers(c)
+                               for c in np.array_split(vals, 7)])
+    assert np.array_equal(whole, parts)
+    n_true = len(np.unique(vals))
+    assert abs(hll_estimate(whole) - n_true) / n_true < 0.07
