@@ -34,3 +34,48 @@ def test_read_parquet_clean_strips_metadata(ray_session):
     # the projected read path must produce hashable schemas
     sch = ds.schema()
     assert sch is not None
+
+
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    """Partial run → resume skips finished partitions (mtime unchanged),
+    rewrites only missing ones, total rows preserved."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from dude_ray.io import read_parquet_clean, write_partitioned_resumable
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(f"{sf}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    out = str(tmp_path / "out")
+    r1 = write_partitioned_resumable(ds, out, "doc_id", num_partitions=8)
+    assert r1["skipped"] == [] and len(r1["written"]) > 0
+
+    total = pq.read_table(f"{sf}/documents.parquet").num_rows
+    read_back = sum(
+        pq.read_table(os.path.join(out, d, "data.parquet")).num_rows
+        for d in os.listdir(out) if d.startswith("part="))
+    assert read_back == total
+
+    # simulate a crash: nuke two partitions (one without its marker)
+    victims = sorted(d for d in os.listdir(out) if d.startswith("part="))[:2]
+    shutil.rmtree(os.path.join(out, victims[0]))
+    os.remove(os.path.join(out, victims[1], "_SUCCESS"))
+    keep_mtimes = {
+        d: os.path.getmtime(os.path.join(out, d, "data.parquet"))
+        for d in os.listdir(out)
+        if d.startswith("part=")
+        and os.path.exists(os.path.join(out, d, "_SUCCESS"))
+    }
+
+    r2 = write_partitioned_resumable(ds, out, "doc_id", num_partitions=8)
+    assert sorted(r2["written"] + r2["skipped"]) == r1["written"]
+    assert len(r2["written"]) == 2  # exactly the two victims
+    for d, m in keep_mtimes.items():
+        assert os.path.getmtime(os.path.join(out, d, "data.parquet")) == m
+    read_back2 = sum(
+        pq.read_table(os.path.join(out, d, "data.parquet")).num_rows
+        for d in os.listdir(out) if d.startswith("part="))
+    assert read_back2 == total
