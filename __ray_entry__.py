@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_source": cleaning.run_top_terms_per_source,
         # data mixing
         "sample_stratified": sampling.run_sample_stratified,
+        "sample_per_group": sampling.run_sample_per_group,
         "token_pack": sampling.run_token_pack,
         # dedup family
         "exact_dedup": dedup.run_exact_dedup,
@@ -376,6 +377,18 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'fr' THEN 0.25
                               WHEN 'es' THEN 0.25
                               ELSE 0.125 END
+        """,
+        "sample_per_group": """
+            WITH r AS (
+                SELECT lang, doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS UBIGINT) AS h
+                FROM documents
+            )
+            SELECT lang, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rank
+            FROM r QUALIFY rank <= 20
         """,
         "token_pack": f"""
             WITH t AS (

@@ -146,3 +146,48 @@ def run_token_pack(sf_dir: str, budget: int = PACK_BUDGET):
 
     return ordered.map_batches(assign, batch_format="pyarrow",
                                batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# exactly-k per-group sampling (consistent hash ranking)
+# --------------------------------------------------------------------------
+
+SAMPLE_K = 20
+
+
+def _hash_rank(doc_ids) -> np.ndarray:
+    """The md5-prefix rank stream shared with the SQL oracle."""
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+         for i in doc_ids),
+        dtype=np.int64, count=len(doc_ids))
+
+
+def run_sample_per_group(sf_dir: str, k: int = SAMPLE_K):
+    """Exactly-k-per-language sample: the k docs with the smallest
+    md5(doc_id) rank per stratum — a deterministic reservoir.  Because
+    ranks are content-independent and global, growing the corpus only
+    displaces samples, never reshuffles them, and any two runs (or a
+    resumed run) agree exactly.
+
+    Scale shape: per-batch local k-smallest per language (pandas sort +
+    groupby head), so at most k × #languages rows leave each batch;
+    one tiny groupby finishes the selection."""
+
+    def local_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(h=_hash_rank(df["doc_id"]))
+        return (df.sort_values(["h", "doc_id"])
+                .groupby("lang", sort=False).head(k))
+
+    def final_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
+        return pd.DataFrame({
+            "lang": g["lang"],
+            "doc_id": g["doc_id"].astype("int64"),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    partials = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        local_k, batch_format="pandas", batch_size=8192)
+    return partials.groupby("lang").map_groups(final_k,
+                                               batch_format="pandas")

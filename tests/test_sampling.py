@@ -91,3 +91,23 @@ def test_token_pack_block_boundary(ray_session, tmp_path):
         ([0], np.cumsum([i % 7 + 1 for i in range(n)])[:-1]))
     got = [r["start_offset"] for r in rows]
     assert got == expected_off.tolist()
+
+
+def test_sample_per_group_exact_k_and_stable(ray_session):
+    from dude_ray.pipelines.sampling import run_sample_per_group
+
+    rows = run_sample_per_group(SF, k=7).take_all()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["rank"], r["doc_id"]))
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang"])
+    lang_sizes: dict[str, int] = {}
+    for lang in t["lang"].to_pylist():
+        lang_sizes[lang] = lang_sizes.get(lang, 0) + 1
+    for lang, picks in by_lang.items():
+        assert len(picks) == min(7, lang_sizes[lang])
+        assert sorted(r for r, _ in picks) == list(range(1, len(picks) + 1))
+    # stability: k=3 sample is a prefix of the k=7 sample per stratum
+    small = run_sample_per_group(SF, k=3).take_all()
+    for r in small:
+        assert (r["rank"], r["doc_id"]) in by_lang[r["lang"]]
