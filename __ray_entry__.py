@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pack": sampling.run_token_pack,
         # dedup family
         "exact_dedup": dedup.run_exact_dedup,
+        "dedup_incremental": _q_dedup_incremental,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -164,6 +165,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": relational.run_distinct_users,
         "distinct_users_approx": _q_distinct_users_approx,
     }
+
+
+def _q_dedup_incremental(sf_dir: str):
+    from dude_ray.pipelines import dedup
+
+    return dedup.run_dedup_incremental(sf_dir).select_columns(
+        ["doc_id", "h"])
 
 
 def _q_distinct_users_approx(sf_dir: str):
@@ -377,6 +385,20 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'fr' THEN 0.25
                               WHEN 'es' THEN 0.25
                               ELSE 0.125 END
+        """,
+        "dedup_incremental": """
+            WITH c AS (
+                SELECT CAST(floor(count(*) / 2) AS BIGINT) AS cut
+                FROM documents
+            ), prior AS (
+                SELECT DISTINCT md5(text) AS h FROM documents, c
+                WHERE doc_id < cut
+            ), cur AS (
+                SELECT doc_id, md5(text) AS h FROM documents, c
+                WHERE doc_id >= cut
+            )
+            SELECT doc_id, h FROM cur
+            WHERE h NOT IN (SELECT h FROM prior)
         """,
         "sample_per_group": """
             WITH r AS (

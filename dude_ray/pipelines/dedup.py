@@ -770,3 +770,119 @@ def run_ngram_jaccard_pairs(sf_dir: str, limit: int = 100):
                                                   dtype="float64")})
 
     return rows.groupby("pair").map_groups(pair_jaccard, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# incremental dedup vs a prior corpus snapshot (Bloom + exact confirm)
+# --------------------------------------------------------------------------
+
+def run_dedup_incremental(sf_dir: str, cutoff: int | None = None,
+                          bits_per_key: int = 10):
+    """New-content detection against an already-ingested snapshot: emit
+    the current batch's docs whose content hash does NOT appear in the
+    prior corpus.  Here "prior" = doc_id < cutoff (default: half the
+    table) so the DuckDB oracle can reproduce the split; in production
+    the prior side is the previous crawl's hash table.
+
+    Scale shape (the production incremental-crawl dedup):
+      1. prior side → per-block partial Bloom filters (fixed-size bit
+         arrays, the same mergeable shape as the HLL partials),
+         OR-merged and broadcast via ``ray.put`` — at 10^10 docs this
+         filter shards by hash range across an actor pool exactly like
+         the frontier seen-set (state/bloom.py design notes);
+      2. current side streams once: md5 per batch, probe the broadcast
+         filter — Bloom-NEGATIVES are definitely new and short-circuit
+         past the join (the overwhelming majority when overlap is low);
+      3. only Bloom-POSITIVES (possible dups: true dups + ~0.8% false
+         positives at 10 bits/key) enter a distributed ``left_anti``
+         join against the prior hash set for the exact verdict.
+    The corpus text is read once per side; only (doc_id, 16-byte hash)
+    rows ever shuffle, and the join side is overlap-sized, not
+    corpus-sized."""
+    import ray
+
+    from dude_ray.state.bloom import BloomFilter
+
+    import pyarrow.parquet as pq
+
+    full = _docs(sf_dir, ["doc_id", "text"])
+    if cutoff is None:
+        # parquet metadata row count — no dataset execution
+        cutoff = pq.ParquetFile(
+            f"{sf_dir}/documents.parquet").metadata.num_rows // 2
+
+    def _split(keep_prior: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = ids < cutoff if keep_prior else ids >= cutoff
+            return batch.filter(pa.array(mask))
+        return f
+
+    # materialized once: feeds the Bloom build AND the confirm join
+    prior_hashes = full.map_batches(_split(True), batch_format="pyarrow",
+                                    batch_size=8192).map_batches(
+        _digest_batch, batch_format="pyarrow",
+        batch_size=4096).materialize()
+
+    # 1. distributed partial Blooms (one fixed-size blob per block)
+    cap = max(64, cutoff)
+
+    def _partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(cap, bits_per_key=bits_per_key)
+        bf.add_many([d for d in batch["d"].to_pylist()])
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          type=pa.binary())})
+
+    merged = BloomFilter(cap, bits_per_key=bits_per_key)
+    for row in prior_hashes.map_batches(
+            _partial_bloom, batch_format="pyarrow",
+            batch_size=None).take_all():
+        np.bitwise_or(merged.bits,
+                      np.frombuffer(row["bits"], dtype=np.uint8),
+                      out=merged.bits)
+    bloom_ref = ray.put(merged.bits.tobytes())
+
+    # 2. probe stage — actor pool resolves the broadcast bits once
+    class Prober:
+        def __init__(self, ref, cap, bpk):
+            self.bf = BloomFilter(cap, bits_per_key=bpk)
+            self.bf.bits = np.frombuffer(ray.get(ref),
+                                         dtype=np.uint8).copy()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ds_ = batch["d"].to_pylist()
+            hit = self.bf.contains_many(ds_)
+            return batch.append_column(
+                "maybe_dup", pa.array(hit, type=pa.bool_()))
+
+    current = full.map_batches(_split(False), batch_format="pyarrow",
+                               batch_size=8192).map_batches(
+        _digest_batch, batch_format="pyarrow", batch_size=4096)
+    probed = current.map_batches(
+        Prober, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": bloom_ref, "cap": cap,
+                               "bpk": bits_per_key}).materialize()
+
+    definite_new = probed.filter(
+        expr="maybe_dup == False").select_columns(["doc_id", "h"])
+    positives = probed.filter(
+        expr="maybe_dup == True").select_columns(["doc_id", "h"])
+
+    # 3. exact confirm: anti-join the (few) positives against prior
+    confirmed_new = positives.join(
+        prior_hashes.select_columns(["h"]), "left_anti", 4,
+        on=("h",), aggregator_ray_remote_args={"num_cpus": 0})
+    return definite_new.union(
+        confirmed_new.select_columns(["doc_id", "h"]))
+
+
+def _digest_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, h hex, d raw-digest) rows."""
+    digests = [hashlib.md5((t or "").encode()).digest() + b"\x00" * 4
+               for t in batch["text"].to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "h": pa.array([d[:16].hex() for d in digests], type=pa.string()),
+        "d": pa.array(digests, type=pa.binary()),
+    })

@@ -79,6 +79,21 @@ class BloomFilter:
         self.count += int((~present).sum())
         return present
 
+    def contains_many(self, digests: list[bytes]) -> np.ndarray:
+        """Vectorized membership probe (no insert) of N digests."""
+        n = len(digests)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, -1)
+        h1 = raw[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+        h2 = (raw[:, 8:16].copy().view(">u8").ravel().astype(np.uint64)
+              | np.uint64(1))
+        i = np.arange(self.num_hashes, dtype=np.uint64)[None, :]
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(self.num_bits)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        masks = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).astype(np.uint8)
+        return ((self.bits[byte_idx] & masks) == masks).all(axis=1)
+
     # ---- checkpoint support -------------------------------------------------
     def to_bytes(self) -> bytes:
         header = np.array([self.num_bits, self.num_hashes, self.count], dtype=np.int64)

@@ -485,3 +485,32 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
     assert np.array_equal(whole, parts)
     n_true = len(np.unique(vals))
     assert abs(hll_estimate(whole) - n_true) / n_true < 0.07
+
+
+def test_dedup_incremental_exact_despite_bloom_fps(ray_session, tmp_path):
+    """Prior half vs current half with planted cross-snapshot dups; a
+    deliberately undersized Bloom (2 bits/key → massive FP rate) must
+    still yield the exact answer via the confirm join."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_dedup_incremental
+
+    n = 120
+    texts = [f"unique document number {i} with words" for i in range(n)]
+    # docs 60..79 duplicate prior docs 0..19 → NOT new
+    for i in range(20):
+        texts[60 + i] = texts[i]
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["x"] * n),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = sorted(r["doc_id"]
+                 for r in run_dedup_incremental(
+                     str(d), bits_per_key=2).take_all())
+    assert got == sorted(range(80, 120))
