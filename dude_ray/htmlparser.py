@@ -8,10 +8,14 @@ libraries exist in this environment, and the reference corpus only
 exercises a small selector surface, so this module implements exactly
 that surface on ``html.parser``:
 
-* CSS subset: ``tag``, ``.class``, ``#id``, compound (``a.url``),
-  descendant (space) and child (``>``) combinators, ``[attr]``,
-  ``[attr=val]``, ``:root``, comma-separated selector lists, and the
-  parsel pseudo-elements ``::text`` / ``::attr(name)``.
+* CSS: ``tag``, ``.class``, ``#id``, compound (``a.url``), descendant
+  (space) / child (``>``) / adjacent-sibling (``+``) / general-sibling
+  (``~``) combinators, attribute selectors ``[attr]`` and
+  ``[attr OP val]`` for ``=``, ``~=``, ``^=``, ``$=``, ``*=``, ``|=``,
+  structural pseudo-classes ``:nth-child(An+B|odd|even|k)``,
+  ``:nth-of-type(...)``, ``:first-child``, ``:last-child``, ``:empty``,
+  ``:not(<simple>)``, ``:root``, comma-separated selector lists, and
+  the parsel pseudo-elements ``::text`` / ``::attr(name)``.
 * XPath: location paths of ``.//tag`` / ``//tag`` / ``/tag`` /
   ``.//*`` steps plus the explicit axes ``child::``, ``descendant::``,
   ``descendant-or-self::``, ``following-sibling::``,
@@ -320,8 +324,13 @@ class _Simple:
     tag: Optional[str] = None
     id: Optional[str] = None
     classes: tuple[str, ...] = ()
-    attrs: tuple[tuple[str, Optional[str]], ...] = ()  # (name, value-or-None)
+    # (name, op, value): op None = existence, else one of = ~= ^= $= *= |=
+    attrs: tuple[tuple[str, Optional[str], Optional[str]], ...] = ()
     is_root: bool = False
+    # structural pseudo-classes: ("nth-child", a, b) | ("nth-of-type",
+    # a, b) | ("first-child",) | ("last-child",) | ("empty",) |
+    # ("not", _Simple)
+    pseudos: tuple[tuple, ...] = ()
 
     def matches(self, el: Element) -> bool:
         if self.is_root:
@@ -336,12 +345,54 @@ class _Simple:
             have = set(el.classes)
             if not all(c in have for c in self.classes):
                 return False
-        for name, value in self.attrs:
+        for name, op, value in self.attrs:
             if name not in el.attrs:
                 return False
-            if value is not None and el.attrs[name] != value:
+            if op is None:
+                continue
+            have = el.attrs[name]
+            if op == "=":
+                ok = have == value
+            elif op == "~=":
+                ok = value in have.split()
+            elif op == "^=":
+                ok = bool(value) and have.startswith(value)
+            elif op == "$=":
+                ok = bool(value) and have.endswith(value)
+            elif op == "*=":
+                ok = bool(value) and value in have
+            else:  # |=
+                ok = have == value or have.startswith(value + "-")
+            if not ok:
+                return False
+        for p in self.pseudos:
+            if not self._pseudo_matches(el, p):
                 return False
         return True
+
+    @staticmethod
+    def _pseudo_matches(el: Element, p: tuple) -> bool:
+        kind = p[0]
+        if kind == "not":
+            return not p[1].matches(el)
+        if kind == "empty":
+            return not any(
+                isinstance(c, Element) or (isinstance(c, str) and c)
+                for c in el.children)
+        if el.parent is None:
+            return False
+        sibs = [c for c in el.parent.children if isinstance(c, Element)]
+        if kind == "first-child":
+            return sibs[0] is el
+        if kind == "last-child":
+            return sibs[-1] is el
+        if kind == "nth-of-type":
+            sibs = [s for s in sibs if s.tag == el.tag]
+        i = next(j for j, s in enumerate(sibs, 1) if s is el)
+        a, b = p[1], p[2]
+        if a == 0:
+            return i == b
+        return (i - b) % a == 0 and (i - b) // a >= 0
 
 
 @dataclass(frozen=True)
@@ -355,9 +406,29 @@ class CompiledCSS:
 
 _SIMPLE_RE = re.compile(
     r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
-    r"(?P<rest>(?:[#.][\w-]+|\[[^\]]+\]|:root)*)"
+    r"(?P<rest>(?:[#.][\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?)*)"
 )
-_PART_RE = re.compile(r"([#.][\w-]+|\[[^\]]+\]|:root)")
+_PART_RE = re.compile(r"([#.][\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?)")
+_ATTR_RE = re.compile(r"^([\w-]+)\s*(?:([~^$*|]?=)\s*(.*))?$")
+_NTH_RE = re.compile(r"^(?:([+-]?\d*)n)?\s*([+-]\s*\d+|[+-]?\d+)?$")
+
+
+def _parse_nth(src: str) -> tuple[int, int]:
+    """CSS An+B micro-syntax → (a, b)."""
+    src = src.strip().lower()
+    if src == "odd":
+        return (2, 1)
+    if src == "even":
+        return (2, 0)
+    m = _NTH_RE.match(src.replace(" ", ""))
+    if not m or (m.group(1) is None and m.group(2) is None):
+        raise ValueError(f"Unsupported :nth- argument: {src!r}")
+    if m.group(1) is None:  # bare integer
+        return (0, int(m.group(2)))
+    a_src = m.group(1)
+    a = int(a_src) if a_src not in ("", "+", "-") else (-1 if a_src == "-" else 1)
+    b = int(m.group(2)) if m.group(2) else 0
+    return (a, b)
 
 
 def _parse_simple(tok: str) -> _Simple:
@@ -368,6 +439,7 @@ def _parse_simple(tok: str) -> _Simple:
     if tag == "*":
         tag = None
     id_, classes, attrs, is_root = None, [], [], False
+    pseudos: list[tuple] = []
     for part in _PART_RE.findall(m.group("rest") or ""):
         if part.startswith("."):
             classes.append(part[1:])
@@ -375,15 +447,29 @@ def _parse_simple(tok: str) -> _Simple:
             id_ = part[1:]
         elif part == ":root":
             is_root = True
-        elif part.startswith("["):
-            inner = part[1:-1]
-            if "=" in inner:
-                name, _, value = inner.partition("=")
-                attrs.append((name.strip(), value.strip().strip("\"'")))
+        elif part.startswith(":"):
+            name, _, arg = part[1:].partition("(")
+            arg = arg[:-1] if arg.endswith(")") else arg
+            if name == "not":
+                pseudos.append(("not", _parse_simple(arg.strip())))
+            elif name in ("nth-child", "nth-of-type"):
+                a, b = _parse_nth(arg)
+                pseudos.append((name, a, b))
+            elif name in ("first-child", "last-child", "empty"):
+                pseudos.append((name,))
             else:
-                attrs.append((inner.strip(), None))
+                raise ValueError(f"Unsupported CSS pseudo-class: :{name}")
+        elif part.startswith("["):
+            am = _ATTR_RE.match(part[1:-1].strip())
+            if not am:
+                raise ValueError(f"Unsupported CSS attribute: {part!r}")
+            value = am.group(3)
+            attrs.append((am.group(1), am.group(2),
+                          value.strip().strip("\"'") if value is not None
+                          else None))
     return _Simple(tag=tag.lower() if tag else None, id=id_,
-                   classes=tuple(classes), attrs=tuple(attrs), is_root=is_root)
+                   classes=tuple(classes), attrs=tuple(attrs),
+                   is_root=is_root, pseudos=tuple(pseudos))
 
 
 def compile_css(selector: str) -> CompiledCSS:
@@ -404,15 +490,31 @@ def compile_css(selector: str) -> CompiledCSS:
         alt = alt.strip()
         if not alt:
             continue
-        # tokenize on combinators
-        toks = re.split(r"\s*(>)\s*|\s+", alt)
+        # tokenize on combinators (descendant, child, adjacent, general)
+        # at paren/bracket depth 0 — '+' inside :nth-child(-n+2) and
+        # '~' inside [attr~=v] are NOT combinators
+        toks: list[str] = []
+        depth, start, i = 0, 0, 0
+        while i < len(alt):
+            c = alt[i]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0 and (c.isspace() or c in ">+~"):
+                if alt[start:i]:
+                    toks.append(alt[start:i])
+                if c in ">+~":
+                    toks.append(c)
+                start = i + 1
+            i += 1
+        if alt[start:]:
+            toks.append(alt[start:])
         seq: list[tuple[str, _Simple]] = []
         comb = " "
         for tok in toks:
-            if tok is None or tok == "":
-                continue
-            if tok == ">":
-                comb = ">"
+            if tok in (">", "+", "~"):
+                comb = tok
                 continue
             seq.append((comb, _parse_simple(tok)))
             comb = " "
@@ -429,6 +531,14 @@ def _match_sequence(el: Element, seq: tuple[tuple[str, _Simple], ...]) -> bool:
     if len(seq) == 1:
         return True
     rest = seq[:-1]
+    if comb in ("+", "~"):
+        if el.parent is None:
+            return False
+        sibs = [c for c in el.parent.children if isinstance(c, Element)]
+        i = next(j for j, s in enumerate(sibs) if s is el)
+        if comb == "+":
+            return i > 0 and _match_sequence(sibs[i - 1], rest)
+        return any(_match_sequence(s, rest) for s in sibs[:i])
     parent = el.parent
     if comb == ">":
         return parent is not None and _match_sequence(parent, rest)

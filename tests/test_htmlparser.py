@@ -342,3 +342,47 @@ def test_xpath_predicate_subpaths():
     dom = parse_html(XGRAM_HTML)
     wrap2 = xpath_eval(dom, compile_xpath("//div[a/text()='A2b']"))
     assert [e.attrs.get("class") for e in wrap2] == ["wrap2"]
+
+
+# --------------------------------------------------------------------------
+# extended CSS grammar (round 3): attribute operators, sibling
+# combinators, structural pseudo-classes
+# --------------------------------------------------------------------------
+
+CSSX_HTML = """<html><body>
+<ul><li class="a">1</li><li>2</li><li class="a">3</li><li>4</li><li>5</li></ul>
+<div id="d"><p lang="en-US">x</p><p>y</p><span></span></div>
+<a href="file.pdf">p</a><a href="http://x/page.html">h</a>
+<h2>T</h2><p class="lead">L</p><p>M</p>
+</body></html>"""
+
+
+def _cs(expr):
+    from dude_ray.htmlparser import compile_css, css_select, parse_html
+
+    dom = parse_html(CSSX_HTML)
+    return [(e.tag, e.text) for e in css_select(dom, compile_css(expr))]
+
+
+def test_css_attribute_operators():
+    assert _cs("a[href$='.pdf']") == [("a", "p")]
+    assert _cs("a[href^='http']") == [("a", "h")]
+    assert _cs("a[href*='page']") == [("a", "h")]
+    assert _cs("p[lang|='en']") == [("p", "x")]
+    assert _cs("p[lang~='en-US']") == [("p", "x")]
+
+
+def test_css_structural_pseudos():
+    assert _cs("li:nth-child(odd)") == [("li", "1"), ("li", "3"), ("li", "5")]
+    assert _cs("li:nth-child(2n)") == [("li", "2"), ("li", "4")]
+    assert _cs("li:nth-child(-n+2)") == [("li", "1"), ("li", "2")]
+    assert _cs("li:first-child") == [("li", "1")]
+    assert _cs("li:last-child") == [("li", "5")]
+    assert _cs("li:not(.a)") == [("li", "2"), ("li", "4"), ("li", "5")]
+    assert _cs("div > span:empty") == [("span", "")]
+
+
+def test_css_sibling_combinators():
+    assert _cs("h2 + p") == [("p", "L")]
+    assert _cs("h2 ~ p") == [("p", "L"), ("p", "M")]
+    assert _cs("ul > li.a + li") == [("li", "2"), ("li", "4")]
