@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": relational.run_value_percentiles,
         "distinct_users": relational.run_distinct_users,
         "distinct_users_approx": _q_distinct_users_approx,
+        "top_terms_sketch": _q_top_terms_sketch,
     }
 
 
@@ -181,6 +182,18 @@ def _q_distinct_users_approx(sf_dir: str):
     from dude_ray.pipelines.sketches import run_distinct_users_approx
 
     return run_distinct_users_approx(sf_dir)
+
+
+def _q_top_terms_sketch(sf_dir: str):
+    """Misra-Gries heavy hitters.  The sf corpora's vocabulary (31
+    terms) is below the counter budget, so no pruning triggers and the
+    sketch is EXACT here — hence the SQL oracle below is a legitimate
+    hash-match; the pruning/error-bound path is exercised by
+    tests/test_pipelines.py::test_top_terms_sketch_heavy_hitters on a
+    6000-term skewed vocabulary."""
+    from dude_ray.pipelines.sketches import run_top_terms_sketch
+
+    return run_top_terms_sketch(sf_dir)
 
 
 def _q_streaming_window(sf_dir: str):
@@ -385,6 +398,16 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'fr' THEN 0.25
                               WHEN 'es' THEN 0.25
                               ELSE 0.125 END
+        """,
+        "top_terms_sketch": f"""
+            WITH words AS (
+                SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS term
+                FROM documents
+            ), c AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS n
+                FROM words GROUP BY term
+            )
+            SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 20
         """,
         "dedup_incremental": """
             WITH c AS (

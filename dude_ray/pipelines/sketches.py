@@ -109,3 +109,60 @@ def run_distinct_users_approx(sf_dir: str):
                               batch_size=16384)
     return partials.groupby("event_type").map_groups(
         _merge, batch_format="pandas").sort("event_type")
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (approximate global top terms)
+# --------------------------------------------------------------------------
+
+MG_COUNTERS = 256
+MG_TOP = 20
+
+
+def run_top_terms_sketch(sf_dir: str, k_counters: int = MG_COUNTERS,
+                         m: int = MG_TOP):
+    """Approximate global top-m terms via mergeable Misra-Gries
+    summaries — the unbounded-vocabulary twin of the exact
+    ``cleaning.run_top_terms_per_source``.
+
+    Per batch: one value_counts, then the batch-MG prune (subtract the
+    (k+1)-th largest count, drop non-positives) — each partial is ≤ k
+    rows with per-partial undercount ≤ n_batch/(k+1).  Partials merge
+    by a plain groupby-sum (summed undercount stays ≤ N/(k+1) — the
+    standard mergeable-summaries bound), so the only shuffle moves
+    ≤ k rows per block no matter how large the vocabulary grows.  Any
+    term with true count > N/(k+1) above the m-th count is guaranteed
+    present."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from dude_ray.io import read_parquet_clean
+    from dude_ray.pipelines.textops import TOKEN_RE
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.findall(TOKEN_RE).explode().dropna()
+        c = words.value_counts()
+        if len(c) > k_counters:
+            thresh = int(c.iloc[k_counters])
+            c = (c.iloc[:k_counters] - thresh)
+            c = c[c > 0]
+        return pd.DataFrame({"term": c.index.astype(str),
+                             "n": c.to_numpy().astype("int64")})
+
+    partials = ds.map_batches(_partial, batch_format="pandas",
+                              batch_size=4096)
+    merged = partials.groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    def _local_top(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k=min(m, len(batch)),
+            sort_keys=[("n", "descending"), ("term", "ascending")])
+        return batch.take(idx)
+
+    # per-block local top-m, then one tiny global sort+limit
+    top = merged.map_batches(_local_top, batch_format="pyarrow",
+                             batch_size=None)
+    return top.sort(["n", "term"], descending=[True, False]).limit(m)

@@ -514,3 +514,41 @@ def test_dedup_incremental_exact_despite_bloom_fps(ray_session, tmp_path):
                  for r in run_dedup_incremental(
                      str(d), bits_per_key=2).take_all())
     assert got == sorted(range(80, 120))
+
+
+def test_top_terms_sketch_heavy_hitters(ray_session, tmp_path):
+    """Synthetic skewed vocabulary with forced pruning: every true
+    heavy hitter must surface, approximate counts within the N/(k+1)
+    Misra-Gries bound."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.sketches import run_top_terms_sketch
+
+    rng = np.random.RandomState(7)
+    heavy = {f"heavy{i}": 400 - 25 * i for i in range(8)}
+    words = []
+    for w, c in heavy.items():
+        words += [w] * c
+    # 6000 singleton terms → far more distinct terms than counters
+    words += [f"rare{i}" for i in range(6000)]
+    rng.shuffle(words)
+    texts = [" ".join(words[i:i + 30]) for i in range(0, len(words), 30)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["x"] * len(texts)),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    k = 64
+    rows = run_top_terms_sketch(str(d), k_counters=k, m=8).take_all()
+    got = {r["term"]: r["n"] for r in rows}
+    n_total = len(words)
+    bound = n_total / (k + 1)
+    for w, c in heavy.items():
+        assert w in got, f"heavy hitter {w} missing"
+        assert c - bound <= got[w] <= c, (w, got[w], c, bound)
