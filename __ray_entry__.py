@@ -165,7 +165,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": relational.run_distinct_users,
         "distinct_users_approx": _q_distinct_users_approx,
         "top_terms_sketch": _q_top_terms_sketch,
+        # clustering
+        "kmeans_assign": _q_kmeans_assign,
+        "kmeans_cluster": _q_kmeans_cluster,
     }
+
+
+def _q_kmeans_assign(sf_dir: str):
+    from dude_ray.pipelines.clustering import run_kmeans_assign
+
+    return run_kmeans_assign(sf_dir)
+
+
+def _q_kmeans_cluster(sf_dir: str):
+    """Iterative Lloyd's — not SQL-expressible (rows-only driver
+    check); exact equality vs a single-process numpy reference with
+    the identical init/update rule is asserted in
+    tests/test_clustering.py."""
+    from dude_ray.pipelines.clustering import run_kmeans_cluster
+
+    return run_kmeans_cluster(sf_dir)
 
 
 def _q_dedup_incremental(sf_dir: str):
@@ -454,12 +473,33 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "embedding_neardup_exact": """
+            -- CAST inputs (not the result) to DOUBLE[] so DuckDB's
+            -- cosine runs in float64 like the numpy side; float32
+            -- accumulation drifts ~1e-7, enough to flip a round-4
+            -- boundary (observed on kmeans_assign during round 3)
             SELECT a.vec_id AS a, b.vec_id AS b,
-                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
-                              AS DOUBLE), 4) AS cosine
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
-                             AS DOUBLE), 4) >= 0.35
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "kmeans_assign": """
+            WITH cent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ), scored AS (
+                SELECT e.vec_id, c.cid,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.cemb), 4) AS sim
+                FROM embeddings e CROSS JOIN cent c
+            )
+            SELECT vec_id, cid AS cluster_id, sim
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
         """,
         "ngram_jaccard_pairs": """
             WITH grams AS (

@@ -1,0 +1,184 @@
+"""Distributed document clustering over the ``embeddings`` table.
+
+Two entry points:
+
+* ``run_kmeans_assign`` — one nearest-centroid assignment step against
+  a deterministic seed codebook (the embeddings of the ``k`` lowest
+  vec_ids).  Exact and SQL-expressible, so it hash-matches a DuckDB
+  oracle (cross join × argmax via ``list_cosine_similarity``); it is
+  the correctness anchor for the kernel the iterative path reuses.
+* ``run_kmeans_cluster`` — full distributed Lloyd's iterations
+  (spherical k-means: rows and centroids L2-normalized, assignment by
+  max dot).  Per iteration: centroids broadcast once via ``ray.put``;
+  each batch emits ONE partial row per touched cluster (count +
+  d-dim sum); a ``groupby(cluster).map_groups`` reduce merges the
+  partials so only ``k × num_blocks`` fixed-width rows ever shuffle
+  and the driver only holds the k × d codebook — never a vector of
+  the input.  Verified in tests against a local numpy reference with
+  the identical update rule (same init, same rounding).
+
+Scale notes (100 TB): the corpus is re-scanned once per iteration
+(inherent to Lloyd's); all shuffle traffic is k·blocks partial rows of
+d float64s; the codebook (k × d) is the only driver state.  Skewed
+cluster sizes don't skew tasks — partials are per-batch, the reduce
+per cluster merges #blocks rows regardless of member counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dude_ray.pipelines.similarity import _load_queries, _normalize
+
+
+def _emb(sf_dir: str):
+    from dude_ray.io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+
+
+def _batch_mat(batch: pa.Table):
+    vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    emb = _normalize(np.stack(
+        batch["embedding"].to_pylist()).astype(np.float64))
+    return vids, emb
+
+
+def _assign_table(vids, emb, cent_ids, cent) -> pa.Table:
+    """argmax over ROUNDED (4 dp) cosine, ties → lowest centroid id;
+    the rounding is shared with the DuckDB oracle so boundary points
+    cannot flip on float noise (same convention as
+    dedup._BlockPairJoin, dedup.py:650)."""
+    sims = np.round(emb @ cent.T, 4)  # (n, k)
+    best = sims.argmax(axis=1)        # first max = lowest centroid index
+    return pa.table({
+        "vec_id": pa.array(vids, type=pa.int64()),
+        "cluster_id": pa.array(cent_ids[best], type=pa.int64()),
+        "sim": pa.array(sims[np.arange(len(vids)), best],
+                        type=pa.float64()),
+    })
+
+
+def run_kmeans_assign(sf_dir: str, k: int = 8, concurrency: int = 4):
+    """Nearest-centroid assignment to the seed codebook (embeddings of
+    the k globally-lowest vec_ids, found distributed).  cluster_id is
+    the centroid's vec_id.  Hash-matched against a DuckDB
+    cross-join/argmax oracle."""
+    cent_ids, cmat = _load_queries(sf_dir, k)
+    state = (cent_ids, _normalize(cmat))
+
+    class Assign:
+        def __init__(self):
+            self.cent_ids, self.cent = state
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids, emb = _batch_mat(batch)
+            return _assign_table(vids, emb, self.cent_ids, self.cent)
+
+    return _emb(sf_dir).map_batches(Assign, batch_format="pyarrow",
+                                    batch_size=4096,
+                                    concurrency=(1, concurrency))
+
+
+def _merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+    """Reduce one cluster's per-batch partials to a single row."""
+    vecs = np.stack(g["vec_sum"].to_numpy())
+    return pd.DataFrame({
+        "cluster": [int(g["cluster"].iloc[0])],
+        "count": [int(g["count"].sum())],
+        "vec_sum": [vecs.sum(axis=0)],
+    })
+
+
+def kmeans_iterate(ds, cent: np.ndarray, iters: int,
+                   batch_size: int = 4096, concurrency: int = 4):
+    """Run ``iters`` Lloyd's update passes over ``ds`` starting from
+    ``cent`` (already L2-normalized); returns the final codebook.
+    Empty clusters keep their previous centroid (standard Lloyd's
+    fallback, deterministic)."""
+    import ray
+
+    k = len(cent)
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            _vids, emb = _batch_mat(batch)
+            assign = np.round(emb @ c.T, 4).argmax(axis=1)
+            clusters = np.unique(assign)
+            return pa.table({
+                "cluster": pa.array(clusters, type=pa.int64()),
+                "count": pa.array(
+                    [int((assign == ci).sum()) for ci in clusters],
+                    type=pa.int64()),
+                "vec_sum": pa.array(
+                    [emb[assign == ci].sum(axis=0) for ci in clusters]),
+            })
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               concurrency=concurrency)
+                  .groupby("cluster")
+                  .map_groups(_merge_partials, batch_format="pandas")
+                  .take_all())  # ≤ k rows — the codebook update
+        new_cent = cent.copy()
+        for r in rows:
+            ci = int(r["cluster"])
+            if r["count"]:
+                new_cent[ci] = np.asarray(r["vec_sum"]) / r["count"]
+        cent = _normalize(new_cent)
+    return cent
+
+
+def run_kmeans_cluster(sf_dir: str, k: int = 8, iters: int = 5,
+                       batch_size: int = 4096, concurrency: int = 4):
+    """Full spherical k-means: deterministic seed codebook (k lowest
+    vec_ids), ``iters`` distributed Lloyd's passes, then a final
+    assignment pass.  Output: (vec_id, cluster_id ∈ [0, k), sim).
+    Tested against a local numpy reference (identical init and update
+    rule) — centroids agree to 1e-8 and assignments exactly."""
+    _seed_ids, cmat = _load_queries(sf_dir, k)
+    cent = kmeans_iterate(_emb(sf_dir), _normalize(cmat), iters,
+                          batch_size=batch_size, concurrency=concurrency)
+    idx = np.arange(k, dtype=np.int64)
+
+    class Final:
+        def __init__(self):
+            self.cent = cent
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids, emb = _batch_mat(batch)
+            return _assign_table(vids, emb, idx, self.cent)
+
+    return _emb(sf_dir).map_batches(Final, batch_format="pyarrow",
+                                    batch_size=batch_size,
+                                    concurrency=(1, concurrency))
+
+
+def kmeans_reference(sf_dir: str, k: int = 8, iters: int = 5):
+    """Single-process numpy Lloyd's with the same init/update/rounding
+    — the test oracle for ``run_kmeans_cluster`` (analogous to the
+    sequential crawl replay oracle in tests/test_crawl.py)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+    lowest = np.argsort(vids)[:k]
+    cent = _normalize(emb[lowest].copy())
+    for _ in range(iters):
+        assign = np.round(emb @ cent.T, 4).argmax(axis=1)
+        new_cent = cent.copy()
+        for ci in range(k):
+            members = emb[assign == ci]
+            if len(members):
+                new_cent[ci] = members.mean(axis=0)
+        cent = _normalize(new_cent)
+    assign = np.round(emb @ cent.T, 4).argmax(axis=1)
+    sims = np.round(emb @ cent.T, 4)[np.arange(len(vids)), assign]
+    return vids, assign, sims, cent

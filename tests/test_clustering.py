@@ -1,0 +1,90 @@
+"""Distributed k-means vs a single-process numpy reference.
+
+The oracle strategy mirrors the crawl engine's sequential-replay test:
+the distributed pipeline must EXACTLY reproduce a local implementation
+with the identical deterministic init (k lowest vec_ids), update rule
+(spherical Lloyd's) and rounding convention (round-4 argmax).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_df(ds) -> pd.DataFrame:
+    return ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def test_kmeans_assign_matches_local(ray_session):
+    """One assignment step against the seed codebook == local numpy."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.clustering import run_kmeans_assign
+    from dude_ray.pipelines.similarity import _normalize
+
+    got = _sorted_df(run_kmeans_assign(SF, k=8))
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+    order = np.argsort(vids)
+    cent_ids = vids[order[:8]]
+    cent = emb[order[:8]]
+    sims = np.round(emb @ cent.T, 4)
+    best = sims.argmax(axis=1)
+
+    want = pd.DataFrame({
+        "vec_id": vids,
+        "cluster_id": cent_ids[best],
+        "sim": sims[np.arange(len(vids)), best],
+    }).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every seed vector belongs to its own cluster at sim 1.0
+    seeds = got[got["vec_id"].isin(cent_ids)]
+    assert (seeds["cluster_id"].to_numpy() == seeds["vec_id"].to_numpy()).all()
+    assert (seeds["sim"] == 1.0).all()
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_kmeans_cluster_matches_reference(ray_session, iters):
+    """Full distributed Lloyd's == local reference, exactly — same
+    assignments, same round-4 sims, centroids to 1e-9."""
+    from dude_ray.pipelines.clustering import (kmeans_reference,
+                                               run_kmeans_cluster)
+
+    got = _sorted_df(run_kmeans_cluster(SF, k=8, iters=iters))
+    vids, assign, sims, _cent = kmeans_reference(SF, k=8, iters=iters)
+    want = pd.DataFrame({"vec_id": vids, "cluster_id": assign, "sim": sims}) \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (got["cluster_id"].to_numpy()
+            == want["cluster_id"].to_numpy()).all()
+    assert (got["sim"].to_numpy() == want["sim"].to_numpy()).all()
+    # all k clusters non-empty on this data
+    assert got["cluster_id"].nunique() == 8
+
+
+def test_kmeans_cluster_batch_size_invariant(ray_session):
+    """Partial-sum merge order must not leak into the result: tiny
+    batches (many partials per cluster) == one big batch."""
+    from dude_ray.pipelines.clustering import run_kmeans_cluster
+
+    small = _sorted_df(run_kmeans_cluster(SF, k=8, iters=3, batch_size=64))
+    big = _sorted_df(run_kmeans_cluster(SF, k=8, iters=3, batch_size=4096))
+    assert (small["cluster_id"].to_numpy()
+            == big["cluster_id"].to_numpy()).all()
+    assert (small["sim"].to_numpy() == big["sim"].to_numpy()).all()
+
+
+def test_kmeans_inertia_improves(ray_session):
+    """More Lloyd's iterations → mean best-sim (spherical inertia
+    complement) must not decrease."""
+    from dude_ray.pipelines.clustering import run_kmeans_cluster
+
+    one = _sorted_df(run_kmeans_cluster(SF, k=8, iters=1))["sim"].mean()
+    five = _sorted_df(run_kmeans_cluster(SF, k=8, iters=5))["sim"].mean()
+    assert five >= one - 1e-9
