@@ -168,7 +168,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # clustering
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_cluster": _q_kmeans_cluster,
+        # full-text ranking
+        "bm25_topk": _q_bm25_topk,
     }
+
+
+def _q_bm25_topk(sf_dir: str):
+    from dude_ray.pipelines.ranking import run_bm25
+
+    return run_bm25(sf_dir)
 
 
 def _q_kmeans_assign(sf_dir: str):
@@ -485,6 +493,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                            AS BIGINT) AS dl
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n,
+                       sum(dl) * 1.0 / count(*) AS avgdl
+                FROM toks
+            ), tf AS (
+                SELECT doc_id, dl, t.term,
+                       CAST(len(list_filter(toks, x -> x = t.term))
+                            AS BIGINT) AS tf
+                FROM toks CROSS JOIN (VALUES ('spark'), ('window'),
+                                             ('merge'), ('vector')) t(term)
+                WHERE len(list_filter(toks, x -> x = t.term)) > 0
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * tf.dl / s.avgdl)))
+                           AS score
+                FROM tf JOIN df USING (term) CROSS JOIN stats s
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 6) AS score,
+                   CAST(row_number() OVER (
+                       ORDER BY round(score, 6) DESC, doc_id) AS BIGINT)
+                       AS rank
+            FROM scored
+            ORDER BY rank
+            LIMIT 20
         """,
         "kmeans_assign": """
             WITH cent AS (
