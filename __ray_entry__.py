@@ -170,7 +170,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cluster": _q_kmeans_cluster,
         # full-text ranking
         "bm25_topk": _q_bm25_topk,
+        # training-mix interleave
+        "mix_interleave": _q_mix_interleave,
     }
+
+
+def _q_mix_interleave(sf_dir: str):
+    from dude_ray.pipelines.sampling import run_mix_interleave
+
+    return run_mix_interleave(sf_dir)
 
 
 def _q_bm25_topk(sf_dir: str):
@@ -493,6 +501,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "mix_interleave": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       6 // ((CAST(substr(source, 4) AS INT) % 3) + 1)
+                           AS stride,
+                       CAST(row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id) - 1
+                           AS BIGINT) AS rk
+                FROM documents
+            )
+            SELECT doc_id, source, rk,
+                   rk * stride AS key,
+                   CAST(row_number() OVER (
+                       ORDER BY rk * stride, source) - 1 AS BIGINT)
+                       AS mix_pos
+            FROM w
         """,
         "bm25_topk": """
             WITH toks AS (

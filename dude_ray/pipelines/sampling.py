@@ -191,3 +191,101 @@ def run_sample_per_group(sf_dir: str, k: int = SAMPLE_K):
         local_k, batch_format="pandas", batch_size=8192)
     return partials.groupby("lang").map_groups(final_k,
                                                batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# weighted source interleave (shuffle-free analytic rank)
+# --------------------------------------------------------------------------
+
+INTERLEAVE_BASE = 6  # lcm of the weight set {1, 2, 3}
+
+
+def _src_weight(source: str) -> int:
+    """Deterministic per-source mix weight derived from the source id
+    (srcN → (N % 3) + 1) — a stand-in for a configured mix table."""
+    return (int(source[3:]) % 3) + 1
+
+
+def run_mix_interleave(sf_dir: str, base: int = INTERLEAVE_BASE):
+    """Weighted round-robin interleave of sources into one global
+    training order: source s with weight w contributes its rk-th doc at
+    key = rk * (base // w), and mix_pos is the global rank of
+    (key, source) — i.e. heavier sources appear proportionally more
+    often in any prefix of the stream (the sampling schedule of a
+    multi-source training mix).
+
+    Scale design — NO global sort or shuffle computes the rank:
+      1. per-source totals: one tiny ``groupby(source).count()``
+         (source cardinality is bounded like a dimension table);
+      2. per-source prefix ranks rk via the token_pack two-pass block
+         scan (per-block (source, count) partials → driver prefix-sum
+         → broadcast offsets → block-local cumcount);
+      3. mix_pos is computed ANALYTICALLY per row from the broadcast
+         totals: #rows before (key, source) =
+         Σ_s' min(n_s', ceil(key / stride_s')) + #{s' < s tied at key}
+         — pure vectorized integer arithmetic, |S| passes per batch.
+    The equivalent SQL is two window functions over a global sort; here
+    every stage is streaming and the only coordination is two
+    #blocks-row driver round-trips."""
+    docs = _docs(sf_dir, ["doc_id", "source"]).sort("doc_id").materialize()
+
+    # per-source totals (tiny)
+    totals = {r["source"]: r["count()"]
+              for r in docs.groupby("source").count().take_all()}
+    sources = sorted(totals)
+    stride = {s: base // _src_weight(s) for s in sources}
+    lex = {s: i for i, s in enumerate(sources)}
+
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"first_id": pd.Series([], dtype="int64"),
+                                 "source": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        g = df.groupby("source", sort=True).size()
+        return pd.DataFrame({"first_id": int(df["doc_id"].iloc[0]),
+                             "source": g.index,
+                             "cnt": g.to_numpy(dtype=np.int64)})
+
+    partials = docs.map_batches(block_partial, batch_format="pandas",
+                                batch_size=None).take_all()
+    partials.sort(key=lambda r: r["first_id"])
+    offsets: dict[tuple[int, str], int] = {}
+    acc = {s: 0 for s in sources}
+    for p in partials:
+        offsets[(p["first_id"], p["source"])] = acc[p["source"]]
+        acc[p["source"]] += p["cnt"]
+
+    n_arr = np.array([totals[s] for s in sources], dtype=np.int64)
+    st_arr = np.array([stride[s] for s in sources], dtype=np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "source": pd.Series([], dtype="object"),
+                                 "rk": pd.Series([], dtype="int64"),
+                                 "key": pd.Series([], dtype="int64"),
+                                 "mix_pos": pd.Series([], dtype="int64")})
+        first = int(df["doc_id"].iloc[0])
+        local = df.groupby("source", sort=False).cumcount().to_numpy()
+        start = df["source"].map(
+            lambda s: offsets[(first, s)]).to_numpy(dtype=np.int64)
+        rk = start + local
+        srow = df["source"].map(stride).to_numpy(dtype=np.int64)
+        key = rk * srow
+        lexrow = df["source"].map(lex).to_numpy(dtype=np.int64)
+        pos = np.zeros(len(df), dtype=np.int64)
+        for i in range(len(sources)):
+            st, n = st_arr[i], n_arr[i]
+            pos += np.minimum(n, (key + st - 1) // st)
+            pos += ((i < lexrow) & (key % st == 0)
+                    & (key // st < n)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "source": df["source"].to_numpy(),
+            "rk": rk.astype(np.int64),
+            "key": key.astype(np.int64),
+            "mix_pos": pos,
+        })
+
+    return docs.map_batches(assign, batch_format="pandas",
+                            batch_size=None)
