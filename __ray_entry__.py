@@ -172,7 +172,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         # training-mix interleave
         "mix_interleave": _q_mix_interleave,
+        # near-dup connected components
+        "dup_clusters": _q_dup_clusters,
     }
+
+
+def _q_dup_clusters(sf_dir: str):
+    from dude_ray.pipelines.dedup import run_dup_clusters
+
+    return run_dup_clusters(sf_dir)
 
 
 def _q_mix_interleave(sf_dir: str):
@@ -501,6 +509,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+            ), edges AS (
+                SELECT a AS u, b AS v FROM pairs
+                UNION ALL
+                SELECT b AS u, a AS v FROM pairs
+            ), reach AS (
+                SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+            )
+            SELECT u AS vec_id, CAST(min(lbl) AS BIGINT) AS component
+            FROM reach GROUP BY u
         """,
         "mix_interleave": """
             WITH w AS (

@@ -886,3 +886,89 @@ def _digest_batch(batch: pa.Table) -> pa.Table:
         "h": pa.array([d[:16].hex() for d in digests], type=pa.string()),
         "d": pa.array(digests, type=pa.binary()),
     })
+
+
+# --------------------------------------------------------------------------
+# near-dup connected components (dup clusters)
+# --------------------------------------------------------------------------
+
+def run_dup_clusters(sf_dir: str, threshold: float = 0.35,
+                     max_iters: int = 32, num_partitions: int = 4):
+    """Group near-duplicate pairs into CLUSTERS (connected components)
+    and name each by its minimum member — the step between pair
+    detection and "keep one doc per duplicate set" in a real dedup
+    pipeline (pairwise keeps can drop both ends of a chain).
+
+    Pairs come from the exact cosine scan (``run_embedding_neardup_
+    exact``) so the graph — and the DuckDB recursive-CTE oracle — is
+    deterministic.  Components are computed by distributed min-label
+    propagation: label(u) starts at min(u, neighbors) and each round
+    takes the min over the 1-hop neighborhood via one hash join +
+    groupby-min over the EDGE list (never the corpus).  Convergence in
+    O(component diameter) rounds — small for dup clusters by
+    construction — detected by the monotone label-sum fixpoint (labels
+    only ever decrease, so an unchanged sum is an unchanged labeling;
+    one scalar aggregate per round, no extra diff join).  All shuffle
+    traffic is (node, label) int64 pairs partitioned by node hash.
+
+    Output: (vec_id, component) for every node in ≥1 near-dup pair;
+    component == min vec_id of the cluster (the canonical keeper)."""
+    import ray.data  # noqa: F401  (Dataset.join registration)
+
+    pairs = run_embedding_neardup_exact(
+        sf_dir, threshold=threshold).select_columns(["a", "b"])
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "v": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        })
+
+    edges = pairs.map_batches(undirect, batch_format="pyarrow",
+                              batch_size=8192).materialize()
+    agg_args = {"num_cpus": 0}
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pairs.map_batches(
+            lambda t: pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "component": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow")
+    num_partitions = max(2, min(num_partitions, n_edges // 2048 + 1))
+
+    def _min_self(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["min(v)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(u, type=pa.int64()),
+                         "label": pa.array(np.minimum(u, m),
+                                           type=pa.int64())})
+
+    labels = (edges.groupby("u").min("v")
+              .map_batches(_min_self, batch_format="pyarrow")
+              .materialize())
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        prop = edges.join(labels, "inner", num_partitions,
+                          on=("v",), right_on=("node",),
+                          aggregator_ray_remote_args=agg_args)
+        cand = prop.map_batches(
+            lambda t: pa.table({"node": t["u"], "label": t["label"]}),
+            batch_format="pyarrow")
+        merged = labels.union(cand)
+        labels = (merged.groupby("node").min("label")
+                  .map_batches(
+                      lambda t: pa.table({"node": t["node"],
+                                          "label": t["min(label)"]}),
+                      batch_format="pyarrow")
+                  .materialize())
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"vec_id": t["node"], "component": t["label"]}),
+        batch_format="pyarrow")

@@ -552,3 +552,49 @@ def test_top_terms_sketch_heavy_hitters(ray_session, tmp_path):
     for w, c in heavy.items():
         assert w in got, f"heavy hitter {w} missing"
         assert c - bound <= got[w] <= c, (w, got[w], c, bound)
+
+
+def test_dup_clusters_chain_and_clique(ray_session, tmp_path):
+    """Connected components over a planted graph: a 7-node CHAIN
+    (forces multi-round label propagation — diameter 6) plus a
+    separate triangle clique and isolated nodes (absent from output)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_dup_clusters
+
+    dim = 16
+    vecs, ids = [], []
+    # chain: v_i = normalize(e_i + e_{i+1}); cos(v_i, v_{i+1}) = 0.5,
+    # cos(v_i, v_{i+2}) = 0 → edges only between consecutive nodes
+    for i in range(7):
+        v = np.zeros(dim)
+        v[i] = v[i + 1] = 1.0
+        vecs.append(v / np.linalg.norm(v))
+        ids.append(100 + i)
+    # triangle: three copies of e_10 with tiny distinct jitter
+    for j in range(3):
+        v = np.zeros(dim)
+        v[10] = 1.0
+        v[11] = 0.01 * (j + 1)
+        vecs.append(v / np.linalg.norm(v))
+        ids.append(200 + j)
+    # isolated nodes: e_12 and e_13 (orthogonal to everything else)
+    for j, ax in enumerate((12, 13)):
+        v = np.zeros(dim)
+        v[ax] = 1.0
+        vecs.append(v)
+        ids.append(300 + j)
+    t = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    got = run_dup_clusters(str(tmp_path), threshold=0.35).to_pandas()
+    comp = dict(zip(got["vec_id"], got["component"]))
+    assert set(comp) == set(range(100, 107)) | {200, 201, 202}
+    assert all(comp[i] == 100 for i in range(100, 107))
+    assert all(comp[i] == 200 for i in (200, 201, 202))
