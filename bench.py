@@ -134,6 +134,20 @@ def run_bench() -> dict:
     relational.run_pricing_summary(SF_DIR).count()
     timings["pricing_summary"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import clustering, ranking
+
+    t0 = time.time()
+    ranking.run_bm25(SF_DIR)
+    timings["bm25_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    clustering.run_kmeans_cluster(SF_DIR).count()
+    timings["kmeans_cluster"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_dup_clusters(SF_DIR).count()
+    timings["dup_clusters"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
