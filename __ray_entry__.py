@@ -174,7 +174,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_interleave": _q_mix_interleave,
         # near-dup connected components
         "dup_clusters": _q_dup_clusters,
+        # feature binning
+        "value_buckets": _q_value_buckets,
     }
+
+
+def _q_value_buckets(sf_dir: str):
+    from dude_ray.pipelines.relational import run_value_buckets
+
+    return run_value_buckets(sf_dir)
 
 
 def _q_dup_clusters(sf_dir: str):
@@ -509,6 +517,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "value_buckets": """
+            WITH ranked AS (
+                SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                       count(*) OVER () AS n
+                FROM events
+            ), bnds AS (
+                SELECT g.i AS i, min(value) AS b
+                FROM ranked, generate_series(1, 9) g(i)
+                WHERE rn = CAST(ceil(g.i * n / 10.0) AS BIGINT)
+                GROUP BY g.i
+            )
+            SELECT (SELECT count(*) FROM bnds WHERE b <= e.value)
+                       AS bucket,
+                   count(*) AS n_rows,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events e
+            GROUP BY 1
         """,
         "dup_clusters": """
             WITH RECURSIVE pairs AS (

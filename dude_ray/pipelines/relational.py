@@ -703,3 +703,55 @@ def run_top_orders(sf_dir: str, k: int = 20):
                               batch_size=65536)
     return partials.sort(["o_totalprice", "o_orderkey"],
                          descending=[True, False]).limit(k)
+
+
+def run_value_buckets(sf_dir: str, n_buckets: int = 10):
+    """Global equi-depth (decile) bucketing of ``events.value`` — the
+    feature-binning primitive: boundary b_i = smallest value whose rank
+    reaches ceil(i·n/n_buckets) (the value_percentiles rank rule), a
+    row's bucket = #{i : b_i <= value} ∈ [0, n_buckets-1], output is
+    the per-bucket (count, min, max) summary.
+
+    Two streaming passes over events (inherent: quantiles must exist
+    before assignment):
+      1. mergeable value histogram (exact — the column's 2-decimal
+         domain is bounded) → boundaries via cumulative counts; the
+         driver holds n_buckets-1 floats, never rows;
+      2. vectorized searchsorted against the broadcast boundaries +
+         per-batch bucket partials → tree merge.  No sort, no shuffle
+         wider than n_buckets × #blocks partial rows."""
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["value"]).group_by(["value"]).aggregate(
+            [("value", "count")])
+        return pa.table({"value": g["value"],
+                         "n": pc.cast(g["value_count"], pa.int64())})
+
+    ds = _read(sf_dir, "events", ["value"])
+    hist = tree_combine(
+        ds.map_batches(_hist, batch_format="pyarrow", batch_size=16384),
+        ["value"], sums=("n",)).take_all()
+    hist.sort(key=lambda r: r["value"])
+    vals = np.asarray([r["value"] for r in hist])
+    cum = np.cumsum([r["n"] for r in hist])
+    total = int(cum[-1])
+    ranks = [int(np.ceil(i * total / n_buckets))
+             for i in range(1, n_buckets)]
+    bnds = vals[np.searchsorted(cum, ranks, side="left")]
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(bnds, v, side="right").astype(np.int64)
+        t = pa.table({"bucket": pa.array(bucket, type=pa.int64()),
+                      "value": batch["value"]})
+        g = t.group_by(["bucket"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")])
+        return pa.table({"bucket": g["bucket"],
+                         "n_rows": pc.cast(g["value_count"], pa.int64()),
+                         "min_value": g["value_min"],
+                         "max_value": g["value_max"]})
+
+    partials = _read(sf_dir, "events", ["value"]).map_batches(
+        _assign, batch_format="pyarrow", batch_size=16384)
+    return tree_combine(partials, ["bucket"], sums=("n_rows",),
+                        mins=("min_value",), maxs=("max_value",))

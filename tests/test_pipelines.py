@@ -598,3 +598,22 @@ def test_dup_clusters_chain_and_clique(ray_session, tmp_path):
     assert set(comp) == set(range(100, 107)) | {200, 201, 202}
     assert all(comp[i] == 100 for i in range(100, 107))
     assert all(comp[i] == 200 for i in (200, 201, 202))
+
+
+def test_value_buckets_equidepth(ray_session):
+    """Decile buckets: counts within one boundary-tie of n/10 each,
+    buckets ordered by value range, and rows conserved."""
+    import numpy as np
+
+    from dude_ray.pipelines.relational import run_value_buckets
+
+    got = (run_value_buckets("/root/testdata/sf0.001").to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    assert list(got["bucket"]) == list(range(10))
+    n = got["n_rows"].sum()
+    # equi-depth up to duplicate boundary values
+    assert (np.abs(got["n_rows"] - n / 10) <= max(2, 0.05 * n / 10)).all()
+    # ranges are disjoint and ordered
+    assert (got["min_value"] <= got["max_value"]).all()
+    assert (got["max_value"].to_numpy()[:-1]
+            <= got["min_value"].to_numpy()[1:]).all()
