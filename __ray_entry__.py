@@ -176,7 +176,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         # feature binning
         "value_buckets": _q_value_buckets,
+        # exact-substring dup candidates
+        "substring_dup": _q_substring_dup,
     }
+
+
+def _q_substring_dup(sf_dir: str):
+    """Winnowed-hash sharing pairs — hash-function-specific, so no SQL
+    oracle (rows-only driver check); the winnowing guarantee is
+    asserted on planted shared-paragraph docs in
+    tests/test_pipelines.py::test_substring_dup_planted."""
+    from dude_ray.pipelines.dedup import run_substring_dup
+
+    return run_substring_dup(sf_dir)
 
 
 def _q_value_buckets(sf_dir: str):

@@ -988,3 +988,137 @@ def run_dup_clusters(sf_dir: str, threshold: float = 0.35,
     return labels.map_batches(
         lambda t: pa.table({"vec_id": t["node"], "component": t["label"]}),
         batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact-substring duplicate candidates (winnowing fingerprints)
+# --------------------------------------------------------------------------
+
+class _WinnowHashes:
+    """documents → (h, doc_id) rows: the SET of winnowed k-gram hashes
+    per doc (the raw samples the digest-producing Fingerprinter
+    collapses).  K/WINDOW are larger than the fingerprint defaults so
+    the winnowing guarantee — any shared substring of length ≥
+    WINDOW + K - 1 (= 63 bytes here) shares ≥1 sampled hash — targets
+    sentence-scale boilerplate rather than single words."""
+
+    K = 16
+    WINDOW = 48
+
+    def __init__(self):
+        from dude_ray.pipelines.textops import Fingerprinter
+
+        fp = Fingerprinter.__new__(Fingerprinter)
+        rng = np.random.RandomState(7)
+        fp.w = rng.randint(1, np.iinfo(np.int64).max,
+                           size=self.K).astype(np.uint64) | np.uint64(1)
+        fp.K = self.K
+        fp.WINDOW = self.WINDOW
+        self._fp = fp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_h, out_d = [], []
+        w = self.WINDOW
+        for doc_id, t in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            grams = self._fp._grams(t or "")
+            if not len(grams):
+                continue
+            if len(grams) <= w:
+                sampled = grams.min(keepdims=True)
+            else:
+                sampled = np.lib.stride_tricks.sliding_window_view(
+                    grams, w).min(axis=1)
+            uniq = np.unique(sampled)
+            out_h.append(uniq)
+            out_d.append(np.full(len(uniq), doc_id, dtype=np.int64))
+        if not out_h:
+            return pa.table({"h": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        return pa.table({
+            "h": pa.array(np.concatenate(out_h), type=pa.uint64()),
+            "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+        })
+
+
+_SUBSTR_BUCKET_CAP = 64  # docs per winnowed hash; beyond this the hash
+# is boilerplate (stopword-like) and pairing it is O(cap²) noise
+
+
+def _hash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse group of (h, doc_id) rows → candidate pairs per
+    exact-hash run (the _band_pairs scan, plus the bucket cap)."""
+    h = g["h"].to_numpy(dtype=np.uint64)
+    d = g["doc_id"].to_numpy(dtype=np.int64)
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+    if not len(h):
+        return empty
+    order = np.lexsort((d, h))
+    h, d = h[order], d[order]
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    ends = np.r_[starts[1:], len(h)]
+    sizes = ends - starts
+    out_a, out_b = [], []
+    s2 = starts[sizes == 2]
+    out_a.append(d[s2])
+    out_b.append(d[s2 + 1])
+    for s0, e0 in zip(starts[(sizes > 2) & (sizes <= _SUBSTR_BUCKET_CAP)],
+                      ends[(sizes > 2) & (sizes <= _SUBSTR_BUCKET_CAP)]):
+        mem = d[s0:e0]
+        ii, jj = np.triu_indices(len(mem), k=1)
+        out_a.append(mem[ii])
+        out_b.append(mem[jj])
+    a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame({"a": lo.astype(np.int64),
+                         "b": hi.astype(np.int64)})
+
+
+def run_substring_dup(sf_dir: str, min_shared: int = 2,
+                      target_rows_per_group: int = 65536,
+                      concurrency: int = 4):
+    """Exact-substring duplicate candidates (the substring-level dedup
+    of Lee et al., via Schleimer-winnowing sampling): doc pairs sharing
+    ≥ ``min_shared`` winnowed k-gram hashes, i.e. pairs that share
+    sentence-scale verbatim runs (any common substring ≥ 63 bytes is
+    guaranteed to contribute ≥1 shared sample; longer overlaps
+    contribute proportionally more, so ``n_shared`` ranks overlap).
+
+    Scale shape: one text scan emits (h, doc_id) sample rows; a coarse
+    groupby on a data-scaled hash prefix (scaled_group_count — no fixed
+    key width) runs the run-boundary pair scan per group, with an
+    O(cap²) bucket cap that drops boilerplate hashes shared by > 64
+    docs (logged semantics, standard stopword-hash treatment); shared
+    counts come from one (a, b) groupby-count.  Only fixed-width int
+    rows ever shuffle — text never leaves stage 1."""
+    from dude_ray.io import read_parquet_clean
+    from dude_ray.partitioning import scaled_group_count
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    hrows = docs.map_batches(_WinnowHashes, batch_format="pyarrow",
+                             batch_size=2048,
+                             concurrency=(1, concurrency)).materialize()
+    n_groups = scaled_group_count(hrows.count(), target_rows_per_group)
+    mask = np.uint64(n_groups - 1)
+
+    def add_group(t: pa.Table) -> pa.Table:
+        g = (t["h"].to_numpy(zero_copy_only=False) & mask).astype(np.int64)
+        return t.append_column("g", pa.array(g, type=pa.int64()))
+
+    keyed = hrows.map_batches(add_group, batch_format="pyarrow",
+                              batch_size=65536)
+    pairs = keyed.groupby("g").map_groups(
+        lambda g: _hash_bucket_pairs(g), batch_format="pandas")
+    counted = pairs.groupby(["a", "b"]).count()
+    import pyarrow.compute as pc
+
+    return counted.map_batches(
+        lambda t: pa.table({
+            "a": t["a"], "b": t["b"],
+            "n_shared": pc.cast(t["count()"], pa.int64()),
+        }).filter(pc.greater_equal(
+            pc.cast(t["count()"], pa.int64()), min_shared)),
+        batch_format="pyarrow")

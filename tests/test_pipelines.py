@@ -617,3 +617,43 @@ def test_value_buckets_equidepth(ray_session):
     assert (got["min_value"] <= got["max_value"]).all()
     assert (got["max_value"].to_numpy()[:-1]
             <= got["min_value"].to_numpy()[1:]).all()
+
+
+def test_substring_dup_planted(ray_session, tmp_path):
+    """Winnowing guarantee: docs sharing a sentence-scale verbatim run
+    (~300 bytes >> the 63-byte guarantee) are paired with n_shared >= 2;
+    unrelated random-gibberish docs are not paired."""
+    import random
+    import string
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_substring_dup
+
+    rng = random.Random(11)
+
+    def gibberish(n_words):
+        return " ".join("".join(rng.choices(string.ascii_lowercase, k=8))
+                        for _ in range(n_words))
+
+    shared = gibberish(40)  # ~360 bytes of verbatim boilerplate
+    texts = {
+        1: gibberish(60) + " " + shared + " " + gibberish(60),
+        2: gibberish(55) + " " + shared + " " + gibberish(65),
+        3: gibberish(180),
+        4: gibberish(180),
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = run_substring_dup(str(tmp_path), min_shared=2).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (1, 2) in pairs
+    n12 = int(got.set_index(["a", "b"]).loc[(1, 2), "n_shared"])
+    assert n12 >= 2
+    # gibberish docs share no sentence-scale runs with anything
+    assert all({a, b} == {1, 2} for a, b in pairs)
