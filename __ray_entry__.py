@@ -178,7 +178,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_buckets": _q_value_buckets,
         # exact-substring dup candidates
         "substring_dup": _q_substring_dup,
+        # curation composition
+        "curate_keep_best": _q_curate_keep_best,
     }
+
+
+def _q_curate_keep_best(sf_dir: str):
+    from dude_ray.pipelines.cleaning import run_curate_keep_best
+
+    return run_curate_keep_best(sf_dir)
 
 
 def _q_substring_dup(sf_dir: str):
@@ -529,6 +537,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "curate_keep_best": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+            ), edges AS (
+                SELECT a AS u, b AS v FROM pairs
+                UNION ALL
+                SELECT b AS u, a AS v FROM pairs
+            ), reach AS (
+                SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+            ), comp AS (
+                SELECT u AS vec_id, min(lbl) AS component
+                FROM reach GROUP BY u
+            ), quality AS (
+                SELECT doc_id,
+                       round(length(regexp_extract_all(text, '{_STOP_RE}'))
+                             / greatest(length(regexp_extract_all(text,
+                                 '{_TOKEN_RE}')), 1), 6) AS stop_ratio
+                FROM documents
+            )
+            SELECT CAST(coalesce(c.component, q.doc_id) AS BIGINT)
+                       AS component,
+                   q.doc_id, q.stop_ratio
+            FROM quality q LEFT JOIN comp c ON c.vec_id = q.doc_id
+            QUALIFY row_number() OVER (
+                PARTITION BY coalesce(c.component, q.doc_id)
+                ORDER BY q.stop_ratio DESC, q.doc_id) = 1
         """,
         "value_buckets": """
             WITH ranked AS (

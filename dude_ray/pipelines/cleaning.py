@@ -273,3 +273,46 @@ def run_top_terms_per_source(sf_dir: str, k: int = 5):
         return g[["source", "term", "n", "rank"]]
 
     return merged.groupby("source").map_groups(topk, batch_format="pandas")
+
+
+def run_curate_keep_best(sf_dir: str, threshold: float = 0.35,
+                         num_partitions: int = 4):
+    """End-to-end curation keeper selection: group documents by
+    near-dup CLUSTER (connected components over the exact cosine pair
+    graph; doc_id ≡ vec_id in this corpus) and keep the best-quality
+    member per cluster — highest stopword ratio, ties to the lowest
+    doc_id; documents in no cluster keep themselves.  This is the
+    composition layer: pair detection (dedup), component grouping
+    (dup_clusters) and quality scoring (textops) chained into the
+    "which rows survive" decision a real corpus build runs.
+
+    Scale shape: quality rows (fixed-width) LEFT-join the (small)
+    component map by doc-id hash; keeper choice is one groupby over
+    (component) of 16-byte rows.  Text is read once, inside the
+    quality scan."""
+    from dude_ray.pipelines.dedup import run_dup_clusters
+    from dude_ray.pipelines.textops import run_quality
+
+    comps = run_dup_clusters(sf_dir, threshold=threshold)
+    quality = run_quality(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "stop_ratio": t["stop_ratio"]}),
+        batch_format="pyarrow")
+    joined = quality.join(comps, "left_outer", num_partitions,
+                          on=("doc_id",), right_on=("vec_id",),
+                          aggregator_ray_remote_args={"num_cpus": 0})
+
+    def fill(t: pa.Table) -> pa.Table:
+        comp = pc.coalesce(pc.cast(t["component"], pa.int64()),
+                           pc.cast(t["doc_id"], pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "component": comp,
+                         "stop_ratio": t["stop_ratio"]})
+
+    def keeper(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["stop_ratio", "doc_id"],
+                          ascending=[False, True]).head(1)
+        return g[["component", "doc_id", "stop_ratio"]]
+
+    return (joined.map_batches(fill, batch_format="pyarrow")
+            .groupby("component")
+            .map_groups(keeper, batch_format="pandas"))

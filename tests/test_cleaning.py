@@ -123,3 +123,30 @@ def test_cleaning_real_corpus_row_counts(ray_session):
     assert cleaning.run_text_normalize(SF).count() == n
     assert cleaning.run_repetition_quality(SF).count() == n
     assert cleaning.run_decontaminate(SF).count() == n
+
+
+def test_curate_keep_best_semantics(ray_session):
+    """Every component keeps exactly one doc; the keeper is a member
+    with the max stop_ratio (ties → lowest doc_id); unclustered docs
+    keep themselves."""
+    from dude_ray.pipelines.cleaning import run_curate_keep_best
+    from dude_ray.pipelines.dedup import run_dup_clusters
+    from dude_ray.pipelines.textops import run_quality
+
+    sf = "/root/testdata/sf0.001"
+    kept = run_curate_keep_best(sf).to_pandas()
+    comps = run_dup_clusters(sf).to_pandas()
+    quality = run_quality(sf).to_pandas().set_index("doc_id")["stop_ratio"]
+
+    comp_of = dict(zip(comps["vec_id"], comps["component"]))
+    assert kept["component"].is_unique
+    # total components = distinct near-dup components + unclustered docs
+    n_docs = len(quality)
+    assert len(kept) == comps["component"].nunique() + (n_docs - len(comps))
+    for _, row in kept.iterrows():
+        members = [v for v, c in comp_of.items() if c == row["component"]]
+        if not members:
+            members = [row["component"]]  # unclustered: itself
+        best = max(members, key=lambda d: (quality[d], -d))
+        assert row["doc_id"] == best
+        assert row["stop_ratio"] == quality[best]
