@@ -180,7 +180,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup": _q_substring_dup,
         # curation composition
         "curate_keep_best": _q_curate_keep_best,
+        # feature standardization
+        "events_zscore": _q_events_zscore,
+        # embedding PCA
+        "embedding_pca": _q_embedding_pca,
     }
+
+
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA — eigendecomposition isn't SQL-expressible
+    (rows-only driver check); projection equality vs a single-process
+    numpy reference is asserted in tests/test_clustering.py."""
+    from dude_ray.pipelines.clustering import run_embedding_pca
+
+    return run_embedding_pca(sf_dir)
+
+
+def _q_events_zscore(sf_dir: str):
+    from dude_ray.pipelines.relational import run_events_zscore
+
+    return run_events_zscore(sf_dir)
 
 
 def _q_curate_keep_best(sf_dir: str):
@@ -537,6 +556,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "events_zscore": """
+            WITH stats AS (
+                SELECT event_type, count(*) AS n,
+                       sum(value) AS s1, sum(value * value) AS s2
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   round((e.value - s.s1 / s.n)
+                         / greatest(sqrt(s.s2 / s.n
+                                         - pow(s.s1 / s.n, 2)), 1e-12),
+                         4) AS z
+            FROM events e JOIN stats s USING (event_type)
         """,
         "curate_keep_best": f"""
             WITH RECURSIVE pairs AS (

@@ -182,3 +182,110 @@ def kmeans_reference(sf_dir: str, k: int = 8, iters: int = 5):
     assign = np.round(emb @ cent.T, 4).argmax(axis=1)
     sims = np.round(emb @ cent.T, 4)[np.arange(len(vids)), assign]
     return vids, assign, sims, cent
+
+
+def _moment_partial(batch: pa.Table) -> pa.Table:
+    """One (count, Σx, Σxxᵀ-flattened) row per batch — the sufficient
+    statistics for mean/covariance, fixed-size regardless of rows."""
+    _vids, emb = _batch_mat_raw(batch)
+    return pa.table({
+        "n": pa.array([len(emb)], type=pa.int64()),
+        "s1": pa.array([emb.sum(axis=0)]),
+        "s2": pa.array([(emb.T @ emb).reshape(-1)]),
+    })
+
+
+def _batch_mat_raw(batch: pa.Table):
+    vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+    return vids, emb
+
+
+def _reduce_moments(ds, blocks: int = 8):
+    """Two-level merge of moment rows (the tree_combine shape, list
+    columns): per-block numpy sums → one final sum; the driver only
+    ever holds d² + d + 1 doubles."""
+
+    def merge(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t
+        return pa.table({
+            "n": pa.array([int(np.sum(t["n"].to_numpy(
+                zero_copy_only=False)))], type=pa.int64()),
+            "s1": pa.array([np.stack(t["s1"].to_pylist()).sum(axis=0)]),
+            "s2": pa.array([np.stack(t["s2"].to_pylist()).sum(axis=0)]),
+        })
+
+    lvl1 = ds.repartition(blocks).map_batches(merge, batch_format="pyarrow",
+                                              batch_size=None)
+    row = lvl1.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                          batch_size=None).take_all()[0]
+    return int(row["n"]), np.asarray(row["s1"]), np.asarray(row["s2"])
+
+
+def run_embedding_pca(sf_dir: str, n_components: int = 8,
+                      batch_size: int = 4096, concurrency: int = 4):
+    """Distributed PCA over the embedding column: one streaming pass
+    accumulates the (count, Σx, Σxxᵀ) sufficient statistics in
+    fixed-size per-batch partials (d=64 → 33 KB each, independent of
+    corpus size), the driver eigendecomposes the d×d covariance (the
+    only driver math — microseconds), and a second pass projects every
+    vector onto the top components.  Eigenvector sign is fixed
+    deterministically (largest-|coefficient| made positive) so output
+    is reproducible across runs and cluster sizes.
+
+    Output: (vec_id, proj list<double n_components>); verified against
+    a single-process numpy reference (same convention) in tests."""
+    ds = _emb(sf_dir)
+    n, s1, s2 = _reduce_moments(
+        ds.map_batches(_moment_partial, batch_format="pyarrow",
+                       batch_size=batch_size, concurrency=concurrency))
+    d = len(s1)
+    mean = s1 / n
+    cov = s2.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)           # ascending
+    comps = evecs[:, ::-1][:, :n_components].copy()  # (d, q), desc var
+    # deterministic sign: the largest-|coeff| entry of each component
+    # is positive (ties impossible on real spectra)
+    for j in range(comps.shape[1]):
+        i = np.argmax(np.abs(comps[:, j]))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    state = (mean, comps)
+
+    class Project:
+        def __init__(self):
+            self.mean, self.comps = state
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids, emb = _batch_mat_raw(batch)
+            proj = (emb - self.mean) @ self.comps
+            return pa.table({
+                "vec_id": pa.array(vids, type=pa.int64()),
+                "proj": pa.array(list(proj)),
+            })
+
+    return ds.map_batches(Project, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=(1, concurrency))
+
+
+def pca_reference(sf_dir: str, n_components: int = 8):
+    """Single-process numpy PCA with the identical convention — the
+    test oracle for ``run_embedding_pca``."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    mean = emb.mean(axis=0)
+    c = emb - mean
+    cov = (c.T @ c) / len(emb)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :n_components].copy()
+    for j in range(comps.shape[1]):
+        i = np.argmax(np.abs(comps[:, j]))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return vids, c @ comps, evals[::-1][:n_components]

@@ -755,3 +755,54 @@ def run_value_buckets(sf_dir: str, n_buckets: int = 10):
         _assign, batch_format="pyarrow", batch_size=16384)
     return tree_combine(partials, ["bucket"], sums=("n_rows",),
                         mins=("min_value",), maxs=("max_value",))
+
+
+def run_events_zscore(sf_dir: str):
+    """Per-event-type z-score normalization of ``value`` — the feature
+    standardization pass.  Two streaming passes: (1) per-type moment
+    partials (n, Σv, Σv²) tree-merged to one tiny stats table;
+    (2) broadcast-stats vectorized normalize.  Both the engine and the
+    oracle compute std from the SAME explicit moment arithmetic
+    (sqrt(Σv²/n − mean²)) so float parity holds; z is rounded to 4 dp
+    (the cosine convention) to absorb summation-order drift."""
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("event_type")["v"].agg(["count", "sum",
+                                               lambda s: (s * s).sum()])
+        g.columns = ["n", "s1", "s2"]
+        g = g.reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "s1": pa.array(g["s1"].to_numpy(dtype=np.float64)),
+            "s2": pa.array(g["s2"].to_numpy(dtype=np.float64)),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    stats_rows = tree_combine(
+        ds.map_batches(_moments, batch_format="pyarrow", batch_size=16384),
+        ["event_type"], sums=("n", "s1", "s2")).take_all()
+    stats = {}
+    for r in stats_rows:
+        mean = r["s1"] / r["n"]
+        std = float(np.sqrt(r["s2"] / r["n"] - mean * mean))
+        stats[r["event_type"]] = (mean, std)
+
+    def _normalize(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        mean = np.asarray([stats[t][0] for t in et])
+        std = np.asarray([stats[t][1] for t in et])
+        z = np.round((v - mean) / np.maximum(std, 1e-12), 4)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "z": pa.array(z, type=pa.float64()),
+        })
+
+    return ds.map_batches(_normalize, batch_format="pyarrow",
+                          batch_size=16384)

@@ -88,3 +88,40 @@ def test_kmeans_inertia_improves(ray_session):
     one = _sorted_df(run_kmeans_cluster(SF, k=8, iters=1))["sim"].mean()
     five = _sorted_df(run_kmeans_cluster(SF, k=8, iters=5))["sim"].mean()
     assert five >= one - 1e-9
+
+
+def test_embedding_pca_matches_reference(ray_session):
+    """Distributed moment accumulation + projection == local numpy PCA
+    (same sign convention); variance must be captured in
+    descending-eigenvalue order."""
+    import numpy as np
+
+    from dude_ray.pipelines.clustering import (pca_reference,
+                                               run_embedding_pca)
+
+    got = (run_embedding_pca(SF, n_components=6).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    vids, proj, evals = pca_reference(SF, n_components=6)
+    order = np.argsort(vids)
+    want = proj[order]
+    mat = np.stack(got["proj"].to_numpy())
+    assert mat.shape == want.shape
+    assert np.allclose(mat, want, atol=1e-8)
+    # projected variance per component matches the eigenvalues, in
+    # descending order
+    var = mat.var(axis=0)
+    assert np.allclose(var, evals, rtol=1e-6)
+    assert (np.diff(evals) <= 1e-12).all()
+
+
+def test_embedding_pca_batch_size_invariant(ray_session):
+    import numpy as np
+
+    from dude_ray.pipelines.clustering import run_embedding_pca
+
+    a = (run_embedding_pca(SF, n_components=4, batch_size=64).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (run_embedding_pca(SF, n_components=4, batch_size=4096).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert np.allclose(np.stack(a["proj"].to_numpy()),
+                       np.stack(b["proj"].to_numpy()), atol=1e-9)

@@ -657,3 +657,15 @@ def test_substring_dup_planted(ray_session, tmp_path):
     assert n12 >= 2
     # gibberish docs share no sentence-scale runs with anything
     assert all({a, b} == {1, 2} for a, b in pairs)
+
+
+def test_events_zscore_standardizes(ray_session):
+    """Per-type z-scores have mean ~0 and population std ~1."""
+    import numpy as np
+
+    from dude_ray.pipelines.relational import run_events_zscore
+
+    got = run_events_zscore("/root/testdata/sf0.001").to_pandas()
+    for _, g in got.groupby("event_type"):
+        assert abs(g["z"].mean()) < 1e-3
+        assert abs(g["z"].std(ddof=0) - 1.0) < 1e-3
