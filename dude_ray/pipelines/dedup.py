@@ -1091,8 +1091,12 @@ def run_substring_dup(sf_dir: str, min_shared: int = 2,
     key width) runs the run-boundary pair scan per group, with an
     O(cap²) bucket cap that drops boilerplate hashes shared by > 64
     docs (logged semantics, standard stopword-hash treatment); shared
-    counts come from one (a, b) groupby-count.  Only fixed-width int
-    rows ever shuffle — text never leaves stage 1."""
+    counts come from a second data-scaled hash-group over the pair key
+    with a VECTORIZED per-group count — NOT Ray's
+    ``groupby([a,b]).count()``, whose Python-per-row combine measured
+    ~330 rows/s (271 s for 90k pairs at sf0.1; this shape runs in
+    ~1 s).  Only fixed-width int rows ever shuffle — text never leaves
+    stage 1."""
     from dude_ray.io import read_parquet_clean
     from dude_ray.partitioning import scaled_group_count
 
@@ -1111,14 +1115,30 @@ def run_substring_dup(sf_dir: str, min_shared: int = 2,
     keyed = hrows.map_batches(add_group, batch_format="pyarrow",
                               batch_size=65536)
     pairs = keyed.groupby("g").map_groups(
-        lambda g: _hash_bucket_pairs(g), batch_format="pandas")
-    counted = pairs.groupby(["a", "b"]).count()
-    import pyarrow.compute as pc
+        lambda g: _hash_bucket_pairs(g),
+        batch_format="pandas").materialize()
+    n_pair_groups = scaled_group_count(pairs.count(),
+                                       target_rows_per_group)
+    pmask = np.uint64(n_pair_groups - 1)
 
-    return counted.map_batches(
-        lambda t: pa.table({
-            "a": t["a"], "b": t["b"],
-            "n_shared": pc.cast(t["count()"], pa.int64()),
-        }).filter(pc.greater_equal(
-            pc.cast(t["count()"], pa.int64()), min_shared)),
-        batch_format="pyarrow")
+    def add_pair_group(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = (_avalanche(a * _M1 ^ b * _M2) & pmask).astype(np.int64)
+        return t.append_column("g2", pa.array(g, type=pa.int64()))
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], sort=False).size()
+               .reset_index(name="n_shared"))
+        out = out[out["n_shared"] >= min_shared]
+        return pd.DataFrame({
+            "a": out["a"].to_numpy(dtype=np.int64),
+            "b": out["b"].to_numpy(dtype=np.int64),
+            "n_shared": out["n_shared"].to_numpy(dtype=np.int64),
+        })
+
+    return (pairs.map_batches(add_pair_group, batch_format="pyarrow",
+                              batch_size=65536)
+            .groupby("g2")
+            .map_groups(count_group, batch_format="pandas")
+            .select_columns(["a", "b", "n_shared"]))
