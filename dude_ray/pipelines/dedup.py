@@ -941,45 +941,74 @@ def run_dup_clusters(sf_dir: str, threshold: float = 0.35,
             batch_format="pyarrow")
     num_partitions = max(2, min(num_partitions, n_edges // 2048 + 1))
 
-    def _min_self(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = t["min(v)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"node": pa.array(u, type=pa.int64()),
-                         "label": pa.array(np.minimum(u, m),
-                                           type=pa.int64())})
+    # vectorized grouped-min: hash the node to a data-scaled coarse
+    # group (ONE sort shuffle on an int key), then a pandas min per
+    # group — Ray's groupby().min() combine measures ~20k rows/s in
+    # this Ray version, which would dominate every round here
+    from dude_ray.partitioning import scaled_group_count
 
-    labels = (edges.groupby("u").min("v")
-              .map_batches(_min_self, batch_format="pyarrow")
-              .materialize())
+    n_min_groups = scaled_group_count(3 * n_edges, 65536)
+    gmask = np.uint64(n_min_groups - 1)
+
+    def _add_ng(t: pa.Table) -> pa.Table:
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = (_avalanche(nd * _M1) & gmask).astype(np.int64)
+        return t.append_column("ng", pa.array(g, type=pa.int64()))
+
+    def _min_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("node", sort=False)["label"].min()
+               .reset_index())
+        return pd.DataFrame({
+            "node": out["node"].to_numpy(dtype=np.int64),
+            "label": out["label"].to_numpy(dtype=np.int64),
+        })
+
+    def grouped_min(ds):
+        return (ds.map_batches(_add_ng, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("ng")
+                .map_groups(_min_per_group, batch_format="pandas")
+                # back to Arrow blocks so the next round's union with
+                # Arrow-producing stages stays homogeneous
+                .map_batches(lambda t: t.select(["node", "label"]),
+                             batch_format="pyarrow"))
+
+    init = edges.map_batches(
+        lambda t: pa.table({"node": t["u"], "label": t["v"]}),
+        batch_format="pyarrow")
+    self_rows = edges.map_batches(
+        lambda t: pa.table({"node": t["u"], "label": t["u"]}),
+        batch_format="pyarrow")
+    labels = grouped_min(init.union(self_rows)).materialize()
     prev_sum = labels.sum("label")
 
+    # static probe rows for the edge side: candidate label for u comes
+    # via v.  The pointer-jump probe (candidate for node via its own
+    # label — label(label(u)), which shortcuts chains to O(log
+    # diameter) rounds) is rebuilt from labels each round and UNIONED
+    # here so each round runs ONE join, not two (join-aggregator
+    # startup is the round's fixed cost).  label(label(u)) ≤ label(u),
+    # so the jump rows also subsume the old labels in the min — no
+    # extra union needed for monotonicity.
+    edge_probe = edges.map_batches(
+        lambda t: pa.table({"dst": t["u"], "via": t["v"]}),
+        batch_format="pyarrow").materialize()
+
     for _ in range(max_iters):
-        prop = edges.join(labels, "inner", num_partitions,
-                          on=("v",), right_on=("node",),
-                          aggregator_ray_remote_args=agg_args)
-        cand = prop.map_batches(
-            lambda t: pa.table({"node": t["u"], "label": t["label"]}),
+        jump_probe = labels.map_batches(
+            lambda t: pa.table({"dst": t["node"], "via": t["label"]}),
             batch_format="pyarrow")
-        # pointer jumping: label(u) ← label(label(u)) — shortcuts long
-        # chains so convergence is O(log diameter) rounds instead of
-        # O(diameter) (a 2k-node single component needs 11 rounds, not
-        # ~2k); jlabels is labels with renamed columns for the self-join
         jlabels = labels.map_batches(
             lambda t: pa.table({"jnode": t["node"], "jlabel": t["label"]}),
             batch_format="pyarrow")
-        jump = labels.join(jlabels, "inner", num_partitions,
-                           on=("label",), right_on=("jnode",),
-                           aggregator_ray_remote_args=agg_args)
-        jump = jump.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["jlabel"]}),
+        prop = edge_probe.union(jump_probe).join(
+            jlabels, "inner", num_partitions,
+            on=("via",), right_on=("jnode",),
+            aggregator_ray_remote_args=agg_args)
+        cand = prop.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["jlabel"]}),
             batch_format="pyarrow")
-        merged = labels.union(cand).union(jump)
-        labels = (merged.groupby("node").min("label")
-                  .map_batches(
-                      lambda t: pa.table({"node": t["node"],
-                                          "label": t["min(label)"]}),
-                      batch_format="pyarrow")
-                  .materialize())
+        labels = grouped_min(cand).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             break
