@@ -184,7 +184,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         # embedding PCA
         "embedding_pca": _q_embedding_pca,
+        # hopping windows + global percent rank
+        "events_hopping_window": _q_events_hopping_window,
+        "value_percent_rank": _q_value_percent_rank,
     }
+
+
+def _q_events_hopping_window(sf_dir: str):
+    from dude_ray.pipelines.relational import run_events_hopping_window
+
+    return run_events_hopping_window(sf_dir)
+
+
+def _q_value_percent_rank(sf_dir: str):
+    from dude_ray.pipelines.relational import run_value_percent_rank
+
+    return run_value_percent_rank(sf_dir)
 
 
 def _q_embedding_pca(sf_dir: str):
@@ -556,6 +571,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        """,
+        "events_hopping_window": """
+            SELECT event_type,
+                   ws * 1000000 AS window_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (
+                SELECT event_type, value,
+                       unnest([CAST(floor(epoch(ts) / 300) * 300
+                                    AS BIGINT),
+                               CAST(floor(epoch(ts) / 300) * 300 - 300
+                                    AS BIGINT)]) AS ws
+                FROM events
+            )
+            GROUP BY 1, 2
+        """,
+        "value_percent_rank": """
+            SELECT event_id, value,
+                   round(percent_rank() OVER (ORDER BY value), 6) AS pr
+            FROM events
         """,
         "events_zscore": """
             WITH stats AS (

@@ -806,3 +806,91 @@ def run_events_zscore(sf_dir: str):
 
     return ds.map_batches(_normalize, batch_format="pyarrow",
                           batch_size=16384)
+
+
+HOP_S = 300        # hop
+HOP_WINDOW_S = 600  # window length = 2 hops
+
+
+def _hop_partials(batch: pa.Table) -> pa.Table:
+    """Each event lands in exactly WINDOW/HOP (=2) overlapping windows;
+    emit both memberships, then combine per batch — the standard
+    replicate-then-tumble encoding of a hopping window."""
+    us = pc.cast(batch["ts"], pa.int64())
+    base = pc.multiply(pc.divide(us, HOP_S * 1_000_000),
+                       HOP_S * 1_000_000)
+    prev = pc.subtract(base, pa.scalar(HOP_S * 1_000_000, type=pa.int64()))
+    t = pa.concat_tables([
+        pa.table({"event_type": batch["event_type"], "window_us": base,
+                  "value": batch["value"]}),
+        pa.table({"event_type": batch["event_type"], "window_us": prev,
+                  "value": batch["value"]}),
+    ])
+    g = t.group_by(["event_type", "window_us"]).aggregate(
+        [("value", "count"), ("value", "sum")])
+    return pa.table({"event_type": g["event_type"],
+                     "window_us": g["window_us"],
+                     "n": pc.cast(g["value_count"], pa.int64()),
+                     "sum_value": g["value_sum"]})
+
+
+def run_events_hopping_window(sf_dir: str):
+    """Hopping (sliding) 10-minute windows advancing every 5 minutes,
+    per event_type: count + sum(value).  Same partial-combine + tree
+    merge shape as the tumbling window — replication factor is
+    WINDOW/HOP, applied inside the batch before any shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    partials = ds.map_batches(_hop_partials, batch_format="pyarrow",
+                              batch_size=8192)
+    out = tree_combine(partials, ["event_type", "window_us"],
+                       sums=("n", "sum_value"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start_us": pc.cast(batch["window_us"], pa.int64()),
+            "n_events": pc.cast(batch["n"], pa.int64()),
+            "sum_value": _py_round(batch["sum_value"], 4),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def run_value_percent_rank(sf_dir: str):
+    """Global percent_rank of every event's value —
+    (#rows strictly smaller) / (n − 1), the SQL window-function
+    definition — computed WITHOUT a global sort: the exact mergeable
+    value histogram (bounded 2-decimal domain) gives the strict-less
+    cumulative count per distinct value; a second pass broadcasts the
+    (values, cum-less) step function and assigns per row via
+    searchsorted.  Both sides compute the identical integer ratio, so
+    round-6 parity is exact."""
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["value"]).group_by(["value"]).aggregate(
+            [("value", "count")])
+        return pa.table({"value": g["value"],
+                         "n": pc.cast(g["value_count"], pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    hist = tree_combine(
+        ds.map_batches(_hist, batch_format="pyarrow", batch_size=16384),
+        ["value"], sums=("n",)).take_all()
+    hist.sort(key=lambda r: r["value"])
+    vals = np.asarray([r["value"] for r in hist])
+    counts = np.asarray([r["n"] for r in hist], dtype=np.int64)
+    less = np.concatenate(([0], np.cumsum(counts[:-1])))
+    total = int(counts.sum())
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, v, side="left")
+        pr = np.round(less[idx] / max(total - 1, 1), 6)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "value": batch["value"],
+            "pr": pa.array(pr, type=pa.float64()),
+        })
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          batch_size=16384)

@@ -669,3 +669,34 @@ def test_events_zscore_standardizes(ray_session):
     for _, g in got.groupby("event_type"):
         assert abs(g["z"].mean()) < 1e-3
         assert abs(g["z"].std(ddof=0) - 1.0) < 1e-3
+
+
+def test_hopping_window_covers_tumbling(ray_session):
+    """Every event contributes to exactly 2 hopping windows, so total
+    hopping event-count = 2 x corpus size, and each hopping window's
+    count equals the sum of its two covered tumbling windows."""
+    from dude_ray.pipelines.relational import (run_events_hopping_window,
+                                               run_events_window)
+
+    sf = "/root/testdata/sf0.001"
+    hop = run_events_hopping_window(sf).to_pandas()
+    tum = run_events_window(sf).to_pandas()
+    assert hop["n_events"].sum() == 2 * tum["n_events"].sum()
+    t = tum.set_index(["event_type", "window_start_us"])["n_events"]
+    for _, r in hop.sample(n=min(200, len(hop)), random_state=0).iterrows():
+        covered = sum(
+            t.get((r["event_type"], r["window_start_us"] + k * 300_000_000),
+                  0) for k in range(2))
+        assert r["n_events"] == covered
+
+
+def test_percent_rank_properties(ray_session):
+    """pr is 0 for the global min rows, max pr < 1 unless unique max,
+    and pr is monotone in value."""
+    from dude_ray.pipelines.relational import run_value_percent_rank
+
+    got = (run_value_percent_rank("/root/testdata/sf0.001").to_pandas()
+           .sort_values(["value", "event_id"]).reset_index(drop=True))
+    assert (got.loc[got["value"] == got["value"].min(), "pr"] == 0).all()
+    assert got["pr"].is_monotonic_increasing
+    assert got["pr"].iloc[-1] <= 1.0
