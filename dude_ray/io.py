@@ -160,3 +160,31 @@ def write_partitioned_resumable(ds, out_dir: str, key_col: str,
     written = sorted(r["part"] for r in routed.groupby("__part").map_groups(
         _write_bucket, batch_format="pandas").take_all())
     return {"written": written, "skipped": sorted(finished)}
+
+
+def read_table_any(path, *, columns=None, **kwargs):
+    """Format-dispatching source reader: parquet (metadata-cleaned),
+    CSV, and JSON-lines, by extension (a directory dispatches on its
+    first file).  Column projection is pushed into the parquet reader;
+    for CSV/JSON it is applied as a zero-copy select stage after the
+    read (those readers have no projection pushdown in this Ray
+    version)."""
+    import ray.data as rd
+
+    probe = path
+    if isinstance(path, str) and os.path.isdir(path):
+        cand = sorted(glob.glob(os.path.join(path, "**", "*.*"),
+                                recursive=True))
+        probe = cand[0] if cand else path
+    ext = os.path.splitext(str(probe))[1].lower()
+    if ext in ("", ".parquet"):
+        return read_parquet_clean(path, columns=columns, **kwargs)
+    if ext == ".csv":
+        ds = rd.read_csv(path, **kwargs)
+    elif ext in (".json", ".jsonl"):
+        ds = rd.read_json(path, **kwargs)
+    else:
+        raise ValueError(f"unsupported source format: {ext!r}")
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    return ds

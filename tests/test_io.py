@@ -79,3 +79,33 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
         pq.read_table(os.path.join(out, d, "data.parquet")).num_rows
         for d in os.listdir(out) if d.startswith("part="))
     assert read_back2 == total
+
+
+def test_read_table_any_formats(ray_session, tmp_path):
+    """CSV and JSON-lines sources round-trip to the same rows as the
+    parquet original; unsupported extensions raise."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dude_ray.io import read_table_any
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_id", "event_type", "value"])
+    df = src.to_pandas().head(200)
+    df.to_csv(tmp_path / "events.csv", index=False)
+    df.to_json(tmp_path / "events.jsonl", orient="records", lines=True)
+
+    want = df.sort_values("event_id").reset_index(drop=True)
+    for name in ("events.csv", "events.jsonl"):
+        got = (read_table_any(str(tmp_path / name)).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
+
+    got = read_table_any(str(tmp_path / "events.csv"),
+                         columns=["event_id", "value"]).to_pandas()
+    assert sorted(got.columns) == ["event_id", "value"]
+
+    with pytest.raises(ValueError):
+        read_table_any(str(tmp_path / "events.xml"))
