@@ -1,0 +1,105 @@
+"""Property-based equivalence fuzzing (hypothesis, derandomized).
+
+* The fast tokenizer must agree with the stdlib-reference strict parser
+  on arbitrary structured HTML covering every quoting style the
+  tokenizer special-cases (the round-2 advisory bug — unquoted values
+  ending in '/' — lived exactly in this space).
+* URL canonicalization must be idempotent and produce RFC-safe output
+  for arbitrary path/query/fragment garbage.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+_TAGS = ["div", "p", "a", "span", "li", "em", "td"]
+_VOID = ["br", "img", "hr", "input"]
+_ATTR_NAMES = st.text(alphabet=string.ascii_lowercase, min_size=1,
+                      max_size=6)
+_TEXT = st.text(alphabet=string.ascii_letters + " &<>;#'\"/=%", min_size=0,
+                max_size=12).map(
+    lambda s: s.replace("<", "&lt;"))  # free text must not open a tag
+
+
+def _attr_value_forms(name: str, value: str) -> st.SearchStrategy[str]:
+    dq = value.replace('"', "")
+    sq = value.replace("'", "")
+    uq = "".join(c for c in value if c not in " \t\n\"'=<>`") or "v"
+    return st.sampled_from([
+        f'{name}="{dq}"',
+        f"{name}='{sq}'",
+        f"{name}={uq}",
+        name,  # bare attribute
+    ])
+
+
+_ATTR = st.tuples(
+    _ATTR_NAMES,
+    st.text(alphabet=string.ascii_letters + "/%&#;:.-", min_size=0,
+            max_size=10),
+).flatmap(lambda t: _attr_value_forms(*t))
+
+
+@st.composite
+def _element(draw, depth=0):
+    tag = draw(st.sampled_from(_TAGS + _VOID))
+    attrs = draw(st.lists(_ATTR, max_size=3))
+    open_tag = "<" + tag + ("" if not attrs else " " + " ".join(attrs))
+    if tag in _VOID:
+        return open_tag + draw(st.sampled_from([">", "/>", " />"]))
+    inner = draw(_fragment(depth + 1)) if depth < 3 else draw(_TEXT)
+    closed = draw(st.booleans())
+    return open_tag + ">" + inner + (f"</{tag}>" if closed else "")
+
+
+def _fragment(depth=0):
+    return st.lists(
+        st.one_of(_TEXT, _element(depth)), max_size=4).map("".join)
+
+
+def _norm(el):
+    kids, buf = [], []
+    for c in el.children:
+        if isinstance(c, str):
+            buf.append(c)
+        else:
+            if buf:
+                kids.append("".join(buf))
+                buf = []
+            kids.append(_norm(c))
+    if buf:
+        kids.append("".join(buf))
+    return (el.tag, dict(el.attrs), kids)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(_fragment())
+def test_fast_tokenizer_matches_strict_fuzz(html):
+    from dude_ray.htmlparser import parse_html, parse_html_strict
+
+    assert _norm(parse_html(html)) == _norm(parse_html_strict(html))
+
+
+_URLISH = st.text(
+    alphabet=string.ascii_letters + string.digits + "/.%?#&=+~ :@!$'()*,;-_",
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(_URLISH)
+def test_canonicalize_idempotent_fuzz(tail):
+    from dude_ray.canonical import canonicalize_url
+
+    url = "http://ex.com/" + tail
+    once = canonicalize_url(url)
+    if once is None:
+        return
+    assert canonicalize_url(once) == once
+    # canonical output never contains raw spaces or stray '%' escapes
+    assert " " not in once
+    import re
+
+    for m in re.finditer("%", once):
+        assert re.match("%[0-9A-Fa-f]{2}", once[m.start():m.start() + 3])
