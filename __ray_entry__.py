@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.run_ann_topk,
         "ann_lsh": similarity.run_ann_lsh,
         "ann_ivf": similarity.run_ann_ivf,
+        "ann_pq": similarity.run_ann_pq,
         # relational / windowed
         "events_window": relational.run_events_window,
         "events_stats": relational.run_events_stats,

@@ -700,3 +700,21 @@ def test_percent_rank_properties(ray_session):
     assert (got.loc[got["value"] == got["value"].min(), "pr"] == 0).all()
     assert got["pr"].is_monotonic_increasing
     assert got["pr"].iloc[-1] <= 1.0
+
+
+def test_ann_pq_recall(ray_session):
+    """PQ with exact rerank must recover >= 0.9 of the brute-force
+    top-10 per query (1.0 at the default 128-codeword books here)."""
+    from dude_ray.pipelines.similarity import run_ann_pq, run_ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    bf = run_ann_topk(sf).to_pandas()
+    pq = run_ann_pq(sf).to_pandas()
+    for q, g in bf.groupby("query_id"):
+        truth = set(g["vec_id"])
+        approx = set(pq[pq["query_id"] == q]["vec_id"])
+        assert len(truth & approx) / len(truth) >= 0.9
+    # exact rerank means reported sims are TRUE cosines: every returned
+    # sim must also appear in the brute-force scores for that query
+    merged = pq.merge(bf, on=["query_id", "vec_id"], suffixes=("_pq", "_bf"))
+    assert (merged["sim_pq"] == merged["sim_bf"]).all()
