@@ -90,3 +90,41 @@ def scaled_group_count(n_rows: int, target_rows_per_group: int,
     while n < want and n < hi:
         n <<= 1
     return min(n, hi)
+
+
+def parquet_sorted_by(path: str, key: str) -> bool:
+    """True iff the parquet input is PROVABLY globally sorted by
+    ``key``: per-row-group min/max statistics, read in filename +
+    row-group order (the order ``read_parquet`` emits blocks), are
+    non-overlapping and monotone.  A metadata-only check — O(row
+    groups), no data read — that lets sort-requiring operators skip an
+    all-to-all when the writer already ordered the data (the common
+    case for snapshot/export tables at scale)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
+    else:
+        files = [path]
+    prev_max = None
+    for f in files:
+        meta = pq.read_metadata(f)
+        try:
+            col_idx = meta.schema.to_arrow_schema().get_field_index(key)
+        except Exception:
+            return False
+        if col_idx < 0:
+            return False
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(col_idx)
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                return False
+            if prev_max is not None and stats.min < prev_max:
+                return False
+            prev_max = stats.max
+    return True

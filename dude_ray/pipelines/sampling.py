@@ -105,7 +105,15 @@ def run_token_pack(sf_dir: str, budget: int = PACK_BUDGET):
                 pc.count_substring_regex(b["text"], TOKEN_RE), pa.int64()),
         }),
         batch_format="pyarrow", batch_size=4096)
-    ordered = counted.sort("doc_id").materialize()
+    # skip the all-to-all sort when parquet row-group stats prove the
+    # source is already doc_id-ordered (map_batches preserves logical
+    # row order, so the derived counts inherit the ordering)
+    from dude_ray.partitioning import parquet_sorted_by
+
+    if parquet_sorted_by(f"{sf_dir}/documents.parquet", "doc_id"):
+        ordered = counted.materialize()
+    else:
+        ordered = counted.sort("doc_id").materialize()
 
     def block_partial(batch: pa.Table) -> pa.Table:
         if not len(batch):
@@ -215,26 +223,26 @@ def run_mix_interleave(sf_dir: str, base: int = INTERLEAVE_BASE):
     multi-source training mix).
 
     Scale design — NO global sort or shuffle computes the rank:
-      1. per-source totals: one tiny ``groupby(source).count()``
-         (source cardinality is bounded like a dimension table);
+      1. the input's doc_id order is taken from parquet row-group
+         stats when provable (metadata-only check), with an explicit
+         sort fallback otherwise;
       2. per-source prefix ranks rk via the token_pack two-pass block
          scan (per-block (source, count) partials → driver prefix-sum
-         → broadcast offsets → block-local cumcount);
+         → broadcast offsets → block-local cumcount); per-source
+         TOTALS fall out of the same partials — no separate groupby;
       3. mix_pos is computed ANALYTICALLY per row from the broadcast
          totals: #rows before (key, source) =
          Σ_s' min(n_s', ceil(key / stride_s')) + #{s' < s tied at key}
          — pure vectorized integer arithmetic, |S| passes per batch.
     The equivalent SQL is two window functions over a global sort; here
-    every stage is streaming and the only coordination is two
-    #blocks-row driver round-trips."""
-    docs = _docs(sf_dir, ["doc_id", "source"]).sort("doc_id").materialize()
+    every stage is streaming and the only coordination is one
+    #blocks×#sources-row driver round-trip."""
+    from dude_ray.partitioning import parquet_sorted_by
 
-    # per-source totals (tiny)
-    totals = {r["source"]: r["count()"]
-              for r in docs.groupby("source").count().take_all()}
-    sources = sorted(totals)
-    stride = {s: base // _src_weight(s) for s in sources}
-    lex = {s: i for i, s in enumerate(sources)}
+    src = _docs(sf_dir, ["doc_id", "source"])
+    if not parquet_sorted_by(f"{sf_dir}/documents.parquet", "doc_id"):
+        src = src.sort("doc_id")
+    docs = src.materialize()
 
     def block_partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -249,6 +257,12 @@ def run_mix_interleave(sf_dir: str, base: int = INTERLEAVE_BASE):
     partials = docs.map_batches(block_partial, batch_format="pandas",
                                 batch_size=None).take_all()
     partials.sort(key=lambda r: r["first_id"])
+    totals: dict[str, int] = {}
+    for p in partials:
+        totals[p["source"]] = totals.get(p["source"], 0) + p["cnt"]
+    sources = sorted(totals)
+    stride = {s: base // _src_weight(s) for s in sources}
+    lex = {s: i for i, s in enumerate(sources)}
     offsets: dict[tuple[int, str], int] = {}
     acc = {s: 0 for s in sources}
     for p in partials:

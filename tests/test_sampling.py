@@ -111,3 +111,48 @@ def test_sample_per_group_exact_k_and_stable(ray_session):
     small = run_sample_per_group(SF, k=3).take_all()
     for r in small:
         assert (r["rank"], r["doc_id"]) in by_lang[r["lang"]]
+
+
+def test_parquet_sorted_probe(tmp_path):
+    """Metadata probe: sorted single-file → True; shuffled data or a
+    missing column → False (operators must fall back to the sort)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dude_ray.partitioning import parquet_sorted_by
+
+    ids = np.arange(1000, dtype=np.int64)
+    pq.write_table(pa.table({"doc_id": ids}),
+                   tmp_path / "sorted.parquet", row_group_size=100)
+    assert parquet_sorted_by(str(tmp_path / "sorted.parquet"), "doc_id")
+
+    rng = np.random.RandomState(0)
+    pq.write_table(pa.table({"doc_id": rng.permutation(ids)}),
+                   tmp_path / "shuffled.parquet", row_group_size=100)
+    assert not parquet_sorted_by(str(tmp_path / "shuffled.parquet"),
+                                 "doc_id")
+    assert not parquet_sorted_by(str(tmp_path / "sorted.parquet"), "nope")
+
+
+def test_interleave_falls_back_on_unsorted(ray_session, tmp_path):
+    """mix_interleave over a deliberately shuffled copy of documents
+    must equal the result over the sorted original (the probe routes
+    the shuffled copy through the explicit sort)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.sampling import run_mix_interleave
+
+    sf = "/root/testdata/sf0.001"
+    want = (run_mix_interleave(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    df = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    df = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet", row_group_size=64)
+    got = (run_mix_interleave(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
