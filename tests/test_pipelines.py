@@ -718,3 +718,19 @@ def test_ann_pq_recall(ray_session):
     # sim must also appear in the brute-force scores for that query
     merged = pq.merge(bf, on=["query_id", "vec_id"], suffixes=("_pq", "_bf"))
     assert (merged["sim_pq"] == merged["sim_bf"]).all()
+
+
+def test_dedup_ops_run_to_run_deterministic(ray_session):
+    """The bucketed/banded dedup ops must be bit-identical across runs
+    in one session — guards against nondeterministic group dispatch or
+    unseeded hashing sneaking into the shuffle keys."""
+    import pandas as pd
+
+    from dude_ray.pipelines.dedup import run_minhash_dedup, run_substring_dup
+
+    sf = "/root/testdata/sf0.001"
+    for fn, keys in ((run_minhash_dedup, ["a", "b"]),
+                     (run_substring_dup, ["a", "b"])):
+        one = fn(sf).to_pandas().sort_values(keys).reset_index(drop=True)
+        two = fn(sf).to_pandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(one, two)
