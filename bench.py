@@ -148,6 +148,28 @@ def run_bench() -> dict:
     dedup.run_dup_clusters(SF_DIR).count()
     timings["dup_clusters"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import sampling
+
+    t0 = time.time()
+    dedup.run_substring_dup(SF_DIR).count()
+    timings["substring_dup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sampling.run_mix_interleave(SF_DIR).count()
+    timings["mix_interleave"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_value_buckets(SF_DIR).count()
+    timings["value_buckets"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_events_zscore(SF_DIR).count()
+    timings["events_zscore"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    clustering.run_embedding_pca(SF_DIR).count()
+    timings["embedding_pca"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -21,10 +21,12 @@ def _strip_schema_metadata(batch):
     return batch.replace_schema_metadata(None)
 
 
-def _one_file(paths):
+def _one_file(paths, pattern: str = "*.parquet"):
+    """First matching file (filename-sorted) when given a directory;
+    the single source of truth for directory probing in this module."""
     f = paths[0] if isinstance(paths, (list, tuple)) else paths
     if isinstance(f, str) and os.path.isdir(f):
-        cand = sorted(glob.glob(os.path.join(f, "**", "*.parquet"),
+        cand = sorted(glob.glob(os.path.join(f, "**", pattern),
                                 recursive=True))
         return cand[0] if cand else None
     return f
@@ -171,11 +173,7 @@ def read_table_any(path, *, columns=None, **kwargs):
     version)."""
     import ray.data as rd
 
-    probe = path
-    if isinstance(path, str) and os.path.isdir(path):
-        cand = sorted(glob.glob(os.path.join(path, "**", "*.*"),
-                                recursive=True))
-        probe = cand[0] if cand else path
+    probe = _one_file(path, pattern="*.*") or path
     ext = os.path.splitext(str(probe))[1].lower()
     if ext in ("", ".parquet"):
         return read_parquet_clean(path, columns=columns, **kwargs)

@@ -128,3 +128,56 @@ def parquet_sorted_by(path: str, key: str) -> bool:
                 return False
             prev_max = stats.max
     return True
+
+
+def blocks_prove_order(partials) -> bool:
+    """Runtime completion of :func:`parquet_sorted_by`'s metadata
+    check: given per-block partial rows carrying ``first_id``,
+    ``last_id`` and ``mono`` (block-internal monotonicity — the part
+    row-group statistics can NEVER prove), verify blocks are
+    internally sorted and their [first, last] ranges are disjoint and
+    ascending.  Together the two checks are a full proof of global
+    order, independent of executor bundle order or operator fusion."""
+    seen: dict[int, tuple[int, bool]] = {}
+    for p in partials:
+        f = p["first_id"]
+        if f in seen:
+            continue
+        seen[f] = (p["last_id"], bool(p["mono"]))
+    prev_last = None
+    for f in sorted(seen):
+        last, mono = seen[f]
+        if not mono or last < f:
+            return False
+        if prev_last is not None and f <= prev_last:
+            return False
+        prev_last = last
+    return True
+
+
+def resolve_ordered(ds, parquet_path: str, key: str, partial_fn,
+                    batch_format: str = "pyarrow"):
+    """(ordered dataset, validated block partials) for operators that
+    need key-ordered contiguous blocks (two-pass prefix scans).
+
+    Tries the sort-free path first — ONLY when parquet row-group stats
+    are consistent with global order — then PROVES the order from the
+    partials themselves (``blocks_prove_order``); any violation
+    (intra-row-group disorder, executor reordering, non-fused stages)
+    falls back to an explicit ``Dataset.sort``.  ``partial_fn`` must
+    emit, per block, row(s) that include ``first_id`` / ``last_id`` /
+    ``mono`` for the block."""
+    attempts = []
+    if parquet_sorted_by(parquet_path, key):
+        attempts.append(ds.materialize())
+    attempts.append(None)  # sentinel: explicit sort
+    for cand in attempts:
+        if cand is None:
+            cand = ds.sort(key).materialize()
+        parts = cand.map_batches(partial_fn, batch_format=batch_format,
+                                 batch_size=None).take_all()
+        parts.sort(key=lambda r: r["first_id"])
+        if blocks_prove_order(parts):
+            return cand, parts
+    raise AssertionError(
+        f"dataset not {key}-ordered even after an explicit sort")

@@ -1035,30 +1035,20 @@ class _WinnowHashes:
     WINDOW = 48
 
     def __init__(self):
-        from dude_ray.pipelines.textops import Fingerprinter
+        from dude_ray.pipelines.textops import winnow_weights
 
-        fp = Fingerprinter.__new__(Fingerprinter)
-        rng = np.random.RandomState(7)
-        fp.w = rng.randint(1, np.iinfo(np.int64).max,
-                           size=self.K).astype(np.uint64) | np.uint64(1)
-        fp.K = self.K
-        fp.WINDOW = self.WINDOW
-        self._fp = fp
+        self.w = winnow_weights(self.K)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from dude_ray.pipelines.textops import kgram_hashes, winnow_samples
+
         out_h, out_d = [], []
-        w = self.WINDOW
         for doc_id, t in zip(batch["doc_id"].to_pylist(),
                              batch["text"].to_pylist()):
-            grams = self._fp._grams(t or "")
-            if not len(grams):
+            uniq = winnow_samples(kgram_hashes(t or "", self.K, self.w),
+                                  self.WINDOW)
+            if not len(uniq):
                 continue
-            if len(grams) <= w:
-                sampled = grams.min(keepdims=True)
-            else:
-                sampled = np.lib.stride_tricks.sliding_window_view(
-                    grams, w).min(axis=1)
-            uniq = np.unique(sampled)
             out_h.append(uniq)
             out_d.append(np.full(len(uniq), doc_id, dtype=np.int64))
         if not out_h:

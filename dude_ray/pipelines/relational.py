@@ -705,6 +705,27 @@ def run_top_orders(sf_dir: str, k: int = 20):
                          descending=[True, False]).limit(k)
 
 
+def _value_histogram(sf_dir: str):
+    """Exact global value histogram of ``events.value`` (bounded
+    2-decimal domain): (sorted distinct values, counts) — the shared
+    quantile substrate for bucketing and percent-rank."""
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["value"]).group_by(["value"]).aggregate(
+            [("value", "count")])
+        return pa.table({"value": g["value"],
+                         "n": pc.cast(g["value_count"], pa.int64())})
+
+    ds = _read(sf_dir, "events", ["value"])
+    rows = tree_combine(
+        ds.map_batches(_hist, batch_format="pyarrow", batch_size=16384),
+        ["value"], sums=("n",)).take_all()
+    rows.sort(key=lambda r: r["value"])
+    vals = np.asarray([r["value"] for r in rows])
+    counts = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    return vals, counts
+
+
 def run_value_buckets(sf_dir: str, n_buckets: int = 10):
     """Global equi-depth (decile) bucketing of ``events.value`` — the
     feature-binning primitive: boundary b_i = smallest value whose rank
@@ -721,19 +742,8 @@ def run_value_buckets(sf_dir: str, n_buckets: int = 10):
          per-batch bucket partials → tree merge.  No sort, no shuffle
          wider than n_buckets × #blocks partial rows."""
 
-    def _hist(batch: pa.Table) -> pa.Table:
-        g = batch.select(["value"]).group_by(["value"]).aggregate(
-            [("value", "count")])
-        return pa.table({"value": g["value"],
-                         "n": pc.cast(g["value_count"], pa.int64())})
-
-    ds = _read(sf_dir, "events", ["value"])
-    hist = tree_combine(
-        ds.map_batches(_hist, batch_format="pyarrow", batch_size=16384),
-        ["value"], sums=("n",)).take_all()
-    hist.sort(key=lambda r: r["value"])
-    vals = np.asarray([r["value"] for r in hist])
-    cum = np.cumsum([r["n"] for r in hist])
+    vals, counts = _value_histogram(sf_dir)
+    cum = np.cumsum(counts)
     total = int(cum[-1])
     ranks = [int(np.ceil(i * total / n_buckets))
              for i in range(1, n_buckets)]
@@ -866,19 +876,8 @@ def run_value_percent_rank(sf_dir: str):
     searchsorted.  Both sides compute the identical integer ratio, so
     round-6 parity is exact."""
 
-    def _hist(batch: pa.Table) -> pa.Table:
-        g = batch.select(["value"]).group_by(["value"]).aggregate(
-            [("value", "count")])
-        return pa.table({"value": g["value"],
-                         "n": pc.cast(g["value_count"], pa.int64())})
-
     ds = _read(sf_dir, "events", ["event_id", "value"])
-    hist = tree_combine(
-        ds.map_batches(_hist, batch_format="pyarrow", batch_size=16384),
-        ["value"], sums=("n",)).take_all()
-    hist.sort(key=lambda r: r["value"])
-    vals = np.asarray([r["value"] for r in hist])
-    counts = np.asarray([r["n"] for r in hist], dtype=np.int64)
+    vals, counts = _value_histogram(sf_dir)
     less = np.concatenate(([0], np.cumsum(counts[:-1])))
     total = int(counts.sum())
 

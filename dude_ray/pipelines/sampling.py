@@ -105,31 +105,28 @@ def run_token_pack(sf_dir: str, budget: int = PACK_BUDGET):
                 pc.count_substring_regex(b["text"], TOKEN_RE), pa.int64()),
         }),
         batch_format="pyarrow", batch_size=4096)
-    # skip the all-to-all sort when parquet row-group stats prove the
-    # source is already doc_id-ordered (map_batches preserves logical
-    # row order, so the derived counts inherit the ordering)
-    from dude_ray.partitioning import parquet_sorted_by
-
-    if parquet_sorted_by(f"{sf_dir}/documents.parquet", "doc_id"):
-        ordered = counted.materialize()
-    else:
-        ordered = counted.sort("doc_id").materialize()
+    # sort-free when parquet row-group stats allow it, PROVEN at
+    # runtime from the block partials (first/last/mono) — intra-row-
+    # group disorder or executor reordering falls back to the sort
+    from dude_ray.partitioning import resolve_ordered
 
     def block_partial(batch: pa.Table) -> pa.Table:
         if not len(batch):
             return pa.table({"first_id": pa.array([], type=pa.int64()),
+                             "last_id": pa.array([], type=pa.int64()),
+                             "mono": pa.array([], type=pa.bool_()),
                              "total": pa.array([], type=pa.int64())})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "first_id": pa.array([batch["doc_id"][0].as_py()],
-                                 type=pa.int64()),
+            "first_id": pa.array([int(ids[0])], type=pa.int64()),
+            "last_id": pa.array([int(ids[-1])], type=pa.int64()),
+            "mono": pa.array([bool(np.all(ids[:-1] < ids[1:]))]),
             "total": pa.array([pc.sum(batch["n_tokens"]).as_py() or 0],
                               type=pa.int64()),
         })
 
-    # batch_size=None → exactly one partial row per (range-sorted) block
-    partials = ordered.map_batches(block_partial, batch_format="pyarrow",
-                                   batch_size=None).take_all()
-    partials.sort(key=lambda r: r["first_id"])
+    ordered, partials = resolve_ordered(
+        counted, f"{sf_dir}/documents.parquet", "doc_id", block_partial)
     offsets: dict[int, int] = {}
     acc = 0
     for p in partials:
@@ -237,26 +234,27 @@ def run_mix_interleave(sf_dir: str, base: int = INTERLEAVE_BASE):
     The equivalent SQL is two window functions over a global sort; here
     every stage is streaming and the only coordination is one
     #blocks×#sources-row driver round-trip."""
-    from dude_ray.partitioning import parquet_sorted_by
-
-    src = _docs(sf_dir, ["doc_id", "source"])
-    if not parquet_sorted_by(f"{sf_dir}/documents.parquet", "doc_id"):
-        src = src.sort("doc_id")
-    docs = src.materialize()
+    from dude_ray.partitioning import resolve_ordered
 
     def block_partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({"first_id": pd.Series([], dtype="int64"),
+                                 "last_id": pd.Series([], dtype="int64"),
+                                 "mono": pd.Series([], dtype="bool"),
                                  "source": pd.Series([], dtype="object"),
                                  "cnt": pd.Series([], dtype="int64")})
         g = df.groupby("source", sort=True).size()
-        return pd.DataFrame({"first_id": int(df["doc_id"].iloc[0]),
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame({"first_id": int(ids[0]),
+                             "last_id": int(ids[-1]),
+                             "mono": bool(np.all(ids[:-1] < ids[1:])),
                              "source": g.index,
                              "cnt": g.to_numpy(dtype=np.int64)})
 
-    partials = docs.map_batches(block_partial, batch_format="pandas",
-                                batch_size=None).take_all()
-    partials.sort(key=lambda r: r["first_id"])
+    docs, partials = resolve_ordered(
+        _docs(sf_dir, ["doc_id", "source"]),
+        f"{sf_dir}/documents.parquet", "doc_id", block_partial,
+        batch_format="pandas")
     totals: dict[str, int] = {}
     for p in partials:
         totals[p["source"]] = totals.get(p["source"], 0) + p["cnt"]

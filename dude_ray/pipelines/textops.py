@@ -134,6 +134,46 @@ def run_lang_id(sf_dir: str, concurrency: int = 4):
 # document fingerprinting (rolling hash, winnowing)
 # --------------------------------------------------------------------------
 
+def winnow_weights(k: int) -> np.ndarray:
+    """Deterministic odd weights for the k-gram rolling hash (shared
+    by the digest fingerprinter and the substring-dup sampler)."""
+    rng = np.random.RandomState(7)
+    return rng.randint(1, np.iinfo(np.int64).max,
+                       size=k).astype(np.uint64) | np.uint64(1)
+
+
+def kgram_hashes(text: str, k: int, weights: np.ndarray) -> np.ndarray:
+    """uint64 hash per overlapping k-byte gram of ``text`` — a weighted
+    byte sum with wraparound arithmetic + a murmur-style finalizer,
+    fully vectorized (k shifted vector ops, no per-character loop).
+    Equal substrings hash equal (position-independent), which is all
+    winnowing requires."""
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if len(b) < k:
+        return (np.array([hash_bytes(bytes(b))], dtype=np.uint64)
+                if len(b) else np.array([], dtype=np.uint64))
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    bu = b.astype(np.uint64)
+    for j in range(k):
+        h += bu[j:j + n] * weights[j]
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def winnow_samples(grams: np.ndarray, window: int) -> np.ndarray:
+    """Unique window-minimum samples of a gram-hash stream (the
+    winnowing selection, Schleimer et al.)."""
+    if not len(grams):
+        return grams
+    if len(grams) <= window:
+        return np.unique(grams.min(keepdims=True))
+    return np.unique(np.lib.stride_tricks.sliding_window_view(
+        grams, window).min(axis=1))
+
+
 class Fingerprinter:
     """Winnowed fingerprint (Schleimer et al. winnowing): hashed
     character k-grams, min-sampled per window; the fingerprint is the
@@ -151,40 +191,20 @@ class Fingerprinter:
     WINDOW = 16    # winnow window
 
     def __init__(self):
-        rng = np.random.RandomState(7)
-        self.w = rng.randint(1, np.iinfo(np.int64).max,
-                             size=self.K).astype(np.uint64) | np.uint64(1)
+        self.w = winnow_weights(self.K)
 
     def _grams(self, t: str) -> np.ndarray:
-        b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        if len(b) < self.K:
-            return (np.array([hash_bytes(bytes(b))], dtype=np.uint64)
-                    if len(b) else np.array([], dtype=np.uint64))
-        n = len(b) - self.K + 1
-        h = np.zeros(n, dtype=np.uint64)
-        bu = b.astype(np.uint64)
-        for j in range(self.K):
-            h += bu[j:j + n] * self.w[j]
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
-        h ^= h >> np.uint64(33)
-        return h
+        return kgram_hashes(t, self.K, self.w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps, n_grams = [], []
-        w = self.WINDOW
         for t in batch["text"].to_pylist():
             grams = self._grams(t or "")
             n_grams.append(len(grams))
             if not len(grams):
                 fps.append("")
                 continue
-            if len(grams) <= w:
-                sampled = grams.min(keepdims=True)
-            else:
-                sampled = np.lib.stride_tricks.sliding_window_view(
-                    grams, w).min(axis=1)
-            uniq = np.unique(sampled)
+            uniq = winnow_samples(grams, self.WINDOW)
             fps.append(hashlib.sha1(uniq.astype(">u8").tobytes()).hexdigest())
         return pa.table({
             "doc_id": batch["doc_id"],

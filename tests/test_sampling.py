@@ -156,3 +156,32 @@ def test_interleave_falls_back_on_unsorted(ray_session, tmp_path):
     got = (run_mix_interleave(str(tmp_path)).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_interleave_single_rowgroup_unsorted(ray_session, tmp_path):
+    """The review-flagged hole: a SINGLE-row-group file whose rows are
+    internally shuffled passes the metadata probe (min/max can't see
+    inside a row group) — the runtime block-order proof must catch it
+    and fall back to the explicit sort, yielding correct results."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dude_ray.partitioning import parquet_sorted_by
+    from dude_ray.pipelines.sampling import run_mix_interleave
+
+    sf = "/root/testdata/sf0.001"
+    want = (run_mix_interleave(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    df = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet",
+                   row_group_size=len(df))  # ONE row group
+    # the metadata probe alone is fooled...
+    assert parquet_sorted_by(str(tmp_path / "documents.parquet"), "doc_id")
+    # ...but the operator still returns the correct result
+    got = (run_mix_interleave(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
