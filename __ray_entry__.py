@@ -188,7 +188,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hopping windows + global percent rank
         "events_hopping_window": _q_events_hopping_window,
         "value_percent_rank": _q_value_percent_rank,
+        # link-graph analytics
+        "pagerank": _q_pagerank,
     }
+
+
+def _q_pagerank(sf_dir: str):
+    """Iterative power method over the extracted link graph — not
+    SQL-expressible (rows-only driver check); equality vs a numpy
+    power-iteration reference is asserted in tests/test_graph.py."""
+    from dude_ray.pipelines.graph import run_pagerank
+
+    return run_pagerank(sf_dir)
 
 
 def _q_events_hopping_window(sf_dir: str):

@@ -1,0 +1,198 @@
+"""Link-graph analytics over the crawl/extract output.
+
+PageRank is the crawl-prioritization primitive (which hosts/pages to
+fetch first at 10^10-URL scale).  The graph is built from the span
+extractor's ``kind == "link"`` rows — the same link set the frontier
+follows — with targets canonicalized by the engine's own URL rules and
+restricted (semi-join) to corpus pages.
+
+Distributed shape, per power iteration (same discipline as
+``dedup.run_dup_clusters``):
+  * ONE hash join ships (node, rank) into the static weighted edge
+    list → contribution rows (dst, rank·1/outdeg);
+  * zero-contribution rows for every node are unioned in so sinks keep
+    a row (no per-iteration left-outer join against the node set);
+  * a data-scaled hash-group + vectorized pandas sum reduces
+    contributions (Ray's groupby().sum() Python combine measured
+    ~20k rows/s — see dedup.py);
+  * the DANGLING mass needs no join at all: contributions conserve
+    Σ rank(src) over non-dangling sources, so
+    dangling = total_rank − Σ contributions — one scalar aggregate.
+Ranks update as (1−d)/N + d·(contrib + dangling/N).  Verified against
+a single-process numpy power iteration with the identical update rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_M1 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _avalanche(x: np.ndarray) -> np.ndarray:
+    x = x ^ (x >> np.uint64(33))
+    x = x * np.uint64(0xFF51AFD7ED558CCD)
+    return x ^ (x >> np.uint64(33))
+
+
+def link_edges(sf_dir: str):
+    """(src, dst) canonical-URL edges from the extractor's link spans,
+    dst restricted to corpus pages (left-semi join against the node
+    set).  Also returns the node dataset (distinct page URLs)."""
+    from dude_ray.canonical import canonicalize_url
+    from dude_ray.pipelines.flagship import run_extract
+
+    spans = run_extract(sf_dir)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        col = batch["spans"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array(
+                [], type=col.type)
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col)
+        kinds = flat.field("kind").to_pylist()
+        refs = flat.field("media_ref").to_pylist()
+        srcs = batch["doc_id"].to_pylist()
+        out_s, out_d = [], []
+        for i, (kind, ref) in enumerate(zip(kinds, refs)):
+            if kind != "link" or not ref:
+                continue
+            src = srcs[parent[i].as_py()]
+            dst = canonicalize_url(ref, base=src)
+            if dst and dst != src:
+                out_s.append(src)
+                out_d.append(dst)
+        return pa.table({"src": pa.array(out_s, type=pa.string()),
+                         "dst": pa.array(out_d, type=pa.string())})
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["doc_id"]})
+
+    edges = spans.map_batches(to_edges, batch_format="pyarrow",
+                              batch_size=1024)
+    nodes = spans.map_batches(to_nodes, batch_format="pyarrow",
+                              batch_size=4096).materialize()
+    edges = edges.join(nodes, "left_semi", 4, on=("dst",),
+                       right_on=("node",),
+                       aggregator_ray_remote_args={"num_cpus": 0})
+    return edges.materialize(), nodes
+
+
+def _grouped_sum(ds, n_groups: int):
+    """Vectorized (node, value) sum: data-scaled hash group + pandas."""
+    mask = np.uint64(n_groups - 1)
+
+    def add_g(t: pa.Table) -> pa.Table:
+        # pd.util.hash_array: deterministic (fixed-key siphash) across
+        # processes — python's builtin hash() is per-process salted and
+        # would split a node's rows across groups
+        h = pd.util.hash_array(
+            np.asarray(t["node"].to_pylist(), dtype=object))
+        g = (_avalanche(h * _M1) & mask).astype(np.int64)
+        return t.append_column("g", pa.array(g, type=pa.int64()))
+
+    def sum_g(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", sort=False)["value"].sum().reset_index()
+        return out[["node", "value"]]
+
+    return (ds.map_batches(add_g, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("g").map_groups(sum_g, batch_format="pandas")
+            .map_batches(lambda t: t.select(["node", "value"]),
+                         batch_format="pyarrow"))
+
+
+def run_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 6,
+                 num_partitions: int = 4):
+    """PageRank over the extracted link graph; output (node, rank)
+    for every corpus page, Σ rank = 1."""
+    from dude_ray.partitioning import scaled_group_count
+
+    edges, nodes = link_edges(sf_dir)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda t: pa.table({"node": pa.array([], type=pa.string()),
+                                "rank": pa.array([], type=pa.float64())}),
+            batch_format="pyarrow")
+    n_edges = max(edges.count(), 1)
+    n_groups = scaled_group_count(n_edges, 65536)
+    agg_args = {"num_cpus": 0}
+
+    # fold 1/outdeg into the static edge list once
+    outdeg = _grouped_sum(
+        edges.map_batches(
+            lambda t: pa.table({"node": t["src"],
+                                "value": pa.array(
+                                    np.ones(len(t)), type=pa.float64())}),
+            batch_format="pyarrow"), n_groups).materialize()
+    edges_w = edges.join(outdeg, "inner", num_partitions,
+                         on=("src",), right_on=("node",),
+                         aggregator_ray_remote_args=agg_args)
+    edges_w = edges_w.map_batches(
+        lambda t: pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "inv": pc.divide(pa.scalar(1.0), t["value"]),
+        }), batch_format="pyarrow").materialize()
+
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "value": pa.array(np.zeros(len(t)),
+                                              type=pa.float64())}),
+        batch_format="pyarrow").materialize()
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "rank": pa.array(
+                                np.full(len(t), 1.0 / n_nodes),
+                                type=pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        j = edges_w.join(ranks, "inner", num_partitions,
+                         on=("src",), right_on=("node",),
+                         aggregator_ray_remote_args=agg_args)
+        contribs = j.map_batches(
+            lambda t: pa.table({"node": t["dst"],
+                                "value": pc.multiply(t["rank"], t["inv"])}),
+            batch_format="pyarrow")
+        sums = _grouped_sum(contribs.union(zero_rows),
+                            n_groups).materialize()
+        # mass conservation: Σ contributions = Σ rank(non-dangling src),
+        # so the dangling mass is the remainder — no join needed
+        total_contrib = sums.sum("value") or 0.0
+        total_rank = ranks.sum("rank") or 0.0
+        dangling = max(total_rank - total_contrib, 0.0)
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def update(t: pa.Table, _base=base) -> pa.Table:
+            r = _base + damping * t["value"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": t["node"],
+                             "rank": pa.array(r, type=pa.float64())})
+
+        ranks = sums.map_batches(update,
+                                 batch_format="pyarrow").materialize()
+    return ranks
+
+
+def pagerank_reference(edge_list, node_list, damping: float = 0.85,
+                       iters: int = 8):
+    """Single-process numpy power iteration with the identical update
+    rule — the test oracle for ``run_pagerank``."""
+    idx = {n: i for i, n in enumerate(node_list)}
+    n = len(node_list)
+    out = np.zeros(n)
+    for s, _d in edge_list:
+        out[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edge_list:
+            contrib[idx[d]] += rank[idx[s]] / out[idx[s]]
+        dangling = rank[out == 0].sum()
+        rank = ((1 - damping) / n + damping * dangling / n
+                + damping * contrib)
+    return {node: rank[i] for node, i in idx.items()}
