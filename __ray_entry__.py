@@ -108,6 +108,12 @@ def _q_media_thumbs(sf_dir: str):
     return run_media_thumbs(sf_dir)
 
 
+def _q_media_audio_chunks(sf_dir: str):
+    from dude_ray.stages.multimodal import run_media_audio_chunks
+
+    return run_media_audio_chunks(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from dude_ray.pipelines import (cleaning, dedup, relational, sampling,
                                     similarity, textops)
@@ -120,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_thumbs": _q_media_thumbs,
+        "media_audio_chunks": _q_media_audio_chunks,
         # text analysis
         "token_count": textops.run_token_count,
         "quality_score": textops.run_quality,

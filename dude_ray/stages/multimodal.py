@@ -208,3 +208,56 @@ def run_media_thumbs(sf_dir: str, target: int = 32, concurrency: int = 2):
                                                     "target_h": target},
                              batch_format="pyarrow", batch_size=256,
                              concurrency=(1, concurrency))
+
+
+class AudioChunker:
+    """Actor-pool audio windowing stage (flat_map shape): treat the
+    binary payload as a PCM-like sample stream and emit fixed-length
+    windows with hop, the framing every audio feature extractor
+    (log-mel, wav2vec) runs on.  The byte→sample interpretation is the
+    honest stub here (no audio codecs in this container — payload bytes
+    ARE the samples); window arithmetic, flat_map row fan-out, batch
+    sizing for wide rows, and per-window feature rows are the real
+    plumbing a codec drops into."""
+
+    def __init__(self, window: int = 256, hop: int = 128):
+        self.window = window
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, idxs, feats, lens = [], [], [], []
+        for ref, payload in zip(batch["media_ref"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            samples = np.frombuffer(payload or b"", dtype=np.uint8)
+            if not len(samples):
+                continue
+            n_win = max(1 + (len(samples) - self.window) // self.hop, 1) \
+                if len(samples) >= self.window else 1
+            for w in range(n_win):
+                seg = samples[w * self.hop: w * self.hop + self.window]
+                refs.append(ref)
+                idxs.append(w)
+                # stand-in "feature": mean energy of the window —
+                # deterministic, replaced by a real frontend in prod
+                feats.append(float(seg.astype(np.float64).mean()))
+                lens.append(len(seg))
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "window_index": pa.array(idxs, type=pa.int64()),
+            "energy": pa.array(feats, type=pa.float64()),
+            "n_samples": pa.array(lens, type=pa.int64()),
+        })
+
+
+def run_media_audio_chunks(sf_dir: str, window: int = 256, hop: int = 128,
+                           concurrency: int = 2):
+    """payload table → actor-pool windowing stage (audio framing)."""
+    from ..sources.corpus import ensure_corpus
+
+    corpus_dir = ensure_corpus(sf_dir)
+    media = build_media_table(corpus_dir)
+    return media.map_batches(AudioChunker,
+                             fn_constructor_kwargs={"window": window,
+                                                    "hop": hop},
+                             batch_format="pyarrow", batch_size=128,
+                             concurrency=(1, concurrency))

@@ -734,3 +734,20 @@ def test_dedup_ops_run_to_run_deterministic(ray_session):
         one = fn(sf).to_pandas().sort_values(keys).reset_index(drop=True)
         two = fn(sf).to_pandas().sort_values(keys).reset_index(drop=True)
         pd.testing.assert_frame_equal(one, two)
+
+
+def test_media_audio_chunks_framing(ray_session):
+    """Window/hop arithmetic: every payload yields
+    1 + floor((len - window)/hop) windows (min 1), window_index is
+    dense per ref, and full windows carry exactly `window` samples."""
+    from dude_ray.stages.multimodal import run_media_audio_chunks
+
+    got = run_media_audio_chunks("/root/testdata/sf0.001",
+                                 window=200, hop=100).to_pandas()
+    assert len(got) > 0
+    for ref, g in got.groupby("media_ref"):
+        idx = sorted(g["window_index"])
+        assert idx == list(range(len(idx)))
+        full = g[g["n_samples"] == 200]
+        assert len(full) >= len(g) - 1  # only the tail may be short
+    assert (got["energy"] >= 0).all() and (got["energy"] <= 255).all()
