@@ -59,15 +59,47 @@ def md5_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"h": pa.array(hs, type=pa.string()), "doc_id": batch["doc_id"]})
 
 
-def run_exact_dedup(sf_dir: str):
-    """hash-partition + per-group first: keeper = min doc_id per md5."""
-    import ray.data as rd
-    from ray.data.aggregate import Count, Min
+def run_exact_dedup(sf_dir: str, target_rows_per_group: int = 65536):
+    """hash-partition + per-group first: keeper = min doc_id per md5.
 
+    The reduce is a data-scaled hash group over the md5 key with a
+    vectorized pandas aggregate per group — key cardinality grows with
+    the corpus, and Ray's groupby().aggregate() combine is
+    Python-per-row (~20k rows/s measured), which would make THE
+    canonical dedup the slowest stage at scale."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         md5_batch, batch_format="pyarrow", batch_size=4096)
-    return ds.groupby("h").aggregate(Min("doc_id", alias_name="keeper_id"),
-                                     Count(alias_name="dup_count"))
+    from dude_ray.partitioning import parquet_row_groups, scaled_group_count
+
+    # size groups from parquet metadata (row count without a data read
+    # or an extra materialize pass)
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/documents.parquet"))
+    n_groups = scaled_group_count(max(n_rows, 1), target_rows_per_group)
+    mask = np.uint64(n_groups - 1)
+
+    def _add_g(t: pa.Table) -> pa.Table:
+        g = (pd.util.hash_array(
+            np.asarray(t["h"].to_pylist(), dtype=object)) & mask)
+        return t.append_column("g", pa.array(g.astype(np.int64),
+                                             type=pa.int64()))
+
+    def _keepers(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("h", sort=False)["doc_id"]
+               .agg(["min", "size"]).reset_index())
+        return pd.DataFrame({
+            "h": out["h"],
+            "keeper_id": out["min"].to_numpy(dtype=np.int64),
+            "dup_count": out["size"].to_numpy(dtype=np.int64),
+        })
+
+    return (ds.map_batches(_add_g, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("g")
+            .map_groups(_keepers, batch_format="pandas")
+            .map_batches(
+                lambda t: t.select(["h", "keeper_id", "dup_count"]),
+                batch_format="pyarrow"))
 
 
 # --------------------------------------------------------------------------
