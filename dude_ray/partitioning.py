@@ -19,6 +19,8 @@ from __future__ import annotations
 import glob
 import os
 
+import numpy as np
+
 
 def estimate_rows(paths, sample_files: int = 64) -> int:
     """Row-count estimate from parquet footers.
@@ -181,3 +183,61 @@ def resolve_ordered(ds, parquet_path: str, key: str, partial_fn,
             return cand, parts
     raise AssertionError(
         f"dataset not {key}-ordered even after an explicit sort")
+
+
+def hash_grouped_reduce(ds, key_cols, reduce_fn, n_rows: int,
+                        target_rows_per_group: int = 65536,
+                        out_cols=None):
+    """Vectorized substitute for ``Dataset.groupby().aggregate()``.
+
+    Ray's sort-based aggregate runs its combine in Python per row
+    (~20k rows/s measured on this Ray version — see
+    dedup.run_substring_dup history for a 271 s → 1 s case), so every
+    unbounded-key reduce here goes through this shape instead: a
+    DETERMINISTIC fixed-key hash (pd.util.hash_array — python's
+    builtin hash() is process-salted and would split keys across
+    groups) of the key column(s), masked to a data-scaled group count
+    (`scaled_group_count`, never a fixed width), ONE sort shuffle on
+    that int key, then ``reduce_fn`` (a pandas frame → frame that
+    groups by the real keys) vectorized per group.
+
+    ``n_rows`` sizes the group count — pass a metadata-derived or
+    already-known count, not an extra counting pass.  ``out_cols``
+    optionally projects + converts the result back to Arrow blocks so
+    downstream unions stay homogeneous."""
+    import pandas as pd
+    import pyarrow as pa
+
+    n_groups = scaled_group_count(max(n_rows, 1), target_rows_per_group)
+    mask = np.uint64(n_groups - 1)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def add_g(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for c in keys:
+            col = t[c].to_numpy(zero_copy_only=False)
+            if col.dtype == object or col.dtype.kind in ("U", "S"):
+                h ^= pd.util.hash_array(np.asarray(col, dtype=object))
+            else:
+                h ^= pd.util.hash_array(col.astype(np.int64))
+            h = _mix(h)
+        return t.append_column("__g", pa.array(
+            (h & mask).astype(np.int64), type=pa.int64()))
+
+    def reduce_g(df: pd.DataFrame) -> pd.DataFrame:
+        return reduce_fn(df.drop(columns="__g"))
+
+    out = (ds.map_batches(add_g, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("__g")
+           .map_groups(reduce_g, batch_format="pandas"))
+    if out_cols is not None:
+        out = out.map_batches(lambda t: t.select(list(out_cols)),
+                              batch_format="pyarrow")
+    return out
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    x = x ^ (x >> np.uint64(33))
+    x = x * np.uint64(0xFF51AFD7ED558CCD)
+    return x ^ (x >> np.uint64(33))

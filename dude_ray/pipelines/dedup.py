@@ -69,20 +69,12 @@ def run_exact_dedup(sf_dir: str, target_rows_per_group: int = 65536):
     canonical dedup the slowest stage at scale."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         md5_batch, batch_format="pyarrow", batch_size=4096)
-    from dude_ray.partitioning import parquet_row_groups, scaled_group_count
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
 
     # size groups from parquet metadata (row count without a data read
     # or an extra materialize pass)
     n_rows = sum(n for _f, _rg, n in
                  parquet_row_groups(f"{sf_dir}/documents.parquet"))
-    n_groups = scaled_group_count(max(n_rows, 1), target_rows_per_group)
-    mask = np.uint64(n_groups - 1)
-
-    def _add_g(t: pa.Table) -> pa.Table:
-        g = (pd.util.hash_array(
-            np.asarray(t["h"].to_pylist(), dtype=object)) & mask)
-        return t.append_column("g", pa.array(g.astype(np.int64),
-                                             type=pa.int64()))
 
     def _keepers(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby("h", sort=False)["doc_id"]
@@ -93,13 +85,9 @@ def run_exact_dedup(sf_dir: str, target_rows_per_group: int = 65536):
             "dup_count": out["size"].to_numpy(dtype=np.int64),
         })
 
-    return (ds.map_batches(_add_g, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby("g")
-            .map_groups(_keepers, batch_format="pandas")
-            .map_batches(
-                lambda t: t.select(["h", "keeper_id", "dup_count"]),
-                batch_format="pyarrow"))
+    return hash_grouped_reduce(ds, "h", _keepers, n_rows,
+                               target_rows_per_group,
+                               out_cols=("h", "keeper_id", "dup_count"))
 
 
 # --------------------------------------------------------------------------
@@ -973,19 +961,10 @@ def run_dup_clusters(sf_dir: str, threshold: float = 0.35,
             batch_format="pyarrow")
     num_partitions = max(2, min(num_partitions, n_edges // 2048 + 1))
 
-    # vectorized grouped-min: hash the node to a data-scaled coarse
-    # group (ONE sort shuffle on an int key), then a pandas min per
-    # group — Ray's groupby().min() combine measures ~20k rows/s in
-    # this Ray version, which would dominate every round here
-    from dude_ray.partitioning import scaled_group_count
-
-    n_min_groups = scaled_group_count(3 * n_edges, 65536)
-    gmask = np.uint64(n_min_groups - 1)
-
-    def _add_ng(t: pa.Table) -> pa.Table:
-        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        g = (_avalanche(nd * _M1) & gmask).astype(np.int64)
-        return t.append_column("ng", pa.array(g, type=pa.int64()))
+    # vectorized grouped-min via the shared data-scaled hash-group
+    # reduce (partitioning.hash_grouped_reduce) — Ray's groupby().min()
+    # combine measures ~20k rows/s, which would dominate every round
+    from dude_ray.partitioning import hash_grouped_reduce
 
     def _min_per_group(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby("node", sort=False)["label"].min()
@@ -996,14 +975,9 @@ def run_dup_clusters(sf_dir: str, threshold: float = 0.35,
         })
 
     def grouped_min(ds):
-        return (ds.map_batches(_add_ng, batch_format="pyarrow",
-                               batch_size=65536)
-                .groupby("ng")
-                .map_groups(_min_per_group, batch_format="pandas")
-                # back to Arrow blocks so the next round's union with
-                # Arrow-producing stages stays homogeneous
-                .map_batches(lambda t: t.select(["node", "label"]),
-                             batch_format="pyarrow"))
+        return hash_grouped_reduce(ds, "node", _min_per_group,
+                                   3 * n_edges,
+                                   out_cols=("node", "label"))
 
     init = edges.map_batches(
         lambda t: pa.table({"node": t["u"], "label": t["v"]}),
@@ -1149,34 +1123,17 @@ def run_substring_dup(sf_dir: str, min_shared: int = 2,
     ~1 s).  Only fixed-width int rows ever shuffle — text never leaves
     stage 1."""
     from dude_ray.io import read_parquet_clean
-    from dude_ray.partitioning import scaled_group_count
+    from dude_ray.partitioning import hash_grouped_reduce
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"])
     hrows = docs.map_batches(_WinnowHashes, batch_format="pyarrow",
                              batch_size=2048,
                              concurrency=(1, concurrency)).materialize()
-    n_groups = scaled_group_count(hrows.count(), target_rows_per_group)
-    mask = np.uint64(n_groups - 1)
 
-    def add_group(t: pa.Table) -> pa.Table:
-        g = (t["h"].to_numpy(zero_copy_only=False) & mask).astype(np.int64)
-        return t.append_column("g", pa.array(g, type=pa.int64()))
-
-    keyed = hrows.map_batches(add_group, batch_format="pyarrow",
-                              batch_size=65536)
-    pairs = keyed.groupby("g").map_groups(
-        lambda g: _hash_bucket_pairs(g),
-        batch_format="pandas").materialize()
-    n_pair_groups = scaled_group_count(pairs.count(),
-                                       target_rows_per_group)
-    pmask = np.uint64(n_pair_groups - 1)
-
-    def add_pair_group(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        g = (_avalanche(a * _M1 ^ b * _M2) & pmask).astype(np.int64)
-        return t.append_column("g2", pa.array(g, type=pa.int64()))
+    pairs = hash_grouped_reduce(
+        hrows, "h", _hash_bucket_pairs, hrows.count(),
+        target_rows_per_group, out_cols=("a", "b")).materialize()
 
     def count_group(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby(["a", "b"], sort=False).size()
@@ -1188,8 +1145,6 @@ def run_substring_dup(sf_dir: str, min_shared: int = 2,
             "n_shared": out["n_shared"].to_numpy(dtype=np.int64),
         })
 
-    return (pairs.map_batches(add_pair_group, batch_format="pyarrow",
-                              batch_size=65536)
-            .groupby("g2")
-            .map_groups(count_group, batch_format="pandas")
-            .select_columns(["a", "b", "n_shared"]))
+    return hash_grouped_reduce(pairs, ["a", "b"], count_group,
+                               pairs.count(), target_rows_per_group,
+                               out_cols=("a", "b", "n_shared"))

@@ -29,15 +29,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_M1 = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _avalanche(x: np.ndarray) -> np.ndarray:
-    x = x ^ (x >> np.uint64(33))
-    x = x * np.uint64(0xFF51AFD7ED558CCD)
-    return x ^ (x >> np.uint64(33))
-
-
 def link_edges(sf_dir: str):
     """(src, dst) canonical-URL edges from the extractor's link spans,
     dst restricted to corpus pages (left-semi join against the node
@@ -82,36 +73,23 @@ def link_edges(sf_dir: str):
     return edges.materialize(), nodes
 
 
-def _grouped_sum(ds, n_groups: int):
-    """Vectorized (node, value) sum: data-scaled hash group + pandas."""
-    mask = np.uint64(n_groups - 1)
-
-    def add_g(t: pa.Table) -> pa.Table:
-        # pd.util.hash_array: deterministic (fixed-key siphash) across
-        # processes — python's builtin hash() is per-process salted and
-        # would split a node's rows across groups
-        h = pd.util.hash_array(
-            np.asarray(t["node"].to_pylist(), dtype=object))
-        g = (_avalanche(h * _M1) & mask).astype(np.int64)
-        return t.append_column("g", pa.array(g, type=pa.int64()))
+def _grouped_sum(ds, n_rows: int):
+    """Vectorized (node, value) sum via the shared data-scaled
+    hash-group reduce (partitioning.hash_grouped_reduce)."""
+    from dude_ray.partitioning import hash_grouped_reduce
 
     def sum_g(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("node", sort=False)["value"].sum().reset_index()
         return out[["node", "value"]]
 
-    return (ds.map_batches(add_g, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby("g").map_groups(sum_g, batch_format="pandas")
-            .map_batches(lambda t: t.select(["node", "value"]),
-                         batch_format="pyarrow"))
+    return hash_grouped_reduce(ds, "node", sum_g, n_rows,
+                               out_cols=("node", "value"))
 
 
 def run_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 6,
                  num_partitions: int = 4):
     """PageRank over the extracted link graph; output (node, rank)
     for every corpus page, Σ rank = 1."""
-    from dude_ray.partitioning import scaled_group_count
-
     edges, nodes = link_edges(sf_dir)
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -120,7 +98,6 @@ def run_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 6,
                                 "rank": pa.array([], type=pa.float64())}),
             batch_format="pyarrow")
     n_edges = max(edges.count(), 1)
-    n_groups = scaled_group_count(n_edges, 65536)
     agg_args = {"num_cpus": 0}
 
     # fold 1/outdeg into the static edge list once
@@ -129,7 +106,7 @@ def run_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 6,
             lambda t: pa.table({"node": t["src"],
                                 "value": pa.array(
                                     np.ones(len(t)), type=pa.float64())}),
-            batch_format="pyarrow"), n_groups).materialize()
+            batch_format="pyarrow"), n_edges).materialize()
     edges_w = edges.join(outdeg, "inner", num_partitions,
                          on=("src",), right_on=("node",),
                          aggregator_ray_remote_args=agg_args)
@@ -160,7 +137,7 @@ def run_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 6,
                                 "value": pc.multiply(t["rank"], t["inv"])}),
             batch_format="pyarrow")
         sums = _grouped_sum(contribs.union(zero_rows),
-                            n_groups).materialize()
+                            n_edges + n_nodes).materialize()
         # mass conservation: Σ contributions = Σ rank(non-dangling src),
         # so the dangling mass is the remainder — no join needed
         total_contrib = sums.sum("value") or 0.0

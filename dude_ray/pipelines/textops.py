@@ -285,37 +285,29 @@ def run_corpus_prep(sf_dir: str, min_tokens: int = 30,
     grouping by ``h`` while carrying the stats columns for free.  The
     per-language rollup is a bounded-key partial combine (≤5 languages),
     Arrow tree merge — no second all-to-all."""
-    from dude_ray.partitioning import scaled_group_count
+    from dude_ray.partitioning import (hash_grouped_reduce,
+                                       parquet_row_groups)
     from dude_ray.pipelines.relational import tree_combine
 
     ds = _docs(sf_dir, ["text"]).map_batches(
         CorpusPrep, batch_format="pyarrow", batch_size=4096,
         concurrency=(1, concurrency),
         fn_constructor_kwargs={"min_tokens": min_tokens,
-                               "min_stop_ratio": min_stop_ratio}).materialize()
-    # distinct-by-h via a data-scaled hash group + vectorized pandas
-    # drop_duplicates — Ray's multi-key groupby().aggregate() combine is
-    # Python-per-row (~20k rows/s measured; 25 s at sf0.1); grouping by
-    # h alone is equivalent since duplicates share pred_lang/n_tokens
-    n_groups = scaled_group_count(max(ds.count(), 1), 65536)
-    mask = np.uint64(n_groups - 1)
-
-    def _add_g(t: pa.Table) -> pa.Table:
-        g = (pd.util.hash_array(
-            np.asarray(t["h"].to_pylist(), dtype=object)) & mask)
-        return t.append_column("g", pa.array(g.astype(np.int64),
-                                             type=pa.int64()))
+                               "min_stop_ratio": min_stop_ratio})
+    # distinct-by-h via the shared data-scaled hash-group reduce —
+    # Ray's multi-key groupby().aggregate() combine is Python-per-row
+    # (~20k rows/s measured; 25 s at sf0.1).  Grouping by h alone is
+    # equivalent since duplicates share pred_lang/n_tokens; group count
+    # is sized from parquet metadata (kept rows ≤ corpus rows)
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/documents.parquet"))
 
     def _distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates("h")[["h", "pred_lang", "n_tokens"]]
 
-    distinct = (ds.map_batches(_add_g, batch_format="pyarrow",
-                               batch_size=65536)
-                .groupby("g")
-                .map_groups(_distinct, batch_format="pandas")
-                .map_batches(
-                    lambda t: t.select(["h", "pred_lang", "n_tokens"]),
-                    batch_format="pyarrow"))
+    distinct = hash_grouped_reduce(
+        ds, "h", _distinct, n_rows,
+        out_cols=("h", "pred_lang", "n_tokens"))
 
     def _lang_partials(batch: pa.Table) -> pa.Table:
         g = batch.group_by("pred_lang").aggregate(
