@@ -110,10 +110,20 @@ def run_bm25(sf_dir: str, terms=QUERY_TERMS, top_n: int = TOP_N,
     n_docs, total_tokens = stats["sum(tf)"], stats["sum(dl)"]
     avgdl = total_tokens / n_docs
 
-    matched = _kind(scan, 1)
-    df_rows = matched.groupby("term").count().take_all()  # |terms| rows
-    idf = {r["term"]: math.log(1.0 + (n_docs - r["count()"] + 0.5)
-                               / (r["count()"] + 0.5))
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    matched = _kind(scan, 1).materialize()
+    n_matched = matched.count()
+
+    def _df_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("term", sort=False).size()
+                .reset_index(name="df"))
+
+    df_rows = hash_grouped_reduce(matched, "term", _df_counts,
+                                  n_matched,
+                                  out_cols=("term", "df")).take_all()
+    idf = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5)
+                               / (r["df"] + 0.5))
            for r in df_rows}
 
     def contrib(batch: pa.Table) -> pa.Table:
@@ -125,9 +135,16 @@ def run_bm25(sf_dir: str, terms=QUERY_TERMS, top_n: int = TOP_N,
         return pa.table({"doc_id": batch["doc_id"],
                          "contrib": pa.array(score, type=pa.float64())})
 
-    scores = (matched.map_batches(contrib, batch_format="pyarrow",
-                                  batch_size=8192)
-              .groupby("doc_id").sum("contrib"))
+    def _doc_sums(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("doc_id", sort=False)["contrib"].sum()
+               .reset_index(name="sum(contrib)"))
+        return out
+
+    scores = hash_grouped_reduce(
+        matched.map_batches(contrib, batch_format="pyarrow",
+                            batch_size=8192),
+        "doc_id", _doc_sums, n_matched,
+        out_cols=("doc_id", "sum(contrib)"))
 
     def local_top(batch: pa.Table) -> pa.Table:
         s = pc.round(batch["sum(contrib)"], ndigits=6)
