@@ -258,12 +258,22 @@ def run_top_terms_per_source(sf_dir: str, k: int = 5):
     top-k.  Source cardinality is small (per-domain / per-crawl-slice),
     term cardinality is vocabulary-bounded — both orders of magnitude
     below corpus size, so every post-scan stage is cheap at 100 TB."""
-    from ray.data.aggregate import Sum
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
 
     partials = _docs(sf_dir, ["source", "text"]).map_batches(
         _term_partials, batch_format="pandas", batch_size=4096)
-    merged = partials.groupby(["source", "term"]).aggregate(
-        Sum("n", alias_name="n"))
+    # partial rows ≤ blocks × vocabulary; the shared vectorized reduce
+    # replaces Ray's Python-per-row aggregate combine (real web
+    # vocabularies are millions of terms, not this corpus's 31)
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/documents.parquet"))
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["source", "term"], sort=False)["n"].sum()
+                .reset_index())
+
+    merged = hash_grouped_reduce(partials, ["source", "term"], _merge,
+                                 n_rows, out_cols=("source", "term", "n"))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n", "term"], ascending=[False, True]).head(k)
