@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _q_value_percent_rank,
         # link-graph analytics
         "pagerank": _q_pagerank,
+        "graph_pagerank": _q_graph_pagerank,
     }
 
 
@@ -207,6 +208,16 @@ def _q_pagerank(sf_dir: str):
     from dude_ray.pipelines.graph import run_pagerank
 
     return run_pagerank(sf_dir)
+
+
+def _q_graph_pagerank(sf_dir: str):
+    """The same distributed power-iteration kernel over an
+    SQL-derivable customer→supplier graph — hash-matched against an
+    unrolled-CTE DuckDB PageRank (the link-graph variant's input is
+    HTML extraction, unreachable from SQL)."""
+    from dude_ray.pipelines.graph import run_graph_pagerank
+
+    return run_graph_pagerank(sf_dir)
 
 
 def _q_events_hopping_window(sf_dir: str):
@@ -377,7 +388,10 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 
 def oracle_sql() -> dict[str, str]:
+    from dude_ray.pipelines.graph import graph_pagerank_oracle_sql
+
     return {
+        "graph_pagerank": graph_pagerank_oracle_sql(),
         "token_count": f"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,

@@ -91,6 +91,17 @@ def run_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 6,
     """PageRank over the extracted link graph; output (node, rank)
     for every corpus page, Σ rank = 1."""
     edges, nodes = link_edges(sf_dir)
+    return pagerank_kernel(edges, nodes, damping=damping, iters=iters,
+                           num_partitions=num_partitions)
+
+
+def pagerank_kernel(edges, nodes, damping: float = 0.85, iters: int = 6,
+                    num_partitions: int = 4):
+    """Distributed power iteration over arbitrary (src, dst) string
+    edges and a (node,) universe — the shared kernel behind
+    ``run_pagerank`` (link graph) and ``run_graph_pagerank``
+    (relational graph, DuckDB-oracled).  Both inputs must be
+    materialized Datasets; Σ rank = 1 over ``nodes``."""
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.map_batches(
@@ -153,6 +164,115 @@ def run_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 6,
         ranks = sums.map_batches(update,
                                  batch_format="pyarrow").materialize()
     return ranks
+
+
+def run_graph_pagerank(sf_dir: str, damping: float = 0.85,
+                       iters: int = 4, num_partitions: int = 4):
+    """PageRank over a relational graph: customers link to the
+    suppliers that filled their orders (distinct (o_custkey,
+    l_suppkey) pairs via the orders⋈lineitem join), node universe =
+    all customers ∪ all suppliers.  Suppliers have no out-edges, so
+    the dangling-mass path is exercised on every iteration.
+
+    Exists to give the distributed power-iteration kernel a DuckDB
+    hash-match (the link-graph variant's input is HTML extraction,
+    which SQL can't reach): the oracle unrolls the same fixed
+    iteration count as chained CTEs.  Ranks round to 10 decimals on
+    both sides — float64 association drift across 4 iterations is
+    ~1e-14, two orders below the rounding quantum."""
+    import os
+
+    import ray
+
+    from dude_ray.partitioning import estimate_rows, hash_grouped_reduce
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey"])
+    n_li = max(estimate_rows(os.path.join(sf_dir, "lineitem.parquet")), 1)
+
+    pairs = lineitem.join(orders, "inner", num_partitions,
+                          on=("l_orderkey",), right_on=("o_orderkey",),
+                          aggregator_ray_remote_args={"num_cpus": 0})
+    pairs = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pc.binary_join_element_wise(
+                "c", pc.cast(t["o_custkey"], pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                "s", pc.cast(t["l_suppkey"], pa.string()), ""),
+        }), batch_format="pyarrow")
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    edges = hash_grouped_reduce(pairs, ["src", "dst"], distinct_pairs,
+                                n_li, out_cols=("src", "dst")).materialize()
+
+    def prefix(col: str, tag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": pc.binary_join_element_wise(
+                tag, pc.cast(t[col], pa.string()), "")})
+        return fn
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(prefix("c_custkey", "c"), batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
+    ).map_batches(prefix("s_suppkey", "s"), batch_format="pyarrow")
+    nodes = cust.union(supp).materialize()
+
+    ranks = pagerank_kernel(edges, nodes, damping=damping, iters=iters,
+                            num_partitions=num_partitions)
+    return ranks.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "rank": pc.round(t["rank"], ndigits=10),
+        }), batch_format="pyarrow")
+
+
+def graph_pagerank_oracle_sql(damping: float = 0.85,
+                              iters: int = 4) -> str:
+    """The DuckDB oracle for :func:`run_graph_pagerank`: the identical
+    update rule with the iteration loop unrolled as chained CTEs."""
+    d = repr(damping)
+    parts = [
+        "WITH nodes AS ("
+        " SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer"
+        " UNION ALL"
+        " SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier),",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "edges AS ("
+        " SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,"
+        " 's' || CAST(l_suppkey AS VARCHAR) AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey),",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od"
+        " FROM edges GROUP BY src),",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank"
+        " FROM nodes),",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node, sum(r.rank / o.od) AS contrib"
+            f" FROM edges e JOIN r{p} r ON r.node = e.src"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst),")
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r{p} r"
+            f" WHERE r.node NOT IN (SELECT src FROM outdeg)),")
+        parts.append(
+            f"r{k} AS (SELECT n.node,"
+            f" (1 - {d}) / (SELECT n FROM nn)"
+            f" + {d} * (SELECT dm FROM d{k}) / (SELECT n FROM nn)"
+            f" + {d} * coalesce(c.contrib, 0) AS rank"
+            f" FROM nodes n LEFT JOIN c{k} c ON c.node = n.node),")
+    parts.append(
+        f"fin AS (SELECT node, round(rank, 10) AS rank FROM r{iters})"
+        " SELECT node, rank FROM fin ORDER BY node")
+    return "\n".join(parts)
 
 
 def pagerank_reference(edge_list, node_list, damping: float = 0.85,

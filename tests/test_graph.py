@@ -24,6 +24,34 @@ def test_pagerank_matches_reference(ray_session):
     assert max(abs(got[n] - ref[n]) for n in nl) < 1e-12
 
 
+def test_graph_pagerank_matches_reference(ray_session):
+    """Relational-graph variant (the DuckDB-oracled one) against the
+    same independent numpy power iteration, edge set rebuilt with
+    pandas from the raw parquet."""
+    import pandas as pd
+
+    from dude_ray.pipelines.graph import (pagerank_reference,
+                                          run_graph_pagerank)
+
+    pr = run_graph_pagerank(SF, iters=4).to_pandas()
+    orders = pd.read_parquet(SF + "/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    el = sorted({("c%d" % c, "s%d" % s)
+                 for c, s in zip(m["o_custkey"], m["l_suppkey"])})
+    cust = pd.read_parquet(SF + "/customer.parquet", columns=["c_custkey"])
+    supp = pd.read_parquet(SF + "/supplier.parquet", columns=["s_suppkey"])
+    nl = (["c%d" % c for c in cust["c_custkey"]]
+          + ["s%d" % s for s in supp["s_suppkey"]])
+    assert len(pr) == len(nl)
+    assert abs(pr["rank"].sum() - 1.0) < 1e-6
+    ref = pagerank_reference(el, nl, iters=4)
+    got = dict(zip(pr["node"], pr["rank"]))
+    assert max(abs(got[n] - ref[n]) for n in nl) < 1e-9
+
+
 def test_pagerank_prefers_linked_pages(ray_session):
     """Pages with incoming links must outrank the dangling floor."""
     from dude_ray.pipelines.graph import link_edges, run_pagerank
