@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": relational.run_distinct_users,
         "distinct_users_approx": _q_distinct_users_approx,
         "top_terms_sketch": _q_top_terms_sketch,
+        "lm_score": _q_lm_score,
         # clustering
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_cluster": _q_kmeans_cluster,
@@ -319,6 +320,14 @@ def _q_distinct_users_approx(sf_dir: str):
     return run_distinct_users_approx(sf_dir)
 
 
+def _q_lm_score(sf_dir: str):
+    """Bigram-LM average log-likelihood per document (CCNet/KenLM-style
+    quality filter) — distributed count tables + hash joins."""
+    from dude_ray.pipelines.lm import run_lm_score
+
+    return run_lm_score(sf_dir)
+
+
 def _q_top_terms_sketch(sf_dir: str):
     """Misra-Gries heavy hitters.  The sf corpora's vocabulary (31
     terms) is below the counter budget, so no pruning triggers and the
@@ -389,9 +398,11 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.graph import graph_pagerank_oracle_sql
+    from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
 
     return {
         "graph_pagerank": graph_pagerank_oracle_sql(),
+        "lm_score": LM_SCORE_ORACLE_SQL,
         "token_count": f"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
