@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_approx": _q_distinct_users_approx,
         "top_terms_sketch": _q_top_terms_sketch,
         "lm_score": _q_lm_score,
+        "tfidf_keywords": _q_tfidf_keywords,
         # clustering
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_cluster": _q_kmeans_cluster,
@@ -328,6 +329,14 @@ def _q_lm_score(sf_dir: str):
     return run_lm_score(sf_dir)
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Top-k TF-IDF keywords per document — distributed df table +
+    hash join + per-group top-k reduce."""
+    from dude_ray.pipelines.ranking import run_tfidf_keywords
+
+    return run_tfidf_keywords(sf_dir)
+
+
 def _q_top_terms_sketch(sf_dir: str):
     """Misra-Gries heavy hitters.  The sf corpora's vocabulary (31
     terms) is below the counter budget, so no pruning triggers and the
@@ -399,10 +408,12 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.graph import graph_pagerank_oracle_sql
     from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
+    from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
 
     return {
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,
+        "tfidf_keywords": tfidf_keywords_oracle_sql(),
         "token_count": f"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,

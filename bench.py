@@ -170,6 +170,16 @@ def run_bench() -> dict:
     clustering.run_embedding_pca(SF_DIR).count()
     timings["embedding_pca"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import graph, lm
+
+    t0 = time.time()
+    lm.run_lm_score(SF_DIR).count()
+    timings["lm_score"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    graph.run_graph_pagerank(SF_DIR).count()
+    timings["graph_pagerank"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

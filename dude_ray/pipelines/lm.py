@@ -79,9 +79,9 @@ def run_lm_score(sf_dir: str, num_partitions: int = 4,
         return out
 
     def _sum_uni(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("w1", sort=False)["n"].sum()
+        out = (df.groupby("bw1", sort=False)["cb"].sum()
                .reset_index(name="cu"))
-        out.rename(columns={"w1": "uw"}, inplace=True)
+        out.rename(columns={"bw1": "uw"}, inplace=True)
         return out
 
     cb = hash_grouped_reduce(
@@ -93,21 +93,39 @@ def run_lm_score(sf_dir: str, num_partitions: int = 4,
         lambda t: pa.table({"bw1": t["w1"], "bw2": t["w2"],
                             "cb": pc.cast(t["cb"], pa.float64())}),
         batch_format="pyarrow").materialize()
+    n_cb = cb.count()
+    # the prefix marginal c(w1·) = Σ_w2 c(w1,w2) folds out of the
+    # bigram table itself — a reduce over |distinct bigrams| rows, not
+    # a second pass over the doc-bigram stream
     cu = hash_grouped_reduce(
-        doc_big.map_batches(
-            lambda t: t.select(["w1", "n"]), batch_format="pyarrow"),
-        "w1", _sum_uni, n_rows, out_cols=("uw", "cu"))
-    cu = cu.map_batches(
-        lambda t: pa.table({"uw": t["uw"],
-                            "cu": pc.cast(t["cu"], pa.float64())}),
-        batch_format="pyarrow").materialize()
+        cb.map_batches(lambda t: t.select(["bw1", "cb"]),
+                       batch_format="pyarrow"),
+        "bw1", _sum_uni, n_cb, out_cols=("uw", "cu")).materialize()
+    if n_cb <= 2_000_000:
+        # broadcast-join tier: the count tables fit in every worker
+        # (ray.put once, pandas merge per batch) — skips two
+        # Dataset.join shuffles of the doc-bigram stream.  Above the
+        # threshold (web-scale vocab²) the distributed hash joins
+        # below carry.
+        import ray
 
-    j = doc_big.join(cb, "inner", num_partitions,
-                     on=("w1", "w2"), right_on=("bw1", "bw2"),
-                     aggregator_ray_remote_args=agg_args)
-    j = j.join(cu, "inner", num_partitions,
-               on=("w1",), right_on=("uw",),
-               aggregator_ray_remote_args=agg_args)
+        tabs_ref = ray.put((cb.to_pandas(), cu.to_pandas()))
+
+        def bjoin(df: pd.DataFrame) -> pd.DataFrame:
+            cbt, cut = ray.get(tabs_ref)
+            out = df.merge(cbt, left_on=["w1", "w2"],
+                           right_on=["bw1", "bw2"])
+            return out.merge(cut, left_on="w1", right_on="uw")
+
+        j = doc_big.map_batches(bjoin, batch_format="pandas",
+                                batch_size=65536)
+    else:
+        j = doc_big.join(cb, "inner", num_partitions,
+                         on=("w1", "w2"), right_on=("bw1", "bw2"),
+                         aggregator_ray_remote_args=agg_args)
+        j = j.join(cu, "inner", num_partitions,
+                   on=("w1",), right_on=("uw",),
+                   aggregator_ray_remote_args=agg_args)
 
     def to_lp(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)

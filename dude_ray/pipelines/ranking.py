@@ -159,3 +159,136 @@ def run_bm25(sf_dir: str, terms=QUERY_TERMS, top_n: int = TOP_N,
            .limit(top_n).to_pandas())
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top
+
+
+def _doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc unique term rows (doc_id, term, tf), batch-vectorized —
+    the same single-space tokenization the DuckDB oracle's
+    string_split uses (the corpus is single-space separated)."""
+    texts = df["text"].fillna("").to_numpy(dtype=object)
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    toks = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                       count=len(toks))
+    if not lens.sum():
+        return pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
+                             "term": [],
+                             "tf": np.array([], dtype=np.int64)})
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    parent = np.repeat(np.arange(len(toks)), lens)
+    out = pd.DataFrame({"doc_id": ids[parent], "term": flat})
+    out = (out.groupby(["doc_id", "term"], sort=False)
+           .size().reset_index(name="tf"))
+    out["tf"] = out["tf"].astype(np.int64)
+    return out
+
+
+def run_tfidf_keywords(sf_dir: str, top_k: int = 5,
+                       num_partitions: int = 4,
+                       batch_size: int = 4096):
+    """Top-``top_k`` TF-IDF keywords per document: (doc_id, term,
+    score, rank) with score = tf · ln(N/df), rank on (round-6 score
+    desc, term asc) — per-doc keyword extraction, the corpus-analysis
+    counterpart of :func:`run_bm25`'s query-time scoring.
+
+    Scale shape: ONE corpus scan → per-doc unique (term, tf) rows;
+    document frequencies via the data-scaled hash reduce (the df table
+    stays a distributed dataset — vocab-sized at web scale, never on
+    the driver); ONE hash join ships df back onto the term rows; the
+    per-doc top-k is one more hash-grouped reduce (pandas sort+head
+    per group)."""
+    from dude_ray.io import read_parquet_clean
+    from dude_ray.partitioning import estimate_rows, hash_grouped_reduce
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    n_docs = max(estimate_rows(f"{sf_dir}/documents.parquet"), 1)
+    terms = docs.map_batches(_doc_terms, batch_format="pandas",
+                             batch_size=batch_size).materialize()
+    n_rows = terms.count()
+
+    def _df_count(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("term", sort=False).size()
+               .reset_index(name="df"))
+        out.rename(columns={"term": "dterm"}, inplace=True)
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    dftab = hash_grouped_reduce(
+        terms.map_batches(lambda t: t.select(["term"]),
+                          batch_format="pyarrow"),
+        "term", _df_count, n_rows,
+        out_cols=("dterm", "df")).materialize()
+
+    if dftab.count() <= 2_000_000:
+        # broadcast-join tier: the df table fits in every worker
+        # (ray.put once, pandas merge per batch); the distributed hash
+        # join below carries past web-scale vocab sizes.
+        import ray
+
+        df_ref = ray.put(dftab.to_pandas())
+
+        def bjoin(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(ray.get(df_ref), left_on="term",
+                            right_on="dterm")
+
+        j = terms.map_batches(bjoin, batch_format="pandas",
+                              batch_size=65536)
+    else:
+        j = terms.join(dftab, "inner", num_partitions,
+                       on=("term",), right_on=("dterm",),
+                       aggregator_ray_remote_args={"num_cpus": 0})
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tf * np.log(n_docs / dfv), 6)
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "score": pa.array(s, type=pa.float64())})
+
+    def _top_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        out = df[df["rank"] <= top_k].reset_index(drop=True)
+        out["rank"] = out["rank"].astype(np.int64)
+        return out[["doc_id", "term", "score", "rank"]]
+
+    return hash_grouped_reduce(
+        j.map_batches(score, batch_format="pyarrow", batch_size=8192),
+        "doc_id", _top_k, n_rows,
+        out_cols=("doc_id", "term", "score", "rank"))
+
+
+def tfidf_keywords_oracle_sql(top_k: int = 5) -> str:
+    """DuckDB oracle for :func:`run_tfidf_keywords` — identical
+    tokenization (string_split on single space), tf·ln(N/df) scoring
+    rounded to 6, row_number on (score desc, term asc)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM toks GROUP BY doc_id, term
+        ),
+        dfq AS (
+          SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term,
+                 round(t.tf * ln((SELECT n FROM nd) / d.df), 6) AS score
+          FROM tf t JOIN dfq d ON d.term = t.term
+        ),
+        ranked AS (
+          SELECT doc_id, term, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, score, rank FROM ranked
+        WHERE rank <= {top_k}
+    """

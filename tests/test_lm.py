@@ -29,6 +29,34 @@ def _reference(docs: pd.DataFrame):
     return out
 
 
+def test_tfidf_keywords_matches_reference(ray_session):
+    """Per-doc TF-IDF top-k vs an independent Counter-based reference."""
+    from dude_ray.pipelines.ranking import run_tfidf_keywords
+
+    got = run_tfidf_keywords(SF, top_k=5).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = len(docs)
+    df_counter: Counter = Counter()
+    tfs = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        tf = Counter(text.split(" "))
+        tfs[did] = tf
+        df_counter.update(tf.keys())
+    assert set(got["doc_id"]) == set(docs["doc_id"])
+    assert got.groupby("doc_id").size().max() <= 5
+    for did in list(docs["doc_id"])[:25]:
+        scored = sorted(
+            ((round(tf * math.log(n / df_counter[t]), 6), t)
+             for t, tf in tfs[did].items()),
+            key=lambda x: (-x[0], x[1]))[:5]
+        sub = (got[got["doc_id"] == did]
+               .sort_values("rank").reset_index(drop=True))
+        assert list(sub["term"]) == [t for _s, t in scored]
+        assert np.allclose(sub["score"], [s for s, _t in scored],
+                           atol=2e-6)
+
+
 def test_lm_score_matches_reference(ray_session):
     from dude_ray.pipelines.lm import run_lm_score
 
