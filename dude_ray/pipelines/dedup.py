@@ -913,7 +913,8 @@ def _digest_batch(batch: pa.Table) -> pa.Table:
 # --------------------------------------------------------------------------
 
 def run_dup_clusters(sf_dir: str, threshold: float = 0.35,
-                     max_iters: int = 32, num_partitions: int = 4):
+                     max_iters: int = 32, num_partitions: int = 4,
+                     cc_local_threshold: int = 2_000_000):
     """Group near-duplicate pairs into CLUSTERS (connected components)
     and name each by its minimum member — the step between pair
     detection and "keep one doc per duplicate set" in a real dedup
@@ -960,6 +961,40 @@ def run_dup_clusters(sf_dir: str, threshold: float = 0.35,
                 "component": pa.array([], type=pa.int64())}),
             batch_format="pyarrow")
     num_partitions = max(2, min(num_partitions, n_edges // 2048 + 1))
+
+    if n_edges <= cc_local_threshold:
+        # small-graph tier (the planner choice the pagerank kernel
+        # also makes): the undirected edge list fits on the driver
+        # (≤ 32 MB of int64 pairs) — union-find beats paying per-round
+        # join fixed costs for a handful of label-prop rounds.  The
+        # distributed min-label propagation below is the scale path.
+        edf = edges.to_pandas()
+        u = edf["u"].to_numpy(dtype=np.int64)
+        v = edf["v"].to_numpy(dtype=np.int64)
+        nodes = np.unique(u)  # undirect emitted both directions
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        parent = np.arange(len(nodes))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in zip(u, v):
+            ra, rb = find(idx[int(a)]), find(idx[int(b)])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = np.array([nodes[find(i)] for i in range(len(nodes))],
+                        dtype=np.int64)
+        # component id = min vec_id of the cluster: nodes is sorted
+        # ascending, and union always parents the larger root to the
+        # smaller, so root index == index of the minimum member
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(nodes, type=pa.int64()),
+            "component": pa.array(comp, type=pa.int64())}))
 
     # vectorized grouped-min via the shared data-scaled hash-group
     # reduce (partitioning.hash_grouped_reduce) — Ray's groupby().min()

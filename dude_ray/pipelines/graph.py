@@ -97,7 +97,8 @@ def run_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 6,
 
 def pagerank_kernel(edges, nodes, damping: float = 0.85, iters: int = 6,
                     num_partitions: int = 4,
-                    broadcast_threshold: int = 500_000):
+                    broadcast_threshold: int = 500_000,
+                    scatter_local_threshold: int = 2_000_000):
     """Distributed power iteration over arbitrary (src, dst) string
     edges and a (node,) universe — the shared kernel behind
     ``run_pagerank`` (link graph) and ``run_graph_pagerank``
@@ -123,7 +124,8 @@ def pagerank_kernel(edges, nodes, damping: float = 0.85, iters: int = 6,
     n_edges = max(edges.count(), 1)
     if n_nodes <= broadcast_threshold:
         return _pagerank_scatter(edges, nodes, n_nodes, n_edges,
-                                 damping, iters)
+                                 damping, iters,
+                                 local_threshold=scatter_local_threshold)
     agg_args = {"num_cpus": 0}
 
     # fold 1/outdeg into the static edge list once
@@ -182,7 +184,8 @@ def pagerank_kernel(edges, nodes, damping: float = 0.85, iters: int = 6,
 
 
 def _pagerank_scatter(edges, nodes, n_nodes: int, n_edges: int,
-                      damping: float, iters: int):
+                      damping: float, iters: int,
+                      local_threshold: int = 2_000_000):
     """Small-vertex-set fast path: dense rank vector on the driver
     (≤ threshold × 8 B), scatter distributed over the edge list.
 
@@ -212,7 +215,7 @@ def _pagerank_scatter(edges, nodes, n_nodes: int, n_edges: int,
     eint = edges.map_batches(to_ids, batch_format="pyarrow",
                              batch_size=65536).materialize()
 
-    if n_edges <= 2_000_000:
+    if n_edges <= local_threshold:
         # smallest tier: the int edge list fits on the driver (≤ 32 MB)
         # — run the iterations as pure numpy bincounts (≈ ms each)
         # instead of paying ~1 s of Ray pass fixed cost per iteration.

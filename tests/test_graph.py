@@ -52,6 +52,25 @@ def test_graph_pagerank_matches_reference(ray_session):
     assert max(abs(got[n] - ref[n]) for n in nl) < 1e-9
 
 
+def test_pagerank_tiers_agree(ray_session):
+    """All three planner tiers (driver-numpy, distributed scatter,
+    per-iteration hash joins) produce the same ranks on the same
+    graph."""
+    from dude_ray.pipelines.graph import link_edges, pagerank_kernel
+
+    edges, nodes = link_edges(SF)
+    local = pagerank_kernel(edges, nodes, iters=4).to_pandas()
+    scatter = pagerank_kernel(edges, nodes, iters=4,
+                              scatter_local_threshold=0).to_pandas()
+    joins = pagerank_kernel(edges, nodes, iters=4,
+                            broadcast_threshold=0).to_pandas()
+    base = local.set_index("node")["rank"].sort_index()
+    for other in (scatter, joins):
+        o = other.set_index("node")["rank"].sort_index()
+        assert len(o) == len(base)
+        assert np.max(np.abs(o.to_numpy() - base.to_numpy())) < 1e-12
+
+
 def test_pagerank_prefers_linked_pages(ray_session):
     """Pages with incoming links must outrank the dangling floor."""
     from dude_ray.pipelines.graph import link_edges, run_pagerank

@@ -593,11 +593,15 @@ def test_dup_clusters_chain_and_clique(ray_session, tmp_path):
     })
     pq.write_table(t, tmp_path / "embeddings.parquet")
 
-    got = run_dup_clusters(str(tmp_path), threshold=0.35).to_pandas()
-    comp = dict(zip(got["vec_id"], got["component"]))
-    assert set(comp) == set(range(100, 107)) | {200, 201, 202}
-    assert all(comp[i] == 100 for i in range(100, 107))
-    assert all(comp[i] == 200 for i in (200, 201, 202))
+    # both planner tiers: driver union-find and distributed min-label
+    # propagation must produce the identical component map
+    for cc_local in (2_000_000, 0):
+        got = run_dup_clusters(str(tmp_path), threshold=0.35,
+                               cc_local_threshold=cc_local).to_pandas()
+        comp = dict(zip(got["vec_id"], got["component"]))
+        assert set(comp) == set(range(100, 107)) | {200, 201, 202}
+        assert all(comp[i] == 100 for i in range(100, 107))
+        assert all(comp[i] == 200 for i in (200, 201, 202))
 
 
 def test_value_buckets_equidepth(ray_session):
