@@ -207,10 +207,14 @@ def _pagerank_scatter(edges, nodes, n_nodes: int, n_edges: int,
 
     def to_ids(t: pa.Table) -> pa.Table:
         na = ray.get(nodes_ref)
-        src = np.searchsorted(na, t["src"].to_numpy(zero_copy_only=False))
-        dst = np.searchsorted(na, t["dst"].to_numpy(zero_copy_only=False))
-        return pa.table({"src_id": pa.array(src, type=pa.int64()),
-                         "dst_id": pa.array(dst, type=pa.int64())})
+        out = {}
+        for col, name in (("src", "src_id"), ("dst", "dst_id")):
+            vals = t[col].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(na, vals), len(na) - 1)
+            if not np.array_equal(na[pos], vals):  # edges ⊆ nodes
+                raise ValueError(f"edge {col} outside the node universe")
+            out[name] = pa.array(pos.astype(np.int64), type=pa.int64())
+        return pa.table(out)
 
     eint = edges.map_batches(to_ids, batch_format="pyarrow",
                              batch_size=65536).materialize()
@@ -320,7 +324,10 @@ def run_graph_pagerank(sf_dir: str, damping: float = 0.85,
         def lookup(t: pa.Table) -> pa.Table:
             ok, oc = ray.get(omap_ref)
             lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
-            cust = oc[np.searchsorted(ok, lk)]
+            pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+            if not np.array_equal(ok[pos], lk):  # FK integrity
+                raise ValueError("lineitem orderkey missing from orders")
+            cust = oc[pos]
             return pa.table({
                 "src": pc.binary_join_element_wise(
                     "c", pc.cast(pa.array(cust), pa.string()), ""),
