@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": dedup.run_ngram_jaccard,
         "simhash_dedup": dedup.run_simhash_dedup,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
+        "jaccard_join": dedup.run_jaccard_join,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         # similarity search
@@ -813,6 +814,20 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(list_distinct(a.g || b.g)), 1), 6) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id < 100
+        """,
+        "jaccard_join": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct([lower(w[i]) || ' ' || lower(w[i+1]) || ' ' || lower(w[i+2])
+                                      for i in generate_series(1, greatest(len(w) - 2, 0))]) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(list_distinct(a.g || b.g)), 1), 6) AS jaccard
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                        / greatest(len(list_distinct(a.g || b.g)), 1), 6) >= 0.8
         """,
         "exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS keeper_id,

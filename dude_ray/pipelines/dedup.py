@@ -1183,3 +1183,158 @@ def run_substring_dup(sf_dir: str, min_shared: int = 2,
     return hash_grouped_reduce(pairs, ["a", "b"], count_group,
                                pairs.count(), target_rows_per_group,
                                out_cols=("a", "b", "n_shared"))
+
+
+# --------------------------------------------------------------------------
+# exact set-similarity self-join (prefix filter, PPJoin family)
+# --------------------------------------------------------------------------
+
+class SqlGramSetLister:
+    """documents → (doc_id, sh: binary, n: int32) rows with the
+    SQL-checkable gram semantics of ``GramHasher`` (split on single
+    spaces, lowercase, DISTINCT word-3-grams, 64-bit sha1 hashes —
+    collision-free at any realistic gram count, so set operations over
+    the hashes equal the string-set oracle).  ``sh`` is the sorted
+    uint64 gram-hash array as little-endian bytes, ``n`` its length."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        blobs, ns = [], []
+        for text in batch["text"].to_pylist():
+            w = [x.lower() for x in (text or "").split(" ")]
+            grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+            arr = np.fromiter(
+                (int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "big")
+                 for g in grams), dtype=np.uint64, count=len(grams))
+            arr.sort()
+            blobs.append(arr.astype("<u8").tobytes())
+            ns.append(len(arr))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "sh": pa.array(blobs, type=pa.binary()),
+                         "n": pa.array(ns, type=pa.int32())})
+
+
+def _heavy_grams(grams, counters: int = 4096, top: int = 512) -> np.ndarray:
+    """Approximate globally-common gram hashes via mergeable Misra-Gries
+    partials (≤ ``counters`` rows per block regardless of vocabulary),
+    merged by groupby-sum; the driver receives only the fixed-size
+    top-``top`` result.  Used purely as a shared prefix ORDERING hint —
+    any globally-consistent set yields a correct join, a good one keeps
+    high-df grams out of prefixes (smaller candidate buckets)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        blobs = [np.frombuffer(b or b"", dtype="<u8")
+                 for b in batch["sh"].to_pylist()]
+        if not blobs:
+            return pa.table({"g": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        allg = np.concatenate(blobs)
+        uniq, cnt = np.unique(allg, return_counts=True)
+        if len(uniq) > counters:
+            kth = np.partition(cnt, len(cnt) - counters)[len(cnt) - counters]
+            keep = cnt >= kth
+            uniq, cnt = uniq[keep], cnt[keep] - (kth - 1)
+            keep = cnt > 0
+            uniq, cnt = uniq[keep], cnt[keep]
+        return pa.table({"g": pa.array(uniq.view(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    merged = (grams.map_batches(_partial, batch_format="pyarrow",
+                                batch_size=4096)
+              .groupby("g").aggregate(Sum("cnt", alias_name="cnt"))
+              .sort("cnt", descending=True).limit(top))
+    tbl = merged.to_arrow_refs()
+    heavy = np.concatenate(
+        [ray.get(r)["g"].to_numpy(zero_copy_only=False) for r in tbl]
+        or [np.array([], dtype=np.int64)])
+    heavy = heavy.astype(np.int64).view(np.uint64)
+    heavy.sort()
+    return heavy
+
+
+def run_jaccard_join(sf_dir: str, threshold: float = 0.8,
+                     concurrency: int = 4):
+    """EXACT set-similarity self-join: every document pair whose
+    word-3-gram Jaccard ≥ ``threshold`` — not LSH-approximate like
+    ``run_minhash_dedup``.  Prefix filtering (Chaudhuri et al. 2006 /
+    Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity Search"):
+    under any global total order on grams, a doc only needs to index its
+    first ``n - ceil(t*n) + 1`` grams — any qualifying pair provably
+    shares a prefix gram — so the inverted-index shuffle carries a small
+    slice of each doc, not its full gram set.  The global order is
+    (is-common, hash): a Misra-Gries pass demotes globally-common grams
+    to prefix-last, keeping candidate buckets rare-gram-sized (the df
+    ordering of the paper, approximated with bounded state).  Candidates
+    then pass the size-ratio filter (J ≥ t ⇒ min/max ≥ t), dedup, and
+    the same distributed verify joins as minhash_dedup.  Recall is exact
+    by the prefix theorem (computed at t−1e-6 to cover the rounded
+    output filter); precision is exact by verification."""
+    import ray
+    import pyarrow.compute as pc
+
+    t_eff = threshold - 1e-6
+    grams = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SqlGramSetLister, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, concurrency)).materialize()
+
+    heavy_ref = ray.put(_heavy_grams(grams))
+
+    def _prefix(batch: pa.Table) -> pa.Table:
+        heavy = ray.get(heavy_ref)
+        out_g, out_doc, out_n = [], [], []
+        for doc_id, blob, n in zip(batch["doc_id"].to_pylist(),
+                                   batch["sh"].to_pylist(),
+                                   batch["n"].to_pylist()):
+            if not n:
+                continue
+            g = np.frombuffer(blob, dtype="<u8")
+            p = n - int(np.ceil(t_eff * n)) + 1
+            if p <= 0:
+                continue
+            # global order (is-heavy, hash): rare grams first
+            pos = np.searchsorted(heavy, g)
+            pos = np.minimum(pos, max(len(heavy) - 1, 0))
+            is_heavy = (heavy[pos] == g) if len(heavy) else \
+                np.zeros(len(g), dtype=bool)
+            order = np.lexsort((g, is_heavy))
+            pref = g[order[:p]]
+            out_g.append(pref.view(np.int64))
+            out_doc.append(np.full(len(pref), doc_id, dtype=np.int64))
+            out_n.append(np.full(len(pref), n, dtype=np.int64))
+        if not out_g:
+            return pa.table({"g": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"g": pa.array(np.concatenate(out_g)),
+                         "doc_id": pa.array(np.concatenate(out_doc)),
+                         "n": pa.array(np.concatenate(out_n))})
+
+    idx = grams.map_batches(_prefix, batch_format="pyarrow",
+                            batch_size=2048)
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        ns = g["n"].to_numpy(dtype=np.int64)
+        k = len(ids)
+        if k < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(k, 1)
+        lo = np.minimum(ns[i], ns[j])
+        hi = np.maximum(ns[i], ns[j])
+        keep = lo.astype(np.float64) >= t_eff * hi
+        a = np.minimum(ids[i][keep], ids[j][keep])
+        b = np.maximum(ids[i][keep], ids[j][keep])
+        keep2 = a != b
+        return pd.DataFrame({"a": a[keep2], "b": b[keep2]})
+
+    pairs = idx.groupby("g").map_groups(_bucket_pairs,
+                                        batch_format="pandas")
+    pairs = _distinct_pairs(pairs)
+    verified = _verify_pairs_jaccard(
+        pairs, grams.select_columns(["doc_id", "sh"]))
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow")

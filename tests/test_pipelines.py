@@ -57,6 +57,31 @@ def test_minhash_finds_planted_neardups(ray_session, tmp_path):
             assert (i, base + i) in pairs, f"planted pair {i} missed"
 
 
+def test_jaccard_join_equals_bruteforce(ray_session):
+    """The prefix-filter join is EXACT: its output must equal the
+    brute-force all-pairs Jaccard (same gram semantics) — recall by the
+    prefix theorem, precision by verification."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_jaccard_join
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    gsets = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w = [x.lower() for x in (text or "").split(" ")]
+        gsets[doc_id] = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    ids = sorted(gsets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(gsets[a] | gsets[b])
+            if u and round(len(gsets[a] & gsets[b]) / u, 6) >= 0.7:
+                want.add((a, b))
+    got = {(r["a"], r["b"])
+           for r in run_jaccard_join(SF, threshold=0.7).take_all()}
+    assert got == want
+
+
 def test_simhash_planted(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
