@@ -136,32 +136,42 @@ def run_lang_id(sf_dir: str, concurrency: int = 4):
 # --------------------------------------------------------------------------
 
 def winnow_weights(k: int) -> np.ndarray:
-    """Deterministic odd weights for the k-gram rolling hash (shared
-    by the digest fingerprinter and the substring-dup sampler)."""
+    """Deterministic odd weights < 2^19 for the k-gram hash (shared by
+    the digest fingerprinter and the substring-dup sampler).  The small
+    range keeps the whole hash inside checked-64-bit arithmetic: code
+    point < 2^21, weight < 2^19, so a K≤16 weighted sum < 2^44 and the
+    2^19 mix multiply lands < 2^63 — NO wraparound anywhere, which lets
+    a SQL engine with overflow-checked UBIGINTs (DuckDB) reproduce the
+    fingerprint bit-for-bit."""
     rng = np.random.RandomState(7)
-    return rng.randint(1, np.iinfo(np.int64).max,
-                       size=k).astype(np.uint64) | np.uint64(1)
+    return rng.randint(1, 1 << 19, size=k).astype(np.uint64) | np.uint64(1)
+
+
+_KGRAM_MIX = np.uint64(0x6F4A7)   # odd, < 2^19 (see winnow_weights note)
 
 
 def kgram_hashes(text: str, k: int, weights: np.ndarray) -> np.ndarray:
-    """uint64 hash per overlapping k-byte gram of ``text`` — a weighted
-    byte sum with wraparound arithmetic + a murmur-style finalizer,
-    fully vectorized (k shifted vector ops, no per-character loop).
-    Equal substrings hash equal (position-independent), which is all
-    winnowing requires."""
-    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    if len(b) < k:
-        return (np.array([hash_bytes(bytes(b))], dtype=np.uint64)
-                if len(b) else np.array([], dtype=np.uint64))
-    n = len(b) - k + 1
-    h = np.zeros(n, dtype=np.uint64)
-    bu = b.astype(np.uint64)
-    for j in range(k):
-        h += bu[j:j + n] * weights[j]
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    return h
+    """uint64 hash per overlapping k-CODE-POINT gram of ``text`` — a
+    weighted code-point sum + xorshift-multiply mix, fully vectorized
+    (k shifted vector ops, no per-character loop).  Equal substrings
+    hash equal (position-independent), which is all winnowing requires;
+    the mix is a bijection of the sum, so distinct sums stay distinct.
+    Texts shorter than ``k`` hash their full code-point sequence with
+    the same weights (one gram).  Every intermediate stays < 2^63 for
+    k ≤ 16 — the SQL-oracle no-overflow contract (winnow_weights)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if not len(cp):
+        return np.array([], dtype=np.uint64)
+    if len(cp) < k:
+        h = (cp * weights[:len(cp)]).sum(keepdims=True)
+    else:
+        n = len(cp) - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h += cp[j:j + n] * weights[j]
+    h = h ^ (h >> np.uint64(17))
+    h = h * _KGRAM_MIX
+    return h ^ (h >> np.uint64(31))
 
 
 def winnow_samples(grams: np.ndarray, window: int) -> np.ndarray:
@@ -206,7 +216,11 @@ class Fingerprinter:
                 fps.append("")
                 continue
             uniq = winnow_samples(grams, self.WINDOW)
-            fps.append(hashlib.sha1(uniq.astype(">u8").tobytes()).hexdigest())
+            # canonical digest form: md5 over the 16-hex-digit concat of
+            # the sorted sampled hashes — reproducible from SQL
+            # (lpad(hex(h)) + string_agg + md5)
+            hexcat = "".join(f"{h:016x}" for h in uniq.tolist())
+            fps.append(hashlib.md5(hexcat.encode()).hexdigest())
         return pa.table({
             "doc_id": batch["doc_id"],
             "fingerprint": pa.array(fps, type=pa.string()),
@@ -222,6 +236,59 @@ def run_fingerprint(sf_dir: str, concurrency: int = 4):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         Fingerprinter, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, concurrency))
+
+
+def fingerprint_oracle_sql() -> str:
+    """DuckDB SQL reproducing the winnowed fingerprint BIT-FOR-BIT:
+    the k-gram hash is overflow-free 64-bit arithmetic (winnow_weights
+    note), so checked UBIGINT math + list comprehensions express the
+    exact chain — weighted code-point sums, xorshift-multiply mix,
+    16-window minima, sorted-unique hex concat, md5."""
+    k, window = Fingerprinter.K, Fingerprinter.WINDOW
+    w = [int(x) for x in winnow_weights(k)]
+    wsum = " + ".join(f"p[i+{j}]*CAST({w[j]} AS UBIGINT)"
+                      for j in range(k))
+    wlist = ",".join(str(x) for x in w)
+    return f"""
+        WITH cp AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL OR text = '' THEN CAST([] AS UBIGINT[])
+                 ELSE [CAST(unicode(c) AS UBIGINT) for c in string_split(text, '')]
+            END AS p
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+            CASE WHEN len(p) = 0 THEN CAST([] AS UBIGINT[])
+                 WHEN len(p) < {k} THEN
+                   [list_sum([p[j]*CAST([{wlist}][j] AS UBIGINT)
+                              for j in generate_series(1, len(p))])]
+                 ELSE [{wsum} for i in generate_series(1, len(p) - {k - 1})]
+            END AS s
+          FROM cp
+        ), h AS (
+          SELECT doc_id,
+            list_transform(
+              list_transform(s, x -> xor(x, x >> 17) * CAST({int(_KGRAM_MIX)} AS UBIGINT)),
+              x -> xor(x, x >> 31)) AS h
+          FROM g
+        ), mins AS (
+          SELECT doc_id, len(h) AS n_grams,
+            CASE WHEN len(h) = 0 THEN CAST([] AS UBIGINT[])
+                 WHEN len(h) <= {window} THEN [list_min(h)]
+                 ELSE [list_min(h[i:i+{window - 1}])
+                       for i in generate_series(1, len(h) - {window - 1})]
+            END AS m
+          FROM h
+        )
+        SELECT doc_id,
+          CASE WHEN n_grams = 0 THEN ''
+               ELSE md5(list_aggregate(
+                      list_transform(list_sort(list_distinct(m)),
+                                     x -> lpad(lower(hex(x)), 16, '0')),
+                      'string_agg', '')) END AS fingerprint,
+          CAST(n_grams AS BIGINT) AS n_grams
+        FROM mins
+    """
 
 
 # --------------------------------------------------------------------------
