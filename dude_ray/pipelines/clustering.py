@@ -98,10 +98,17 @@ def kmeans_iterate(ds, cent: np.ndarray, iters: int,
     """Run ``iters`` Lloyd's update passes over ``ds`` starting from
     ``cent`` (already L2-normalized); returns the final codebook.
     Empty clusters keep their previous centroid (standard Lloyd's
-    fallback, deterministic)."""
+    fallback, deterministic).
+
+    Cross-engine determinism contract: every codebook (seed included)
+    is rounded to 9 dp after normalization.  Summation order differs
+    between distributed partials, the numpy reference and a SQL engine
+    (~1e-15 relative drift); rounding at 1e-9 absorbs it, so the DuckDB
+    unrolled-CTE oracle reproduces the exact codebook trajectory."""
     import ray
 
     k = len(cent)
+    cent = np.round(cent, 9)
     for _ in range(iters):
         ref = ray.put(cent)
 
@@ -130,7 +137,7 @@ def kmeans_iterate(ds, cent: np.ndarray, iters: int,
             ci = int(r["cluster"])
             if r["count"]:
                 new_cent[ci] = np.asarray(r["vec_sum"]) / r["count"]
-        cent = _normalize(new_cent)
+        cent = np.round(_normalize(new_cent), 9)
     return cent
 
 
@@ -170,7 +177,7 @@ def kmeans_reference(sf_dir: str, k: int = 8, iters: int = 5):
     vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     emb = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
     lowest = np.argsort(vids)[:k]
-    cent = _normalize(emb[lowest].copy())
+    cent = np.round(_normalize(emb[lowest].copy()), 9)
     for _ in range(iters):
         assign = np.round(emb @ cent.T, 4).argmax(axis=1)
         new_cent = cent.copy()
@@ -178,7 +185,7 @@ def kmeans_reference(sf_dir: str, k: int = 8, iters: int = 5):
             members = emb[assign == ci]
             if len(members):
                 new_cent[ci] = members.mean(axis=0)
-        cent = _normalize(new_cent)
+        cent = np.round(_normalize(new_cent), 9)
     assign = np.round(emb @ cent.T, 4).argmax(axis=1)
     sims = np.round(emb @ cent.T, 4)[np.arange(len(vids)), assign]
     return vids, assign, sims, cent
@@ -289,3 +296,53 @@ def pca_reference(sf_dir: str, n_components: int = 8):
         if comps[i, j] < 0:
             comps[:, j] = -comps[:, j]
     return vids, c @ comps, evals[::-1][:n_components]
+
+
+def kmeans_cluster_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """DuckDB oracle for :func:`run_kmeans_cluster`: the identical
+    spherical-Lloyd's trajectory with the iteration loop unrolled as
+    chained CTEs.  The 9-dp codebook rounding (kmeans_iterate contract)
+    makes the float paths equal despite differing summation orders;
+    per-dim means use the aligned-unnest ordinality idiom (DuckDB has
+    no lateral generate_series)."""
+    rn = ("list_transform({x}, v -> round(v / greatest(sqrt(list_sum("
+          "list_transform({x}, y -> y*y))), 1e-12), 9))")
+    nr = ("list_transform({x}, v -> v / greatest(sqrt(list_sum("
+          "list_transform({x}, y -> y*y))), 1e-12))")
+    parts = [
+        "WITH rows0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings),",
+        f"rows AS (SELECT vec_id, {nr.format(x='e')} AS e FROM rows0),",
+        f"seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e"
+        f" FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        f" FROM embeddings ORDER BY vec_id LIMIT {k})),",
+        f"c0 AS (SELECT cid, {rn.format(x='e')} AS v FROM seed),",
+    ]
+    for it in range(1, iters + 1):
+        p = it - 1
+        parts.append(
+            f"a{it} AS (SELECT r.vec_id, r.e, c.cid"
+            f" FROM rows r CROSS JOIN c{p} c"
+            f" QUALIFY row_number() OVER (PARTITION BY r.vec_id"
+            f" ORDER BY round(list_inner_product(r.e, c.v), 4) DESC,"
+            f" c.cid) = 1),")
+        parts.append(
+            f"m{it} AS (SELECT cid, i, sum(val) / count(*) AS mu FROM"
+            f" (SELECT cid, unnest(e) AS val,"
+            f" unnest(generate_series(1, len(e))) AS i FROM a{it})"
+            f" GROUP BY cid, i),")
+        parts.append(
+            f"mv{it} AS (SELECT cid, list(mu ORDER BY i) AS v FROM m{it}"
+            f" GROUP BY cid),")
+        parts.append(
+            f"c{it} AS (SELECT p.cid, {rn.format(x='coalesce(m.v, p.v)')}"
+            f" AS v FROM c{p} p LEFT JOIN mv{it} m ON m.cid = p.cid),")
+    parts.append(
+        f"fin AS (SELECT r.vec_id, c.cid AS cluster_id,"
+        f" round(list_inner_product(r.e, c.v), 4) AS sim"
+        f" FROM rows r CROSS JOIN c{iters} c"
+        f" QUALIFY row_number() OVER (PARTITION BY r.vec_id"
+        f" ORDER BY round(list_inner_product(r.e, c.v), 4) DESC,"
+        f" c.cid) = 1)"
+        f" SELECT vec_id, cluster_id, sim FROM fin")
+    return "\n".join(parts)
