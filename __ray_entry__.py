@@ -412,11 +412,13 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
     from dude_ray.pipelines.textops import fingerprint_oracle_sql
     from dude_ray.pipelines.clustering import kmeans_cluster_oracle_sql
+    from dude_ray.pipelines.dedup import substring_dup_oracle_sql
 
     return {
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
+        "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,
         "tfidf_keywords": tfidf_keywords_oracle_sql(),
         "token_count": f"""

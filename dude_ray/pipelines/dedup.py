@@ -1338,3 +1338,30 @@ def run_jaccard_join(sf_dir: str, threshold: float = 0.8,
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow")
+
+
+def substring_dup_oracle_sql(min_shared: int = 2) -> str:
+    """DuckDB oracle for :func:`run_substring_dup` — the winnowed
+    sample hashes are reproduced bit-for-bit (textops.winnow_mins_sql,
+    overflow-free arithmetic), then the pipeline's exact pair
+    semantics: per-hash buckets over each doc's DISTINCT samples,
+    buckets larger than _SUBSTR_BUCKET_CAP dropped as boilerplate,
+    pair counts thresholded at ``min_shared``."""
+    from dude_ray.pipelines.textops import winnow_mins_sql
+
+    chain = winnow_mins_sql(_WinnowHashes.K, _WinnowHashes.WINDOW)
+    return f"""
+        WITH {chain},
+        s AS (SELECT doc_id, unnest(list_distinct(m)) AS h
+              FROM mins WHERE n_grams > 0),
+        keep AS (SELECT h FROM s GROUP BY h
+                 HAVING count(*) BETWEEN 2 AND {_SUBSTR_BUCKET_CAP}),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM s x JOIN s y ON x.h = y.h AND x.doc_id < y.doc_id
+          WHERE x.h IN (SELECT h FROM keep)
+        )
+        SELECT a, b, count(*) AS n_shared
+        FROM pairs GROUP BY a, b
+        HAVING count(*) >= {min_shared}
+    """

@@ -238,19 +238,18 @@ def run_fingerprint(sf_dir: str, concurrency: int = 4):
         concurrency=(1, concurrency))
 
 
-def fingerprint_oracle_sql() -> str:
-    """DuckDB SQL reproducing the winnowed fingerprint BIT-FOR-BIT:
-    the k-gram hash is overflow-free 64-bit arithmetic (winnow_weights
-    note), so checked UBIGINT math + list comprehensions express the
-    exact chain — weighted code-point sums, xorshift-multiply mix,
-    16-window minima, sorted-unique hex concat, md5."""
-    k, window = Fingerprinter.K, Fingerprinter.WINDOW
+def winnow_mins_sql(k: int, window: int) -> str:
+    """Shared CTE chain reproducing ``kgram_hashes`` + ``winnow_samples``
+    BIT-FOR-BIT in DuckDB (overflow-free 64-bit arithmetic — see
+    winnow_weights): yields CTEs ``cp → g → h → mins`` where ``mins``
+    has (doc_id, n_grams, m: the window-minimum hash list, NOT yet
+    distinct)."""
     w = [int(x) for x in winnow_weights(k)]
     wsum = " + ".join(f"p[i+{j}]*CAST({w[j]} AS UBIGINT)"
                       for j in range(k))
     wlist = ",".join(str(x) for x in w)
     return f"""
-        WITH cp AS (
+        cp AS (
           SELECT doc_id,
             CASE WHEN text IS NULL OR text = '' THEN CAST([] AS UBIGINT[])
                  ELSE [CAST(unicode(c) AS UBIGINT) for c in string_split(text, '')]
@@ -279,7 +278,18 @@ def fingerprint_oracle_sql() -> str:
                        for i in generate_series(1, len(h) - {window - 1})]
             END AS m
           FROM h
-        )
+        )"""
+
+
+def fingerprint_oracle_sql() -> str:
+    """DuckDB SQL reproducing the winnowed fingerprint BIT-FOR-BIT:
+    the k-gram hash is overflow-free 64-bit arithmetic (winnow_weights
+    note), so checked UBIGINT math + list comprehensions express the
+    exact chain — weighted code-point sums, xorshift-multiply mix,
+    16-window minima, sorted-unique hex concat, md5."""
+    chain = winnow_mins_sql(Fingerprinter.K, Fingerprinter.WINDOW)
+    return f"""
+        WITH {chain}
         SELECT doc_id,
           CASE WHEN n_grams = 0 THEN ''
                ELSE md5(list_aggregate(
