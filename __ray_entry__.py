@@ -412,9 +412,11 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
     from dude_ray.pipelines.textops import fingerprint_oracle_sql
     from dude_ray.pipelines.clustering import kmeans_cluster_oracle_sql
-    from dude_ray.pipelines.dedup import substring_dup_oracle_sql
+    from dude_ray.pipelines.dedup import (simhash_oracle_sql,
+                                          substring_dup_oracle_sql)
 
     return {
+        "simhash_dedup": simhash_oracle_sql(),
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),

@@ -384,7 +384,9 @@ class SimHasher:
     """64-bit SimHash per doc + 4×16-bit band keys.  The bit-accumulate
     kernel is vectorized (np.unpackbits over the token-hash bytes, one
     count-weighted matmul per doc); token hashes are memoized per actor
-    because web-corpus vocabularies repeat heavily."""
+    because web-corpus vocabularies repeat heavily.  Token hash = top 8
+    bytes of md5 — chosen over sha1 so the DuckDB oracle (which has
+    md5 but no sha1) reproduces the signatures exactly."""
 
     def __init__(self):
         self._tok_cache: dict[str, int] = {}
@@ -392,7 +394,7 @@ class SimHasher:
     def _tok_hash(self, tok: str) -> int:
         h = self._tok_cache.get(tok)
         if h is None:
-            h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
             if len(self._tok_cache) < 1_000_000:
                 self._tok_cache[tok] = h
         return h
@@ -1364,4 +1366,51 @@ def substring_dup_oracle_sql(min_shared: int = 2) -> str:
         SELECT a, b, count(*) AS n_shared
         FROM pairs GROUP BY a, b
         HAVING count(*) >= {min_shared}
+    """
+
+
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB oracle for :func:`run_simhash_dedup`.  The 64-bit SimHash
+    is reproduced exactly (md5-top-8 token hashes via a hex-digit fold,
+    per-bit count accumulation over a 64-row series, strict-positive
+    sign rule); the pair set is brute-force hamming ≤ ``max_hamming``
+    over all doc pairs — equal to the engine's banded-LSH output by
+    pigeonhole: with 4 bands of 16 bits, any pair within hamming 3 has
+    at least one identical band, so banding at this threshold is EXACT,
+    not approximate."""
+    h16 = ("CAST(list_sum([CAST(strpos('0123456789abcdef', m[i]) - 1 AS UBIGINT)"
+           " * (CAST(1 AS UBIGINT) << CAST(4*(16 - i) AS INTEGER))"
+           " for i in generate_series(1, 16)]) AS UBIGINT)")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '')) AS tok
+          FROM documents
+        ), tc AS (
+          SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+        ), th AS (
+          SELECT doc_id, c,
+                 (SELECT {h16} FROM
+                  (SELECT string_split(substr(md5(tok), 1, 16), '') AS m)) AS h
+          FROM tc
+        ), bits AS (
+          SELECT doc_id, k,
+                 sum(CASE WHEN (h >> k) & 1 = 1 THEN c ELSE -c END) AS acc
+          FROM th, generate_series(0, 63) AS g(k)
+          GROUP BY doc_id, k
+        ), sig0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN acc > 0
+                               THEN (CAST(1 AS UBIGINT) << CAST(k AS INTEGER))
+                               ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+          FROM bits GROUP BY doc_id
+        ), sigs AS (
+          SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+          FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
     """
