@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         # embedding PCA
         "embedding_pca": _q_embedding_pca,
+        "embedding_cov": _q_embedding_cov,
         # hopping windows + global percent rank
         "events_hopping_window": _q_events_hopping_window,
         "value_percent_rank": _q_value_percent_rank,
@@ -242,6 +243,15 @@ def _q_embedding_pca(sf_dir: str):
     from dude_ray.pipelines.clustering import run_embedding_pca
 
     return run_embedding_pca(sf_dir)
+
+
+def _q_embedding_cov(sf_dir: str):
+    """The SQL-verified distributed core of PCA: the streaming
+    sufficient-statistics covariance pass (clustering.run_embedding_cov
+    docstring)."""
+    from dude_ray.pipelines.clustering import run_embedding_cov
+
+    return run_embedding_cov(sf_dir)
 
 
 def _q_events_zscore(sf_dir: str):
@@ -415,8 +425,11 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.dedup import (simhash_oracle_sql,
                                           substring_dup_oracle_sql)
 
+    from dude_ray.pipelines.clustering import EMBEDDING_COV_ORACLE_SQL
+
     return {
         "simhash_dedup": simhash_oracle_sql(),
+        "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),

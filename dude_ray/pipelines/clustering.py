@@ -346,3 +346,49 @@ def kmeans_cluster_oracle_sql(k: int = 8, iters: int = 5) -> str:
         f" c.cid) = 1)"
         f" SELECT vec_id, cluster_id, sim FROM fin")
     return "\n".join(parts)
+
+
+def run_embedding_cov(sf_dir: str, batch_size: int = 4096,
+                      concurrency: int = 4):
+    """The distributed heavy-lifting of :func:`run_embedding_pca` as a
+    first-class SQL-verifiable operator: the d×d covariance matrix of
+    the embedding column from one streaming pass of fixed-size
+    (count, Σx, Σxxᵀ) partials.  PCA = this + a driver-side
+    eigendecomposition of the returned 256-value matrix; verifying the
+    covariance verifies everything distributed about PCA.  Output:
+    (i, j, cov) with 1-based dims, rounded 10 dp (the cross-engine
+    summation-order contract, as in graph.pagerank's oracle)."""
+    import ray
+
+    ds = _emb(sf_dir)
+    n, s1, s2 = _reduce_moments(
+        ds.map_batches(_moment_partial, batch_format="pyarrow",
+                       batch_size=batch_size, concurrency=concurrency))
+    d = len(s1)
+    mean = s1 / n
+    cov = np.round(s2.reshape(d, d) / n - np.outer(mean, mean), 10)
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                         indexing="ij")
+    return ray.data.from_arrow(pa.table({
+        "i": pa.array(ii.ravel(), type=pa.int64()),
+        "j": pa.array(jj.ravel(), type=pa.int64()),
+        "cov": pa.array(cov.ravel(), type=pa.float64()),
+    }))
+
+
+EMBEDDING_COV_ORACLE_SQL = """
+    WITH rows0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), x AS (
+      SELECT vec_id, unnest(e) AS v,
+             unnest(generate_series(1, len(e))) AS i
+      FROM rows0
+    ), s AS (
+      SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
+      FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i
+    ), m AS (
+      SELECT i, avg(v) AS mu FROM x GROUP BY i
+    )
+    SELECT s.i, s.j, round(s.exy - ma.mu * mb.mu, 10) AS cov
+    FROM s JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j
+"""
