@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_approx": _q_distinct_users_approx,
         "top_terms_sketch": _q_top_terms_sketch,
         "lm_score": _q_lm_score,
+        "lr_quality": _q_lr_quality,
         "tfidf_keywords": _q_tfidf_keywords,
         # clustering
         "kmeans_assign": _q_kmeans_assign,
@@ -340,6 +341,15 @@ def _q_lm_score(sf_dir: str):
     return run_lm_score(sf_dir)
 
 
+def _q_lr_quality(sf_dir: str):
+    """Distributed logistic-regression quality classifier: full-batch
+    GD over one materialized feature scan, 6-double gradient partials
+    per block, 9-dp weight rounding for the SQL-oracle contract."""
+    from dude_ray.pipelines.lr import run_lr_quality
+
+    return run_lr_quality(sf_dir)
+
+
 def _q_tfidf_keywords(sf_dir: str):
     """Top-k TF-IDF keywords per document — distributed df table +
     hash join + per-group top-k reduce."""
@@ -426,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
                                           substring_dup_oracle_sql)
 
     from dude_ray.pipelines.clustering import EMBEDDING_COV_ORACLE_SQL
+    from dude_ray.pipelines.lr import lr_quality_oracle_sql
 
     return {
         "simhash_dedup": simhash_oracle_sql(),
@@ -435,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,
+        "lr_quality": lr_quality_oracle_sql(),
         "tfidf_keywords": tfidf_keywords_oracle_sql(),
         "token_count": f"""
             SELECT doc_id,

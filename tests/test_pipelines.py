@@ -780,3 +780,18 @@ def test_media_audio_chunks_framing(ray_session):
         full = g[g["n_samples"] == 200]
         assert len(full) >= len(g) - 1  # only the tail may be short
     assert (got["energy"] >= 0).all() and (got["energy"] <= 255).all()
+
+
+def test_lr_quality_learns(ray_session):
+    """The trained classifier must separate en from non-en better than
+    chance: mean score of label-1 docs above mean score of label-0
+    docs, and scores within (0, 1)."""
+    from dude_ray.pipelines.lr import run_lr_quality
+
+    rows = run_lr_quality(SF).take_all()
+    assert len(rows) > 100
+    s1 = [r["lr_score"] for r in rows if r["label"] == 1]
+    s0 = [r["lr_score"] for r in rows if r["label"] == 0]
+    assert s1 and s0
+    assert all(0.0 < r["lr_score"] < 1.0 for r in rows)
+    assert sum(s1) / len(s1) > sum(s0) / len(s0)
