@@ -180,6 +180,20 @@ def run_bench() -> dict:
     graph.run_graph_pagerank(SF_DIR).count()
     timings["graph_pagerank"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import lr
+
+    t0 = time.time()
+    dedup.run_jaccard_join(SF_DIR).count()
+    timings["jaccard_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    lr.run_lr_quality(SF_DIR).count()
+    timings["lr_quality"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_fingerprint(SF_DIR).count()
+    timings["doc_fingerprint"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -1194,21 +1194,42 @@ def run_substring_dup(sf_dir: str, min_shared: int = 2,
 class SqlGramSetLister:
     """documents → (doc_id, sh: binary, n: int32) rows with the
     SQL-checkable gram semantics of ``GramHasher`` (split on single
-    spaces, lowercase, DISTINCT word-3-grams, 64-bit sha1 hashes —
-    collision-free at any realistic gram count, so set operations over
-    the hashes equal the string-set oracle).  ``sh`` is the sorted
-    uint64 gram-hash array as little-endian bytes, ``n`` its length."""
+    spaces, lowercase, DISTINCT word-3-grams; docs under 3 tokens →
+    empty set).  Hash VALUES are internal — the oracle compares gram
+    STRINGS, only set identity matters — so the kernel is the fast
+    Shingler shape: token sha1 memoized per actor (web vocabularies
+    repeat heavily), every 3-gram hash one vectorized numpy mix over
+    the token-hash array, collision-free in practice.  ``sh`` is the
+    sorted uint64 gram-hash array as little-endian bytes, ``n`` its
+    length."""
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def _tok_hashes(self, toks: list[str]) -> np.ndarray:
+        c = self._cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = c.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big")
+                if len(c) < 1_000_000:
+                    c[t] = h
+            out[i] = h
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         blobs, ns = [], []
         for text in batch["text"].to_pylist():
-            w = [x.lower() for x in (text or "").split(" ")]
-            grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
-            arr = np.fromiter(
-                (int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "big")
-                 for g in grams), dtype=np.uint64, count=len(grams))
-            arr.sort()
+            toks = [x.lower() for x in (text or "").split(" ")]
+            if len(toks) < 3:
+                blobs.append(b"")
+                ns.append(0)
+                continue
+            th = self._tok_hashes(toks)
+            arr = np.unique(_avalanche(
+                th[:-2] * _M1 ^ th[1:-1] * _M2 ^ th[2:] * _M3))
             blobs.append(arr.astype("<u8").tobytes())
             ns.append(len(arr))
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
@@ -1224,7 +1245,8 @@ def _heavy_grams(grams, counters: int = 4096, top: int = 512) -> np.ndarray:
     any globally-consistent set yields a correct join, a good one keeps
     high-df grams out of prefixes (smaller candidate buckets)."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from dude_ray.partitioning import hash_grouped_reduce
 
     def _partial(batch: pa.Table) -> pa.Table:
         blobs = [np.frombuffer(b or b"", dtype="<u8")
@@ -1243,10 +1265,26 @@ def _heavy_grams(grams, counters: int = 4096, top: int = 512) -> np.ndarray:
         return pa.table({"g": pa.array(uniq.view(np.int64)),
                          "cnt": pa.array(cnt.astype(np.int64))})
 
-    merged = (grams.map_batches(_partial, batch_format="pyarrow",
-                                batch_size=4096)
-              .groupby("g").aggregate(Sum("cnt", alias_name="cnt"))
-              .sort("cnt", descending=True).limit(top))
+    def _sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("g", sort=False)["cnt"].sum().reset_index()
+        return pd.DataFrame({"g": out["g"].to_numpy(dtype=np.int64),
+                             "cnt": out["cnt"].to_numpy(dtype=np.int64)})
+
+    partials = grams.map_batches(_partial, batch_format="pyarrow",
+                                 batch_size=4096).materialize()
+    merged = hash_grouped_reduce(partials, "g", _sum_counts,
+                                 partials.count(), out_cols=("g", "cnt"))
+
+    def _local_top(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        idx = pc.select_k_unstable(
+            batch, k=min(top, len(batch)),
+            sort_keys=[("cnt", "descending"), ("g", "ascending")])
+        return batch.take(idx)
+
+    merged = (merged.map_batches(_local_top, batch_format="pyarrow",
+                                 batch_size=None)
+              .sort(["cnt", "g"], descending=[True, False]).limit(top))
     tbl = merged.to_arrow_refs()
     heavy = np.concatenate(
         [ray.get(r)["g"].to_numpy(zero_copy_only=False) for r in tbl]
@@ -1314,26 +1352,51 @@ def run_jaccard_join(sf_dir: str, threshold: float = 0.8,
                          "n": pa.array(np.concatenate(out_n))})
 
     idx = grams.map_batches(_prefix, batch_format="pyarrow",
-                            batch_size=2048)
+                            batch_size=2048).materialize()
 
     def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        ns = g["n"].to_numpy(dtype=np.int64)
-        k = len(ids)
-        if k < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        i, j = np.triu_indices(k, 1)
-        lo = np.minimum(ns[i], ns[j])
-        hi = np.maximum(ns[i], ns[j])
-        keep = lo.astype(np.float64) >= t_eff * hi
-        a = np.minimum(ids[i][keep], ids[j][keep])
-        b = np.maximum(ids[i][keep], ids[j][keep])
-        keep2 = a != b
-        return pd.DataFrame({"a": a[keep2], "b": b[keep2]})
+        """One coarse hash-group of (g, doc_id, n) prefix rows →
+        candidate pairs per exact-gram run (the _hash_bucket_pairs
+        run-boundary scan, NO bucket cap — exactness — plus the
+        size-ratio prune)."""
+        h = g["g"].to_numpy(dtype=np.int64)
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        if not len(h):
+            return empty
+        order = np.lexsort((d, h))
+        h, d, n = h[order], d[order], n[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ends = np.r_[starts[1:], len(h)]
+        sizes = ends - starts
+        out_a, out_b = [], []
+        s2 = starts[sizes == 2]
+        if len(s2):
+            lo = np.minimum(n[s2], n[s2 + 1])
+            hi = np.maximum(n[s2], n[s2 + 1])
+            ok = lo.astype(np.float64) >= t_eff * hi
+            out_a.append(np.minimum(d[s2], d[s2 + 1])[ok])
+            out_b.append(np.maximum(d[s2], d[s2 + 1])[ok])
+        for s0, e0 in zip(starts[sizes > 2], ends[sizes > 2]):
+            ids, ns = d[s0:e0], n[s0:e0]
+            i, j = np.triu_indices(len(ids), 1)
+            lo = np.minimum(ns[i], ns[j])
+            hi = np.maximum(ns[i], ns[j])
+            ok = (lo.astype(np.float64) >= t_eff * hi) & (ids[i] != ids[j])
+            out_a.append(np.minimum(ids[i], ids[j])[ok])
+            out_b.append(np.maximum(ids[i], ids[j])[ok])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "a": pd.Series(np.concatenate(out_a), dtype="int64"),
+            "b": pd.Series(np.concatenate(out_b), dtype="int64")})
 
-    pairs = idx.groupby("g").map_groups(_bucket_pairs,
-                                        batch_format="pandas")
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    pairs = hash_grouped_reduce(idx, "g", _bucket_pairs, idx.count(),
+                                out_cols=("a", "b"))
     pairs = _distinct_pairs(pairs)
     verified = _verify_pairs_jaccard(
         pairs, grams.select_columns(["doc_id", "sh"]))
