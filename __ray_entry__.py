@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_cluster": _q_kmeans_cluster,
         # full-text ranking
+        "term_postings": _q_term_postings,
         "bm25_topk": _q_bm25_topk,
         # training-mix interleave
         "mix_interleave": _q_mix_interleave,
@@ -341,6 +342,14 @@ def _q_lm_score(sf_dir: str):
     return run_lm_score(sf_dir)
 
 
+def _q_term_postings(sf_dir: str):
+    """Inverted-index build: per-term df/cf + canonical ascending
+    posting-list strings via the data-scaled hash-grouped reduce."""
+    from dude_ray.pipelines.ranking import run_term_postings
+
+    return run_term_postings(sf_dir)
+
+
 def _q_lr_quality(sf_dir: str):
     """Distributed logistic-regression quality classifier: full-batch
     GD over one materialized feature scan, 6-double gradient partials
@@ -437,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
 
     from dude_ray.pipelines.clustering import EMBEDDING_COV_ORACLE_SQL
     from dude_ray.pipelines.lr import lr_quality_oracle_sql
+    from dude_ray.pipelines.ranking import TERM_POSTINGS_ORACLE_SQL
 
     return {
         "simhash_dedup": simhash_oracle_sql(),
@@ -447,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,
         "lr_quality": lr_quality_oracle_sql(),
+        "term_postings": TERM_POSTINGS_ORACLE_SQL,
         "tfidf_keywords": tfidf_keywords_oracle_sql(),
         "token_count": f"""
             SELECT doc_id,

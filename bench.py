@@ -194,6 +194,10 @@ def run_bench() -> dict:
     textops.run_fingerprint(SF_DIR).count()
     timings["doc_fingerprint"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    ranking.run_term_postings(SF_DIR).count()
+    timings["term_postings"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -292,3 +292,84 @@ def tfidf_keywords_oracle_sql(top_k: int = 5) -> str:
         SELECT doc_id, term, score, rank FROM ranked
         WHERE rank <= {top_k}
     """
+
+
+def run_term_postings(sf_dir: str, min_df: int = 2,
+                      target_rows_per_group: int = 65536,
+                      concurrency: int = 4):
+    """Inverted-index build — the search-index artifact behind
+    :func:`run_bm25` as a first-class operator: per term, document
+    frequency, collection frequency and the ascending posting list
+    (canonical comma-joined string, so the DuckDB oracle's
+    ``string_agg ORDER BY`` compares exactly).
+
+    Scale shape: one text scan emits (term, doc_id, c) rows — each doc
+    lives in exactly one batch, so per-batch term counts are globally
+    final and only fixed-width rows shuffle; the per-term reduce goes
+    through the data-scaled ``hash_grouped_reduce`` (no Python-per-row
+    combine, no fixed key width).  Hot terms concentrate their posting
+    list in one group by construction — at 10^10 docs posting lists
+    shard by (term, doc-range) buckets and concatenate lazily;
+    ``min_df`` here also drops the hapax tail that dominates vocabulary
+    size."""
+    import re
+
+    from dude_ray.io import read_parquet_clean
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.textops import TOKEN_RE
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pat = re.compile(TOKEN_RE)
+
+    def term_doc_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ex = df["text"].str.lower().str.findall(pat).explode().dropna()
+        x = pd.DataFrame({
+            "doc_id": df["doc_id"].reindex(ex.index).to_numpy(dtype=np.int64),
+            "term": ex.to_numpy(dtype=object),
+        })
+        out = (x.groupby(["term", "doc_id"], sort=False).size()
+               .reset_index(name="c"))
+        return pd.DataFrame({"term": out["term"].astype(str),
+                             "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+                             "c": out["c"].to_numpy(dtype=np.int64)})
+
+    rows = docs.map_batches(term_doc_counts, batch_format="pandas",
+                            batch_size=2048,
+                            concurrency=concurrency).materialize()
+
+    def build_postings(g: pd.DataFrame) -> pd.DataFrame:
+        terms, dfs, cfs, posts = [], [], [], []
+        for term, sub in g.groupby("term", sort=False):
+            if len(sub) < min_df:
+                continue
+            ids = np.sort(sub["doc_id"].to_numpy(dtype=np.int64))
+            terms.append(term)
+            dfs.append(len(ids))
+            cfs.append(int(sub["c"].sum()))
+            posts.append(",".join(map(str, ids)))
+        return pd.DataFrame({
+            "term": pd.Series(terms, dtype="object"),
+            "df": pd.Series(dfs, dtype="int64"),
+            "cf": pd.Series(cfs, dtype="int64"),
+            "postings": pd.Series(posts, dtype="object"),
+        })
+
+    return hash_grouped_reduce(rows, "term", build_postings, rows.count(),
+                               target_rows_per_group,
+                               out_cols=("term", "df", "cf", "postings"))
+
+
+TERM_POSTINGS_ORACLE_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+      FROM documents
+    ), d AS (
+      SELECT term, doc_id, count(*) AS c FROM t GROUP BY term, doc_id
+    )
+    SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM d GROUP BY term HAVING count(*) >= 2
+"""
