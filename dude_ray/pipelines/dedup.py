@@ -1294,6 +1294,24 @@ def _heavy_grams(grams, counters: int = 4096, top: int = 512) -> np.ndarray:
     return heavy
 
 
+def _prefix_grams(g: np.ndarray, n: int, t_eff: float,
+                  heavy: np.ndarray) -> np.ndarray:
+    """The doc's prefix under the global (is-heavy, hash) total order:
+    its first ``n - ceil(t_eff*n) + 1`` grams, rare grams first.  Pure
+    — the recall theorem over this exact implementation is fuzzed in
+    tests/test_fuzz.py.  ``g`` sorted-unique uint64, ``heavy`` sorted
+    uint64."""
+    p = n - int(np.ceil(t_eff * n)) + 1
+    if p <= 0:
+        return g[:0]
+    pos = np.searchsorted(heavy, g)
+    pos = np.minimum(pos, max(len(heavy) - 1, 0))
+    is_heavy = (heavy[pos] == g) if len(heavy) else \
+        np.zeros(len(g), dtype=bool)
+    order = np.lexsort((g, is_heavy))
+    return g[order[:p]]
+
+
 def run_jaccard_join(sf_dir: str, threshold: float = 0.8,
                      concurrency: int = 4):
     """EXACT set-similarity self-join: every document pair whose
@@ -1330,16 +1348,9 @@ def run_jaccard_join(sf_dir: str, threshold: float = 0.8,
             if not n:
                 continue
             g = np.frombuffer(blob, dtype="<u8")
-            p = n - int(np.ceil(t_eff * n)) + 1
-            if p <= 0:
+            pref = _prefix_grams(g, n, t_eff, heavy)
+            if not len(pref):
                 continue
-            # global order (is-heavy, hash): rare grams first
-            pos = np.searchsorted(heavy, g)
-            pos = np.minimum(pos, max(len(heavy) - 1, 0))
-            is_heavy = (heavy[pos] == g) if len(heavy) else \
-                np.zeros(len(g), dtype=bool)
-            order = np.lexsort((g, is_heavy))
-            pref = g[order[:p]]
             out_g.append(pref.view(np.int64))
             out_doc.append(np.full(len(pref), doc_id, dtype=np.int64))
             out_n.append(np.full(len(pref), n, dtype=np.int64))

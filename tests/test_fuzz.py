@@ -103,3 +103,45 @@ def test_canonicalize_idempotent_fuzz(tail):
 
     for m in re.finditer("%", once):
         assert re.match("%[0-9A-Fa-f]{2}", once[m.start():m.start() + 3])
+
+
+# --------------------------------------------------------------------------
+# prefix-filter recall theorem (jaccard_join core)
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+_GRAM = st.integers(min_value=0, max_value=40)  # tiny universe → hot grams
+_DOC = st.lists(_GRAM, min_size=1, max_size=25).map(
+    lambda xs: np.unique(np.asarray(xs, dtype=np.uint64)))
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(_DOC, min_size=2, max_size=8),
+    heavy=st.lists(_GRAM, max_size=10).map(
+        lambda xs: np.unique(np.asarray(xs, dtype=np.uint64))),
+    threshold=st.sampled_from([0.5, 0.7, 0.8, 0.9, 1.0]),
+)
+def test_prefix_filter_recall_theorem(docs, heavy, threshold):
+    """Any doc pair with Jaccard ≥ threshold MUST share at least one
+    gram from both docs' prefixes — under the exact production prefix
+    implementation (_prefix_grams), for arbitrary heavy-demotion sets
+    (the ordering hint may be wrong/empty/stale; correctness may not
+    depend on it)."""
+    from dude_ray.pipelines.dedup import _prefix_grams
+
+    t_eff = threshold - 1e-6
+    prefixes = [set(_prefix_grams(g, len(g), t_eff, heavy).tolist())
+                for g in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = set(docs[i].tolist()), set(docs[j].tolist())
+            union = len(a | b)
+            if not union:
+                continue
+            jac = len(a & b) / union
+            if jac >= threshold:
+                assert prefixes[i] & prefixes[j], (
+                    f"recall violated: jac={jac} docs={docs[i]},{docs[j]} "
+                    f"heavy={heavy} t={threshold}")
