@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_sketch": _q_top_terms_sketch,
         "lm_score": _q_lm_score,
         "lr_quality": _q_lr_quality,
+        "training_mix": _q_training_mix,
         "tfidf_keywords": _q_tfidf_keywords,
         # clustering
         "kmeans_assign": _q_kmeans_assign,
@@ -350,6 +351,15 @@ def _q_term_postings(sf_dir: str):
     return run_term_postings(sf_dir)
 
 
+def _q_training_mix(sf_dir: str):
+    """Composed flagship: one text scan -> features+hash+tokens; GD-
+    trained quality filter; exact-dedup keepers; token-budget packing.
+    End-to-end SQL-oracled (lr.training_mix_oracle_sql)."""
+    from dude_ray.pipelines.lr import run_training_mix
+
+    return run_training_mix(sf_dir)
+
+
 def _q_lr_quality(sf_dir: str):
     """Distributed logistic-regression quality classifier: full-batch
     GD over one materialized feature scan, 6-double gradient partials
@@ -445,7 +455,8 @@ def oracle_sql() -> dict[str, str]:
                                           substring_dup_oracle_sql)
 
     from dude_ray.pipelines.clustering import EMBEDDING_COV_ORACLE_SQL
-    from dude_ray.pipelines.lr import lr_quality_oracle_sql
+    from dude_ray.pipelines.lr import (lr_quality_oracle_sql,
+                                       training_mix_oracle_sql)
     from dude_ray.pipelines.ranking import TERM_POSTINGS_ORACLE_SQL
 
     return {
@@ -457,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,
         "lr_quality": lr_quality_oracle_sql(),
+        "training_mix": training_mix_oracle_sql(),
         "term_postings": TERM_POSTINGS_ORACLE_SQL,
         "tfidf_keywords": tfidf_keywords_oracle_sql(),
         "token_count": f"""

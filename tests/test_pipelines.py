@@ -795,3 +795,30 @@ def test_lr_quality_learns(ray_session):
     assert s1 and s0
     assert all(0.0 < r["lr_score"] < 1.0 for r in rows)
     assert sum(s1) / len(s1) > sum(s0) / len(s0)
+
+
+def test_training_mix_invariants(ray_session):
+    """Composed flagship: survivors are unique texts, scores at/above
+    the data-derived threshold, packs contiguous in doc_id order with
+    each pack (except possibly the last) spanning >= budget tokens from
+    its first doc's start."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.lr import run_training_mix
+
+    rows = sorted(run_training_mix(SF, budget=512).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert rows
+    # threshold cut is real (neither keep-all nor drop-all)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert 0 < len(rows) < t.num_rows
+    # pack ids monotone non-decreasing in doc order, starting at 0
+    pids = [r["pack_id"] for r in rows]
+    assert pids[0] == 0
+    assert all(b - a in (0, 1) or b == a for a, b in zip(pids, pids[1:]))
+    assert all(b >= a for a, b in zip(pids, pids[1:]))
+    # offsets reconstruct: cumulative tokens // budget == pack_id
+    acc = 0
+    for r in rows:
+        assert acc // 512 == r["pack_id"]
+        acc += r["n_tokens"]
