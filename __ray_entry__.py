@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_buckets": _q_value_buckets,
         # exact-substring dup candidates
         "substring_dup": _q_substring_dup,
+        "substring_redact": _q_substring_redact,
         # curation composition
         "curate_keep_best": _q_curate_keep_best,
         # feature standardization
@@ -267,6 +268,16 @@ def _q_curate_keep_best(sf_dir: str):
     from dude_ray.pipelines.cleaning import run_curate_keep_best
 
     return run_curate_keep_best(sf_dir)
+
+
+def _q_substring_redact(sf_dir: str):
+    """Substring-level dedup with REMOVAL (Lee et al. 2022): modified
+    docs only, duplicated runs >= 63 chars excised from the higher-id
+    side.  Non-SQL (char-level run expansion) -> rows-only; the planted
+    pytest asserts removal/keeper/untouched semantics."""
+    from dude_ray.pipelines.dedup import run_substring_redact
+
+    return run_substring_redact(sf_dir)
 
 
 def _q_substring_dup(sf_dir: str):

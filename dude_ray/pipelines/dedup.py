@@ -311,7 +311,10 @@ def _verify_pairs_jaccard(pairs, sh, num_partitions: int = JOIN_PARTITIONS):
     # partition count scales with the pair count (it is the number of
     # shuffle blocks AND of aggregator actors — a 25-pair verify does
     # not need 8 cold-started aggregators per side)
-    num_partitions = max(2, min(num_partitions, pairs.count() // 512 + 1))
+    # 1 partition for tiny pair sets: a hash partition that receives
+    # zero rows materializes as a SCHEMA-LESS empty table and Acero
+    # rejects the join key (seen with a single candidate pair)
+    num_partitions = max(1, min(num_partitions, pairs.count() // 512 + 1))
     j = pairs.join(sh, "inner", num_partitions,
                    on=("a",), right_on=("doc_id",),
                    aggregator_ray_remote_args=agg_args)
@@ -962,7 +965,7 @@ def run_dup_clusters(sf_dir: str, threshold: float = 0.35,
                 "vec_id": pa.array([], type=pa.int64()),
                 "component": pa.array([], type=pa.int64())}),
             batch_format="pyarrow")
-    num_partitions = max(2, min(num_partitions, n_edges // 2048 + 1))
+    num_partitions = max(1, min(num_partitions, n_edges // 2048 + 1))
 
     if n_edges <= cc_local_threshold:
         # small-graph tier (the planner choice the pagerank kernel
@@ -1488,3 +1491,170 @@ def simhash_oracle_sql(max_hamming: int = 3) -> str:
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
     """
+
+
+# --------------------------------------------------------------------------
+# substring-level redaction (duplicated-run REMOVAL, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+def _pair_shared_runs(ta: str, tb: str, k: int, weights,
+                      min_run: int) -> list[tuple[int, int]]:
+    """Maximal shared character runs of ``tb`` vs ``ta`` (≥ min_run),
+    found by expanding around shared k-gram hash anchors and VERIFYING
+    characters (hash collisions expand to nothing and are dropped).
+    Returns non-overlapping (start, end) intervals in ``tb``."""
+    from dude_ray.pipelines.textops import kgram_hashes
+
+    ha = kgram_hashes(ta, k, weights)
+    hb = kgram_hashes(tb, k, weights)
+    if not len(ha) or not len(hb) or len(ta) < k or len(tb) < k:
+        return []
+    shared = np.intersect1d(ha, hb)
+    if not len(shared):
+        return []
+    # first position of each hash value on both sides
+    oa, ob = np.argsort(ha, kind="stable"), np.argsort(hb, kind="stable")
+    sa, sb = ha[oa], hb[ob]
+    pa_ = oa[np.searchsorted(sa, shared)]
+    pb_ = ob[np.searchsorted(sb, shared)]
+    order = np.argsort(pb_, kind="stable")
+    out: list[tuple[int, int]] = []
+    last_end = -1
+    for pa0, pb0 in zip(pa_[order], pb_[order]):
+        if pb0 < last_end:
+            continue
+        pa0, pb0 = int(pa0), int(pb0)
+        if ta[pa0:pa0 + k] != tb[pb0:pb0 + k]:
+            continue  # 64-bit hash collision
+        la, lb = pa0, pb0
+        while la > 0 and lb > 0 and ta[la - 1] == tb[lb - 1]:
+            la -= 1
+            lb -= 1
+        ra, rb = pa0 + k, pb0 + k
+        while ra < len(ta) and rb < len(tb) and ta[ra] == tb[rb]:
+            ra += 1
+            rb += 1
+        if rb - lb >= min_run:
+            out.append((lb, rb))
+            last_end = rb
+    return out
+
+
+def run_substring_redact(sf_dir: str, min_shared: int = 2,
+                         min_run: int = 63, concurrency: int = 4):
+    """Substring-level dedup with actual REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every candidate pair from the winnow-sharing stage the
+    higher-doc_id side excises each maximal shared run ≥ ``min_run``
+    chars; the lower-doc_id side keeps its text.  Output rows only for
+    MODIFIED docs: (doc_id, n_runs, n_redacted_chars, text).
+
+    Scale shape: candidate pairs come from :func:`run_substring_dup`
+    (only fixed-width rows shuffle there); full texts ship ONLY for
+    candidate pairs, via the same pair-scoped hash joins as the Jaccard
+    verify; run expansion verifies characters so hash collisions cannot
+    redact unrelated text.  The per-doc interval sets (bounded by the
+    duplicated-content volume, orders of magnitude below corpus size)
+    are merged with a data-scaled hash-group reduce and broadcast into
+    one corpus map — the documents table itself never enters a
+    shuffle.  At extreme dup volume the broadcast dict would shard by
+    doc-id range across an actor pool exactly like the frontier
+    seen-set."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.textops import winnow_weights
+
+    k = _WinnowHashes.K
+    weights = winnow_weights(k)
+    pairs = run_substring_dup(sf_dir, min_shared=min_shared).materialize()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    agg_args = {"num_cpus": 0}
+    num_partitions = max(1, min(JOIN_PARTITIONS,
+                                pairs.count() // 512 + 1))
+    j = pairs.join(docs, "inner", num_partitions,
+                   on=("a",), right_on=("doc_id",),
+                   aggregator_ray_remote_args=agg_args)
+    j = j.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "text_a": t["text"]}),
+        batch_format="pyarrow").materialize()
+    j = j.join(docs, "inner", num_partitions,
+               on=("b",), right_on=("doc_id",),
+               aggregator_ray_remote_args=agg_args)
+
+    def pair_intervals(batch: pa.Table) -> pa.Table:
+        out_d, out_s, out_e = [], [], []
+        for b, ta, tb in zip(batch["b"].to_pylist(),
+                             batch["text_a"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for s, e in _pair_shared_runs(ta or "", tb or "", k, weights,
+                                          min_run):
+                out_d.append(b)
+                out_s.append(s)
+                out_e.append(e)
+        return pa.table({"doc_id": pa.array(out_d, type=pa.int64()),
+                         "start": pa.array(out_s, type=pa.int64()),
+                         "end": pa.array(out_e, type=pa.int64())})
+
+    ivals = j.map_batches(pair_intervals, batch_format="pyarrow",
+                          batch_size=256).materialize()
+    if not ivals.count():
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_runs": pa.array([], type=pa.int64()),
+            "n_redacted_chars": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string())}))
+
+    def merge_ivals(df: pd.DataFrame) -> pd.DataFrame:
+        docs_, starts_, ends_ = [], [], []
+        for d, g in df.groupby("doc_id", sort=False):
+            iv = sorted(zip(g["start"], g["end"]))
+            merged = [list(iv[0])]
+            for s, e in iv[1:]:
+                if s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            for s, e in merged:
+                docs_.append(d)
+                starts_.append(s)
+                ends_.append(e)
+        return pd.DataFrame({"doc_id": pd.Series(docs_, dtype="int64"),
+                             "start": pd.Series(starts_, dtype="int64"),
+                             "end": pd.Series(ends_, dtype="int64")})
+
+    merged = hash_grouped_reduce(ivals, "doc_id", merge_ivals,
+                                 ivals.count(),
+                                 out_cols=("doc_id", "start", "end"))
+    plan: dict[int, list[tuple[int, int]]] = {}
+    for r in merged.take_all():   # bounded: intervals of affected docs
+        plan.setdefault(int(r["doc_id"]), []).append(
+            (int(r["start"]), int(r["end"])))
+    plan_ref = ray.put(plan)
+
+    def apply_redaction(batch: pa.Table) -> pa.Table:
+        p = ray.get(plan_ref)
+        out_d, out_n, out_c, out_t = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            iv = p.get(doc_id)
+            if not iv:
+                continue
+            t = text or ""
+            kept, pos = [], 0
+            for s, e in sorted(iv):
+                kept.append(t[pos:s])
+                pos = e
+            kept.append(t[pos:])
+            out_d.append(doc_id)
+            out_n.append(len(iv))
+            out_c.append(sum(e - s for s, e in iv))
+            out_t.append("".join(kept))
+        return pa.table({"doc_id": pa.array(out_d, type=pa.int64()),
+                         "n_runs": pa.array(out_n, type=pa.int64()),
+                         "n_redacted_chars": pa.array(out_c, type=pa.int64()),
+                         "text": pa.array(out_t, type=pa.string())})
+
+    return docs.map_batches(apply_redaction, batch_format="pyarrow",
+                            batch_size=2048, concurrency=concurrency)

@@ -822,3 +822,41 @@ def test_training_mix_invariants(ray_session):
     for r in rows:
         assert acc // 512 == r["pack_id"]
         acc += r["n_tokens"]
+
+
+def test_substring_redact_removes_planted_paragraph(ray_session, tmp_path):
+    """Plant a >63-char shared paragraph between two docs; the
+    higher-id doc must lose it, the keeper must stay untouched, and
+    unrelated docs must not appear in the output."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_substring_redact
+
+    para = ("this exact boilerplate paragraph is shared verbatim between "
+            "two documents and is long enough to trip the winnow rule. " * 2)
+    base = [
+        "completely unrelated text number one with its own words",
+        "another unrelated document talking about different things",
+    ]
+    texts = [
+        base[0] + " " + para + " tail of keeper doc",
+        "prefix of the dup doc " + para + " " + base[1],
+        "a third doc with no duplication at all whatsoever in it",
+    ]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["x"] * 3),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            run_substring_redact(str(d), min_shared=1).take_all()}
+    assert 1 in rows, "dup doc not redacted"
+    assert para not in rows[1]["text"]
+    assert rows[1]["n_redacted_chars"] >= len(para)
+    assert 0 not in rows, "keeper must be untouched"
+    assert 2 not in rows, "unrelated doc must be untouched"
