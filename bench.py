@@ -202,6 +202,10 @@ def run_bench() -> dict:
     lr.run_training_mix(SF_DIR).count()
     timings["training_mix"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    dedup.run_substring_redact(SF_DIR).count()
+    timings["substring_redact"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
