@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding PCA
         "embedding_pca": _q_embedding_pca,
         "embedding_cov": _q_embedding_cov,
+        "label_centroids": _q_label_centroids,
         # hopping windows + global percent rank
         "events_hopping_window": _q_events_hopping_window,
         "value_percent_rank": _q_value_percent_rank,
@@ -247,6 +248,14 @@ def _q_embedding_pca(sf_dir: str):
     from dude_ray.pipelines.clustering import run_embedding_pca
 
     return run_embedding_pca(sf_dir)
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label mean embedding via fixed-width partials (unnested
+    scalar output for exact SQL comparability)."""
+    from dude_ray.pipelines.clustering import run_label_centroids
+
+    return run_label_centroids(sf_dir)
 
 
 def _q_embedding_cov(sf_dir: str):
@@ -465,7 +474,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.dedup import (simhash_oracle_sql,
                                           substring_dup_oracle_sql)
 
-    from dude_ray.pipelines.clustering import EMBEDDING_COV_ORACLE_SQL
+    from dude_ray.pipelines.clustering import (EMBEDDING_COV_ORACLE_SQL,
+                                               LABEL_CENTROIDS_ORACLE_SQL)
     from dude_ray.pipelines.lr import (lr_quality_oracle_sql,
                                        training_mix_oracle_sql)
     from dude_ray.pipelines.ranking import TERM_POSTINGS_ORACLE_SQL
@@ -473,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash_dedup": simhash_oracle_sql(),
         "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
+        "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),

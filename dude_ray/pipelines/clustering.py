@@ -392,3 +392,56 @@ EMBEDDING_COV_ORACLE_SQL = """
     SELECT s.i, s.j, round(s.exy - ma.mu * mb.mu, 10) AS cov
     FROM s JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j
 """
+
+
+def run_label_centroids(sf_dir: str, batch_size: int = 4096,
+                        concurrency: int = 4):
+    """Per-label mean embedding (the domain/source centroid op used for
+    mix balancing and drift monitoring): per-batch (label, count,
+    vec-sum) partials — one fixed-width row per label per batch — then
+    a bounded-key groupby merge; output unnested as (label, i, c, n)
+    scalar rows (1-based dim, 9-dp rounding: the cross-engine
+    summation-order contract)."""
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch["label"].to_pylist())
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        uniq = np.unique(lab)
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int64)),
+            "count": pa.array([int((lab == u).sum()) for u in uniq],
+                              type=pa.int64()),
+            "vec_sum": pa.array([emb[lab == u].sum(axis=0) for u in uniq]),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(g["vec_sum"].to_numpy())
+        n = int(g["count"].sum())
+        c = np.round(vecs.sum(axis=0) / n, 9)
+        d = len(c)
+        return pd.DataFrame({
+            "label": np.full(d, int(g["label"].iloc[0]), dtype=np.int64),
+            "i": np.arange(1, d + 1, dtype=np.int64),
+            "c": c,
+            "n": np.full(d, n, dtype=np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size, concurrency=concurrency)
+              .groupby("label").map_groups(merge, batch_format="pandas"))
+
+
+LABEL_CENTROIDS_ORACLE_SQL = """
+    WITH x AS (
+      SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+           round(avg(v), 9) AS c, count(*) AS n
+    FROM x GROUP BY label, i
+"""
