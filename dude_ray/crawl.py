@@ -386,6 +386,7 @@ def run_crawl(
            "ckpt": 0.0, "n_rounds": 0}
 
     pending_writes: list = []
+    pending_ckpt = None  # deferred persist of the PREVIOUS checkpoint
     part_owners: dict[int, list[int]] = {}
     inflight: list = []
     # (offers_ref, tick table ref, row sel, ranks, round) per dispatched
@@ -608,38 +609,59 @@ def run_crawl(
         _t0 = _time.time()
 
         if do_ckpt:
-            for wrefs, tdir, rdir in pending_writes:
-                ray.get(wrefs)
-                os.replace(tdir, rdir)  # atomic round commit (lineage unit)
-            pending_writes.clear()
             if pipelined:
                 # a snapshot must contain every edge of its committed
-                # rounds.  Every chunk task of those rounds has already
-                # completed transitively through the pending-write gather
-                # above (each round's write refs depend on its chunk
-                # refs); confirming delivery barriers the in-flight
-                # offer RPCs (replaying any that died with a worker)
-                # before shard state is serialized.
+                # rounds: barrier straggler chunks of earlier rounds
+                # (the current round's chunks completed in the dispatch
+                # barrier above), then confirm offer delivery — the
+                # replaying barrier — before shard state is serialized.
+                if inflight:
+                    ray.wait(inflight, num_returns=len(inflight),
+                             fetch_local=False)
                 _confirm_offers()
                 inflight.clear()
-            snaps = ray.get([s.snapshot.remote() for s in shards])
-            for i, raw in enumerate(snaps):
-                _atomic_write(os.path.join(ckpt_dir, f"shard_{i}.bin"), raw)
-            _atomic_write(meta_path, json.dumps({
-                "completed_rounds": rnd + 1,
-                "num_shards": num_shards,
-                "corpus_dir": corpus_dir,
-            }).encode())
+            # issue snapshot AND the next release back-to-back: per-actor
+            # task-queue order guarantees each shard serializes its state
+            # BEFORE popping the next round's URLs, and the shards do
+            # both while the driver drains data files below — the disk
+            # work leaves the worker-feeding critical path entirely.
+            snap_refs = [s.snapshot.remote() for s in shards]
             if pipelined:
-                # deferred prefetch (see dispatch block): safe now —
-                # the snapshot above precedes this release on every
-                # shard's task queue
                 release_refs = [
                     s.release_round.remote(ticks_per_round, release_budget,
                                            burst=politeness_burst,
                                            num_parts=num_parts)
                     for s in shards
                 ]
+            # the persist itself is DEFERRED one checkpoint interval so
+            # the crawl loop never waits on disk while workers starve:
+            # by the time it runs, its write tasks and snapshot refs
+            # completed long ago and the ray.get returns instantly.
+            # Checkpoint validity ordering is unchanged WITHIN each
+            # persist: round files first, snapshot bytes second, the
+            # meta marker LAST — a crash before the deferred persist
+            # simply falls back to the previous on-disk checkpoint and
+            # the rounds replay idempotently (exactly the crash-between-
+            # snapshot-and-meta window that already existed).
+            due_writes, pending_writes = pending_writes, []
+
+            def _persist_ckpt(snap_refs=snap_refs, due=due_writes,
+                              upto=rnd + 1):
+                for wrefs, tdir, rdir in due:
+                    ray.get(wrefs)
+                    os.replace(tdir, rdir)  # atomic round commit
+                for i, raw in enumerate(ray.get(snap_refs)):
+                    _atomic_write(os.path.join(ckpt_dir, f"shard_{i}.bin"),
+                                  raw)
+                _atomic_write(meta_path, json.dumps({
+                    "completed_rounds": upto,
+                    "num_shards": num_shards,
+                    "corpus_dir": corpus_dir,
+                }).encode())
+
+            if pending_ckpt is not None:
+                pending_ckpt()  # previous interval's persist: instant now
+            pending_ckpt = _persist_ckpt
         _pt["ckpt"] += _time.time() - _t0
         _pt["n_rounds"] += 1
         rnd += 1
@@ -651,6 +673,8 @@ def run_crawl(
     if inflight:
         ray.wait(inflight, num_returns=len(inflight), fetch_local=False)
     _confirm_offers()
+    if pending_ckpt is not None:
+        pending_ckpt()  # persist the last checkpoint interval
     for wrefs, tdir, rdir in pending_writes:
         ray.get(wrefs)
         os.replace(tdir, rdir)
