@@ -341,3 +341,26 @@ def test_shard_count_does_not_change_visit_sequence(ray_session, tmp_path_factor
     a = [r["doc_id"] for r in visits_in_key_order(ds.take_all())]
     b = [r["doc_id"] for r in visits_in_key_order(strict_rows)]
     assert a == b
+
+
+def test_checkpoint_persist_consistency(ray_session, tmp_path_factory):
+    """After a completed run the DEFERRED checkpoint persist must leave
+    a consistent trail: the meta marker's completed_rounds never exceeds
+    the committed round directories, every committed dir is final (no
+    .wip leftovers), and the snapshot files for the recorded meta
+    exist."""
+    import json
+    import os
+
+    from dude_ray.crawl import run_crawl
+
+    out = tmp_path_factory.mktemp("crawl") / "ckpt_consistency"
+    run_crawl(SF, out_dir=str(out), num_shards=3, concurrency=3,
+              politeness=True, checkpoint_every=2).materialize()
+    rounds = sorted(d for d in os.listdir(out) if d.startswith("round_")
+                    and not d.endswith(".wip"))
+    assert not [d for d in os.listdir(out) if d.endswith(".wip")]
+    meta = json.load(open(out / "CHECKPOINT" / "meta.json"))
+    assert meta["completed_rounds"] <= len(rounds)
+    for i in range(meta["num_shards"]):
+        assert (out / "CHECKPOINT" / f"shard_{i}.bin").exists()
