@@ -373,7 +373,9 @@ def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4)
 
 def run_ngram_jaccard(sf_dir: str, concurrency: int = 4):
     """Exact n-gram Jaccard for every LSH candidate pair (the verify
-    stage exposed as its own operator)."""
+    stage exposed as its own operator).  Recall is banding-bounded —
+    :func:`run_jaccard_join` is the EXACT-recall sibling (prefix
+    filtering instead of LSH candidates)."""
     sh = shingle_dataset(sf_dir, concurrency)
     pairs = candidate_pairs_minhash(sh, concurrency)
     return _verify_pairs_jaccard(pairs, sh)
