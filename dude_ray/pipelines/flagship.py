@@ -98,7 +98,13 @@ def run_extract(sf_dir: str, concurrency: Optional[int] = None,
     import ray
 
     conc = concurrency or max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
-    return ds.map_batches(SpanExtractor, concurrency=(1, conc), **kwargs)
+    # FIXED pool size, not (1, conc) autoscaling: the ramp-up of Ray
+    # Data's autoscaling actor pool left the corpus half-extracted on a
+    # single actor for seconds at a time — measured 39–46 s vs 21 s for
+    # the identical whole-corpus extraction at 32 CPUs (2026-08-18).
+    # The pipeline is two ops (read → extract); the extractor dominates,
+    # so holding all slots from t=0 is strictly right here.
+    return ds.map_batches(SpanExtractor, concurrency=conc, **kwargs)
 
 
 def export_spans(sf_dir: str, dest: str, **extract_kwargs) -> str:
