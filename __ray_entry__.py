@@ -115,56 +115,63 @@ def _q_media_audio_chunks(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
+    records only the FIRST 50 entries (insertion order).  Slots 1-20
+    are the operators that had never appeared in a CORRECTNESS file
+    through round 3; slots 21-50 are SQL-hash-matchable entries.  The
+    rotation tail (51+) — six simple hash-matched ops plus the
+    rows-only crawl/media/approximate entries — stays verified by
+    tools/check_oracle.py (the same rows+schema+hash protocol over ALL
+    entries) and by pytest."""
     from dude_ray.pipelines import (cleaning, dedup, relational, sampling,
                                     similarity, textops)
 
     return {
-        # crawl/extract engine (non-SQL; rows-only driver check)
-        "extract_spans": _q_extract_spans,
-        "crawl_visits": _q_crawl_visits,
-        "crawl_host_counts": _q_crawl_host_counts,
-        "media_decode": _q_media_decode,
-        "media_frames": _q_media_frames,
-        "media_thumbs": _q_media_thumbs,
-        "media_audio_chunks": _q_media_audio_chunks,
-        # text analysis
+        # -- slots 1-20: never driver-verified before round 4 ---------
+        "training_mix": _q_training_mix,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "kmeans_assign": _q_kmeans_assign,
+        "kmeans_cluster": _q_kmeans_cluster,
+        "term_postings": _q_term_postings,
+        "bm25_topk": _q_bm25_topk,
+        "mix_interleave": _q_mix_interleave,
+        "dup_clusters": _q_dup_clusters,
+        "value_buckets": _q_value_buckets,
+        "substring_dup": _q_substring_dup,
+        "substring_redact": _q_substring_redact,
+        "curate_keep_best": _q_curate_keep_best,
+        "events_zscore": _q_events_zscore,
+        "embedding_pca": _q_embedding_pca,
+        "embedding_cov": _q_embedding_cov,
+        "label_centroids": _q_label_centroids,
+        "events_hopping_window": _q_events_hopping_window,
+        "value_percent_rank": _q_value_percent_rank,
+        "pagerank": _q_pagerank,
+        "graph_pagerank": _q_graph_pagerank,
+        # -- slots 21-50: previously hash-matched SQL entries ----------
+        "jaccard_join": dedup.run_jaccard_join,
+        "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
+        "simhash_dedup": dedup.run_simhash_dedup,
+        "exact_dedup": dedup.run_exact_dedup,
+        "dedup_incremental": _q_dedup_incremental,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
+        "doc_fingerprint": textops.run_fingerprint,
+        "lm_score": _q_lm_score,
+        "lr_quality": _q_lr_quality,
+        "top_terms_sketch": _q_top_terms_sketch,
+        "corpus_prep": textops.run_corpus_prep,
         "token_count": textops.run_token_count,
         "quality_score": textops.run_quality,
         "lang_id": textops.run_lang_id,
-        "doc_fingerprint": textops.run_fingerprint,
-        "lang_dist": _q_lang_dist,
-        "corpus_prep": textops.run_corpus_prep,
-        # corpus cleaning / hygiene
         "pii_redact": cleaning.run_pii_redact,
-        "text_normalize": cleaning.run_text_normalize,
         "repetition_quality": cleaning.run_repetition_quality,
         "decontaminate": cleaning.run_decontaminate,
         "top_terms_per_source": cleaning.run_top_terms_per_source,
-        # data mixing
         "sample_stratified": sampling.run_sample_stratified,
-        "sample_per_group": sampling.run_sample_per_group,
-        "token_pack": sampling.run_token_pack,
-        # dedup family
-        "exact_dedup": dedup.run_exact_dedup,
-        "dedup_incremental": _q_dedup_incremental,
-        "minhash_dedup": dedup.run_minhash_dedup,
-        "ngram_jaccard": dedup.run_ngram_jaccard,
-        "simhash_dedup": dedup.run_simhash_dedup,
-        "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
-        "jaccard_join": dedup.run_jaccard_join,
-        "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_exact": _q_embedding_neardup_exact,
-        # similarity search
         "ann_topk": similarity.run_ann_topk,
-        "ann_lsh": similarity.run_ann_lsh,
-        "ann_ivf": similarity.run_ann_ivf,
-        "ann_pq": similarity.run_ann_pq,
-        # relational / windowed
         "events_window": relational.run_events_window,
-        "events_stats": relational.run_events_stats,
         "segment_revenue": relational.run_segment_revenue,
         "pricing_summary": relational.run_pricing_summary,
-        "top_orders": relational.run_top_orders,
         "user_sessions": relational.run_user_sessions,
         "top_orders_per_segment": relational.run_top_orders_per_segment,
         "streaming_window": _q_streaming_window,
@@ -172,41 +179,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_band_join": relational.run_events_band_join,
         "value_percentiles": relational.run_value_percentiles,
         "distinct_users": relational.run_distinct_users,
+        # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "text_normalize": cleaning.run_text_normalize,
+        "lang_dist": _q_lang_dist,
+        "events_stats": relational.run_events_stats,
+        "top_orders": relational.run_top_orders,
+        "sample_per_group": sampling.run_sample_per_group,
+        "token_pack": sampling.run_token_pack,
+        # -- rows-only: crawl/extract engine (non-SQL; pytest oracles) -
+        "extract_spans": _q_extract_spans,
+        "crawl_visits": _q_crawl_visits,
+        "crawl_host_counts": _q_crawl_host_counts,
+        "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
+        "media_thumbs": _q_media_thumbs,
+        "media_audio_chunks": _q_media_audio_chunks,
+        # -- rows-only: approximate/banded ops (pytest accuracy oracles)
+        "minhash_dedup": dedup.run_minhash_dedup,
+        "ngram_jaccard": dedup.run_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_lsh": similarity.run_ann_lsh,
+        "ann_ivf": similarity.run_ann_ivf,
+        "ann_pq": similarity.run_ann_pq,
         "distinct_users_approx": _q_distinct_users_approx,
-        "top_terms_sketch": _q_top_terms_sketch,
-        "lm_score": _q_lm_score,
-        "lr_quality": _q_lr_quality,
-        "training_mix": _q_training_mix,
-        "tfidf_keywords": _q_tfidf_keywords,
-        # clustering
-        "kmeans_assign": _q_kmeans_assign,
-        "kmeans_cluster": _q_kmeans_cluster,
-        # full-text ranking
-        "term_postings": _q_term_postings,
-        "bm25_topk": _q_bm25_topk,
-        # training-mix interleave
-        "mix_interleave": _q_mix_interleave,
-        # near-dup connected components
-        "dup_clusters": _q_dup_clusters,
-        # feature binning
-        "value_buckets": _q_value_buckets,
-        # exact-substring dup candidates
-        "substring_dup": _q_substring_dup,
-        "substring_redact": _q_substring_redact,
-        # curation composition
-        "curate_keep_best": _q_curate_keep_best,
-        # feature standardization
-        "events_zscore": _q_events_zscore,
-        # embedding PCA
-        "embedding_pca": _q_embedding_pca,
-        "embedding_cov": _q_embedding_cov,
-        "label_centroids": _q_label_centroids,
-        # hopping windows + global percent rank
-        "events_hopping_window": _q_events_hopping_window,
-        "value_percent_rank": _q_value_percent_rank,
-        # link-graph analytics
-        "pagerank": _q_pagerank,
-        "graph_pagerank": _q_graph_pagerank,
     }
 
 
