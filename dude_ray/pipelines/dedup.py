@@ -42,6 +42,10 @@ ROWS_PER_BAND = NUM_PERM // BANDS
 # partitions for the verify-stage hash joins at test scale; at 100 TB
 # this scales with cluster size (it is the number of shuffle blocks)
 JOIN_PARTITIONS = 8
+# prefix buckets larger than this generate their O(b²) candidate pairs
+# in bounded chunks (and log a watermark) instead of one np.triu_indices
+# allocation — see run_jaccard_join._bucket_pairs
+_PAIR_CHUNK_LIMIT = 2048
 
 
 def _docs(sf_dir: str, columns):
@@ -332,39 +336,55 @@ def _verify_pairs_jaccard(pairs, sh, num_partitions: int = JOIN_PARTITIONS):
                          batch_size=4096)
 
 
-def _distinct_pairs(pairs, blocks: int = 4):
-    """Two-level Arrow distinct on (a, b) — a pair found in several
-    bands must dedup before the (expensive) verify.  Ray's sort-based
-    aggregate runs its combine in Python per row; the candidate pair
-    set is the verify working set (orders of magnitude below corpus
-    size), so per-block C++ distinct then one exact distinct is both
-    faster and scale-honest."""
+def _distinct_pairs(pairs, target_rows_per_group: int = 65536):
+    """Exact distinct on (a, b) — a pair found in several bands must
+    dedup before the (expensive) verify.  Per-block C++ Arrow distinct
+    first (removes the within-band duplicate mass for free), then the
+    shared data-scaled hash-grouped reduce: bucket on a deterministic
+    hash of the WHOLE pair, so identical pairs always land in one
+    group and per-group ``drop_duplicates`` is globally exact, with no
+    task ever holding more than ~``target_rows_per_group`` rows.  (The
+    previous final ``repartition(1)`` distinct was the same
+    single-block bottleneck ``distinct_users`` had pre-r3 — on a
+    dup-heavy corpus at web scale the candidate set can reach billions
+    of rows.)  Width-independent (parametrized test)."""
+    from dude_ray.partitioning import hash_grouped_reduce
 
     def distinct(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["a", "b"]).aggregate([])
         return g.select(["a", "b"])
 
-    lvl1 = pairs.repartition(blocks).map_batches(
-        distinct, batch_format="pyarrow", batch_size=None)
-    return lvl1.repartition(1).map_batches(
-        distinct, batch_format="pyarrow", batch_size=None)
+    lvl1 = pairs.map_batches(distinct, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    n = lvl1.count()
+    if n == 0:
+        return lvl1
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return hash_grouped_reduce(lvl1, ["a", "b"], _dedup, n,
+                               target_rows_per_group,
+                               out_cols=("a", "b"))
 
 
-def candidate_pairs_minhash(sh, concurrency: int = 4):
+def candidate_pairs_minhash(sh, concurrency: int = 4,
+                            target_rows_per_group: int = 65536):
     """shingle dataset → banded minhash rows → bucket groupby →
     unique candidate pairs."""
     ds = sh.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                         concurrency=(1, concurrency))
     pairs = ds.groupby("band").map_groups(_band_pairs, batch_format="pandas")
-    return _distinct_pairs(pairs)
+    return _distinct_pairs(pairs, target_rows_per_group)
 
 
-def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4):
+def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4,
+                      target_rows_per_group: int = 65536):
     """Verified near-duplicate pairs (jaccard >= threshold)."""
     import pyarrow.compute as pc
 
     sh = shingle_dataset(sf_dir, concurrency)
-    pairs = candidate_pairs_minhash(sh, concurrency)
+    pairs = candidate_pairs_minhash(sh, concurrency, target_rows_per_group)
     verified = _verify_pairs_jaccard(pairs, sh)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
@@ -1374,7 +1394,11 @@ def run_jaccard_join(sf_dir: str, threshold: float = 0.8,
         """One coarse hash-group of (g, doc_id, n) prefix rows →
         candidate pairs per exact-gram run (the _hash_bucket_pairs
         run-boundary scan, NO bucket cap — exactness — plus the
-        size-ratio prune)."""
+        size-ratio prune).  Large buckets (a high-df gram that escaped
+        the heavy-demotion top list) generate their O(b²) pairs in
+        bounded CHUNKS with the size-ratio filter applied per chunk —
+        peak memory stays ~2M pair rows however skewed the bucket —
+        and log a watermark line so a silent blowup is visible."""
         h = g["g"].to_numpy(dtype=np.int64)
         d = g["doc_id"].to_numpy(dtype=np.int64)
         n = g["n"].to_numpy(dtype=np.int64)
@@ -1395,14 +1419,34 @@ def run_jaccard_join(sf_dir: str, threshold: float = 0.8,
             ok = lo.astype(np.float64) >= t_eff * hi
             out_a.append(np.minimum(d[s2], d[s2 + 1])[ok])
             out_b.append(np.maximum(d[s2], d[s2 + 1])[ok])
+
+        def emit(ids, ns, ii, jj):
+            lo = np.minimum(ns[ii], ns[jj])
+            hi = np.maximum(ns[ii], ns[jj])
+            ok = (lo.astype(np.float64) >= t_eff * hi) & (ids[ii] != ids[jj])
+            out_a.append(np.minimum(ids[ii], ids[jj])[ok])
+            out_b.append(np.maximum(ids[ii], ids[jj])[ok])
+
         for s0, e0 in zip(starts[sizes > 2], ends[sizes > 2]):
             ids, ns = d[s0:e0], n[s0:e0]
-            i, j = np.triu_indices(len(ids), 1)
-            lo = np.minimum(ns[i], ns[j])
-            hi = np.maximum(ns[i], ns[j])
-            ok = (lo.astype(np.float64) >= t_eff * hi) & (ids[i] != ids[j])
-            out_a.append(np.minimum(ids[i], ids[j])[ok])
-            out_b.append(np.maximum(ids[i], ids[j])[ok])
+            b = len(ids)
+            if b <= _PAIR_CHUNK_LIMIT:
+                i, j = np.triu_indices(b, 1)
+                emit(ids, ns, i, j)
+                continue
+            import sys as _sys
+            _sys.stderr.write(
+                f"jaccard_join: prefix bucket of {b} docs "
+                f"(~{b * (b - 1) // 2} candidate pairs) — chunked "
+                f"generation engaged\n")
+            step = max(1, (1 << 21) // b)  # ~2M pair rows per chunk
+            for i0 in range(0, b - 1, step):
+                rows = np.arange(i0, min(i0 + step, b - 1))
+                counts = b - 1 - rows
+                ii = np.repeat(rows, counts)
+                jj = np.concatenate(
+                    [np.arange(r + 1, b) for r in rows])
+                emit(ids, ns, ii, jj)
         if not out_a:
             return empty
         return pd.DataFrame({

@@ -442,6 +442,27 @@ def test_bucketed_pipelines_width_independent(ray_session, widths):
         rows(run_distinct_users(SF, n_buckets=w1))
     assert rows(run_embedding_neardup(SF, threshold=0.9, n_groups=8)) == \
         rows(run_embedding_neardup(SF, threshold=0.9, n_groups=64))
+    # _distinct_pairs (the candidate-pair distinct shared by
+    # minhash_dedup and jaccard_join) went data-scaled in r4 — its
+    # group width must be a pure parallelism knob too
+    from dude_ray.pipelines.dedup import run_minhash_dedup
+
+    assert rows(run_minhash_dedup(SF, target_rows_per_group=64)) == \
+        rows(run_minhash_dedup(SF, target_rows_per_group=100_000))
+
+
+def test_jaccard_join_chunked_bucket_path(ray_session, monkeypatch):
+    """Forcing every prefix bucket through the chunked O(b²) generator
+    (tiny _PAIR_CHUNK_LIMIT) must not change the exact join output."""
+    import dude_ray.pipelines.dedup as dd
+
+    def rows(ds):
+        return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+    base = rows(dd.run_jaccard_join(SF, threshold=0.4))
+    monkeypatch.setattr(dd, "_PAIR_CHUNK_LIMIT", 3)
+    chunked = rows(dd.run_jaccard_join(SF, threshold=0.4))
+    assert base == chunked and len(base) > 0
 
 
 def test_scaled_group_count():
