@@ -1600,12 +1600,17 @@ def run_substring_redact(sf_dir: str, min_shared: int = 2,
     candidate pairs, via the same pair-scoped hash joins as the Jaccard
     verify; run expansion verifies characters so hash collisions cannot
     redact unrelated text.  The per-doc interval sets (bounded by the
-    duplicated-content volume, orders of magnitude below corpus size)
-    are merged with a data-scaled hash-group reduce and broadcast into
-    one corpus map — the documents table itself never enters a
-    shuffle.  At extreme dup volume the broadcast dict would shard by
-    doc-id range across an actor pool exactly like the frontier
-    seen-set."""
+    duplicated-content volume) are merged with a data-scaled
+    hash-group reduce into one packed row per affected doc, and the
+    final application is a Bloom-prefiltered hash join: a FIXED-SIZE
+    broadcast Bloom over affected doc_ids short-circuits the untouched
+    corpus majority past the join (same partial-bitmap build as
+    ``run_dedup_incremental``), so only Bloom-positive docs — affected
+    docs plus ~0.8% false positives, dropped by the inner join — enter
+    the interval join.  NO driver-side interval dict (the pre-r4
+    ``take_all`` broadcast was unbounded in the duplicated-content
+    volume) and the documents table itself never enters a full
+    shuffle."""
     import ray
 
     from dude_ray.partitioning import hash_grouped_reduce
@@ -1653,7 +1658,11 @@ def run_substring_redact(sf_dir: str, min_shared: int = 2,
             "text": pa.array([], type=pa.string())}))
 
     def merge_ivals(df: pd.DataFrame) -> pd.DataFrame:
-        docs_, starts_, ends_ = [], [], []
+        """Hash group → ONE packed row per affected doc: (doc_id, iv)
+        with iv = the merged (start, end) pairs as an int64 blob.  A
+        doc's intervals always land whole in one hash group, so the
+        per-group merge is globally exact."""
+        docs_, blobs = [], []
         for d, g in df.groupby("doc_id", sort=False):
             iv = sorted(zip(g["start"], g["end"]))
             merged = [list(iv[0])]
@@ -1662,45 +1671,83 @@ def run_substring_redact(sf_dir: str, min_shared: int = 2,
                     merged[-1][1] = max(merged[-1][1], e)
                 else:
                     merged.append([s, e])
-            for s, e in merged:
-                docs_.append(d)
-                starts_.append(s)
-                ends_.append(e)
+            docs_.append(d)
+            blobs.append(np.asarray(merged, dtype=np.int64).tobytes())
         return pd.DataFrame({"doc_id": pd.Series(docs_, dtype="int64"),
-                             "start": pd.Series(starts_, dtype="int64"),
-                             "end": pd.Series(ends_, dtype="int64")})
+                             "iv": pd.Series(blobs, dtype="object")})
 
     merged = hash_grouped_reduce(ivals, "doc_id", merge_ivals,
                                  ivals.count(),
-                                 out_cols=("doc_id", "start", "end"))
-    plan: dict[int, list[tuple[int, int]]] = {}
-    for r in merged.take_all():   # bounded: intervals of affected docs
-        plan.setdefault(int(r["doc_id"]), []).append(
-            (int(r["start"]), int(r["end"])))
-    plan_ref = ray.put(plan)
+                                 out_cols=("doc_id", "iv")).materialize()
+    n_affected = merged.count()
+
+    # fixed-size broadcast Bloom over affected doc ids (partial-bitmap
+    # build, the run_dedup_incremental shape) — keeps the untouched
+    # corpus majority out of the join without any unbounded driver state
+    from dude_ray.state.bloom import BloomFilter
+
+    def _key(i: int) -> bytes:
+        return hashlib.blake2b(i.to_bytes(8, "little", signed=True),
+                               digest_size=16).digest()
+
+    cap = max(64, n_affected)
+
+    def _partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(cap, bits_per_key=10)
+        bf.add_many([_key(int(i)) for i in batch["doc_id"].to_pylist()])
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          type=pa.binary())})
+
+    bloom = BloomFilter(cap, bits_per_key=10)
+    for row in merged.map_batches(_partial_bloom, batch_format="pyarrow",
+                                  batch_size=None).take_all():
+        np.bitwise_or(bloom.bits,
+                      np.frombuffer(row["bits"], dtype=np.uint8),
+                      out=bloom.bits)
+    bits_ref = ray.put(bloom.bits.tobytes())
+
+    class MaybeAffected:
+        def __init__(self):
+            self.bf = BloomFilter(cap, bits_per_key=10)
+            self.bf.bits = np.frombuffer(ray.get(bits_ref),
+                                         dtype=np.uint8).copy()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = self.bf.contains_many(
+                [_key(int(i)) for i in batch["doc_id"].to_pylist()])
+            return batch.filter(pa.array(hit))
+
+    candidates = docs.map_batches(
+        MaybeAffected, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, concurrency))
+
+    # pair-scoped inner join: Bloom false positives have no interval
+    # row and drop out here
+    num_partitions = max(1, min(JOIN_PARTITIONS, n_affected // 512 + 1))
+    joined = candidates.join(merged, "inner", num_partitions,
+                             on=("doc_id",),
+                             aggregator_ray_remote_args=agg_args)
 
     def apply_redaction(batch: pa.Table) -> pa.Table:
-        p = ray.get(plan_ref)
         out_d, out_n, out_c, out_t = [], [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            iv = p.get(doc_id)
-            if not iv:
-                continue
+        for doc_id, text, blob in zip(batch["doc_id"].to_pylist(),
+                                      batch["text"].to_pylist(),
+                                      batch["iv"].to_pylist()):
+            iv = np.frombuffer(blob, dtype=np.int64).reshape(-1, 2)
             t = text or ""
             kept, pos = [], 0
-            for s, e in sorted(iv):
+            for s, e in iv.tolist():
                 kept.append(t[pos:s])
                 pos = e
             kept.append(t[pos:])
             out_d.append(doc_id)
             out_n.append(len(iv))
-            out_c.append(sum(e - s for s, e in iv))
+            out_c.append(int((iv[:, 1] - iv[:, 0]).sum()))
             out_t.append("".join(kept))
         return pa.table({"doc_id": pa.array(out_d, type=pa.int64()),
                          "n_runs": pa.array(out_n, type=pa.int64()),
                          "n_redacted_chars": pa.array(out_c, type=pa.int64()),
                          "text": pa.array(out_t, type=pa.string())})
 
-    return docs.map_batches(apply_redaction, batch_format="pyarrow",
-                            batch_size=2048, concurrency=concurrency)
+    return joined.map_batches(apply_redaction, batch_format="pyarrow",
+                              batch_size=2048)
