@@ -42,6 +42,14 @@ drained, output partitions commit atomically, and every shard snapshots
 (Bloom bytes + queues + counters) — ``resume=True`` restores the newest
 complete (round, snapshot) pair, deletes partial round dirs and
 continues; per-partition lineage lives in ``CHECKPOINT/meta.json``.
+REPLAY BOUND: the persist itself is deferred one checkpoint interval
+(so the crawl loop never blocks on disk while workers starve — see the
+deferred-persist block in ``run_crawl``), which means the newest
+DURABLE checkpoint lags the loop by up to 2×``checkpoint_every``
+rounds; a crash replays at most that many rounds (idempotently —
+correctness is unaffected, only recovery time).  Halve
+``checkpoint_every`` if the 2× recovery bound matters more than the
+~zero-stall steady state.
 
 Scale notes: released URL batches cross the store as Arrow columns and
 transit the driver once per round for the global key sort; the

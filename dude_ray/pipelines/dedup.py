@@ -1353,7 +1353,17 @@ def run_jaccard_join(sf_dir: str, threshold: float = 0.8,
     then pass the size-ratio filter (J ≥ t ⇒ min/max ≥ t), dedup, and
     the same distributed verify joins as minhash_dedup.  Recall is exact
     by the prefix theorem (computed at t−1e-6 to cover the rounded
-    output filter); precision is exact by verification."""
+    output filter); precision is exact by verification.
+
+    EXACTNESS CAVEAT: both candidate generation and the verify stage
+    compare 64-bit gram HASHES where the oracle compares gram strings —
+    "exact" means exact-modulo-64-bit-hash-collisions.  A collision
+    merges two distinct grams and can flip a borderline pair's Jaccard
+    across the threshold; expected collisions are ~V²/2^65 for V
+    distinct grams (≈3·10⁻⁸ at V=10⁶; at web-scale V≈10⁹ expect ~10⁴
+    merged gram pairs, which perturbs a pair's Jaccard only when the
+    merged grams co-occur in it).  Verify borderline pairs on gram
+    strings if true string-exactness is required."""
     import ray
     import pyarrow.compute as pc
 

@@ -198,11 +198,16 @@ def run_tfidf_keywords(sf_dir: str, top_k: int = 5,
     per-doc top-k is one more hash-grouped reduce (pandas sort+head
     per group)."""
     from dude_ray.io import read_parquet_clean
-    from dude_ray.partitioning import estimate_rows, hash_grouped_reduce
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"])
-    n_docs = max(estimate_rows(f"{sf_dir}/documents.parquet"), 1)
+    # EXACT doc count from ALL parquet footers (metadata-only, no data
+    # read): df counts are exact, so the IDF's N must be too — the
+    # sampled estimate_rows extrapolation silently skews scores on
+    # multi-file datasets with uneven file sizes
+    n_docs = max(sum(n for _f, _rg, n in
+                     parquet_row_groups(f"{sf_dir}/documents.parquet")), 1)
     terms = docs.map_batches(_doc_terms, batch_format="pandas",
                              batch_size=batch_size).materialize()
     n_rows = terms.count()
