@@ -136,42 +136,65 @@ def run_lang_id(sf_dir: str, concurrency: int = 4):
 # --------------------------------------------------------------------------
 
 def winnow_weights(k: int) -> np.ndarray:
-    """Deterministic odd weights < 2^19 for the k-gram hash (shared by
-    the digest fingerprinter and the substring-dup sampler).  The small
-    range keeps the whole hash inside checked-64-bit arithmetic: code
-    point < 2^21, weight < 2^19, so a K≤16 weighted sum < 2^44 and the
-    2^19 mix multiply lands < 2^63 — NO wraparound anywhere, which lets
-    a SQL engine with overflow-checked UBIGINTs (DuckDB) reproduce the
-    fingerprint bit-for-bit."""
+    """TWO rows of deterministic odd weights < 2^19 for the k-gram
+    hash (shared by the digest fingerprinter and the substring-dup
+    sampler).  The small range keeps each component inside
+    checked-64-bit arithmetic: code point < 2^21, weight < 2^19, so a
+    K≤16 weighted sum < 2^44 and the < 2^19 mix multiply lands < 2^63
+    — NO wraparound anywhere, which lets a SQL engine with
+    overflow-checked UBIGINTs (DuckDB) reproduce the hash
+    bit-for-bit.  A SINGLE such sum only spans ~2^44 distinct values
+    (birthday collisions at web-scale gram counts — ~10^9 distinct
+    grams ⇒ ~N²/2^45 spurious equalities); XOR-combining two
+    independently-weighted, independently-mixed sums (kgram_hashes)
+    restores an effectively 64-bit key while keeping every
+    intermediate overflow-free."""
     rng = np.random.RandomState(7)
-    return rng.randint(1, 1 << 19, size=k).astype(np.uint64) | np.uint64(1)
+    return rng.randint(1, 1 << 19, size=(2, k)).astype(np.uint64) | np.uint64(1)
 
 
-_KGRAM_MIX = np.uint64(0x6F4A7)   # odd, < 2^19 (see winnow_weights note)
+_KGRAM_MIX = np.uint64(0x6F4A7)    # odd, < 2^19 (see winnow_weights note)
+_KGRAM_MIX2 = np.uint64(0x2E8B5)   # odd, < 2^19 — second component
+# (shift1, multiplier, shift2) per component: distinct constants make
+# the two bijective mixes independent before the XOR combine
+_KGRAM_MIXES = ((17, _KGRAM_MIX, 31), (16, _KGRAM_MIX2, 29))
+
+
+def _kgram_mix(h: np.ndarray, c: int) -> np.ndarray:
+    s1, mult, s2 = _KGRAM_MIXES[c]
+    h = h ^ (h >> np.uint64(s1))
+    h = h * mult
+    return h ^ (h >> np.uint64(s2))
 
 
 def kgram_hashes(text: str, k: int, weights: np.ndarray) -> np.ndarray:
-    """uint64 hash per overlapping k-CODE-POINT gram of ``text`` — a
-    weighted code-point sum + xorshift-multiply mix, fully vectorized
-    (k shifted vector ops, no per-character loop).  Equal substrings
-    hash equal (position-independent), which is all winnowing requires;
-    the mix is a bijection of the sum, so distinct sums stay distinct.
+    """uint64 hash per overlapping k-CODE-POINT gram of ``text`` — two
+    independent weighted code-point sums, each xorshift-multiply
+    mixed, XOR-combined into one 64-bit key; fully vectorized (2k
+    shifted vector ops, no per-character loop).  Equal substrings hash
+    equal (position-independent), which is all winnowing requires;
+    each mix is a bijection of its sum and the two sums use
+    independent weights, so the combined key behaves as a ~64-bit hash
+    (collisions ≈ N²/2^65) instead of the single sum's ~2^44 range.
     Texts shorter than ``k`` hash their full code-point sequence with
     the same weights (one gram).  Every intermediate stays < 2^63 for
     k ≤ 16 — the SQL-oracle no-overflow contract (winnow_weights)."""
     cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     if not len(cp):
         return np.array([], dtype=np.uint64)
+    w1, w2 = weights[0], weights[1]
     if len(cp) < k:
-        h = (cp * weights[:len(cp)]).sum(keepdims=True)
+        s1 = (cp * w1[:len(cp)]).sum(keepdims=True)
+        s2 = (cp * w2[:len(cp)]).sum(keepdims=True)
     else:
         n = len(cp) - k + 1
-        h = np.zeros(n, dtype=np.uint64)
+        s1 = np.zeros(n, dtype=np.uint64)
+        s2 = np.zeros(n, dtype=np.uint64)
         for j in range(k):
-            h += cp[j:j + n] * weights[j]
-    h = h ^ (h >> np.uint64(17))
-    h = h * _KGRAM_MIX
-    return h ^ (h >> np.uint64(31))
+            seg = cp[j:j + n]
+            s1 += seg * w1[j]
+            s2 += seg * w2[j]
+    return _kgram_mix(s1, 0) ^ _kgram_mix(s2, 1)
 
 
 def winnow_samples(grams: np.ndarray, window: int) -> np.ndarray:
@@ -241,13 +264,27 @@ def run_fingerprint(sf_dir: str, concurrency: int = 4):
 def winnow_mins_sql(k: int, window: int) -> str:
     """Shared CTE chain reproducing ``kgram_hashes`` + ``winnow_samples``
     BIT-FOR-BIT in DuckDB (overflow-free 64-bit arithmetic — see
-    winnow_weights): yields CTEs ``cp → g → h → mins`` where ``mins``
-    has (doc_id, n_grams, m: the window-minimum hash list, NOT yet
-    distinct)."""
-    w = [int(x) for x in winnow_weights(k)]
-    wsum = " + ".join(f"p[i+{j}]*CAST({w[j]} AS UBIGINT)"
-                      for j in range(k))
-    wlist = ",".join(str(x) for x in w)
+    winnow_weights; both weighted sums and both mixes are expressed,
+    XOR-combined exactly like the numpy kernel): yields CTEs
+    ``cp → g → h → mins`` where ``mins`` has (doc_id, n_grams, m: the
+    window-minimum hash list, NOT yet distinct)."""
+    ws = winnow_weights(k)
+
+    def sum_exprs(c: int) -> tuple[str, str]:
+        w = [int(x) for x in ws[c]]
+        wsum = " + ".join(f"p[i+{j}]*CAST({w[j]} AS UBIGINT)"
+                          for j in range(k))
+        wlist = ",".join(str(x) for x in w)
+        return wsum, wlist
+
+    def mix_expr(var: str, c: int) -> str:
+        s1, mult, s2 = _KGRAM_MIXES[c]
+        return (f"list_transform(list_transform({var}, "
+                f"x -> xor(x, x >> {s1}) * CAST({int(mult)} AS UBIGINT)), "
+                f"x -> xor(x, x >> {s2}))")
+
+    wsum1, wlist1 = sum_exprs(0)
+    wsum2, wlist2 = sum_exprs(1)
     return f"""
         cp AS (
           SELECT doc_id,
@@ -259,17 +296,26 @@ def winnow_mins_sql(k: int, window: int) -> str:
           SELECT doc_id,
             CASE WHEN len(p) = 0 THEN CAST([] AS UBIGINT[])
                  WHEN len(p) < {k} THEN
-                   [list_sum([p[j]*CAST([{wlist}][j] AS UBIGINT)
+                   [list_sum([p[j]*CAST([{wlist1}][j] AS UBIGINT)
                               for j in generate_series(1, len(p))])]
-                 ELSE [{wsum} for i in generate_series(1, len(p) - {k - 1})]
-            END AS s
+                 ELSE [{wsum1} for i in generate_series(1, len(p) - {k - 1})]
+            END AS s1,
+            CASE WHEN len(p) = 0 THEN CAST([] AS UBIGINT[])
+                 WHEN len(p) < {k} THEN
+                   [list_sum([p[j]*CAST([{wlist2}][j] AS UBIGINT)
+                              for j in generate_series(1, len(p))])]
+                 ELSE [{wsum2} for i in generate_series(1, len(p) - {k - 1})]
+            END AS s2
           FROM cp
+        ), hx AS (
+          SELECT doc_id,
+            {mix_expr('s1', 0)} AS a,
+            {mix_expr('s2', 1)} AS b
+          FROM g
         ), h AS (
           SELECT doc_id,
-            list_transform(
-              list_transform(s, x -> xor(x, x >> 17) * CAST({int(_KGRAM_MIX)} AS UBIGINT)),
-              x -> xor(x, x >> 31)) AS h
-          FROM g
+            [xor(a[i], b[i]) for i in generate_series(1, len(a))] AS h
+          FROM hx
         ), mins AS (
           SELECT doc_id, len(h) AS n_grams,
             CASE WHEN len(h) = 0 THEN CAST([] AS UBIGINT[])
