@@ -206,12 +206,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _q_pagerank(sf_dir: str):
-    """Iterative power method over the extracted link graph — not
-    SQL-expressible (rows-only driver check); equality vs a numpy
-    power-iteration reference is asserted in tests/test_graph.py."""
+    """Iterative power method over the EXTRACTED link graph,
+    hash-matched (r4): the synthetic corpus's link topology is a pure
+    function of the documents row count, so graph.pagerank_oracle_sql
+    inlines the generator-determined edge list and recomputes the
+    power iteration independently in DuckDB (unrolled CTEs, 10-dp
+    rounding contract).  The numpy 1e-12 reference test is kept in
+    tests/test_graph.py."""
     from dude_ray.pipelines.graph import run_pagerank
 
-    return run_pagerank(sf_dir)
+    return run_pagerank(sf_dir).map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "rank": pc.round(t["rank"], ndigits=10)}),
+        batch_format="pyarrow")
 
 
 def _q_graph_pagerank(sf_dir: str):
@@ -461,7 +468,8 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 
 def oracle_sql() -> dict[str, str]:
-    from dude_ray.pipelines.graph import graph_pagerank_oracle_sql
+    from dude_ray.pipelines.graph import (graph_pagerank_oracle_sql,
+                                          pagerank_oracle_sql)
     from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
     from dude_ray.pipelines.textops import fingerprint_oracle_sql
@@ -480,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
         "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),
+        "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),

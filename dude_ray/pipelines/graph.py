@@ -381,6 +381,101 @@ def run_graph_pagerank(sf_dir: str, damping: float = 0.85,
         }), batch_format="pyarrow")
 
 
+def corpus_link_edges_py(n_docs: int):
+    """The crawl link-edge list as a PURE function of ``n_docs`` — the
+    synthetic corpus's nav-link topology never consumes document text
+    (corpus._build_struct draws targets from the doc-id-seeded rng
+    only) — computed with the SAME corpus + canonicalization functions
+    the engine's extractor path uses.  Returns (host boundaries,
+    [(src_id, dst_id), ...]) with edge multiplicity preserved,
+    self-links dropped and targets restricted to corpus pages:
+    exactly :func:`link_edges` semantics (equality asserted in
+    tests/test_graph.py::test_oracle_edge_list_matches_engine).  This
+    is what lets the HTML-extracted link graph get a DuckDB oracle:
+    the EDGE LIST is inlined (it is generator-determined), while the
+    PageRank arithmetic is recomputed independently by DuckDB."""
+    from dude_ray.canonical import canonicalize_url
+    from dude_ray.sources.corpus import (_build_struct, host_boundaries,
+                                         host_of, url_for)
+
+    bounds = host_boundaries(n_docs)
+    url_to_id = {url_for(i, host_of(i, bounds)): i for i in range(n_docs)}
+    edges: list[tuple[int, int]] = []
+    for i in range(n_docs):
+        src = url_for(i, host_of(i, bounds))
+        s = _build_struct(i, "", n_docs, bounds)
+        for _text, href in s.nav_links:
+            dst = canonicalize_url(href, base=src)
+            if dst and dst != src and dst in url_to_id:
+                edges.append((i, url_to_id[dst]))
+    return bounds, edges
+
+
+def pagerank_oracle_sql(sf_dir: str | None = None, damping: float = 0.85,
+                        iters: int = 6) -> str:
+    """DuckDB oracle for the crawl-link-graph :func:`run_pagerank`:
+    node URLs are rebuilt in SQL from the documents table + the inlined
+    host boundaries, the (generator-determined) edge list is inlined as
+    VALUES (see :func:`corpus_link_edges_py`), and the power iteration
+    is unrolled as chained CTEs with the identical update rule — the
+    same 10-dp rounding contract as :func:`graph_pagerank_oracle_sql`.
+    ``sf_dir`` defaults to the driver's correctness-gate scale
+    (override via ``GRAFT_ORACLE_SF`` for other scales)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    bounds, edges = corpus_link_edges_py(n_docs)
+    if not edges:
+        raise ValueError("empty corpus link graph")
+    d = repr(damping)
+    b_vals = ",".join(f"({h}, {bounds[h]}, {bounds[h + 1]})"
+                      for h in range(len(bounds) - 1))
+    e_vals = ",".join(f"({s},{t})" for s, t in edges)
+    parts = [
+        f"WITH bounds(h, lo, hi) AS (VALUES {b_vals}),",
+        "nodes AS (SELECT d.doc_id AS id,"
+        " 'https://h' || lpad(CAST(b.h AS VARCHAR), 4, '0')"
+        " || '.test/docs/' || CAST(d.doc_id AS VARCHAR) || '.html' AS node"
+        " FROM documents d JOIN bounds b"
+        " ON d.doc_id >= b.lo AND d.doc_id < b.hi),",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        f"edges0(src_id, dst_id) AS (VALUES {e_vals}),",
+        # multiplicity preserved: a page linking twice contributes twice,
+        # exactly like the engine's bincount over raw link spans
+        "edges AS (SELECT ns.node AS src, nd.node AS dst FROM edges0 e"
+        " JOIN nodes ns ON ns.id = e.src_id"
+        " JOIN nodes nd ON nd.id = e.dst_id),",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od"
+        " FROM edges GROUP BY src),",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank"
+        " FROM nodes),",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node, sum(r.rank / o.od) AS contrib"
+            f" FROM edges e JOIN r{p} r ON r.node = e.src"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst),")
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r{p} r"
+            f" WHERE r.node NOT IN (SELECT src FROM outdeg)),")
+        parts.append(
+            f"r{k} AS (SELECT n.node,"
+            f" (1 - {d}) / (SELECT n FROM nn)"
+            f" + {d} * (SELECT dm FROM d{k}) / (SELECT n FROM nn)"
+            f" + {d} * coalesce(c.contrib, 0) AS rank"
+            f" FROM nodes n LEFT JOIN c{k} c ON c.node = n.node),")
+    parts.append(
+        f"fin AS (SELECT node, round(rank, 10) AS rank FROM r{iters})"
+        " SELECT node, rank FROM fin ORDER BY node")
+    return "\n".join(parts)
+
+
 def graph_pagerank_oracle_sql(damping: float = 0.85,
                               iters: int = 4) -> str:
     """The DuckDB oracle for :func:`run_graph_pagerank`: the identical

@@ -71,6 +71,26 @@ def test_pagerank_tiers_agree(ray_session):
         assert np.max(np.abs(o.to_numpy() - base.to_numpy())) < 1e-12
 
 
+def test_oracle_edge_list_matches_engine(ray_session):
+    """The SQL oracle's Python-side edge list (pure function of
+    n_docs — corpus_link_edges_py) must equal the engine's
+    HTML-extraction-derived link_edges() exactly, multiplicity
+    included — the invariant pagerank's DuckDB hash-match rests on."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from dude_ray.pipelines.graph import corpus_link_edges_py, link_edges
+    from dude_ray.sources.corpus import host_boundaries, host_of, url_for
+
+    n_docs = pq.read_metadata(SF + "/documents.parquet").num_rows
+    bounds, eids = corpus_link_edges_py(n_docs)
+    py = Counter((url_for(s, host_of(s, bounds)),
+                  url_for(t, host_of(t, bounds))) for s, t in eids)
+    edges, _nodes = link_edges(SF)
+    engine = Counter((r["src"], r["dst"]) for r in edges.take_all())
+    assert py == engine and len(engine) > 0
+
+
 def test_pagerank_prefers_linked_pages(ray_session):
     """Pages with incoming links must outrank the dangling floor."""
     from dude_ray.pipelines.graph import link_edges, run_pagerank

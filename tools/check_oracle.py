@@ -48,6 +48,9 @@ def main() -> int:
     ap.add_argument("-q", "--query", default=None)
     ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
     args = ap.parse_args()
+    # scale-dependent oracles (pagerank's inlined edge list, pca's
+    # inlined eigenbasis) must target the same sf the queries run at
+    os.environ["GRAFT_ORACLE_SF"] = args.sf
 
     import ray
 
