@@ -244,9 +244,13 @@ def _q_value_percent_rank(sf_dir: str):
 
 
 def _q_embedding_pca(sf_dir: str):
-    """Distributed PCA — eigendecomposition isn't SQL-expressible
-    (rows-only driver check); projection equality vs a single-process
-    numpy reference is asserted in tests/test_clustering.py."""
+    """Distributed PCA, hash-matched (r4): the eigenbasis is
+    deterministic given the 10-dp-rounded covariance, so the oracle
+    (clustering.pca_oracle_sql) inlines it as exact float literals and
+    DuckDB recomputes every mean-centered projection from the raw
+    embeddings — the distributed moment pass and projection pass are
+    both independently verified (covariance additionally via
+    embedding_cov).  numpy reference kept in tests/test_clustering.py."""
     from dude_ray.pipelines.clustering import run_embedding_pca
 
     return run_embedding_pca(sf_dir)
@@ -473,7 +477,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
     from dude_ray.pipelines.textops import fingerprint_oracle_sql
-    from dude_ray.pipelines.clustering import kmeans_cluster_oracle_sql
+    from dude_ray.pipelines.clustering import (kmeans_cluster_oracle_sql,
+                                               pca_oracle_sql)
     from dude_ray.pipelines.dedup import (simhash_oracle_sql,
                                           substring_dup_oracle_sql)
 
@@ -491,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
+        "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,
         "lr_quality": lr_quality_oracle_sql(),

@@ -239,25 +239,23 @@ def run_embedding_pca(sf_dir: str, n_components: int = 8,
     only driver math — microseconds), and a second pass projects every
     vector onto the top components.  Eigenvector sign is fixed
     deterministically (largest-|coefficient| made positive) so output
-    is reproducible across runs and cluster sizes.
+    is reproducible across runs and cluster sizes.  Mean and covariance
+    round to 10 dp BEFORE the eigendecomposition (summation-order drift
+    across partials is ~1e-16, four orders below the quantum), so any
+    computation path — distributed, single-process, the DuckDB oracle's
+    inlined eigenbasis — eigendecomposes the bit-identical matrix.
 
-    Output: (vec_id, proj list<double n_components>); verified against
-    a single-process numpy reference (same convention) in tests."""
+    Output: UNNESTED (vec_id, i: 1-based component, proj: 9-dp rounded)
+    scalar rows — SQL-hash-matchable (pca_oracle_sql inlines the
+    deterministic eigenbasis and recomputes the mean-centered
+    projection independently); also verified against a single-process
+    numpy reference in tests."""
     ds = _emb(sf_dir)
     n, s1, s2 = _reduce_moments(
         ds.map_batches(_moment_partial, batch_format="pyarrow",
                        batch_size=batch_size, concurrency=concurrency))
     d = len(s1)
-    mean = s1 / n
-    cov = s2.reshape(d, d) / n - np.outer(mean, mean)
-    evals, evecs = np.linalg.eigh(cov)           # ascending
-    comps = evecs[:, ::-1][:, :n_components].copy()  # (d, q), desc var
-    # deterministic sign: the largest-|coeff| entry of each component
-    # is positive (ties impossible on real spectra)
-    for j in range(comps.shape[1]):
-        i = np.argmax(np.abs(comps[:, j]))
-        if comps[i, j] < 0:
-            comps[:, j] = -comps[:, j]
+    mean, comps = _pca_basis(n, s1, s2.reshape(d, d), n_components)
     state = (mean, comps)
 
     class Project:
@@ -266,10 +264,13 @@ def run_embedding_pca(sf_dir: str, n_components: int = 8,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vids, emb = _batch_mat_raw(batch)
-            proj = (emb - self.mean) @ self.comps
+            proj = np.round((emb - self.mean) @ self.comps, 9)
+            q = proj.shape[1]
             return pa.table({
-                "vec_id": pa.array(vids, type=pa.int64()),
-                "proj": pa.array(list(proj)),
+                "vec_id": pa.array(np.repeat(vids, q), type=pa.int64()),
+                "i": pa.array(np.tile(np.arange(1, q + 1, dtype=np.int64),
+                                      len(vids)), type=pa.int64()),
+                "proj": pa.array(proj.ravel(), type=pa.float64()),
             })
 
     return ds.map_batches(Project, batch_format="pyarrow",
@@ -277,25 +278,83 @@ def run_embedding_pca(sf_dir: str, n_components: int = 8,
                           concurrency=(1, concurrency))
 
 
-def pca_reference(sf_dir: str, n_components: int = 8):
-    """Single-process numpy PCA with the identical convention — the
-    test oracle for ``run_embedding_pca``."""
+def _pca_basis(n: int, s1: np.ndarray, s2: np.ndarray,
+               n_components: int):
+    """(10-dp-rounded mean, sign-fixed top components) from the raw
+    moments — THE shared deterministic convention for the distributed
+    pipeline, the numpy reference and the SQL oracle's inlined basis."""
+    mean_raw = s1 / n
+    cov = np.round(s2 / n - np.outer(mean_raw, mean_raw), 10)
+    mean = np.round(mean_raw, 10)
+    _evals, evecs = np.linalg.eigh(cov)             # ascending
+    comps = evecs[:, ::-1][:, :n_components].copy()  # (d, q), desc var
+    # deterministic sign: the largest-|coeff| entry of each component
+    # is positive (ties impossible on real spectra)
+    for j in range(comps.shape[1]):
+        i = np.argmax(np.abs(comps[:, j]))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean, comps
+
+
+def _local_moments(sf_dir: str):
+    """Single-process raw moments from the parquet — the oracle /
+    reference side (independent of Ray; summation-order differences
+    are absorbed by _pca_basis's 10-dp rounding)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-    mean = emb.mean(axis=0)
-    c = emb - mean
-    cov = (c.T @ c) / len(emb)
-    evals, evecs = np.linalg.eigh(cov)
-    comps = evecs[:, ::-1][:, :n_components].copy()
-    for j in range(comps.shape[1]):
-        i = np.argmax(np.abs(comps[:, j]))
-        if comps[i, j] < 0:
-            comps[:, j] = -comps[:, j]
-    return vids, c @ comps, evals[::-1][:n_components]
+    return vids, emb, len(emb), emb.sum(axis=0), emb.T @ emb
+
+
+def pca_reference(sf_dir: str, n_components: int = 8):
+    """Single-process numpy PCA with the identical convention — the
+    test oracle for ``run_embedding_pca``.  Returns (vec_ids, 9-dp
+    projection matrix, descending eigenvalues)."""
+    vids, emb, n, s1, s2 = _local_moments(sf_dir)
+    mean, comps = _pca_basis(n, s1, s2, n_components)
+    cov = np.round(s2 / n - np.outer(s1 / n, s1 / n), 10)
+    evals = np.linalg.eigh(cov)[0][::-1][:n_components]
+    return vids, np.round((emb - mean) @ comps, 9), evals
+
+
+def pca_oracle_sql(sf_dir: str | None = None,
+                   n_components: int = 8) -> str:
+    """DuckDB oracle for :func:`run_embedding_pca`: the eigenbasis is
+    deterministic given the 10-dp-rounded covariance (computed here
+    single-process, independent of Ray — the covariance itself is
+    separately hash-matched via run_embedding_cov), so the mean and
+    components are INLINED as exact float literals and DuckDB
+    recomputes every mean-centered projection from the raw embeddings
+    table.  9-dp output rounding absorbs matmul-vs-list_sum
+    summation-order drift (~1e-15).  ``sf_dir`` defaults to the
+    driver's gate scale (override via ``GRAFT_ORACLE_SF``)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    _vids, _emb, n, s1, s2 = _local_moments(sf_dir)
+    mean, comps = _pca_basis(n, s1, s2, n_components)
+    d = len(mean)
+    mean_sql = "[" + ",".join(repr(float(x)) for x in mean) + "]"
+    comp_rows = ",".join(
+        "(%d, [%s])" % (j + 1,
+                        ",".join(repr(float(x)) for x in comps[:, j]))
+        for j in range(comps.shape[1]))
+    return f"""
+        WITH rows0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), m(mu) AS (VALUES ({mean_sql})),
+        comps(i, c) AS (VALUES {comp_rows})
+        SELECT r.vec_id, comps.i,
+               round(list_sum([(r.e[j] - mu[j]) * c[j]
+                               for j in generate_series(1, {d})]), 9)
+                   AS proj
+        FROM rows0 r CROSS JOIN m CROSS JOIN comps
+    """
 
 
 def kmeans_cluster_oracle_sql(k: int = 8, iters: int = 5) -> str:

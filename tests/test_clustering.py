@@ -99,12 +99,12 @@ def test_embedding_pca_matches_reference(ray_session):
     from dude_ray.pipelines.clustering import (pca_reference,
                                                run_embedding_pca)
 
-    got = (run_embedding_pca(SF, n_components=6).to_pandas()
-           .sort_values("vec_id").reset_index(drop=True))
+    got = run_embedding_pca(SF, n_components=6).to_pandas()
+    mat = (got.pivot(index="vec_id", columns="i", values="proj")
+           .sort_index().to_numpy())
     vids, proj, evals = pca_reference(SF, n_components=6)
     order = np.argsort(vids)
     want = proj[order]
-    mat = np.stack(got["proj"].to_numpy())
     assert mat.shape == want.shape
     assert np.allclose(mat, want, atol=1e-8)
     # projected variance per component matches the eigenvalues, in
@@ -120,8 +120,8 @@ def test_embedding_pca_batch_size_invariant(ray_session):
     from dude_ray.pipelines.clustering import run_embedding_pca
 
     a = (run_embedding_pca(SF, n_components=4, batch_size=64).to_pandas()
-         .sort_values("vec_id").reset_index(drop=True))
+         .sort_values(["vec_id", "i"]).reset_index(drop=True))
     b = (run_embedding_pca(SF, n_components=4, batch_size=4096).to_pandas()
-         .sort_values("vec_id").reset_index(drop=True))
-    assert np.allclose(np.stack(a["proj"].to_numpy()),
-                       np.stack(b["proj"].to_numpy()), atol=1e-9)
+         .sort_values(["vec_id", "i"]).reset_index(drop=True))
+    assert np.allclose(a["proj"].to_numpy(), b["proj"].to_numpy(),
+                       atol=1e-9)
