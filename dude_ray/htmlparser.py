@@ -13,9 +13,12 @@ that surface on ``html.parser``:
   (``~``) combinators, attribute selectors ``[attr]`` and
   ``[attr OP val]`` for ``=``, ``~=``, ``^=``, ``$=``, ``*=``, ``|=``,
   structural pseudo-classes ``:nth-child(An+B|odd|even|k)``,
-  ``:nth-of-type(...)``, ``:first-child``, ``:last-child``, ``:empty``,
-  ``:not(<simple>)``, ``:root``, comma-separated selector lists, and
-  the parsel pseudo-elements ``::text`` / ``::attr(name)``.
+  ``:nth-of-type(...)``, ``:nth-last-child(...)``,
+  ``:nth-last-of-type(...)``, ``:first-child``, ``:last-child``,
+  ``:first-of-type``, ``:last-of-type``, ``:only-child``,
+  ``:only-of-type``, ``:empty``, ``:not(<simple>)``, ``:root``,
+  comma-separated selector lists, and the parsel pseudo-elements
+  ``::text`` / ``::attr(name)``.
 * XPath: location paths of ``.//tag`` / ``//tag`` / ``/tag`` /
   ``.//*`` steps plus the explicit axes ``child::``, ``descendant::``,
   ``descendant-or-self::``, ``following-sibling::``,
@@ -28,7 +31,16 @@ that surface on ``html.parser``:
   (and ``!=``), ``[@attr="x"]`` / ``[@attr!="x"]`` / ``[@attr]``,
   positional ``[n]`` / ``[last()]`` / ``[position() <op> n]``,
   and location-path predicates (``[a]``, ``[img/@src]``,
-  ``[.//a[@href='x']]``, ``[span/text()='v']``); top-level unions
+  ``[.//a[@href='x']]``, ``[span/text()='v']``); beyond the fast
+  leaves, FULL XPath 1.0 expressions via the generic engine —
+  arithmetic (``+ - * div mod``, unary minus), numeric/string/boolean
+  functions (``count``, ``string``, ``concat``, ``substring[-before/
+  -after]``, ``translate``, ``string-length``, ``number``, ``floor``,
+  ``ceiling``, ``round``, ``boolean``, ``true``, ``false``, ``name``),
+  computed comparisons with the spec's nodeset/number/string coercion
+  rules, and top-level VALUE expressions (``string(.)``,
+  ``concat(@a, '-', text())``, ``count(.//li)``) — XPath variables
+  excluded (no binding context on the selector surface); top-level unions
   ``a | b`` with per-branch value extraction; ordered-predicate
   semantics (``[2][@a]`` ≠ ``[@a][2]``; abbreviated ``//tag[n]``
   counts per parent, per the spec's
@@ -382,13 +394,17 @@ class _Simple:
         if el.parent is None:
             return False
         sibs = [c for c in el.parent.children if isinstance(c, Element)]
-        if kind == "first-child":
-            return sibs[0] is el
-        if kind == "last-child":
-            return sibs[-1] is el
-        if kind == "nth-of-type":
+        if kind.endswith("of-type"):
             sibs = [s for s in sibs if s.tag == el.tag]
+        if kind in ("only-child", "only-of-type"):
+            return len(sibs) == 1
+        if kind in ("first-child", "first-of-type"):
+            return sibs[0] is el
+        if kind in ("last-child", "last-of-type"):
+            return sibs[-1] is el
         i = next(j for j, s in enumerate(sibs, 1) if s is el)
+        if kind.startswith("nth-last"):
+            i = len(sibs) - i + 1  # count from the end
         a, b = p[1], p[2]
         if a == 0:
             return i == b
@@ -452,10 +468,13 @@ def _parse_simple(tok: str) -> _Simple:
             arg = arg[:-1] if arg.endswith(")") else arg
             if name == "not":
                 pseudos.append(("not", _parse_simple(arg.strip())))
-            elif name in ("nth-child", "nth-of-type"):
+            elif name in ("nth-child", "nth-of-type",
+                          "nth-last-child", "nth-last-of-type"):
                 a, b = _parse_nth(arg)
                 pseudos.append((name, a, b))
-            elif name in ("first-child", "last-child", "empty"):
+            elif name in ("first-child", "last-child", "empty",
+                          "only-child", "only-of-type",
+                          "first-of-type", "last-of-type"):
                 pseudos.append((name,))
             else:
                 raise ValueError(f"Unsupported CSS pseudo-class: :{name}")
@@ -618,6 +637,10 @@ class CompiledXPath:
     # non-empty → this is a union expression ("a | b"); ``steps`` is
     # empty and each alternative is a full CompiledXPath of its own
     alts: tuple["CompiledXPath", ...] = ()
+    # non-None → a VALUE expression at the top level ("string(.)",
+    # "concat(@a, '-', @b)", "count(.//li)"): evaluated by the generic
+    # XPath-1.0 expression engine, one value per context node
+    expr: Optional[tuple] = None
 
 
 _XP_AXES = ("child", "descendant", "descendant-or-self",
@@ -722,6 +745,12 @@ def _parse_pred(src: str) -> tuple:
             return ("path", _compile_pred_path(src))
         except ValueError:
             pass
+        # full XPath 1.0 expression (arithmetic, number/string
+        # functions, computed comparisons) — the generic engine
+        try:
+            return ("expr", _xe_parse(src))
+        except ValueError:
+            pass
         raise ValueError(f"Unsupported XPath predicate: [{src}]")
     if m.group(1) is not None:  # contains / starts-with
         return ("strfn", m.group(1), m.group(2), m.group(4))
@@ -742,11 +771,466 @@ def _parse_pred(src: str) -> tuple:
 
 
 def _compile_pred_path(src: str) -> CompiledXPath:
-    """Compile a predicate-relative location path (child:: default)."""
-    if not (src.startswith(".") or src.startswith("/")
-            or re.match(r"[\w*-]|[a-z-]+::", src)):
+    """Compile a predicate-relative location path (child:: default).
+    Bare ``@attr`` / ``text()`` operands compile as value steps on the
+    context node (the expression engine's nodeset leaves)."""
+    if src.startswith("@") or src == "text()":
+        return compile_xpath("./" + src)
+    if src.startswith("/"):
+        return compile_xpath(src)
+    if not (src.startswith(".") or re.match(r"[\w*-]|[a-z-]+::", src)):
         raise ValueError(src)
     return compile_xpath(src if src.startswith(".") else "./" + src)
+
+
+# ---- generic XPath 1.0 expression engine -------------------------------
+#
+# The leaf grammar above covers the hot selector surface with zero
+# allocation; everything else — arithmetic, number/string functions,
+# count(), concat(), substring(), translate(), comparisons between
+# computed values — parses here into a small AST and evaluates with the
+# XPath 1.0 coercion rules (nodeset→string = first node's string-value;
+# existential comparisons; NaN-propagating number casts).  XPath
+# VARIABLES ($x) are deliberately absent: the selector surface never
+# provides a binding context (same stance as the reference's parsel
+# usage).  Parity target: /root/reference/dude/optional/
+# lxml_scraper.py:184-185 / parsel_scraper.py (arbitrary XPath strings
+# handed to lxml.etree.xpath / parsel.Selector.xpath).
+
+_XE_FUNCS = ("string", "concat", "contains", "starts-with",
+             "normalize-space", "string-length", "substring",
+             "substring-before", "substring-after", "translate",
+             "count", "not", "true", "false", "boolean", "number",
+             "floor", "ceiling", "round", "position", "last",
+             "name", "local-name")
+_XE_NAME = re.compile(r"[\w-]+")
+
+
+class _XEParser:
+    """Recursive-descent parser for XPath 1.0 expressions (no
+    variables).  Location-path operands are delegated to
+    _compile_pred_path and appear as ("ns", CompiledXPath) leaves."""
+
+    def __init__(self, src: str):
+        self.s = src
+        self.i = 0
+
+    # -- cursor helpers ---------------------------------------------------
+    def _ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def _peek(self) -> str:
+        self._ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def _lit(self, tok: str) -> bool:
+        self._ws()
+        if self.s.startswith(tok, self.i):
+            self.i += len(tok)
+            return True
+        return False
+
+    def _word(self, w: str) -> bool:
+        """Match a keyword operator bounded by non-name chars."""
+        self._ws()
+        j = self.i
+        if not self.s.startswith(w, j):
+            return False
+        k = j + len(w)
+        before_ok = j == 0 or not (self.s[j - 1].isalnum()
+                                   or self.s[j - 1] in "-_@")
+        after_ok = k >= len(self.s) or not (self.s[k].isalnum()
+                                            or self.s[k] in "-_(@")
+        if before_ok and after_ok:
+            self.i = k
+            return True
+        return False
+
+    # -- grammar ----------------------------------------------------------
+    def parse(self) -> tuple:
+        node = self.or_expr()
+        self._ws()
+        if self.i != len(self.s):
+            raise ValueError(f"trailing XPath expression: "
+                             f"{self.s[self.i:]!r}")
+        return node
+
+    def or_expr(self) -> tuple:
+        node = self.and_expr()
+        while self._word("or"):
+            node = ("xor_", node, self.and_expr())
+        return node
+
+    def and_expr(self) -> tuple:
+        node = self.eq_expr()
+        while self._word("and"):
+            node = ("xand", node, self.eq_expr())
+        return node
+
+    def eq_expr(self) -> tuple:
+        node = self.rel_expr()
+        while True:
+            if self._lit("!="):
+                node = ("cmp", "!=", node, self.rel_expr())
+            elif self._lit("="):
+                node = ("cmp", "=", node, self.rel_expr())
+            else:
+                return node
+
+    def rel_expr(self) -> tuple:
+        node = self.add_expr()
+        while True:
+            for op in ("<=", ">=", "<", ">"):
+                if self._lit(op):
+                    node = ("cmp", op, node, self.add_expr())
+                    break
+            else:
+                return node
+
+    def add_expr(self) -> tuple:
+        node = self.mul_expr()
+        while True:
+            self._ws()
+            c = self.s[self.i] if self.i < len(self.s) else ""
+            if c == "+":
+                self.i += 1
+                node = ("arith", "+", node, self.mul_expr())
+            elif c == "-":
+                self.i += 1
+                node = ("arith", "-", node, self.mul_expr())
+            else:
+                return node
+
+    def mul_expr(self) -> tuple:
+        node = self.unary_expr()
+        while True:
+            if self._word("div"):
+                node = ("arith", "div", node, self.unary_expr())
+            elif self._word("mod"):
+                node = ("arith", "mod", node, self.unary_expr())
+            else:
+                self._ws()
+                if self.i < len(self.s) and self.s[self.i] == "*":
+                    self.i += 1
+                    node = ("arith", "*", node, self.unary_expr())
+                else:
+                    return node
+
+    def unary_expr(self) -> tuple:
+        neg = False
+        while self._peek() == "-":
+            self.i += 1
+            neg = not neg
+            self._ws()
+        node = self.primary()
+        return ("neg", node) if neg else node
+
+    def primary(self) -> tuple:
+        c = self._peek()
+        if c == "(":
+            self.i += 1
+            node = self.or_expr()
+            if not self._lit(")"):
+                raise ValueError("unbalanced paren in XPath expression")
+            return node
+        if c in "'\"":
+            j = self.s.index(c, self.i + 1)
+            lit = self.s[self.i + 1:j]
+            self.i = j + 1
+            return ("str", lit)
+        if c.isdigit() or (c == "." and self.i + 1 < len(self.s)
+                           and self.s[self.i + 1].isdigit()):
+            m = re.match(r"\d+(?:\.\d+)?|\.\d+", self.s[self.i:])
+            self.i += m.end()
+            return ("num", float(m.group(0)))
+        # function call?
+        m = _XE_NAME.match(self.s, self.i)
+        if m and m.group(0) in _XE_FUNCS:
+            k = m.end()
+            while k < len(self.s) and self.s[k].isspace():
+                k += 1
+            if k < len(self.s) and self.s[k] == "(":
+                name = m.group(0)
+                # text()/node() are node tests, not in _XE_FUNCS; but a
+                # path may START with a function-named element tag
+                # ("count/a") — only treat as a call when '(' follows
+                self.i = k + 1
+                args = []
+                if self._peek() != ")":
+                    args.append(self.or_expr())
+                    while self._lit(","):
+                        args.append(self.or_expr())
+                if not self._lit(")"):
+                    raise ValueError(f"unbalanced args in {name}()")
+                return ("call", name, tuple(args))
+        # location path operand
+        return ("ns", _compile_pred_path(self._scan_path()))
+
+    def _scan_path(self) -> str:
+        """Consume a maximal location-path substring.  '*' is a path
+        char only right after '/', '::' or '@' or at the path start;
+        '-' only as a name char (no whitespace before it); whitespace
+        ends the path unless the next non-space char opens a
+        predicate."""
+        self._ws()
+        start = self.i
+        depth = 0
+        s, n = self.s, len(self.s)
+        while self.i < n:
+            c = s[self.i]
+            if c in "(['":
+                if c == "'":
+                    self.i = s.index("'", self.i + 1) + 1
+                    continue
+                depth += 1
+            elif c == '"':
+                self.i = s.index('"', self.i + 1) + 1
+                continue
+            elif c in ")]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                if c in "=!<>,+|":
+                    break
+                if c == "*":
+                    prev = s[start:self.i].rstrip()
+                    if not (not prev or prev.endswith("/")
+                            or prev.endswith(":") or prev.endswith("@")):
+                        break
+                elif c == "-":
+                    if self.i == start or not (s[self.i - 1].isalnum()
+                                               or s[self.i - 1] in "-_"):
+                        break
+                elif c.isspace():
+                    j = self.i
+                    while j < n and s[j].isspace():
+                        j += 1
+                    if j < n and s[j] == "[":
+                        self.i = j
+                        continue
+                    break
+            self.i += 1
+        path = s[start:self.i].strip()
+        if not path:
+            raise ValueError(f"expected XPath operand at "
+                             f"{s[start:start + 20]!r}")
+        return path
+
+
+def _xe_parse(src: str) -> tuple:
+    return _XEParser(src).parse()
+
+
+def _xe_str(v) -> str:
+    """XPath string() coercion."""
+    if isinstance(v, list):
+        if not v:
+            return ""
+        first = v[0]
+        return first.text_content() if isinstance(first, Element) else str(first)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == int(v) and abs(v) < 1e16:
+            return str(int(v))
+        return repr(v)
+    return v
+
+
+def _xe_num(v) -> float:
+    """XPath number() coercion (NaN on failure)."""
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    try:
+        return float(_xe_str(v).strip())
+    except (TypeError, ValueError):
+        return float("nan")
+
+
+def _xe_bool(v) -> bool:
+    """XPath boolean() coercion."""
+    if isinstance(v, list):
+        return bool(v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return v == v and v != 0.0
+    return len(v) > 0
+
+
+def _xe_items(v) -> list:
+    """Scalar item list of a value for existential comparison."""
+    if isinstance(v, list):
+        return [x.text_content() if isinstance(x, Element) else x
+                for x in v]
+    return [v]
+
+
+def _xe_cmp(op: str, a, b) -> bool:
+    """XPath 1.0 comparison: existential over nodesets; <,>,<=,>= as
+    numbers; =,!= as booleans/numbers/strings by operand types."""
+    a_set, b_set = isinstance(a, list), isinstance(b, list)
+    for x in _xe_items(a):
+        for y in _xe_items(b):
+            if op in ("<", "<=", ">", ">="):
+                nx, ny = _xe_num(x), _xe_num(y)
+                ok = {"<": nx < ny, "<=": nx <= ny,
+                      ">": nx > ny, ">=": nx >= ny}[op]
+            else:
+                if isinstance(x, bool) or isinstance(y, bool):
+                    eq = _xe_bool(x) == _xe_bool(y)
+                elif isinstance(x, float) or isinstance(y, float):
+                    # a nodeset item compared to a number casts to number
+                    eq = _xe_num(x) == _xe_num(y)
+                else:
+                    eq = _xe_str(x) == _xe_str(y)
+                ok = eq if op == "=" else not eq
+            if ok:
+                return True
+            if not a_set and not b_set:
+                return ok  # scalar-scalar: single verdict
+    return False
+
+
+def _xe_round(x: float) -> float:
+    """XPath round(): half-up (not banker's), NaN/inf pass through."""
+    import math
+    if x != x or math.isinf(x):
+        return x
+    return float(math.floor(x + 0.5))
+
+
+def _xe_eval(ast: tuple, el: Element, pos: int, size: int):
+    kind = ast[0]
+    if kind == "str":
+        return ast[1]
+    if kind == "num":
+        return ast[1]
+    if kind == "ns":
+        return xpath_eval(el, ast[1])
+    if kind == "neg":
+        return -_xe_num(_xe_eval(ast[1], el, pos, size))
+    if kind == "xand":
+        return (_xe_bool(_xe_eval(ast[1], el, pos, size))
+                and _xe_bool(_xe_eval(ast[2], el, pos, size)))
+    if kind == "xor_":
+        return (_xe_bool(_xe_eval(ast[1], el, pos, size))
+                or _xe_bool(_xe_eval(ast[2], el, pos, size)))
+    if kind == "cmp":
+        return _xe_cmp(ast[1], _xe_eval(ast[2], el, pos, size),
+                       _xe_eval(ast[3], el, pos, size))
+    if kind == "arith":
+        x = _xe_num(_xe_eval(ast[2], el, pos, size))
+        y = _xe_num(_xe_eval(ast[3], el, pos, size))
+        op = ast[1]
+        try:
+            if op == "+":
+                return x + y
+            if op == "-":
+                return x - y
+            if op == "*":
+                return x * y
+            if op == "div":
+                return x / y if y != 0 else (
+                    float("nan") if x != x or x == 0
+                    else float("inf") if x > 0 else float("-inf"))
+            # XPath mod keeps the dividend's sign (fmod, not %)
+            import math
+            return math.fmod(x, y) if y != 0 else float("nan")
+        except (OverflowError, ZeroDivisionError):
+            return float("nan")
+    assert kind == "call", ast
+    name, args = ast[1], ast[2]
+    ev = [(lambda a=a: _xe_eval(a, el, pos, size)) for a in args]
+    if name == "position":
+        return float(pos)
+    if name == "last":
+        return float(size)
+    if name == "true":
+        return True
+    if name == "false":
+        return False
+    if name == "count":
+        v = ev[0]()
+        if not isinstance(v, list):
+            raise ValueError("count() needs a node-set")
+        return float(len(v))
+    if name == "not":
+        return not _xe_bool(ev[0]())
+    if name == "boolean":
+        return _xe_bool(ev[0]())
+    if name == "number":
+        return _xe_num(ev[0]()) if args else _xe_num(el.text_content())
+    if name == "string":
+        return _xe_str(ev[0]()) if args else el.text_content()
+    if name == "concat":
+        return "".join(_xe_str(f()) for f in ev)
+    if name == "contains":
+        return _xe_str(ev[1]()) in _xe_str(ev[0]())
+    if name == "starts-with":
+        return _xe_str(ev[0]()).startswith(_xe_str(ev[1]()))
+    if name == "normalize-space":
+        s = _xe_str(ev[0]()) if args else el.text_content()
+        return _WS_RUN.sub(" ", s).strip()
+    if name == "string-length":
+        return float(len(_xe_str(ev[0]()) if args else el.text_content()))
+    if name == "substring":
+        s = _xe_str(ev[0]())
+        start = _xe_round(_xe_num(ev[1]()))
+        if start != start:
+            return ""
+        if len(args) > 2:
+            length = _xe_round(_xe_num(ev[2]()))
+            if length != length:
+                return ""
+            end = start + length
+        else:
+            end = float("inf")
+        # XPath 1-based char positions: keep chars with
+        # start <= position < end
+        return "".join(ch for i, ch in enumerate(s, 1)
+                       if start <= i < end)
+    if name == "substring-before":
+        s, t = _xe_str(ev[0]()), _xe_str(ev[1]())
+        i = s.find(t)
+        return s[:i] if i >= 0 else ""
+    if name == "substring-after":
+        s, t = _xe_str(ev[0]()), _xe_str(ev[1]())
+        i = s.find(t)
+        return s[i + len(t):] if i >= 0 else ""
+    if name == "translate":
+        s, frm, to = (_xe_str(ev[0]()), _xe_str(ev[1]()),
+                      _xe_str(ev[2]()))
+        table = {}
+        for i, ch in enumerate(frm):
+            if ch not in table:
+                table[ch] = to[i] if i < len(to) else None
+        return "".join(table.get(ch, ch) for ch in s
+                       if table.get(ch, ch) is not None)
+    if name == "floor":
+        import math
+        x = _xe_num(ev[0]())
+        return x if x != x else float(math.floor(x))
+    if name == "ceiling":
+        import math
+        x = _xe_num(ev[0]())
+        return x if x != x else float(math.ceil(x))
+    if name == "round":
+        return _xe_round(_xe_num(ev[0]()))
+    if name in ("name", "local-name"):
+        if args:
+            v = ev[0]()
+            if isinstance(v, list) and v and isinstance(v[0], Element):
+                return v[0].tag
+            return ""
+        return el.tag
+    raise AssertionError(name)
 
 
 def compile_xpath(expr: str) -> CompiledXPath:
@@ -756,6 +1240,15 @@ def compile_xpath(expr: str) -> CompiledXPath:
         return CompiledXPath(
             steps=(), extract=None,
             alts=tuple(compile_xpath(p) for p in parts))
+    # top-level VALUE expression ("string(.)", "concat(@a,'-',text())",
+    # "count(.//li)") — lxml/parsel accept arbitrary XPath returning
+    # strings/numbers (/root/reference/dude/optional/lxml_scraper.py:184)
+    m = re.match(r"(string|concat|normalize-space|substring(?:-before"
+                 r"|-after)?|translate|count|string-length|number|name"
+                 r"|local-name)\s*\(", expr)
+    if m:
+        return CompiledXPath(steps=(), extract=None,
+                             expr=_xe_parse(expr))
     extract: Optional[object] = None
     if expr.endswith("/text()"):
         extract = "text"
@@ -882,6 +1375,11 @@ def _xeval(el: Element, p: tuple, pos: int, size: int) -> bool:
             k = size  # last()
         return {"=": pos == k, "!=": pos != k, "<": pos < k,
                 ">": pos > k, "<=": pos <= k, ">=": pos >= k}[op]
+    if kind == "expr":
+        v = _xe_eval(p[1], el, pos, size)
+        if isinstance(v, float):
+            return pos == v  # numeric predicate = position test
+        return _xe_bool(v)
     raise AssertionError(p)
 
 
@@ -965,6 +1463,8 @@ def xpath_select(scope: Element, compiled: CompiledXPath) -> list[Element]:
                     out.append(el)
         out.sort(key=lambda e: e._order)
         return out
+    if compiled.expr is not None:
+        return []  # value expressions have no node-set
     current = [scope]
     for step in compiled.steps:
         nxt: list[Element] = []
@@ -1000,12 +1500,17 @@ def xpath_eval(scope: Element, compiled: CompiledXPath) -> list:
     we match it via xpath_select, mixed string unions keep branch
     order — documented deviation)."""
     if compiled.alts:
-        if all(a.extract is None for a in compiled.alts):
+        if all(a.extract is None and a.expr is None
+               for a in compiled.alts):
             return xpath_select(scope, compiled)
         out = []
         for alt in compiled.alts:
             out.extend(xpath_eval(scope, alt))
         return out
+    if compiled.expr is not None:
+        # value expression: ONE value per context node (string/float),
+        # matching lxml's scalar xpath() returns
+        return [_xe_eval(compiled.expr, scope, 1, 1)]
     els = xpath_select(scope, compiled)
     if compiled.extract == "text":
         return [e.text for e in els]
