@@ -111,7 +111,7 @@ def run_bench() -> dict:
         crawl_attempts = [timings["crawl"]]
         busy, n_workers = c["worker_busy_s"], c["n_workers"]
     else:
-        best = _crawl_best_of(int(os.environ.get("BENCH_CRAWL_REPEATS", "2")))
+        best = _crawl_best_of(int(os.environ.get("BENCH_CRAWL_REPEATS", "3")))
         crawl_sec = best["crawl_total_sec"]
         n_visits = best["crawl_urls"]
         crawl_loop_sec = best["queries"]["crawl"]
@@ -274,6 +274,16 @@ def run_bench() -> dict:
         "busy_us_per_url": round(1e6 * busy / max(n_visits, 1), 1),
         "corpus_scale": CORPUS_SCALE,
     }
+    # window-health evidence in the file of record (~10 s): absolute
+    # µs/doc of the pure-parallel kernel exposes uniformly-degraded
+    # tenancy windows (historical quiet-window baseline ≈ 650-900
+    # µs/doc at 6 workers — BASELINE.md probe-bracketed series)
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.hw_probe import probe
+        result["hw_probe"] = probe()
+    except Exception as e:  # noqa: BLE001 — evidence, not a gate
+        result["hw_probe"] = {"error": str(e)}
     ray.shutdown()
     return result
 

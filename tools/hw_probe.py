@@ -47,7 +47,11 @@ def level(nproc: int, htmls, n_iter: int) -> float:
     return sum(per_doc) / len(per_doc)
 
 
-def main() -> None:
+def probe() -> dict:
+    """Run both levels; returns the probe dict (importable — bench.py
+    embeds this line in its output so every BENCH file carries its own
+    window-health evidence: the ABSOLUTE µs/doc flags uniformly slow
+    windows, the lo/hi ratio flags memory-bus saturation)."""
     from dude_ray.sources.corpus import ensure_corpus, load_manifest
     from dude_ray.stages.fetch import CorpusFetcher
 
@@ -63,14 +67,18 @@ def main() -> None:
     # equal per-process work at both levels
     t_lo = level(lo_w, htmls, 6)
     t_hi = level(hi_w, htmls, 6)
-    print(json.dumps({
+    return {
         "metric": "hardware ceiling probe (pure-parallel per-doc kernel)",
         "workers_lo": lo_w, "workers_hi": hi_w,
         "us_per_doc_lo": round(t_lo * 1e6, 1),
         "us_per_doc_hi": round(t_hi * 1e6, 1),
         "slowdown": round(t_hi / t_lo, 3),
         "hw_efficiency_ceiling": round(t_lo / t_hi, 3),
-    }))
+    }
+
+
+def main() -> None:
+    print(json.dumps(probe()))
 
 
 if __name__ == "__main__":
