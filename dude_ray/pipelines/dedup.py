@@ -336,18 +336,25 @@ def _verify_pairs_jaccard(pairs, sh, num_partitions: int = JOIN_PARTITIONS):
                          batch_size=4096)
 
 
-def _distinct_pairs(pairs, target_rows_per_group: int = 65536):
+def _distinct_pairs(pairs, target_rows_per_group: int = 65536,
+                    small_tier_max_rows: int = 100_000):
     """Exact distinct on (a, b) — a pair found in several bands must
     dedup before the (expensive) verify.  Per-block C++ Arrow distinct
-    first (removes the within-band duplicate mass for free), then the
-    shared data-scaled hash-grouped reduce: bucket on a deterministic
-    hash of the WHOLE pair, so identical pairs always land in one
-    group and per-group ``drop_duplicates`` is globally exact, with no
-    task ever holding more than ~``target_rows_per_group`` rows.  (The
-    previous final ``repartition(1)`` distinct was the same
-    single-block bottleneck ``distinct_users`` had pre-r3 — on a
-    dup-heavy corpus at web scale the candidate set can reach billions
-    of rows.)  Width-independent (parametrized test)."""
+    first (removes the within-band duplicate mass for free), then two
+    tiers keyed on the MEASURED surviving row count (the
+    pagerank/dup_clusters tiering idiom):
+
+    * ``≤ small_tier_max_rows`` (≤ ~1.6 MB of int64 pairs) — one-block
+      Arrow distinct; a bounded, documented materialization, NOT the
+      old unconditional ``repartition(1)``.
+    * above — the shared data-scaled hash-grouped reduce: bucket on a
+      deterministic hash of the WHOLE pair (identical pairs always
+      land in one group, so per-group ``drop_duplicates`` is globally
+      exact) with no task holding more than ~``target_rows_per_group``
+      rows.  On a dup-heavy corpus at web scale the candidate set can
+      reach billions of rows — this is the path that carries there.
+
+    Tier equivalence + width independence are pytest-parametrized."""
     from dude_ray.partitioning import hash_grouped_reduce
 
     def distinct(batch: pa.Table) -> pa.Table:
@@ -359,6 +366,9 @@ def _distinct_pairs(pairs, target_rows_per_group: int = 65536):
     n = lvl1.count()
     if n == 0:
         return lvl1
+    if n <= small_tier_max_rows:
+        return lvl1.repartition(1).map_batches(
+            distinct, batch_format="pyarrow", batch_size=None)
 
     def _dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["a", "b"])[["a", "b"]]
@@ -369,22 +379,26 @@ def _distinct_pairs(pairs, target_rows_per_group: int = 65536):
 
 
 def candidate_pairs_minhash(sh, concurrency: int = 4,
-                            target_rows_per_group: int = 65536):
+                            target_rows_per_group: int = 65536,
+                            small_tier_max_rows: int = 100_000):
     """shingle dataset → banded minhash rows → bucket groupby →
     unique candidate pairs."""
     ds = sh.map_batches(MinHasher, batch_format="pyarrow", batch_size=2048,
                         concurrency=(1, concurrency))
     pairs = ds.groupby("band").map_groups(_band_pairs, batch_format="pandas")
-    return _distinct_pairs(pairs, target_rows_per_group)
+    return _distinct_pairs(pairs, target_rows_per_group,
+                           small_tier_max_rows)
 
 
 def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4,
-                      target_rows_per_group: int = 65536):
+                      target_rows_per_group: int = 65536,
+                      small_tier_max_rows: int = 100_000):
     """Verified near-duplicate pairs (jaccard >= threshold)."""
     import pyarrow.compute as pc
 
     sh = shingle_dataset(sf_dir, concurrency)
-    pairs = candidate_pairs_minhash(sh, concurrency, target_rows_per_group)
+    pairs = candidate_pairs_minhash(sh, concurrency, target_rows_per_group,
+                                    small_tier_max_rows)
     verified = _verify_pairs_jaccard(pairs, sh)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),

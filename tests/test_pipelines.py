@@ -443,12 +443,16 @@ def test_bucketed_pipelines_width_independent(ray_session, widths):
     assert rows(run_embedding_neardup(SF, threshold=0.9, n_groups=8)) == \
         rows(run_embedding_neardup(SF, threshold=0.9, n_groups=64))
     # _distinct_pairs (the candidate-pair distinct shared by
-    # minhash_dedup and jaccard_join) went data-scaled in r4 — its
-    # group width must be a pure parallelism knob too
+    # minhash_dedup and jaccard_join) went data-scaled + tiered in r4:
+    # both the small one-block tier and the distributed hash-grouped
+    # tier (forced via small_tier_max_rows=0) must agree at any width
     from dude_ray.pipelines.dedup import run_minhash_dedup
 
-    assert rows(run_minhash_dedup(SF, target_rows_per_group=64)) == \
-        rows(run_minhash_dedup(SF, target_rows_per_group=100_000))
+    small_tier = rows(run_minhash_dedup(SF))
+    assert small_tier == rows(run_minhash_dedup(
+        SF, target_rows_per_group=64, small_tier_max_rows=0))
+    assert small_tier == rows(run_minhash_dedup(
+        SF, target_rows_per_group=100_000, small_tier_max_rows=0))
 
 
 def test_jaccard_join_chunked_bucket_path(ray_session, monkeypatch):
