@@ -1611,7 +1611,8 @@ def _pair_shared_runs(ta: str, tb: str, k: int, weights,
 
 
 def run_substring_redact(sf_dir: str, min_shared: int = 2,
-                         min_run: int = 63, concurrency: int = 4):
+                         min_run: int = 63, concurrency: int = 4,
+                         small_tier_max_docs: int = 100_000):
     """Substring-level dedup with actual REMOVAL (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for
     every candidate pair from the winnow-sharing stage the
@@ -1626,15 +1627,21 @@ def run_substring_redact(sf_dir: str, min_shared: int = 2,
     redact unrelated text.  The per-doc interval sets (bounded by the
     duplicated-content volume) are merged with a data-scaled
     hash-group reduce into one packed row per affected doc, and the
-    final application is a Bloom-prefiltered hash join: a FIXED-SIZE
-    broadcast Bloom over affected doc_ids short-circuits the untouched
-    corpus majority past the join (same partial-bitmap build as
-    ``run_dedup_incremental``), so only Bloom-positive docs — affected
-    docs plus ~0.8% false positives, dropped by the inner join — enter
-    the interval join.  NO driver-side interval dict (the pre-r4
-    ``take_all`` broadcast was unbounded in the duplicated-content
-    volume) and the documents table itself never enters a full
-    shuffle."""
+    final application is TIERED on the MEASURED affected-doc count
+    (the _distinct_pairs/pagerank idiom; tier equivalence is
+    pytest-parametrized on the planted corpus):
+
+    * ``≤ small_tier_max_docs`` — broadcast the packed interval rows
+      into one corpus map (bounded, documented materialization);
+    * above — Bloom-prefiltered hash join: a FIXED-SIZE broadcast
+      Bloom over affected doc_ids short-circuits the untouched corpus
+      majority past the join (same partial-bitmap build as
+      ``run_dedup_incremental``), so only Bloom-positive docs —
+      affected docs plus ~0.8% false positives, dropped by the inner
+      join — enter the interval join.  No unbounded driver state (the
+      pre-r4 unconditional ``take_all`` broadcast grew with the
+      duplicated-content volume) and the documents table itself never
+      enters a full shuffle."""
     import ray
 
     from dude_ray.partitioning import hash_grouped_reduce
@@ -1705,9 +1712,46 @@ def run_substring_redact(sf_dir: str, min_shared: int = 2,
                                  out_cols=("doc_id", "iv")).materialize()
     n_affected = merged.count()
 
-    # fixed-size broadcast Bloom over affected doc ids (partial-bitmap
-    # build, the run_dedup_incremental shape) — keeps the untouched
-    # corpus majority out of the join without any unbounded driver state
+    if n_affected <= small_tier_max_docs:
+        # small tier (MEASURED bound, the _distinct_pairs/pagerank
+        # tiering idiom): the packed interval rows fit comfortably in a
+        # broadcast — one corpus map, no join, no Bloom build
+        plan = {int(r["doc_id"]): np.frombuffer(r["iv"], dtype=np.int64)
+                                    .reshape(-1, 2)
+                for r in merged.take_all()}
+        plan_ref = ray.put(plan)
+
+        def apply_small(batch: pa.Table) -> pa.Table:
+            p = ray.get(plan_ref)
+            out_d, out_n, out_c, out_t = [], [], [], []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                    batch["text"].to_pylist()):
+                iv = p.get(doc_id)
+                if iv is None:
+                    continue
+                t = text or ""
+                kept, pos = [], 0
+                for s, e in iv.tolist():
+                    kept.append(t[pos:s])
+                    pos = e
+                kept.append(t[pos:])
+                out_d.append(doc_id)
+                out_n.append(len(iv))
+                out_c.append(int((iv[:, 1] - iv[:, 0]).sum()))
+                out_t.append("".join(kept))
+            return pa.table({
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_runs": pa.array(out_n, type=pa.int64()),
+                "n_redacted_chars": pa.array(out_c, type=pa.int64()),
+                "text": pa.array(out_t, type=pa.string())})
+
+        return docs.map_batches(apply_small, batch_format="pyarrow",
+                                batch_size=2048, concurrency=concurrency)
+
+    # large tier: fixed-size broadcast Bloom over affected doc ids
+    # (partial-bitmap build, the run_dedup_incremental shape) keeps the
+    # untouched corpus majority out of the join without any unbounded
+    # driver state
     from dude_ray.state.bloom import BloomFilter
 
     def _key(i: int) -> bytes:

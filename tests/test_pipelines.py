@@ -849,10 +849,14 @@ def test_training_mix_invariants(ray_session):
         acc += r["n_tokens"]
 
 
-def test_substring_redact_removes_planted_paragraph(ray_session, tmp_path):
+@pytest.mark.parametrize("small_tier_max_docs", [100_000, 0])
+def test_substring_redact_removes_planted_paragraph(ray_session, tmp_path,
+                                                    small_tier_max_docs):
     """Plant a >63-char shared paragraph between two docs; the
     higher-id doc must lose it, the keeper must stay untouched, and
-    unrelated docs must not appear in the output."""
+    unrelated docs must not appear in the output.  Parametrized over
+    BOTH application tiers (broadcast map / Bloom-prefiltered join —
+    small_tier_max_docs=0 forces the join tier)."""
     import pyarrow.parquet as pq
 
     from dude_ray.pipelines.dedup import run_substring_redact
@@ -879,7 +883,9 @@ def test_substring_redact_removes_planted_paragraph(ray_session, tmp_path):
     d.mkdir()
     pq.write_table(t, str(d / "documents.parquet"))
     rows = {r["doc_id"]: r for r in
-            run_substring_redact(str(d), min_shared=1).take_all()}
+            run_substring_redact(
+                str(d), min_shared=1,
+                small_tier_max_docs=small_tier_max_docs).take_all()}
     assert 1 in rows, "dup doc not redacted"
     assert para not in rows[1]["text"]
     assert rows[1]["n_redacted_chars"] >= len(para)
