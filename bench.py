@@ -277,11 +277,18 @@ def run_bench() -> dict:
     # window-health evidence in the file of record (~10 s): absolute
     # µs/doc of the pure-parallel kernel exposes uniformly-degraded
     # tenancy windows (historical quiet-window baseline ≈ 650-900
-    # µs/doc at 6 workers — BASELINE.md probe-bracketed series)
+    # µs/doc at 6 workers — BASELINE.md probe-bracketed series).  Runs
+    # as a FRESH subprocess: forking the probe pool from this Ray-laden
+    # parent measured 4-7× slower from copy-on-write fault storms alone
+    # (observed 2026-08-18).
     try:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from tools.hw_probe import probe
-        result["hw_probe"] = probe()
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "hw_probe.py")],
+            capture_output=True, text=True, check=True, timeout=300,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        result["hw_probe"] = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as e:  # noqa: BLE001 — evidence, not a gate
         result["hw_probe"] = {"error": str(e)}
     ray.shutdown()
