@@ -65,15 +65,27 @@ def _crawl_best_of(n: int = 2) -> dict:
     time and reports every attempt for transparency."""
     env = dict(os.environ, BENCH_CRAWL_ONLY="1",
                RAY_GRAFT_CPUS=str(NUM_CPUS))
-    attempts = []
+    attempts, errors = [], []
     for _ in range(n):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        attempts.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        try:
+            if out.returncode != 0:
+                raise RuntimeError(out.stderr.strip().splitlines()[-1]
+                                   if out.stderr.strip() else
+                                   f"rc={out.returncode}")
+            attempts.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        except (RuntimeError, ValueError, IndexError) as e:
+            # one crashed attempt must not take down the file of record
+            errors.append(str(e)[:200])
+    if not attempts:
+        raise RuntimeError(f"all {n} crawl attempts failed: {errors}")
     best = min(attempts, key=lambda r: r["queries"]["crawl"])
     best["crawl_attempts"] = [r["queries"]["crawl"] for r in attempts]
+    if errors:
+        best["crawl_attempt_errors"] = errors
     return best
 
 
