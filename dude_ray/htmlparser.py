@@ -1024,7 +1024,8 @@ def _xe_parse(src: str) -> tuple:
 
 
 def _xe_str(v) -> str:
-    """XPath string() coercion."""
+    """XPath string() coercion (spec number→string: no exponent form,
+    'Infinity'/'-Infinity'/'NaN' spelled out)."""
     if isinstance(v, list):
         if not v:
             return ""
@@ -1035,22 +1036,32 @@ def _xe_str(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
         if v == int(v) and abs(v) < 1e16:
             return str(int(v))
-        return repr(v)
+        import numpy as _np
+        return _np.format_float_positional(v, trim="-")
     return v
 
 
+_XE_NUMBER = re.compile(r"^\s*-?(\d+(\.\d*)?|\.\d+)\s*$")
+
+
 def _xe_num(v) -> float:
-    """XPath number() coercion (NaN on failure)."""
+    """XPath number() coercion: the spec's Number grammar only
+    (optional '-', digits, optional fraction) — '1e2', 'inf', '+5'
+    are NaN, unlike Python's float()."""
     if isinstance(v, bool):
         return 1.0 if v else 0.0
     if isinstance(v, float):
         return v
-    try:
-        return float(_xe_str(v).strip())
-    except (TypeError, ValueError):
+    s = _xe_str(v)
+    if not _XE_NUMBER.match(s):
         return float("nan")
+    return float(s)
 
 
 def _xe_bool(v) -> bool:
@@ -1074,7 +1085,13 @@ def _xe_items(v) -> list:
 
 def _xe_cmp(op: str, a, b) -> bool:
     """XPath 1.0 comparison: existential over nodesets; <,>,<=,>= as
-    numbers; =,!= as booleans/numbers/strings by operand types."""
+    numbers; =,!= as booleans/numbers/strings by operand types.  The
+    spec's boolean rule comes FIRST: if either operand is a boolean,
+    =/!= compares boolean(other) with it — boolean(nodeset) is
+    non-emptiness, NOT the string-value of its nodes."""
+    if op in ("=", "!=") and (isinstance(a, bool) or isinstance(b, bool)):
+        eq = _xe_bool(a) == _xe_bool(b)
+        return eq if op == "=" else not eq
     a_set, b_set = isinstance(a, list), isinstance(b, list)
     for x in _xe_items(a):
         for y in _xe_items(b):
@@ -1245,7 +1262,8 @@ def compile_xpath(expr: str) -> CompiledXPath:
     # strings/numbers (/root/reference/dude/optional/lxml_scraper.py:184)
     m = re.match(r"(string|concat|normalize-space|substring(?:-before"
                  r"|-after)?|translate|count|string-length|number|name"
-                 r"|local-name)\s*\(", expr)
+                 r"|local-name|contains|starts-with|not|boolean|true"
+                 r"|false|floor|ceiling|round)\s*\(", expr)
     if m:
         return CompiledXPath(steps=(), extract=None,
                              expr=_xe_parse(expr))

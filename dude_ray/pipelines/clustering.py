@@ -255,7 +255,7 @@ def run_embedding_pca(sf_dir: str, n_components: int = 8,
         ds.map_batches(_moment_partial, batch_format="pyarrow",
                        batch_size=batch_size, concurrency=concurrency))
     d = len(s1)
-    mean, comps = _pca_basis(n, s1, s2.reshape(d, d), n_components)
+    mean, comps, _evals = _pca_basis(n, s1, s2.reshape(d, d), n_components)
     state = (mean, comps)
 
     class Project:
@@ -280,13 +280,14 @@ def run_embedding_pca(sf_dir: str, n_components: int = 8,
 
 def _pca_basis(n: int, s1: np.ndarray, s2: np.ndarray,
                n_components: int):
-    """(10-dp-rounded mean, sign-fixed top components) from the raw
-    moments — THE shared deterministic convention for the distributed
-    pipeline, the numpy reference and the SQL oracle's inlined basis."""
+    """(10-dp-rounded mean, sign-fixed top components, descending
+    eigenvalues) from the raw moments — THE shared deterministic
+    convention for the distributed pipeline, the numpy reference and
+    the SQL oracle's inlined basis."""
     mean_raw = s1 / n
     cov = np.round(s2 / n - np.outer(mean_raw, mean_raw), 10)
     mean = np.round(mean_raw, 10)
-    _evals, evecs = np.linalg.eigh(cov)             # ascending
+    evals, evecs = np.linalg.eigh(cov)              # ascending
     comps = evecs[:, ::-1][:, :n_components].copy()  # (d, q), desc var
     # deterministic sign: the largest-|coeff| entry of each component
     # is positive (ties impossible on real spectra)
@@ -294,7 +295,7 @@ def _pca_basis(n: int, s1: np.ndarray, s2: np.ndarray,
         i = np.argmax(np.abs(comps[:, j]))
         if comps[i, j] < 0:
             comps[:, j] = -comps[:, j]
-    return mean, comps
+    return mean, comps, evals[::-1][:n_components]
 
 
 def _local_moments(sf_dir: str):
@@ -315,9 +316,7 @@ def pca_reference(sf_dir: str, n_components: int = 8):
     test oracle for ``run_embedding_pca``.  Returns (vec_ids, 9-dp
     projection matrix, descending eigenvalues)."""
     vids, emb, n, s1, s2 = _local_moments(sf_dir)
-    mean, comps = _pca_basis(n, s1, s2, n_components)
-    cov = np.round(s2 / n - np.outer(s1 / n, s1 / n), 10)
-    evals = np.linalg.eigh(cov)[0][::-1][:n_components]
+    mean, comps, evals = _pca_basis(n, s1, s2, n_components)
     return vids, np.round((emb - mean) @ comps, 9), evals
 
 
@@ -337,7 +336,7 @@ def pca_oracle_sql(sf_dir: str | None = None,
     sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
                                       "/root/testdata/sf0.01")
     _vids, _emb, n, s1, s2 = _local_moments(sf_dir)
-    mean, comps = _pca_basis(n, s1, s2, n_components)
+    mean, comps, _evals = _pca_basis(n, s1, s2, n_components)
     d = len(mean)
     mean_sql = "[" + ",".join(repr(float(x)) for x in mean) + "]"
     comp_rows = ",".join(

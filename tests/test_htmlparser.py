@@ -475,3 +475,32 @@ def test_xpath_expression_coercions():
     assert _xe("//p[number(@missing) != number(@missing)]") == \
         ["hello", "hi"]                                 # NaN != NaN
     assert _xe("//li[not(position() < 5)]") == ["five"]
+
+
+def test_xpath_expression_spec_edges():
+    """XPath 1.0 spec edges caught in round-4 review: Infinity
+    stringification, the nodeset-vs-boolean comparison rule, plain
+    decimal number→string form, the strict number() grammar, and
+    top-level boolean/rounding value expressions."""
+    assert _xe("string(1 div 0)") == ["Infinity"]
+    assert _xe("string(-1 div 0)") == ["-Infinity"]
+    assert _xe("concat(1 div 0, '!')") == ["Infinity!"]
+    assert _xe("string(0.0000001)") == ["0.0000001"]
+    assert _xe("string(1 div 4)") == ["0.25"]
+    # boolean rule: boolean(empty nodeset) = false, so [q = false()]
+    # must select every p with no <q> child
+    assert _xe("//p[q = false()]") == ["hello", "hi"]
+    assert _xe("//p[a = true()]") == []     # no <a> children under <p>
+    assert _xe("//div[a = true()]") == ["AB", "C"]
+    # strict Number grammar: exponent / inf forms are NaN
+    assert _xe("//p[number('1e2') = 100]") == []
+    assert _xe("number('1e2') != number('1e2')") == [True]  # NaN
+    assert _xe("number('inf') != number('inf')") == [True]
+    assert _xe("number('-.5') = -0.5") == [True]
+    assert _xe("number('+5') != number('+5')") == [True]
+    # top-level boolean / rounding calls compile as value expressions
+    assert _xe("contains('abc', 'b')") == [True]
+    assert _xe("starts-with('abc', 'a')") == [True]
+    assert _xe("not(false())") == [True]
+    assert _xe("round(2.5)") == [3.0]
+    assert _xe("floor(2.9)") == [2.0]
