@@ -118,8 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Slots 1-20
     are the operators that had never appeared in a CORRECTNESS file
-    through round 3; slots 21-50 are SQL-hash-matchable entries.  The
-    rotation tail (51+) — six simple hash-matched ops plus the
+    through round 3; slots 21-23 are the round-4 additions
+    (text_chunk, shard_assign, event_funnel); slots 24-50 are
+    SQL-hash-matchable entries.  The
+    rotation tail (51+) — nine simple hash-matched ops plus the
     rows-only crawl/media/approximate entries — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
     entries) and by pytest."""
@@ -148,7 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _q_value_percent_rank,
         "pagerank": _q_pagerank,
         "graph_pagerank": _q_graph_pagerank,
-        # -- slots 21-50: previously hash-matched SQL entries ----------
+        # -- slots 21-23: NEW in round 4 (never driver-verified) --------
+        "text_chunk": sampling.run_text_chunk,
+        "shard_assign": sampling.run_shard_assign,
+        "event_funnel": relational.run_event_funnel,
+        # -- slots 24-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -503,6 +509,56 @@ def oracle_sql() -> dict[str, str]:
         "training_mix": training_mix_oracle_sql(),
         "term_postings": TERM_POSTINGS_ORACLE_SQL,
         "tfidf_keywords": tfidf_keywords_oracle_sql(),
+        "text_chunk": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                FROM tok WHERE len(toks) > 0
+            ), st AS (
+                SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s
+                FROM nz
+            )
+            SELECT doc_id,
+                   CAST(s // 48 AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS start_tok,
+                   CAST(least(64, n - s) AS BIGINT) AS chunk_tokens,
+                   array_to_string(toks[s + 1 : least(s + 64, n)], ' ')
+                       AS chunk_text
+            FROM st
+        """,
+        "shard_assign": f"""
+            WITH d AS (
+                SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 AS UBIGINT) % 64 AS BIGINT) AS shard,
+                       doc_id,
+                       CAST(len(regexp_extract_all(text, '{_TOKEN_RE}'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_doc_id
+            FROM d GROUP BY shard
+        """,
+        "event_funnel": """
+            WITH f AS (
+                SELECT user_id, min(epoch_us(ts)) AS first_view_us
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), p AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+                FROM events e JOIN f ON e.user_id = f.user_id
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) >= f.first_view_us
+                GROUP BY e.user_id
+            )
+            SELECT f.user_id, f.first_view_us, p.first_purchase_us,
+                   p.first_purchase_us - f.first_view_us AS delay_us
+            FROM f JOIN p ON f.user_id = p.user_id
+        """,
         "token_count": f"""
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,

@@ -893,3 +893,77 @@ def run_value_percent_rank(sf_dir: str):
 
     return ds.map_batches(_assign, batch_format="pyarrow",
                           batch_size=16384)
+
+
+# --------------------------------------------------------------------------
+# conversion funnel (A-then-B per user)
+# --------------------------------------------------------------------------
+
+FUNNEL_FIRST = "view"
+FUNNEL_THEN = "purchase"
+
+
+def run_event_funnel(sf_dir: str, first: str = FUNNEL_FIRST,
+                     then: str = FUNNEL_THEN,
+                     users_per_group: int | None = None):
+    """Per-user conversion funnel: for every user whose first ``first``
+    event is followed (at or after it) by a ``then`` event, emit
+    (user_id, first_view_us, first_purchase_us, delay_us).  The classic
+    product-analytics two-step funnel, expressed as the same hash-
+    partition-on-user shape as sessionization: the filter to the two
+    event types happens BEFORE the shuffle (the only rows that move are
+    funnel-relevant), users are coarsened into data-scaled buckets, and
+    the per-bucket kernel is one vectorized lexsort + reduceat-style
+    pass — no per-user Python."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([first, then]))
+        b = batch.filter(keep)
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(b["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": b["user_id"],
+            "is_then": pc.equal(b["event_type"], then),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+        })
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "first_view_us": pd.Series([], dtype="int64"),
+            "first_purchase_us": pd.Series([], dtype="int64"),
+            "delay_us": pd.Series([], dtype="int64"),
+        })
+        firsts = (g.loc[~g["is_then"]]
+                  .groupby("user_id", sort=False)["ts_us"].min()
+                  .reset_index(name="first_view_us")
+                  .sort_values("first_view_us", kind="mergesort"))
+        thens = (g.loc[g["is_then"], ["user_id", "ts_us"]]
+                 .rename(columns={"ts_us": "first_purchase_us"})
+                 .sort_values("first_purchase_us", kind="mergesort"))
+        if not len(firsts) or not len(thens):
+            return empty
+        # earliest then-event at/after the user's first view — a
+        # forward as-of join, vectorized end-to-end in pandas C
+        m = pd.merge_asof(firsts, thens, left_on="first_view_us",
+                          right_on="first_purchase_us", by="user_id",
+                          direction="forward")
+        m = m.dropna(subset=["first_purchase_us"])
+        fp = m["first_purchase_us"].to_numpy(dtype=np.int64)
+        fv = m["first_view_us"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "user_id": m["user_id"].to_numpy(dtype=np.int64),
+            "first_view_us": fv,
+            "first_purchase_us": fp,
+            "delay_us": fp - fv,
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow",
+                           batch_size=16384)
+    return keyed.groupby("ugroup").map_groups(_funnel,
+                                              batch_format="pandas")

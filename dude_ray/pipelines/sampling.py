@@ -301,3 +301,108 @@ def run_mix_interleave(sf_dir: str, base: int = INTERLEAVE_BASE):
 
     return docs.map_batches(assign, batch_format="pandas",
                             batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# sliding-window token chunking (context-window preparation)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def run_text_chunk(sf_dir: str, window: int = CHUNK_TOKENS,
+                   stride: int = CHUNK_STRIDE):
+    """Sliding-window token chunking of ``documents`` — the
+    context-window preparation step of an LLM pipeline (RAG indexing /
+    fixed-length pretraining examples with overlap).  Each doc's
+    TOKEN_RE tokens are cut into windows of ``window`` tokens starting
+    every ``stride`` tokens (overlap = window - stride); a doc emits
+    ceil(n/stride) chunks, so the stage is a pure flat-map: stateless,
+    shuffle-free, and each output chunk names its (doc_id, chunk_id)
+    so downstream dedup/embedding stages can cite provenance.
+
+    Scale shape: per-batch fan-out only — no shuffle, no driver state;
+    output size is bounded by window/stride × corpus tokens, and the
+    whole stage streams block-by-block.  Tokenization is one compiled
+    C regex per doc and each chunk is one str.join — no per-token
+    Python."""
+    import re
+
+    pat = re.compile(TOKEN_RE)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids_out, cids, starts, ntoks, texts = [], [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = pat.findall(text or "")
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, stride)):
+                w = toks[s:s + window]
+                ids_out.append(did)
+                cids.append(ci)
+                starts.append(s)
+                ntoks.append(len(w))
+                texts.append(" ".join(w))
+        return pa.table({
+            "doc_id": pa.array(ids_out, type=pa.int64()),
+            "chunk_id": pa.array(cids, type=pa.int64()),
+            "start_tok": pa.array(starts, type=pa.int64()),
+            "chunk_tokens": pa.array(ntoks, type=pa.int64()),
+            "chunk_text": pa.array(texts, type=pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow", batch_size=2048)
+
+
+# --------------------------------------------------------------------------
+# deterministic training-shard assignment
+# --------------------------------------------------------------------------
+
+N_SHARDS = 64
+
+
+def run_shard_assign(sf_dir: str, n_shards: int = N_SHARDS):
+    """Deterministic training-shard manifest: every doc is assigned to
+    shard md5(doc_id) % n_shards (the same content-independent md5
+    stream as sample_stratified, so the DuckDB oracle reproduces it
+    bit-for-bit), and the output is ONE ROW PER SHARD — doc count,
+    token sum, and the doc_id range — i.e. the shard manifest a
+    training loader reads to plan epochs.
+
+    Scale shape: the shard id is a stateless per-row hash; per-batch
+    partials collapse each block to ≤n_shards rows before the tiny
+    tree_combine merge, so the shuffle carries O(blocks × shards)
+    fixed-width rows regardless of corpus size.  Assignment is
+    resumable and cluster-size-independent by construction (pure
+    function of doc_id)."""
+    from dude_ray.pipelines.relational import tree_combine
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        shard = _hash_rank(ids) % n_shards
+        ntok = pc.cast(pc.count_substring_regex(batch["text"], TOKEN_RE),
+                       pa.int64())
+        t = pa.table({
+            "shard": pa.array(shard, type=pa.int64()),
+            "n_docs": pa.array(np.ones(len(ids), dtype=np.int64)),
+            "n_tokens": ntok,
+            "min_doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "max_doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        })
+        g = t.group_by(["shard"]).aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum"),
+             ("min_doc_id", "min"), ("max_doc_id", "max")])
+        return pa.table({
+            "shard": g["shard"], "n_docs": g["n_docs_sum"],
+            "n_tokens": g["n_tokens_sum"],
+            "min_doc_id": g["min_doc_id_min"],
+            "max_doc_id": g["max_doc_id_max"],
+        })
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192)
+    return tree_combine(partials, keys=("shard",),
+                        sums=("n_docs", "n_tokens"),
+                        mins=("min_doc_id",), maxs=("max_doc_id",))

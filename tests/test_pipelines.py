@@ -891,3 +891,39 @@ def test_substring_redact_removes_planted_paragraph(ray_session, tmp_path,
     assert rows[1]["n_redacted_chars"] >= len(para)
     assert 0 not in rows, "keeper must be untouched"
     assert 2 not in rows, "unrelated doc must be untouched"
+
+
+def test_event_funnel_local_oracle(ray_session):
+    """Funnel rows equal a local pandas recomputation (first 'view'
+    per user, earliest 'purchase' at/after it), and the coarse bucket
+    width is answer-invariant like every other user-keyed pipeline."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.relational import run_event_funnel
+
+    got = {r["user_id"]: (r["first_view_us"], r["first_purchase_us"],
+                          r["delay_us"])
+           for r in run_event_funnel(SF).take_all()}
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "event_type", "ts"]).to_pandas()
+    t["ts_us"] = t["ts"].astype("int64")
+    want = {}
+    for uid, g in t.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "ts_us"]
+        if not len(views):
+            continue
+        fv = int(views.min())
+        purch = g.loc[(g["event_type"] == "purchase")
+                      & (g["ts_us"] >= fv), "ts_us"]
+        if not len(purch):
+            continue
+        fp = int(purch.min())
+        want[int(uid)] = (fv, fp, fp - fv)
+    assert got == want
+    assert len(want) > 0
+
+    again = {r["user_id"]: (r["first_view_us"], r["first_purchase_us"],
+                            r["delay_us"])
+             for r in run_event_funnel(SF, users_per_group=8).take_all()}
+    assert again == got

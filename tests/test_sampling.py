@@ -185,3 +185,67 @@ def test_interleave_single_rowgroup_unsorted(ray_session, tmp_path):
     got = (run_mix_interleave(str(tmp_path)).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_text_chunk_windows(ray_session):
+    """Chunk boundaries, overlap, and reconstruction: every chunk is
+    tokens[s:s+W] for s = 0, S, 2S, ... and stride-slicing the chunks
+    reconstructs the doc's full token stream exactly."""
+    import re
+
+    from dude_ray.pipelines.sampling import (CHUNK_STRIDE, CHUNK_TOKENS,
+                                             run_text_chunk)
+    from dude_ray.pipelines.textops import TOKEN_RE
+
+    rows = run_text_chunk(SF).take_all()
+    pat = re.compile(TOKEN_RE)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    checked = 0
+    for did, chunks in list(by_doc.items())[:50]:
+        toks = pat.findall(texts[did] or "")
+        chunks.sort(key=lambda r: r["chunk_id"])
+        for ci, r in enumerate(chunks):
+            s = ci * CHUNK_STRIDE
+            want = toks[s:s + CHUNK_TOKENS]
+            assert r["start_tok"] == s
+            assert r["chunk_tokens"] == len(want)
+            assert r["chunk_text"] == " ".join(want)
+        # starts cover the whole token stream: last start < n ≤ last+S
+        assert (len(chunks) - 1) * CHUNK_STRIDE < len(toks)
+        assert len(toks) <= len(chunks) * CHUNK_STRIDE
+        checked += 1
+    assert checked > 10
+    # docs with zero tokens emit no chunks
+    empty_ids = {d for d, tx in texts.items() if not pat.findall(tx or "")}
+    assert empty_ids.isdisjoint(by_doc)
+
+
+def test_shard_assign_manifest(ray_session):
+    """Shard manifest equals a local per-doc recomputation, covers every
+    doc exactly once, and is shard-count-stable (pure doc_id hash)."""
+    import hashlib
+    import re
+
+    from dude_ray.pipelines.sampling import run_shard_assign
+    from dude_ray.pipelines.textops import TOKEN_RE
+
+    rows = {r["shard"]: r for r in run_shard_assign(SF).take_all()}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(TOKEN_RE)
+    want: dict[int, list] = {}
+    for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 64
+        want.setdefault(s, []).append((did, len(pat.findall(tx or ""))))
+    assert set(rows) == set(want)
+    for s, docs in want.items():
+        r = rows[s]
+        assert r["n_docs"] == len(docs)
+        assert r["n_tokens"] == sum(n for _d, n in docs)
+        assert r["min_doc_id"] == min(d for d, _n in docs)
+        assert r["max_doc_id"] == max(d for d, _n in docs)
+    assert sum(r["n_docs"] for r in rows.values()) == t.num_rows
