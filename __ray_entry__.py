@@ -118,10 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Slots 1-20
     are the operators that had never appeared in a CORRECTNESS file
-    through round 3; slots 21-23 are the round-4 additions
-    (text_chunk, shard_assign, event_funnel); slots 24-50 are
-    SQL-hash-matchable entries.  The
-    rotation tail (51+) — nine simple hash-matched ops plus the
+    through round 3; slots 21-25 are the round-4 additions
+    (text_chunk, shard_assign, event_funnel, retention_cohorts,
+    quantize_embeddings); slots 26-50 are SQL-hash-matchable entries.
+    The rotation tail (51+) — eleven simple hash-matched ops plus the
     rows-only crawl/media/approximate entries — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
     entries) and by pytest."""
@@ -150,11 +150,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _q_value_percent_rank,
         "pagerank": _q_pagerank,
         "graph_pagerank": _q_graph_pagerank,
-        # -- slots 21-23: NEW in round 4 (never driver-verified) --------
+        # -- slots 21-25: NEW in round 4 (never driver-verified) --------
         "text_chunk": sampling.run_text_chunk,
         "shard_assign": sampling.run_shard_assign,
         "event_funnel": relational.run_event_funnel,
-        # -- slots 24-50: previously hash-matched SQL entries ----------
+        "retention_cohorts": relational.run_retention_cohorts,
+        "quantize_embeddings": _q_quantize_embeddings,
+        # -- slots 26-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -260,6 +262,12 @@ def _q_embedding_pca(sf_dir: str):
     from dude_ray.pipelines.clustering import run_embedding_pca
 
     return run_embedding_pca(sf_dir)
+
+
+def _q_quantize_embeddings(sf_dir: str):
+    from dude_ray.pipelines.clustering import run_quantize_embeddings
+
+    return run_quantize_embeddings(sf_dir)
 
 
 def _q_label_centroids(sf_dir: str):
@@ -543,6 +551,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS min_doc_id,
                    CAST(max(doc_id) AS BIGINT) AS max_doc_id
             FROM d GROUP BY shard
+        """,
+        "retention_cohorts": """
+            WITH w AS (
+                SELECT user_id, epoch_us(ts) // 604800000000 AS week
+                FROM events
+            ), c AS (
+                SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id
+            ), a AS (
+                SELECT DISTINCT w.user_id, c.cohort,
+                       w.week - c.cohort AS week_offset
+                FROM w JOIN c USING (user_id)
+            )
+            SELECT CAST(cohort * 604800000000 AS BIGINT) AS cohort_week_us,
+                   CAST(week_offset AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort, week_offset
+        """,
+        "quantize_embeddings": """
+            WITH rows0 AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), x AS (
+                SELECT vec_id, unnest(e) AS v,
+                       unnest(generate_series(1, len(e))) AS dim
+                FROM rows0
+            ), r AS (
+                SELECT dim, min(v) AS mn, max(v) AS mx
+                FROM x GROUP BY dim
+            )
+            SELECT x.vec_id, x.dim,
+                   CAST(CASE WHEN r.mx = r.mn THEN 0
+                        ELSE floor((x.v - r.mn) * (255.0 / (r.mx - r.mn))
+                                   + 0.5) END AS BIGINT) AS code
+            FROM x JOIN r USING (dim)
         """,
         "event_funnel": """
             WITH f AS (

@@ -503,3 +503,75 @@ LABEL_CENTROIDS_ORACLE_SQL = """
            round(avg(v), 9) AS c, count(*) AS n
     FROM x GROUP BY label, i
 """
+
+
+# --------------------------------------------------------------------------
+# scalar int8 quantization (two-pass: global per-dim range, then codes)
+# --------------------------------------------------------------------------
+
+QUANT_LEVELS = 255
+
+
+def run_quantize_embeddings(sf_dir: str, batch_size: int = 4096,
+                            concurrency: int = 4):
+    """Scalar quantization of the embedding column to 8-bit codes — the
+    storage/bandwidth-reduction step in front of an ANN index (a 4×
+    shrink before IVF/PQ; codes are what a 100 TB vector store actually
+    ships between nodes).  Two streaming passes:
+
+      1. global per-dimension (min, max) from fixed-size per-block
+         partials (2·d doubles per block — same shape as the PCA
+         moment pass);
+      2. broadcast the d-vector range, emit
+         code = floor((v - min) · (255 / (max - min)) + 0.5)
+         per element — explicit floor(x+0.5) so the engine and the
+         DuckDB oracle round identically (np.round is half-even,
+         SQL round is half-away).
+
+    Output is unnested (vec_id, dim, code), 1-based dims, matching the
+    embedding_cov oracle convention; constant dimensions (max == min)
+    code to 0."""
+    import ray
+
+    ds = _emb(sf_dir)
+
+    def _range_partial(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        d = emb.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1), type=pa.int64()),
+            "mn": pa.array(emb.min(axis=0), type=pa.float64()),
+            "mx": pa.array(emb.max(axis=0), type=pa.float64()),
+        })
+
+    from dude_ray.pipelines.relational import tree_combine
+
+    partials = ds.map_batches(_range_partial, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency)
+    rng = tree_combine(partials, keys=("dim",), mins=("mn",),
+                       maxs=("mx",)).to_pandas().sort_values("dim")
+    mn = rng["mn"].to_numpy(dtype=np.float64)
+    mx = rng["mx"].to_numpy(dtype=np.float64)
+    span = mx - mn
+    scale = np.where(span > 0, QUANT_LEVELS / np.where(span > 0, span, 1.0),
+                     0.0)
+    mn_ref = ray.put(mn)
+    scale_ref = ray.put(scale)
+
+    def _codes(batch: pa.Table) -> pa.Table:
+        lo = ray.get(mn_ref)
+        sc = ray.get(scale_ref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        code = np.floor((emb - lo) * sc + 0.5).astype(np.int64)
+        d = emb.shape[1]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vids, d), type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(vids)), type=pa.int64()),
+            "code": pa.array(code.ravel(), type=pa.int64()),
+        })
+
+    return ds.map_batches(_codes, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -967,3 +967,60 @@ def run_event_funnel(sf_dir: str, first: str = FUNNEL_FIRST,
                            batch_size=16384)
     return keyed.groupby("ugroup").map_groups(_funnel,
                                               batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# weekly cohort retention
+# --------------------------------------------------------------------------
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def run_retention_cohorts(sf_dir: str, users_per_group: int | None = None):
+    """Weekly cohort retention matrix: users are cohorted by the week
+    of their FIRST event; for each (cohort_week, week_offset) the
+    output counts the distinct cohort users active that many weeks
+    later — the classic product-analytics retention triangle.
+
+    Scale shape: one hash partition on user_id (the same data-scaled
+    ugroup buckets as sessionization — a user's history lands whole in
+    one bucket, so cohort assignment and the per-user distinct-week
+    set never cross buckets); each bucket emits pre-counted
+    (cohort, offset, n) partials — at most O(weeks²) rows per bucket
+    regardless of event volume — and the tiny tree_combine sums them."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "week": pc.divide(us, WEEK_US),
+        })
+
+    def _cohort(g: pd.DataFrame) -> pd.DataFrame:
+        uw = g[["user_id", "week"]].drop_duplicates()
+        cohort = uw.groupby("user_id", sort=False)["week"].transform("min")
+        off = uw["week"].to_numpy(dtype=np.int64) - \
+            cohort.to_numpy(dtype=np.int64)
+        out = (pd.DataFrame({"cohort": cohort.to_numpy(dtype=np.int64),
+                             "off": off})
+               .groupby(["cohort", "off"], sort=False).size()
+               .reset_index(name="n_users"))
+        return pd.DataFrame({
+            "cohort_week_us": out["cohort"].to_numpy(dtype=np.int64)
+            * WEEK_US,
+            "week_offset": out["off"].to_numpy(dtype=np.int64),
+            "n_users": out["n_users"].to_numpy(dtype=np.int64),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow",
+                           batch_size=16384)
+    partials = keyed.groupby("ugroup").map_groups(_cohort,
+                                                  batch_format="pandas")
+    return tree_combine(partials, keys=("cohort_week_us", "week_offset"),
+                        sums=("n_users",))

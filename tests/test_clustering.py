@@ -125,3 +125,32 @@ def test_embedding_pca_batch_size_invariant(ray_session):
          .sort_values(["vec_id", "i"]).reset_index(drop=True))
     assert np.allclose(a["proj"].to_numpy(), b["proj"].to_numpy(),
                        atol=1e-9)
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    """int8 codes reconstruct each value to within half a quantization
+    step of the per-dim range, codes span [0, 255], and the manifest
+    equals a local numpy recomputation exactly."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.clustering import run_quantize_embeddings
+
+    out = run_quantize_embeddings(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mn, mx = emb.min(axis=0), emb.max(axis=0)
+    span = mx - mn
+    scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
+    want = np.floor((emb - mn) * scale + 0.5).astype(np.int64)
+
+    assert len(out) == emb.size
+    assert out["code"].between(0, 255).all()
+    piv = (out.pivot(index="vec_id", columns="dim", values="code")
+           .loc[vids].to_numpy())
+    assert (piv == want).all()
+    # reconstruction error ≤ half a step of the dim's range
+    recon = mn + piv / np.where(scale > 0, scale, 1.0)
+    step = np.where(span > 0, span / 255.0, 0.0)
+    assert (np.abs(recon - emb) <= step / 2 + 1e-12).all()

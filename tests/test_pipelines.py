@@ -927,3 +927,30 @@ def test_event_funnel_local_oracle(ray_session):
                             r["delay_us"])
              for r in run_event_funnel(SF, users_per_group=8).take_all()}
     assert again == got
+
+
+def test_retention_cohorts_local_oracle(ray_session):
+    """Retention triangle equals a local pandas recomputation and is
+    bucket-width-invariant."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.relational import WEEK_US, run_retention_cohorts
+
+    got = {(r["cohort_week_us"], r["week_offset"]): r["n_users"]
+           for r in run_retention_cohorts(SF).take_all()}
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    t["week"] = t["ts"].astype("int64") // WEEK_US
+    uw = t[["user_id", "week"]].drop_duplicates()
+    cohort = uw.groupby("user_id")["week"].transform("min")
+    key = pd.DataFrame({"c": cohort, "o": uw["week"] - cohort})
+    want = {(int(c) * WEEK_US, int(o)): int(n)
+            for (c, o), n in key.groupby(["c", "o"]).size().items()}
+    assert got == want
+    assert sum(got.values()) >= t["user_id"].nunique()
+
+    again = {(r["cohort_week_us"], r["week_offset"]): r["n_users"]
+             for r in run_retention_cohorts(SF, users_per_group=8).take_all()}
+    assert again == got
