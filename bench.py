@@ -272,6 +272,18 @@ def run_bench() -> dict:
     dedup.run_substring_redact(SF_DIR).count()
     timings["substring_redact"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    sampling.run_text_chunk(SF_DIR).count()
+    timings["text_chunk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    clustering.run_quantize_embeddings(SF_DIR).count()
+    timings["quantize_embeddings"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_event_funnel(SF_DIR).count()
+    timings["event_funnel"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
