@@ -118,10 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Slots 1-20
     are the operators that had never appeared in a CORRECTNESS file
-    through round 3; slots 21-25 are the round-4 additions
+    through round 3; slots 21-27 are the round-4 additions
     (text_chunk, shard_assign, event_funnel, retention_cohorts,
-    quantize_embeddings); slots 26-50 are SQL-hash-matchable entries.
-    The rotation tail (51+) — eleven simple hash-matched ops plus the
+    quantize_embeddings, bpe_pair_counts, char_entropy); slots 28-50
+    are SQL-hash-matchable entries.  The rotation tail (51+) —
+    thirteen simple hash-matched ops plus the
     rows-only crawl/media/approximate entries — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
     entries) and by pytest."""
@@ -156,7 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": relational.run_event_funnel,
         "retention_cohorts": relational.run_retention_cohorts,
         "quantize_embeddings": _q_quantize_embeddings,
-        # -- slots 26-50: previously hash-matched SQL entries ----------
+        "bpe_pair_counts": textops.run_bpe_pair_counts,
+        "char_entropy": textops.run_char_entropy,
+        # -- slots 28-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -551,6 +554,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS min_doc_id,
                    CAST(max(doc_id) AS BIGINT) AS max_doc_id
             FROM d GROUP BY shard
+        """,
+        "bpe_pair_counts": """
+            WITH w AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                           AS word
+                FROM documents
+            ), e AS (
+                SELECT word,
+                       unnest(generate_series(1, length(word) - 1)) AS i
+                FROM w
+            )
+            SELECT substr(word, i, 1) AS left_ch,
+                   substr(word, i + 1, 1) AS right_ch,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY left_ch, right_ch
+        """,
+        "char_entropy": """
+            WITH idx AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents
+            ), cc AS (
+                SELECT doc_id, substr(text, i, 1) AS ch,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM idx GROUP BY doc_id, ch
+            ), agg AS (
+                SELECT doc_id, sum(c) AS n,
+                       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                       sum(c * log2(c)) AS s
+                FROM cc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_distinct_chars, 0) AS n_distinct_chars,
+                   coalesce(round(log2(a.n) - a.s / a.n, 6), 0.0)
+                       AS char_entropy
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "retention_cohorts": """
             WITH w AS (

@@ -445,3 +445,90 @@ def run_corpus_prep(sf_dir: str, min_tokens: int = 30,
                                     batch_size=8192)
     return tree_combine(partials, ["pred_lang"],
                         sums=("kept_docs", "total_tokens")).sort("pred_lang")
+
+
+# --------------------------------------------------------------------------
+# BPE pair counting (tokenizer-training step 1)
+# --------------------------------------------------------------------------
+
+def run_bpe_pair_counts(sf_dir: str, batch_size: int = 4096):
+    """Corpus-wide adjacent-character-pair counts over lowercased
+    TOKEN_RE words — the inner statistic of a BPE tokenizer-training
+    merge round (the highest-count pair is the next merge).  One
+    streaming pass: each batch collapses to ≤ 37² fixed-width partial
+    rows (the token alphabet is [a-z0-9_]), so the merge is the tiny
+    tree_combine — corpus size only changes the count magnitudes,
+    never the shuffle volume.
+
+    Vectorization: all of a batch's words join into one byte buffer
+    ('\\n'-separated — tokens are ASCII by construction), adjacent
+    pairs become one uint16 code array (hi<<8|lo), and np.bincount
+    counts every pair at memory bandwidth; no per-word Python."""
+    from dude_ray.pipelines.relational import tree_combine
+
+    pat = re.compile(TOKEN_RE)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        words = []
+        for t in batch["text"].to_pylist():
+            words.extend(pat.findall((t or "").lower()))
+        if not words:
+            return pa.table({"left_ch": pa.array([], type=pa.string()),
+                             "right_ch": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        buf = np.frombuffer("\n".join(words).encode("ascii"),
+                            dtype=np.uint8)
+        code = (buf[:-1].astype(np.uint32) << 8) | buf[1:]
+        sep = np.uint32(ord("\n"))
+        keep = (buf[:-1] != sep) & (buf[1:] != sep)
+        counts = np.bincount(code[keep], minlength=1 << 16)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "left_ch": pa.array([chr(c >> 8) for c in nz],
+                                type=pa.string()),
+            "right_ch": pa.array([chr(c & 0xFF) for c in nz],
+                                 type=pa.string()),
+            "n": pa.array(counts[nz], type=pa.int64()),
+        })
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        pairs, batch_format="pyarrow", batch_size=batch_size)
+    return tree_combine(partials, keys=("left_ch", "right_ch"),
+                        sums=("n",))
+
+
+# --------------------------------------------------------------------------
+# character-entropy quality signal
+# --------------------------------------------------------------------------
+
+def run_char_entropy(sf_dir: str, batch_size: int = 4096):
+    """Per-document Shannon entropy of the character distribution plus
+    the distinct-character count — the cheap compression-ratio-style
+    quality signal (machine-generated/repetitive text scores low,
+    natural text high).  Stateless streaming map; entropy is computed
+    as log2(N) - Σ c·log2(c) / N over per-char counts and rounded to
+    6 dp (the cross-engine float summation-order contract used by the
+    other rounded oracles)."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_e = np.zeros(len(ids), dtype=np.float64)
+        out_d = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            if not t:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            _u, c = np.unique(cp, return_counts=True)
+            n = float(len(cp))
+            cf = c.astype(np.float64)
+            out_e[i] = np.log2(n) - float(np.dot(cf, np.log2(cf))) / n
+            out_d[i] = len(c)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_distinct_chars": pa.array(out_d, type=pa.int64()),
+            "char_entropy": pa.array(np.round(out_e, 6),
+                                     type=pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ent, batch_format="pyarrow", batch_size=batch_size)

@@ -954,3 +954,53 @@ def test_retention_cohorts_local_oracle(ray_session):
     again = {(r["cohort_week_us"], r["week_offset"]): r["n_users"]
              for r in run_retention_cohorts(SF, users_per_group=8).take_all()}
     assert again == got
+
+
+def test_bpe_pair_counts_local_oracle(ray_session):
+    """Pair counts equal a plain-Python Counter over the same word
+    stream, and the top pair is a plausible BPE first merge."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.textops import TOKEN_RE, run_bpe_pair_counts
+
+    got = {(r["left_ch"], r["right_ch"]): r["n"]
+           for r in run_bpe_pair_counts(SF).take_all()}
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    pat = re.compile(TOKEN_RE)
+    want: Counter = Counter()
+    for tx in t["text"].to_pylist():
+        for w in pat.findall((tx or "").lower()):
+            want.update(zip(w, w[1:]))
+    assert got == dict(want)
+    assert sum(got.values()) > 1000
+
+
+def test_char_entropy_local_oracle(ray_session):
+    """Entropy matches a numpy recomputation, is 0 for empty docs,
+    maximal for all-distinct strings, and bounded by log2(alphabet)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.textops import run_char_entropy
+
+    rows = {r["doc_id"]: r for r in run_char_entropy(SF).take_all()}
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    for did, tx in list(zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()))[:100]:
+        cp = np.frombuffer((tx or "").encode("utf-32-le"), dtype=np.uint32)
+        r = rows[did]
+        if not len(cp):
+            assert r["char_entropy"] == 0.0 and r["n_distinct_chars"] == 0
+            continue
+        _u, c = np.unique(cp, return_counts=True)
+        cf = c.astype(np.float64)
+        n = float(len(cp))
+        want = np.log2(n) - float(np.dot(cf, np.log2(cf))) / n
+        assert abs(r["char_entropy"] - want) < 1e-6
+        assert r["n_distinct_chars"] == len(c)
+        assert 0.0 <= r["char_entropy"] <= np.log2(len(c)) + 1e-9
