@@ -58,6 +58,12 @@ def _q_extract_spans(sf_dir: str):
     return _explode_spans(run_extract(sf_dir))
 
 
+def _q_anchor_texts(sf_dir: str):
+    from dude_ray.pipelines.flagship import run_anchor_texts
+
+    return run_anchor_texts(sf_dir)
+
+
 def _q_crawl_visits(sf_dir: str):
     import os
 
@@ -199,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pack": sampling.run_token_pack,
         # -- rows-only: crawl/extract engine (non-SQL; pytest oracles) -
         "extract_spans": _q_extract_spans,
+        "anchor_texts": _q_anchor_texts,
         "crawl_visits": _q_crawl_visits,
         "crawl_host_counts": _q_crawl_host_counts,
         "media_decode": _q_media_decode,

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pyarrow as pa
+
 from ..rule import Rule, Selector
 
 
@@ -115,3 +117,86 @@ def export_spans(sf_dir: str, dest: str, **extract_kwargs) -> str:
     from dude_ray.io import write_interleaved
 
     return write_interleaved(run_extract(sf_dir, **extract_kwargs), dest)
+
+
+def run_anchor_texts(sf_dir: str, target_rows_per_group: int = 65536,
+                     **extract_kwargs):
+    """Incoming-anchor-text aggregation — the classic web-graph signal
+    (anchor text describes the TARGET page better than its own body;
+    search/quality pipelines aggregate it per target URL).  Built on
+    the span corpus: link spans (kind='link') resolve media_ref
+    against the source page with the same RFC 3986 LinkCanonicalizer
+    the crawl uses, then one data-scaled hash-grouped reduce on the
+    target URL produces per-target (n_incoming, n_distinct_anchors,
+    top_anchor) — top anchor by count, lexicographic tie-break.
+
+    Scale shape: extract is the existing stateless actor-pool stage;
+    the explode emits pre-counted (target, anchor, n) partials per
+    batch, so the single shuffle carries one row per (target, anchor)
+    per batch — bounded by distinct anchor phrasings, not by link
+    volume.  Non-SQL-expressible end-to-end (the spans come from the
+    HTML parse), so correctness is pytest: a serial recompute over the
+    same extractor output (see tests/test_pipelines.py)."""
+    import pandas as pd
+
+    from ..canonical import LinkCanonicalizer
+    from ..partitioning import hash_grouped_reduce
+
+    spans = run_extract(sf_dir, **extract_kwargs)
+
+    def explode_links(batch: pa.Table) -> pa.Table:
+        tg, an, ct = [], [], []
+        for did, sp in zip(batch["doc_id"].to_pylist(),
+                           batch["spans"].to_pylist()):
+            canon = LinkCanonicalizer(did)
+            local: dict[tuple[str, str], int] = {}
+            for s in sp:
+                if s["kind"] != "link" or not s["media_ref"]:
+                    continue
+                k = (canon(s["media_ref"]), s["text"] or "")
+                local[k] = local.get(k, 0) + 1
+            for (t, a), n in local.items():
+                tg.append(t)
+                an.append(a)
+                ct.append(n)
+        return pa.table({
+            "target": pa.array(tg, type=pa.string()),
+            "anchor": pa.array(an, type=pa.string()),
+            "n": pa.array(ct, type=pa.int64()),
+        })
+
+    pairs = spans.map_batches(explode_links, batch_format="pyarrow",
+                              batch_size=512)
+    from ..partitioning import parquet_row_groups
+    from ..sources.corpus import ensure_corpus
+
+    corpus_dir = ensure_corpus(sf_dir)
+    n_pages = sum(n for _f, _rg, n in parquet_row_groups(corpus_dir))
+
+    def reduce_targets(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["target", "anchor"], sort=False)["n"].sum()
+             .reset_index())
+        # top anchor per target: max count, then lexicographically
+        # smallest anchor — one vectorized sort + head
+        g = g.sort_values(["target", "n", "anchor"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        tot = g.groupby("target", sort=False)["n"].sum()
+        dis = g.groupby("target", sort=False)["anchor"].size()
+        top = g.drop_duplicates("target").set_index("target")
+        out = pd.DataFrame({
+            "target": top.index,
+            "n_incoming": tot.loc[top.index].to_numpy(dtype="int64"),
+            "n_distinct_anchors": dis.loc[top.index].to_numpy(
+                dtype="int64"),
+            "top_anchor": top["anchor"].to_numpy(),
+        })
+        return out.reset_index(drop=True)
+
+    # key cardinality ≈ pages (every target is a page); ~8 nav/content
+    # links per page in the corpus profile sizes the pre-reduce stream
+    return hash_grouped_reduce(
+        pairs, "target", reduce_targets, n_rows=max(n_pages, 1) * 8,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("target", "n_incoming", "n_distinct_anchors",
+                  "top_anchor"))

@@ -1004,3 +1004,38 @@ def test_char_entropy_local_oracle(ray_session):
         assert abs(r["char_entropy"] - want) < 1e-6
         assert r["n_distinct_chars"] == len(c)
         assert 0.0 <= r["char_entropy"] <= np.log2(len(c)) + 1e-9
+
+
+def test_anchor_texts_local_oracle(ray_session):
+    """Anchor aggregation equals a serial recompute over the SAME
+    extractor output (target resolution, counts, distinct anchors,
+    top-anchor tie-break), and is group-width-invariant."""
+    from collections import Counter
+
+    from dude_ray.canonical import LinkCanonicalizer
+    from dude_ray.pipelines.flagship import run_anchor_texts, run_extract
+
+    got = {r["target"]: (r["n_incoming"], r["n_distinct_anchors"],
+                         r["top_anchor"])
+           for r in run_anchor_texts(SF).take_all()}
+
+    counts: dict = {}
+    for row in run_extract(SF).take_all():
+        canon = LinkCanonicalizer(row["doc_id"])
+        for s in row["spans"]:
+            if s["kind"] != "link" or not s["media_ref"]:
+                continue
+            t = canon(s["media_ref"])
+            counts.setdefault(t, Counter())[s["text"] or ""] += 1
+    want = {}
+    for t, c in counts.items():
+        top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[t] = (sum(c.values()), len(c), top)
+    assert got == want
+    assert len(want) > 50
+
+    again = {r["target"]: (r["n_incoming"], r["n_distinct_anchors"],
+                           r["top_anchor"])
+             for r in run_anchor_texts(
+                 SF, target_rows_per_group=64).take_all()}
+    assert again == got
