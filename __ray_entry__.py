@@ -124,11 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Slots 1-20
     are the operators that had never appeared in a CORRECTNESS file
-    through round 3; slots 21-27 are the round-4 additions
+    through round 3; slots 21-28 are the round-4 additions
     (text_chunk, shard_assign, event_funnel, retention_cohorts,
-    quantize_embeddings, bpe_pair_counts, char_entropy); slots 28-50
-    are SQL-hash-matchable entries.  The rotation tail (51+) —
-    thirteen simple hash-matched ops plus the
+    quantize_embeddings, bpe_pair_counts, char_entropy,
+    priority_sample); slots 29-50 are SQL-hash-matchable entries.
+    The rotation tail (51+) — fourteen simple hash-matched ops plus
+    the
     rows-only crawl/media/approximate entries — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
     entries) and by pytest."""
@@ -165,7 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "bpe_pair_counts": textops.run_bpe_pair_counts,
         "char_entropy": textops.run_char_entropy,
-        # -- slots 28-50: previously hash-matched SQL entries ----------
+        "priority_sample": sampling.run_priority_sample,
+        # -- slots 29-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -561,6 +563,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS min_doc_id,
                    CAST(max(doc_id) AS BIGINT) AS max_doc_id
             FROM d GROUP BY shard
+        """,
+        "priority_sample": """
+            WITH pr AS (
+                SELECT doc_id, n_chars,
+                       CAST(n_chars AS DOUBLE) /
+                       ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8) AS UBIGINT) % 1048576
+                         + 1) / 1048576.0) AS priority
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   CAST(row_number() OVER (
+                       ORDER BY priority DESC, doc_id ASC) AS BIGINT)
+                       AS rank
+            FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 100
         """,
         "bpe_pair_counts": """
             WITH w AS (

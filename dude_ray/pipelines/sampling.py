@@ -406,3 +406,48 @@ def run_shard_assign(sf_dir: str, n_shards: int = N_SHARDS):
     return tree_combine(partials, keys=("shard",),
                         sums=("n_docs", "n_tokens"),
                         mins=("min_doc_id",), maxs=("max_doc_id",))
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (priority sampling)
+# --------------------------------------------------------------------------
+
+PRIORITY_K = 100
+
+
+def run_priority_sample(sf_dir: str, k: int = PRIORITY_K):
+    """Weighted sample of ``documents`` without replacement — priority
+    sampling per Duffield, Lund & Thorup (JACM 2007): each doc gets
+    priority w / u with u ~ Uniform(0,1] and the k highest priorities
+    win; inclusion probability is ∝ weight (here n_chars — longer docs
+    are likelier picks, the standard size-weighted corpus subsample).
+
+    Determinism contract: u = (md5-bucket + 1) / 2^20 reuses the
+    sample_stratified hash stream, and the priority is ONE IEEE double
+    division — correctly rounded, hence bit-identical in numpy and
+    DuckDB (no ln/pow whose libm rounding could differ).  Distributed
+    shape: per-batch local top-k (≤k rows leave each batch), one tiny
+    final combine — same two-level selection as sample_per_group."""
+
+    def local_k(df: pd.DataFrame) -> pd.DataFrame:
+        u = (_hash_rank(df["doc_id"]) % _HASH_BUCKETS + 1) / \
+            float(_HASH_BUCKETS)
+        pr = df["n_chars"].to_numpy(dtype=np.float64) / u
+        out = df.assign(priority=pr)
+        return out.sort_values(["priority", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    def final_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["priority", "doc_id"],
+                             ascending=[False, True])
+              .head(k).reset_index(drop=True))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "weight": df["n_chars"].astype("int64"),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+        })
+
+    partials = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        local_k, batch_format="pandas", batch_size=8192)
+    return partials.repartition(1).map_batches(
+        final_k, batch_format="pandas", batch_size=None)

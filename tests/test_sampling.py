@@ -249,3 +249,29 @@ def test_shard_assign_manifest(ray_session):
         assert r["min_doc_id"] == min(d for d, _n in docs)
         assert r["max_doc_id"] == max(d for d, _n in docs)
     assert sum(r["n_docs"] for r in rows.values()) == t.num_rows
+
+
+def test_priority_sample_properties(ray_session):
+    """Top-k by w/u equals a local recompute; the sample is
+    deterministic; and weight bias shows (mean sampled weight exceeds
+    the corpus mean — the point of size-weighted sampling)."""
+    import hashlib
+
+    from dude_ray.pipelines.sampling import _HASH_BUCKETS, run_priority_sample
+
+    rows = run_priority_sample(SF, k=50).take_all()
+    assert [r["rank"] for r in rows] == list(range(1, 51))
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    pr = {}
+    for did, w in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
+        u = (int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16)
+             % _HASH_BUCKETS + 1) / float(_HASH_BUCKETS)
+        pr[did] = float(w) / u
+    want = sorted(pr, key=lambda d: (-pr[d], d))[:50]
+    assert [r["doc_id"] for r in rows] == want
+
+    mean_sample = np.mean([r["weight"] for r in rows])
+    mean_corpus = np.mean(t["n_chars"].to_pylist())
+    assert mean_sample > mean_corpus
