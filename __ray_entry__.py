@@ -124,12 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Slots 1-20
     are the operators that had never appeared in a CORRECTNESS file
-    through round 3; slots 21-28 are the round-4 additions
+    through round 3; slots 21-29 are the round-4 additions
     (text_chunk, shard_assign, event_funnel, retention_cohorts,
     quantize_embeddings, bpe_pair_counts, char_entropy,
-    priority_sample); slots 29-50 are SQL-hash-matchable entries.
-    The rotation tail (51+) — fourteen simple hash-matched ops plus
-    the
+    priority_sample, chunk_dedup); slots 30-50 are SQL-hash-matchable
+    entries.  The rotation tail (51+) — fifteen simple hash-matched
+    ops plus the
     rows-only crawl/media/approximate entries — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
     entries) and by pytest."""
@@ -167,7 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": textops.run_bpe_pair_counts,
         "char_entropy": textops.run_char_entropy,
         "priority_sample": sampling.run_priority_sample,
-        # -- slots 29-50: previously hash-matched SQL entries ----------
+        "chunk_dedup": dedup.run_chunk_dedup,
+        # -- slots 30-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -563,6 +564,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS min_doc_id,
                    CAST(max(doc_id) AS BIGINT) AS max_doc_id
             FROM d GROUP BY shard
+        """,
+        "chunk_dedup": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                FROM tok WHERE len(toks) > 0
+            ), st AS (
+                SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s
+                FROM nz
+            ), ch AS (
+                SELECT doc_id * 4294967296 + (s // 48) AS packed,
+                       md5(array_to_string(
+                           toks[s + 1 : least(s + 64, n)], ' ')) AS h
+                FROM st
+            )
+            SELECT h,
+                   CAST(min(packed) // 4294967296 AS BIGINT)
+                       AS keeper_doc_id,
+                   CAST(min(packed) % 4294967296 AS BIGINT)
+                       AS keeper_chunk_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM ch GROUP BY h
         """,
         "priority_sample": """
             WITH pr AS (

@@ -1819,3 +1819,58 @@ def run_substring_redact(sf_dir: str, min_shared: int = 2,
 
     return joined.map_batches(apply_redaction, batch_format="pyarrow",
                               batch_size=2048)
+
+
+# --------------------------------------------------------------------------
+# chunk-level exact dedup (C4-style paragraph dedup over token windows)
+# --------------------------------------------------------------------------
+
+def run_chunk_dedup(sf_dir: str, target_rows_per_group: int = 65536):
+    """Exact dedup at CHUNK granularity — the C4/line-level flavor of
+    exact dedup (whole-doc md5 misses boilerplate shared across
+    otherwise-distinct pages; chunk-level catches it).  Composes
+    :func:`sampling.run_text_chunk`'s sliding windows with the same
+    data-scaled hash-grouped reduce as :func:`run_exact_dedup`:
+    keeper = lexicographically smallest (doc_id, chunk_id) per chunk
+    md5, packed as doc_id·2³² + chunk_id so the arg-min is one
+    vectorized int64 min (chunk ordinals are < 2³² by construction —
+    a doc would need 2⁵² tokens to overflow).  Only (h, packed) rows
+    shuffle; chunk text never leaves its batch."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+    from dude_ray.pipelines.sampling import CHUNK_STRIDE, run_text_chunk
+
+    chunks = run_text_chunk(sf_dir)
+
+    def h_batch(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch["chunk_text"].to_pylist()]
+        packed = (batch["doc_id"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64) << 32) | \
+            batch["chunk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "h": pa.array(hs, type=pa.string()),
+            "packed": pa.array(packed, type=pa.int64()),
+        })
+
+    hashed = chunks.map_batches(h_batch, batch_format="pyarrow",
+                                batch_size=4096)
+    n_docs = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/documents.parquet"))
+    # chunks per doc ≈ tokens/stride; the corpus profile averages well
+    # under 1k tokens/doc, so 1024/stride bounds the multiplier
+    n_chunks_est = max(n_docs, 1) * max(1024 // CHUNK_STRIDE, 1)
+
+    def _keepers(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("h", sort=False)["packed"]
+             .agg(["min", "size"]).reset_index())
+        mn = g["min"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "h": g["h"],
+            "keeper_doc_id": mn >> 32,
+            "keeper_chunk_id": mn & 0xFFFFFFFF,
+            "dup_count": g["size"].to_numpy(dtype=np.int64),
+        })
+
+    return hash_grouped_reduce(
+        hashed, "h", _keepers, n_chunks_est, target_rows_per_group,
+        out_cols=("h", "keeper_doc_id", "keeper_chunk_id", "dup_count"))

@@ -1039,3 +1039,57 @@ def test_anchor_texts_local_oracle(ray_session):
              for r in run_anchor_texts(
                  SF, target_rows_per_group=64).take_all()}
     assert again == got
+
+
+def test_chunk_dedup_planted_and_local(ray_session, tmp_path):
+    """A doc that embeds another doc's full first window produces a
+    shared chunk hash with the earlier (doc, chunk) as keeper; and the
+    whole manifest equals a serial recompute."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_chunk_dedup
+    from dude_ray.pipelines.sampling import CHUNK_STRIDE, CHUNK_TOKENS
+    from dude_ray.pipelines.textops import TOKEN_RE
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    texts = t["text"].to_pylist()
+    pat = re.compile(TOKEN_RE)
+    donor = next(tx for tx in texts if len(pat.findall(tx)) >= CHUNK_TOKENS)
+    window = " ".join(pat.findall(donor)[:CHUNK_TOKENS])
+    base = max(t["doc_id"].to_pylist()) + 1
+    planted = pa.table({
+        "doc_id": pa.array(list(t["doc_id"].to_pylist()) + [base],
+                           type=pa.int64()),
+        "text": pa.array(texts + [window], type=pa.string()),
+        "lang": pa.array(["en"] * (len(texts) + 1)),
+        "source": pa.array(["x"] * (len(texts) + 1)),
+        "n_chars": pa.array([len(s) for s in texts] + [len(window)],
+                            type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(planted, str(d / "documents.parquet"))
+
+    rows = {r["h"]: r for r in run_chunk_dedup(str(d)).take_all()}
+
+    # serial recompute
+    want: dict = {}
+    for did, tx in zip(planted["doc_id"].to_pylist(),
+                       planted["text"].to_pylist()):
+        toks = pat.findall(tx or "")
+        for ci, s in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+            h = hashlib.md5(
+                " ".join(toks[s:s + CHUNK_TOKENS]).encode()).hexdigest()
+            k, c = want.get(h, ((did, ci), 0))
+            want[h] = (min(k, (did, ci)), c + 1)
+    assert {h: ((r["keeper_doc_id"], r["keeper_chunk_id"]),
+                r["dup_count"]) for h, r in rows.items()} == want
+
+    hp = hashlib.md5(window.encode()).hexdigest()
+    donor_id = texts.index(donor)
+    assert rows[hp]["dup_count"] >= 2
+    assert rows[hp]["keeper_doc_id"] == t["doc_id"][donor_id].as_py()
+    assert rows[hp]["keeper_chunk_id"] == 0
