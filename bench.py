@@ -284,6 +284,10 @@ def run_bench() -> dict:
     relational.run_event_funnel(SF_DIR).count()
     timings["event_funnel"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    dedup.run_chunk_dedup(SF_DIR).count()
+    timings["chunk_dedup"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
