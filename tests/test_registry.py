@@ -1,0 +1,36 @@
+"""Registry invariants for the driver gate: every oracle has a query,
+the 50-slot gate window is maximally SQL-verified, and entries are
+callable with one sf_dir argument."""
+
+import inspect
+
+
+def _entry_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_registry_consistency():
+    m = _entry_module()
+    q = m.queries()
+    o = m.oracle_sql()
+    assert set(o) <= set(q), "oracle without a queries() entry"
+    assert len(q) >= 79
+    # the driver records only the first 50 entries: all of them must
+    # be SQL-oracled EXCEPT the documented rows-only crawl/extract ops
+    first50 = list(q)[:50]
+    rows_only_allowed = {"substring_redact"}
+    not_oracled = [k for k in first50 if k not in o]
+    assert set(not_oracled) <= rows_only_allowed, not_oracled
+    # every registered callable takes exactly one required positional
+    for k, fn in q.items():
+        params = [p for p in inspect.signature(fn).parameters.values()
+                  if p.default is inspect.Parameter.empty
+                  and p.kind in (p.POSITIONAL_ONLY,
+                                 p.POSITIONAL_OR_KEYWORD)]
+        assert len(params) == 1, (k, params)
