@@ -1093,3 +1093,11 @@ def test_chunk_dedup_planted_and_local(ray_session, tmp_path):
     assert rows[hp]["dup_count"] >= 2
     assert rows[hp]["keeper_doc_id"] == t["doc_id"][donor_id].as_py()
     assert rows[hp]["keeper_chunk_id"] == 0
+
+    # group width is a pure parallelism knob
+    narrow = {r["h"]: r for r in run_chunk_dedup(
+        str(d), target_rows_per_group=64).take_all()}
+    assert {h: (r["keeper_doc_id"], r["keeper_chunk_id"], r["dup_count"])
+            for h, r in narrow.items()} == \
+        {h: (r["keeper_doc_id"], r["keeper_chunk_id"], r["dup_count"])
+         for h, r in rows.items()}
