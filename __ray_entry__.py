@@ -158,7 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _q_value_percent_rank,
         "pagerank": _q_pagerank,
         "graph_pagerank": _q_graph_pagerank,
-        # -- slots 21-25: NEW in round 4 (never driver-verified) --------
+        # -- slots 21-29: NEW in round 4 (never driver-verified) --------
         "text_chunk": sampling.run_text_chunk,
         "shard_assign": sampling.run_shard_assign,
         "event_funnel": relational.run_event_funnel,
@@ -607,8 +607,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_pair_counts": """
             WITH w AS (
-                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
-                           AS word
+                SELECT lower(unnest(regexp_extract_all(
+                           text, '[A-Za-z0-9_]+'))) AS word
                 FROM documents
             ), e AS (
                 SELECT word,

@@ -168,9 +168,14 @@ def run_anchor_texts(sf_dir: str, target_rows_per_group: int = 65536,
     pairs = spans.map_batches(explode_links, batch_format="pyarrow",
                               batch_size=512)
     from ..partitioning import parquet_row_groups
-    from ..sources.corpus import ensure_corpus
+    from ..sources.corpus import DEFAULT_NUM_PARTS, ensure_corpus
 
-    corpus_dir = ensure_corpus(sf_dir)
+    # size the reduce from the SAME corpus variant run_extract reads
+    # (forwarded kwargs may select a scaled profile)
+    corpus_dir = ensure_corpus(
+        sf_dir, scale=extract_kwargs.get("corpus_scale", 1),
+        seed_every=extract_kwargs.get("seed_every", 2),
+        num_parts=extract_kwargs.get("num_parts") or DEFAULT_NUM_PARTS)
     n_pages = sum(n for _f, _rg, n in parquet_row_groups(corpus_dir))
 
     def reduce_targets(df: pd.DataFrame) -> pd.DataFrame:

@@ -469,9 +469,14 @@ def run_bpe_pair_counts(sf_dir: str, batch_size: int = 4096):
     pat = re.compile(TOKEN_RE)
 
     def pairs(batch: pa.Table) -> pa.Table:
+        # extract ASCII tokens FIRST, lowercase after: lower() on a
+        # pure-[A-Za-z0-9_] token is identical in Python and DuckDB,
+        # whereas lowering the whole text first diverges on Unicode
+        # special-casing codepoints (e.g. U+0130 → 'i̇' in Python
+        # but 'i' in DuckDB), which would shift token boundaries
         words = []
         for t in batch["text"].to_pylist():
-            words.extend(pat.findall((t or "").lower()))
+            words.extend(w.lower() for w in pat.findall(t or ""))
         if not words:
             return pa.table({"left_ch": pa.array([], type=pa.string()),
                              "right_ch": pa.array([], type=pa.string()),
@@ -526,7 +531,10 @@ def run_char_entropy(sf_dir: str, batch_size: int = 4096):
         return pa.table({
             "doc_id": pc.cast(batch["doc_id"], pa.int64()),
             "n_distinct_chars": pa.array(out_d, type=pa.int64()),
-            "char_entropy": pa.array(np.round(out_e, 6),
+            # Python round (correctly-rounded decimal, == DuckDB round)
+            # rather than np.round's scale-multiply, per _py_round's
+            # rationale — one small final column, not a hot loop
+            "char_entropy": pa.array([round(v, 6) for v in out_e],
                                      type=pa.float64()),
         })
 

@@ -973,7 +973,8 @@ def test_bpe_pair_counts_local_oracle(ray_session):
     pat = re.compile(TOKEN_RE)
     want: Counter = Counter()
     for tx in t["text"].to_pylist():
-        for w in pat.findall((tx or "").lower()):
+        for w in pat.findall(tx or ""):
+            w = w.lower()
             want.update(zip(w, w[1:]))
     assert got == dict(want)
     assert sum(got.values()) > 1000

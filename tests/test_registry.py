@@ -7,9 +7,11 @@ import inspect
 
 def _entry_module():
     import importlib.util
+    from pathlib import Path
 
     spec = importlib.util.spec_from_file_location(
-        "entry_mod", "/root/repo/__ray_entry__.py")
+        "entry_mod",
+        str(Path(__file__).resolve().parent.parent / "__ray_entry__.py"))
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     return m
