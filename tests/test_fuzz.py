@@ -145,3 +145,129 @@ def test_prefix_filter_recall_theorem(docs, heavy, threshold):
                 assert prefixes[i] & prefixes[j], (
                     f"recall violated: jac={jac} docs={docs[i]},{docs[j]} "
                     f"heavy={heavy} t={threshold}")
+
+
+# --------------------------------------------------------------------------
+# cross-engine oracle parity on arbitrary Unicode text
+# --------------------------------------------------------------------------
+
+_UNITEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Lo", "Nd", "Zs", "Po"),
+        whitelist_characters="_\n\tİßΣσés"),
+    min_size=0, max_size=400)
+
+
+@settings(deadline=None, max_examples=40)
+@given(text=_UNITEXT)
+def test_text_chunk_oracle_parity_fuzz(text):
+    """The engine's chunk kernel and the DuckDB oracle CTE must agree
+    on ARBITRARY Unicode input (the shipped corpora are ASCII, so this
+    is the only coverage of the special-casing space where Python and
+    DuckDB string semantics can diverge)."""
+    import re
+
+    import duckdb
+
+    from dude_ray.pipelines.sampling import CHUNK_STRIDE, CHUNK_TOKENS
+
+    pat = re.compile(r"[A-Za-z0-9_]+")
+    toks = pat.findall(text)
+    want = [(ci * CHUNK_STRIDE,
+             " ".join(toks[ci * CHUNK_STRIDE:ci * CHUNK_STRIDE
+                           + CHUNK_TOKENS]))
+            for ci in range((len(toks) + CHUNK_STRIDE - 1) // CHUNK_STRIDE)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT 0 AS doc_id, ? AS text", [text])
+    got = con.execute("""
+        WITH tok AS (
+            SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+            FROM d
+        ), nz AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+            FROM tok WHERE len(toks) > 0
+        ), st AS (
+            SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s FROM nz
+        )
+        SELECT CAST(s AS BIGINT),
+               array_to_string(toks[s + 1 : least(s + 64, n)], ' ')
+        FROM st ORDER BY 1
+    """).fetchall()
+    assert [(s, t) for s, t in got] == want
+
+
+@settings(deadline=None, max_examples=40)
+@given(text=_UNITEXT)
+def test_bpe_pairs_oracle_parity_fuzz(text):
+    """Extract-then-lower must agree between Python and DuckDB on
+    arbitrary Unicode (lower() applied to whole text would NOT — e.g.
+    U+0130 — which is why the kernel lowercases per ASCII token)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    pat = re.compile(r"[A-Za-z0-9_]+")
+    want: Counter = Counter()
+    for w in pat.findall(text):
+        w = w.lower()
+        want.update(zip(w, w[1:]))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT ? AS text", [text])
+    got = {(a, b): n for a, b, n in con.execute("""
+        WITH w AS (
+            SELECT lower(unnest(regexp_extract_all(
+                text, '[A-Za-z0-9_]+'))) AS word FROM d
+        ), e AS (
+            SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM w
+        )
+        SELECT substr(word, i, 1), substr(word, i + 1, 1), count(*)
+        FROM e GROUP BY 1, 2
+    """).fetchall()}
+    assert got == dict(want)
+
+
+@settings(deadline=None, max_examples=40)
+@given(text=_UNITEXT)
+def test_char_entropy_oracle_parity_fuzz(text):
+    """Per-doc character entropy at the 6-dp contract must agree
+    between the numpy kernel and the DuckDB formula on arbitrary
+    Unicode text."""
+    import duckdb
+    import numpy as np
+
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp):
+        _u, c = np.unique(cp, return_counts=True)
+        cf = c.astype(np.float64)
+        n = float(len(cp))
+        want = round(float(np.log2(n) - np.dot(cf, np.log2(cf)) / n), 6)
+        want_d = len(c)
+    else:
+        want, want_d = 0.0, 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT 0 AS doc_id, ? AS text", [text])
+    got = con.execute("""
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i FROM d
+        ), cc AS (
+            SELECT doc_id, substr(text, i, 1) AS ch,
+                   CAST(count(*) AS DOUBLE) AS c
+            FROM idx GROUP BY doc_id, ch
+        ), agg AS (
+            SELECT doc_id, sum(c) AS n,
+                   CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                   sum(c * log2(c)) AS s
+            FROM cc GROUP BY doc_id
+        )
+        SELECT coalesce(a.n_distinct_chars, 0),
+               coalesce(round(log2(a.n) - a.s / a.n, 6), 0.0)
+        FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """).fetchone()
+    assert got[0] == want_d
+    assert abs(got[1] - want) <= 1e-6
