@@ -114,11 +114,15 @@ def _avalanche(x: np.ndarray) -> np.ndarray:
 
 class Shingler:
     """Word-3-gram shingle hashing, vectorized: tokens hash once through
-    a per-actor memo (web vocabularies repeat heavily; sha1 only on
+    a per-actor memo (web vocabularies repeat heavily; md5 only on
     cache miss), then every 3-gram hash is one numpy expression over the
-    token-hash array — no per-shingle Python or sha1.  Hash values are
+    token-hash array — no per-shingle Python or md5.  Hash values are
     internal to the dedup pipelines (Jaccard over 64-bit hash sets
-    equals Jaccard over the string sets absent collisions)."""
+    equals Jaccard over the string sets absent collisions).  Token hash
+    = top 8 bytes of md5 — chosen over sha1 (like SimHasher) so the
+    DuckDB oracle (md5, no sha1) reproduces every gram hash, and hence
+    the minhash signatures and LSH band tuples, bit-for-bit
+    (:func:`minhash_oracle_sql`)."""
 
     def __init__(self, n: int = 3):
         self.n = n
@@ -130,7 +134,7 @@ class Shingler:
         for i, t in enumerate(toks):
             h = c.get(t)
             if h is None:
-                h = int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big")
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
                 if len(c) < 1_000_000:
                     c[t] = h
             out[i] = h
@@ -1513,6 +1517,128 @@ def substring_dup_oracle_sql(min_shared: int = 2) -> str:
         SELECT a, b, count(*) AS n_shared
         FROM pairs GROUP BY a, b
         HAVING count(*) >= {min_shared}
+    """
+
+
+def _sql_mulmod64(h: str, m: int) -> str:
+    """SQL expression for ``(h * m) mod 2^64`` over a UBIGINT expression
+    ``h`` and a 64-bit constant ``m`` — the 32-bit-split schoolbook
+    product keeps every HUGEINT intermediate < 2^65, so DuckDB's checked
+    arithmetic never overflows while reproducing numpy's uint64
+    wraparound multiply bit-for-bit."""
+    mhi, mlo = (m >> 32) & 0xFFFFFFFF, m & 0xFFFFFFFF
+    return (f"CAST(((CAST(({h}) & 4294967295 AS HUGEINT) * {mlo}) + "
+            f"((((CAST(({h}) >> 32 AS HUGEINT) * {mlo}) + "
+            f"(CAST(({h}) & 4294967295 AS HUGEINT) * {mhi})) % 4294967296) "
+            f"* 4294967296)) % 18446744073709551616 AS UBIGINT)")
+
+
+def _sql_addmod64(a: str, b: str) -> str:
+    return (f"CAST(((CAST(({a}) AS HUGEINT)) + (CAST(({b}) AS HUGEINT)))"
+            f" % 18446744073709551616 AS UBIGINT)")
+
+
+def minhash_oracle_sql(threshold: float | None = 0.8) -> str:
+    """DuckDB oracle for :func:`run_minhash_dedup` (and, with
+    ``threshold=None``, :func:`run_ngram_jaccard`) — the ENTIRE banded
+    minhash-LSH pipeline reproduced in SQL, bit-for-bit:
+
+    * Shingler's word-3-gram hash chain: md5-top-8 token hashes (hex
+      fold), the ``th0*M1 ^ th1*M2 ^ th2*M3`` wraparound combine (the
+      1-/2-token fold for short docs), and the murmur-fmix avalanche —
+      every uint64 wraparound multiply emulated via :func:`_sql_mulmod64`;
+    * MinHasher's 128 universal-hash permutations ``(a·x+b) mod 2^31-1``
+      (the (a, b) params from ``_perm_params(seed=42)`` inlined as a
+      VALUES list — products < 2^62 stay inside checked UBIGINT);
+    * LSH banding as 16 band TUPLE equalities (``list(s ORDER BY pi)``)
+      — tuple equality ⟺ the engine's avalanche band-key equality
+      except for ~2^-64 key collisions, which the jaccard filter removes;
+    * the verify stage's exact Jaccard over the DISTINCT gram-hash sets.
+
+    Docs with zero tokens are correctly absent: their engine signature
+    is the constant p = 2^31-1 in every slot, which no non-empty doc can
+    produce (signatures are < p), and empty-empty pairs have jaccard 0."""
+    a, b = _perm_params()
+    perms = ",".join(f"({i},{int(a[i])},{int(b[i])})"
+                     for i in range(NUM_PERM))
+    rows = NUM_PERM // BANDS
+    h16 = ("CAST(list_sum([CAST(strpos('0123456789abcdef', m[i]) - 1 AS UBIGINT)"
+           " * (CAST(1 AS UBIGINT) << CAST(4*(16 - i) AS INTEGER))"
+           " for i in generate_series(1, 16)]) AS UBIGINT)")
+    mm = _sql_mulmod64
+    xorsh = lambda x: f"xor(({x}), ({x}) >> 33)"  # noqa: E731
+    filt = (f"WHERE jaccard >= {threshold}" if threshold is not None else "")
+    return f"""
+        WITH perms(pi, pa, pb) AS (VALUES {perms}),
+        toks AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '') AS w
+          FROM documents
+        ), tokrows AS (
+          SELECT doc_id, unnest([{{'i': i, 't': w[i]}} for i in
+                                 generate_series(1, len(w))]) AS tr,
+                 len(w) AS nw
+          FROM toks
+        ), th AS (
+          SELECT doc_id, tr['i'] AS i,
+                 (SELECT {h16} FROM
+                  (SELECT string_split(substr(md5(tr['t']), 1, 16), '') AS m)) AS h,
+                 nw
+          FROM tokrows
+        ), raw3 AS (
+          SELECT a.doc_id,
+                 xor(xor({mm('a.h', int(_M1))}, {mm('b.h', int(_M2))}),
+                     {mm('c.h', int(_M3))}) AS x
+          FROM th a
+          JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+          WHERE a.nw >= 3
+        ), raw1 AS (
+          SELECT doc_id, {mm('h', int(_M3))} AS x FROM th WHERE nw = 1
+        ), fold2a AS (
+          SELECT a.doc_id, {mm(mm('a.h', int(_M3)), int(_M1))} AS xa,
+                 {mm('b.h', int(_M2))} AS xb
+          FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = 2
+          WHERE a.nw = 2 AND a.i = 1
+        ), raw2 AS (
+          SELECT doc_id, {_sql_addmod64('xa', 'xb')} AS x FROM fold2a
+        ), rawall AS (
+          SELECT * FROM raw3 UNION ALL SELECT * FROM raw1
+          UNION ALL SELECT * FROM raw2
+        ), av1 AS (
+          SELECT doc_id, {xorsh('x')} AS x1 FROM rawall
+        ), av2 AS (
+          SELECT doc_id, {mm('x1', int(_MIXC))} AS x2 FROM av1
+        ), gdist AS (
+          SELECT DISTINCT doc_id, {xorsh('x2')} AS g FROM av2
+        ), sigs AS (
+          SELECT doc_id, pi,
+                 min((pa * (g % 2147483647) + pb) % 2147483647) AS s
+          FROM gdist CROSS JOIN perms GROUP BY doc_id, pi
+        ), bands AS (
+          SELECT doc_id, pi // {rows} AS band, list(s ORDER BY pi) AS tup
+          FROM sigs GROUP BY doc_id, pi // {rows}
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON y.band = x.band AND y.tup = x.tup AND x.doc_id < y.doc_id
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM gdist GROUP BY doc_id
+        ), inter AS (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cand c JOIN gdist ga ON ga.doc_id = c.a
+          JOIN gdist gb ON gb.doc_id = c.b AND gb.g = ga.g
+          GROUP BY c.a, c.b
+        ), jac AS (
+          SELECT c.a, c.b,
+                 round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                       / (sa.n + sb.n - coalesce(i.i, 0)), 6) AS jaccard
+          FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+          JOIN sizes sa ON sa.doc_id = c.a
+          JOIN sizes sb ON sb.doc_id = c.b
+        )
+        SELECT a, b, jaccard FROM jac {filt}
     """
 
 
