@@ -127,8 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     through round 3; slots 21-29 are the round-4 additions
     (text_chunk, shard_assign, event_funnel, retention_cohorts,
     quantize_embeddings, bpe_pair_counts, char_entropy,
-    priority_sample, chunk_dedup); slots 30-50 are SQL-hash-matchable
-    entries.  The rotation tail (51+) — fifteen simple hash-matched
+    priority_sample, chunk_dedup); slots 30-31 are minhash_dedup /
+    ngram_jaccard, SQL-oracled for the first time in r4 (bit-exact
+    banded-LSH DuckDB oracle); slots 32-50 are SQL-hash-matchable
+    entries.  The rotation tail (51+) — hash-matched
     ops plus the
     rows-only crawl/media/approximate entries — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
@@ -168,7 +170,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": textops.run_char_entropy,
         "priority_sample": sampling.run_priority_sample,
         "chunk_dedup": dedup.run_chunk_dedup,
-        # -- slots 30-50: previously hash-matched SQL entries ----------
+        # -- slots 30-32: newly SQL-oracled in r4 (semdedup; bit-exact
+        # banded minhash-LSH DuckDB oracle) — never driver-verified ---
+        "semdedup": _q_semdedup,
+        "minhash_dedup": dedup.run_minhash_dedup,
+        "ngram_jaccard": dedup.run_ngram_jaccard,
+        # -- slots 33-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -196,10 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": relational.run_top_orders_per_segment,
         "streaming_window": _q_streaming_window,
         "asof_join": relational.run_asof_join,
+        # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "events_band_join": relational.run_events_band_join,
         "value_percentiles": relational.run_value_percentiles,
         "distinct_users": relational.run_distinct_users,
-        # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "text_normalize": cleaning.run_text_normalize,
         "lang_dist": _q_lang_dist,
         "events_stats": relational.run_events_stats,
@@ -216,8 +223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbs": _q_media_thumbs,
         "media_audio_chunks": _q_media_audio_chunks,
         # -- rows-only: approximate/banded ops (pytest accuracy oracles)
-        "minhash_dedup": dedup.run_minhash_dedup,
-        "ngram_jaccard": dedup.run_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh": similarity.run_ann_lsh,
         "ann_ivf": similarity.run_ann_ivf,
@@ -458,6 +463,15 @@ def _q_embedding_neardup(sf_dir: str):
     return dedup.run_embedding_neardup(sf_dir, threshold=0.35, n_bits=4)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup at the same 0.35 threshold the neardup entries use
+    (random synthetic embeddings — no near-identical pairs exist, so
+    this threshold exercises real pruning)."""
+    from dude_ray.pipelines.clustering import run_semdedup
+
+    return run_semdedup(sf_dir, threshold=0.35)
+
+
 def _q_embedding_neardup_exact(sf_dir: str):
     """Recall-1 blocked all-pairs cosine join (SQL-checkable — the LSH
     variant above is approximate, so only this one can hash-match a
@@ -505,8 +519,10 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
     from dude_ray.pipelines.textops import fingerprint_oracle_sql
     from dude_ray.pipelines.clustering import (kmeans_cluster_oracle_sql,
-                                               pca_oracle_sql)
-    from dude_ray.pipelines.dedup import (simhash_oracle_sql,
+                                               pca_oracle_sql,
+                                               semdedup_oracle_sql)
+    from dude_ray.pipelines.dedup import (minhash_oracle_sql,
+                                          simhash_oracle_sql,
                                           substring_dup_oracle_sql)
 
     from dude_ray.pipelines.clustering import (EMBEDDING_COV_ORACLE_SQL,
@@ -517,12 +533,15 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "simhash_dedup": simhash_oracle_sql(),
+        "minhash_dedup": minhash_oracle_sql(threshold=0.8),
+        "ngram_jaccard": minhash_oracle_sql(threshold=None),
         "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
         "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
+        "semdedup": semdedup_oracle_sql(threshold=0.35),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,

@@ -166,6 +166,74 @@ def run_kmeans_cluster(sf_dir: str, k: int = 8, iters: int = 5,
                                     concurrency=(1, concurrency))
 
 
+def run_semdedup(sf_dir: str, k: int = 8, iters: int = 5,
+                 threshold: float = 0.35, batch_size: int = 4096,
+                 concurrency: int = 4, pair_chunk: int = 2048):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = spherical k-means over the embedding space, then
+    within each cluster prune every member that sits inside the
+    ε-ball (cosine ≥ ``threshold``) of a KEPT representative.  The
+    kept representative of each ball is the member with the LOWEST
+    centroid similarity — the paper's diversity rule (keep the example
+    farthest from the cluster centroid) — made order-free and
+    SQL-expressible as pairwise dominance: x is pruned iff some
+    same-cluster y has ROUNDED (4 dp) pairwise cosine ≥ threshold and
+    a strictly smaller (cent_sim, vec_id) key.
+
+    Output: one row per vector — (vec_id, cluster_id, sim, pruned).
+    Hash-matched against :func:`semdedup_oracle_sql` (the shared
+    unrolled-Lloyd's trajectory + a within-cluster dominance
+    self-join).
+
+    Scale notes (100 TB): the clustering passes are
+    :func:`kmeans_iterate` (per-iteration shuffle = k·blocks partial
+    rows only).  The prune pass shuffles each embedding ONCE to its
+    cluster's group; per-cluster work is O(m²·d) pairwise cosine done
+    as chunked matmuls (``pair_chunk`` rows at a time, never an m×m
+    bool matrix per chunk beyond pair_chunk×m).  SemDeDup at scale
+    keeps m bounded by growing k ∝ n (the paper uses 50k clusters for
+    LAION) — k is a parameter, the per-cluster kernel is
+    size-oblivious, and skewed clusters parallelize across the
+    chunked rows."""
+    _seed_ids, cmat = _load_queries(sf_dir, k)
+    cent = kmeans_iterate(_emb(sf_dir), _normalize(cmat), iters,
+                          batch_size=batch_size, concurrency=concurrency)
+    idx = np.arange(k, dtype=np.int64)
+
+    def assign_carry(batch: pa.Table) -> pa.Table:
+        vids, emb = _batch_mat(batch)
+        t = _assign_table(vids, emb, idx, cent)
+        return t.append_column("e", pa.array(list(emb)))
+
+    def prune_group(g: pd.DataFrame) -> pd.DataFrame:
+        E = np.stack(g["e"].to_numpy())
+        sims = g["sim"].to_numpy()
+        vids = g["vec_id"].to_numpy()
+        m = len(E)
+        pruned = np.zeros(m, dtype=bool)
+        for lo in range(0, m, pair_chunk):
+            hi = min(lo + pair_chunk, m)
+            rows_idx = np.arange(lo, hi)
+            near = np.round(E[lo:hi] @ E.T, 4) >= threshold
+            near[np.arange(hi - lo), rows_idx] = False  # self
+            dominated = ((sims[None, :] < sims[rows_idx, None])
+                         | ((sims[None, :] == sims[rows_idx, None])
+                            & (vids[None, :] < vids[rows_idx, None])))
+            pruned[rows_idx] = (near & dominated).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": vids,
+            "cluster_id": g["cluster_id"].to_numpy(),
+            "sim": sims,
+            "pruned": pruned,
+        })
+
+    ds = _emb(sf_dir).map_batches(assign_carry, batch_format="pyarrow",
+                                  batch_size=batch_size,
+                                  concurrency=concurrency)
+    return ds.groupby("cluster_id").map_groups(prune_group,
+                                               batch_format="pandas")
+
+
 def kmeans_reference(sf_dir: str, k: int = 8, iters: int = 5):
     """Single-process numpy Lloyd's with the same init/update/rounding
     — the test oracle for ``run_kmeans_cluster`` (analogous to the
@@ -356,13 +424,13 @@ def pca_oracle_sql(sf_dir: str | None = None,
     """
 
 
-def kmeans_cluster_oracle_sql(k: int = 8, iters: int = 5) -> str:
-    """DuckDB oracle for :func:`run_kmeans_cluster`: the identical
-    spherical-Lloyd's trajectory with the iteration loop unrolled as
-    chained CTEs.  The 9-dp codebook rounding (kmeans_iterate contract)
-    makes the float paths equal despite differing summation orders;
-    per-dim means use the aligned-unnest ordinality idiom (DuckDB has
-    no lateral generate_series)."""
+def _kmeans_trajectory_parts(k: int, iters: int) -> list[str]:
+    """The unrolled spherical-Lloyd's trajectory as CTE fragments,
+    ending in ``fin(vec_id, cluster_id, sim)`` — shared by the
+    kmeans_cluster and semdedup oracles.  9-dp codebook rounding
+    (kmeans_iterate contract) makes the float paths equal despite
+    differing summation orders; per-dim means use the aligned-unnest
+    ordinality idiom (DuckDB has no lateral generate_series)."""
     rn = ("list_transform({x}, v -> round(v / greatest(sqrt(list_sum("
           "list_transform({x}, y -> y*y))), 1e-12), 9))")
     nr = ("list_transform({x}, v -> v / greatest(sqrt(list_sum("
@@ -396,13 +464,43 @@ def kmeans_cluster_oracle_sql(k: int = 8, iters: int = 5) -> str:
             f"c{it} AS (SELECT p.cid, {rn.format(x='coalesce(m.v, p.v)')}"
             f" AS v FROM c{p} p LEFT JOIN mv{it} m ON m.cid = p.cid),")
     parts.append(
-        f"fin AS (SELECT r.vec_id, c.cid AS cluster_id,"
+        f"fin AS (SELECT r.vec_id, r.e, c.cid AS cluster_id,"
         f" round(list_inner_product(r.e, c.v), 4) AS sim"
         f" FROM rows r CROSS JOIN c{iters} c"
         f" QUALIFY row_number() OVER (PARTITION BY r.vec_id"
         f" ORDER BY round(list_inner_product(r.e, c.v), 4) DESC,"
-        f" c.cid) = 1)"
-        f" SELECT vec_id, cluster_id, sim FROM fin")
+        f" c.cid) = 1)")
+    return parts
+
+
+def kmeans_cluster_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """DuckDB oracle for :func:`run_kmeans_cluster`: the identical
+    spherical-Lloyd's trajectory with the iteration loop unrolled as
+    chained CTEs (:func:`_kmeans_trajectory_parts`)."""
+    parts = _kmeans_trajectory_parts(k, iters)
+    parts.append("SELECT vec_id, cluster_id, sim FROM fin")
+    return "\n".join(parts)
+
+
+def semdedup_oracle_sql(k: int = 8, iters: int = 5,
+                        threshold: float = 0.35) -> str:
+    """DuckDB oracle for :func:`run_semdedup`: the kmeans trajectory
+    CTEs (shared with the hash-matched kmeans_cluster oracle) followed
+    by a within-cluster self-join applying the identical dominance
+    rule — prune x iff some same-cluster y has ROUNDED (4 dp) pairwise
+    cosine ≥ threshold and a strictly smaller (sim, vec_id) key."""
+    parts = _kmeans_trajectory_parts(k, iters)
+    parts.append(f"""
+        SELECT x.vec_id, x.cluster_id, x.sim,
+               coalesce(bool_or(
+                 round(list_inner_product(x.e, y.e), 4) >= {threshold}
+                 AND (y.sim < x.sim
+                      OR (y.sim = x.sim AND y.vec_id < x.vec_id))),
+                 FALSE) AS pruned
+        FROM fin x LEFT JOIN fin y
+          ON y.cluster_id = x.cluster_id AND y.vec_id <> x.vec_id
+        GROUP BY x.vec_id, x.cluster_id, x.sim
+    """)
     return "\n".join(parts)
 
 

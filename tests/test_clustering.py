@@ -154,3 +154,72 @@ def test_quantize_embeddings_roundtrip(ray_session):
     recon = mn + piv / np.where(scale > 0, scale, 1.0)
     step = np.where(span > 0, span / 255.0, 0.0)
     assert (np.abs(recon - emb) <= step / 2 + 1e-12).all()
+
+
+def _semdedup_reference(sf: str, k: int = 8, iters: int = 5,
+                        threshold: float = 0.35):
+    """Local numpy SemDeDup with the identical trajectory and
+    dominance rule — prune x iff some same-cluster y has round-4
+    pairwise cosine >= threshold and a smaller (sim, vec_id) key."""
+    from dude_ray.pipelines.clustering import kmeans_reference
+
+    vids, assign, sims, cent = kmeans_reference(sf, k=k, iters=iters)
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.similarity import _normalize
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    tv = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+    emb = emb[np.argsort(tv)]
+    order = np.argsort(vids)
+    vids, assign, sims = vids[order], assign[order], sims[order]
+    pruned = np.zeros(len(vids), dtype=bool)
+    for c in np.unique(assign):
+        ix = np.where(assign == c)[0]
+        S = np.round(emb[ix] @ emb[ix].T, 4)
+        np.fill_diagonal(S, -1)
+        key_lt = ((sims[ix][None, :] < sims[ix][:, None])
+                  | ((sims[ix][None, :] == sims[ix][:, None])
+                     & (vids[ix][None, :] < vids[ix][:, None])))
+        pruned[ix] = ((S >= threshold) & key_lt).any(axis=1)
+    return vids, assign, sims, pruned
+
+
+def test_semdedup_matches_reference(ray_session):
+    """Distributed SemDeDup == local numpy reference, exactly."""
+    from dude_ray.pipelines.clustering import run_semdedup
+
+    got = _sorted_df(run_semdedup(SF, threshold=0.35))
+    vids, assign, sims, pruned = _semdedup_reference(SF)
+    assert (got["vec_id"].to_numpy() == vids).all()
+    assert (got["cluster_id"].to_numpy() == assign).all()
+    assert (got["sim"].to_numpy() == sims).all()
+    assert (got["pruned"].to_numpy() == pruned).all()
+    # the 0.35 threshold must exercise real pruning on this corpus,
+    # and never prune everything
+    n_pruned = int(pruned.sum())
+    assert 0 < n_pruned < len(vids)
+
+
+def test_semdedup_pair_chunk_invariant(ray_session):
+    """Chunked pairwise matmul must not change the result: a chunk
+    smaller than every cluster == one chunk covering the cluster."""
+    from dude_ray.pipelines.clustering import run_semdedup
+
+    tiny = _sorted_df(run_semdedup(SF, threshold=0.35, pair_chunk=7))
+    big = _sorted_df(run_semdedup(SF, threshold=0.35, pair_chunk=4096))
+    pd.testing.assert_frame_equal(tiny, big)
+
+
+def test_semdedup_kept_set_is_threshold_monotone(ray_session):
+    """A higher threshold can only prune FEWER vectors (smaller
+    epsilon-balls)."""
+    from dude_ray.pipelines.clustering import run_semdedup
+
+    lo = _sorted_df(run_semdedup(SF, threshold=0.30))
+    hi = _sorted_df(run_semdedup(SF, threshold=0.40))
+    assert hi["pruned"].sum() <= lo["pruned"].sum()
+    # anything kept at the low threshold stays kept at the high one
+    assert not (hi["pruned"] & ~lo["pruned"]).any()
