@@ -170,12 +170,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": textops.run_char_entropy,
         "priority_sample": sampling.run_priority_sample,
         "chunk_dedup": dedup.run_chunk_dedup,
-        # -- slots 30-32: newly SQL-oracled in r4 (semdedup; bit-exact
-        # banded minhash-LSH DuckDB oracle) — never driver-verified ---
+        # -- slots 30-34: new/newly SQL-oracled in r4 (semdedup, DSIR;
+        # bit-exact banded minhash-LSH oracle) — never driver-verified
         "semdedup": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
-        # -- slots 33-50: previously hash-matched SQL entries ----------
+        # -- slots 35-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -463,6 +465,18 @@ def _q_embedding_neardup(sf_dir: str):
     return dedup.run_embedding_neardup(sf_dir, threshold=0.35, n_bits=4)
 
 
+def _q_dsir_weights(sf_dir: str):
+    from dude_ray.pipelines.dsir import run_dsir_weights
+
+    return run_dsir_weights(sf_dir)
+
+
+def _q_dsir_select(sf_dir: str):
+    from dude_ray.pipelines.dsir import run_dsir_select
+
+    return run_dsir_select(sf_dir)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup at the same 0.35 threshold the neardup entries use
     (random synthetic embeddings — no near-identical pairs exist, so
@@ -524,6 +538,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.dedup import (minhash_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
+    from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
+                                         dsir_weights_oracle_sql)
 
     from dude_ray.pipelines.clustering import (EMBEDDING_COV_ORACLE_SQL,
                                                LABEL_CENTROIDS_ORACLE_SQL)
@@ -542,6 +558,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": fingerprint_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
+        "dsir_weights": dsir_weights_oracle_sql(),
+        "dsir_select": dsir_select_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,

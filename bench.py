@@ -288,6 +288,16 @@ def run_bench() -> dict:
     dedup.run_chunk_dedup(SF_DIR).count()
     timings["chunk_dedup"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import dsir
+
+    t0 = time.time()
+    clustering.run_semdedup(SF_DIR).count()
+    timings["semdedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dsir.run_dsir_select(SF_DIR)
+    timings["dsir_select"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
