@@ -127,10 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     through round 3; slots 21-29 are the round-4 additions
     (text_chunk, shard_assign, event_funnel, retention_cohorts,
     quantize_embeddings, bpe_pair_counts, char_entropy,
-    priority_sample, chunk_dedup); slots 30-31 are minhash_dedup /
-    ngram_jaccard, SQL-oracled for the first time in r4 (bit-exact
-    banded-LSH DuckDB oracle); slots 32-50 are SQL-hash-matchable
-    entries.  The rotation tail (51+) — hash-matched
+    priority_sample, chunk_dedup); slots 30-36 are new or SQL-oracled
+    for the first time in r4 (semdedup, DSIR, the bit-exact banded
+    minhash-LSH oracle, and the integer-exact hyperplane-LSH oracles
+    for embedding_neardup / ann_lsh); the rest of the window is
+    SQL-hash-matchable entries.  The rotation tail (51+) — hash-matched
     ops plus the
     rows-only crawl/media/approximate entries — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
@@ -170,14 +171,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": textops.run_char_entropy,
         "priority_sample": sampling.run_priority_sample,
         "chunk_dedup": dedup.run_chunk_dedup,
-        # -- slots 30-34: new/newly SQL-oracled in r4 (semdedup, DSIR;
-        # bit-exact banded minhash-LSH oracle) — never driver-verified
+        # -- slots 30-36: new/newly SQL-oracled in r4 (semdedup, DSIR;
+        # bit-exact banded minhash-LSH oracle; integer-exact
+        # hyperplane-LSH oracles) — never driver-verified
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
-        # -- slots 35-50: previously hash-matched SQL entries ----------
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_lsh": similarity.run_ann_lsh,
+        # -- slots 37-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -225,8 +229,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbs": _q_media_thumbs,
         "media_audio_chunks": _q_media_audio_chunks,
         # -- rows-only: approximate/banded ops (pytest accuracy oracles)
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_lsh": similarity.run_ann_lsh,
         "ann_ivf": similarity.run_ann_ivf,
         "ann_pq": similarity.run_ann_pq,
         "distinct_users_approx": _q_distinct_users_approx,
@@ -535,9 +537,11 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.clustering import (kmeans_cluster_oracle_sql,
                                                pca_oracle_sql,
                                                semdedup_oracle_sql)
-    from dude_ray.pipelines.dedup import (minhash_oracle_sql,
+    from dude_ray.pipelines.dedup import (embedding_neardup_oracle_sql,
+                                          minhash_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
+    from dude_ray.pipelines.similarity import ann_lsh_oracle_sql
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
 
@@ -560,6 +564,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),
         "dsir_select": dsir_select_oracle_sql(),
+        "embedding_neardup": embedding_neardup_oracle_sql(threshold=0.35,
+                                                          n_bits=4),
+        "ann_lsh": ann_lsh_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,

@@ -551,7 +551,9 @@ class HyperplaneLSH:
     with the bucket key so the verify groupby carries its own data —
     no driver-side matrix, no closure capture.  Planes are built lazily
     from the first batch's dimensionality (seeded → identical across
-    actors)."""
+    actors).  Keys use similarity.quantized_signature's integer-exact
+    scheme, so the bucket partition is bit-reproducible by the
+    embedding_neardup SQL oracle."""
 
     def __init__(self, n_bits: int = 16, seed: int = 42):
         self.n_bits = n_bits
@@ -559,13 +561,14 @@ class HyperplaneLSH:
         self.planes: np.ndarray | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from dude_ray.pipelines.similarity import (lsh_planes,
+                                                   quantized_signature)
+
         emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
         if self.planes is None:
-            rng = np.random.RandomState(self.seed)
-            self.planes = rng.standard_normal((emb.shape[1], self.n_bits))
+            self.planes = lsh_planes(emb.shape[1], self.n_bits, self.seed)
         norm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        bits = (emb @ self.planes) > 0
-        keys = bits.dot(1 << np.arange(bits.shape[1], dtype=np.int64))
+        keys = quantized_signature(emb, self.planes)
         return pa.table({
             "vec_id": batch["vec_id"],
             "key": pa.array(keys, type=pa.int64()),
@@ -612,11 +615,13 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
     def bucket_verify(vids: np.ndarray, vecs: np.ndarray):
         order = np.argsort(vids)
         vids, vecs = vids[order], vecs[order]
-        sims = vecs @ vecs.T
+        # threshold compare on the ROUNDED sim (the 6-dp output value):
+        # the cross-engine contract the SQL oracle shares — a raw
+        # compare could flip on a last-ulp cosine difference
+        sims = np.round(vecs @ vecs.T, 6)
         iu, ju = np.triu_indices(len(vids), k=1)
         keep = sims[iu, ju] >= threshold
-        return (vids[iu[keep]], vids[ju[keep]],
-                np.round(sims[iu[keep], ju[keep]], 6))
+        return (vids[iu[keep]], vids[ju[keep]], sims[iu[keep], ju[keep]])
 
     def _coarse(batch):
         import pyarrow.compute as _pc
@@ -670,6 +675,32 @@ def run_embedding_neardup(sf_dir: str, threshold: float = 0.95,
         "cosine": pa.array([], type=pa.float64()),
     }))
     return empty.union(out)
+
+
+def embedding_neardup_oracle_sql(threshold: float = 0.95,
+                                 n_bits: int = 16, seed: int = 42) -> str:
+    """DuckDB oracle for :func:`run_embedding_neardup` — the APPROXIMATE
+    pipeline recomputed independently: the integer-exact hyperplane
+    bucket keys (bit-identical, see similarity.quantized_signature),
+    the same-bucket self-join, and the 6-dp-rounded cosine threshold
+    contract the verify kernel shares."""
+    from dude_ray.pipelines.similarity import quantize_sql, signature_sql
+
+    cos = ("round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+           "CAST(b.embedding AS DOUBLE[])), 6)")
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   {signature_sql(n_bits, seed=seed)} AS key
+            FROM (SELECT vec_id, embedding,
+                         {quantize_sql()} AS q
+                  FROM embeddings)
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS cosine
+        FROM sig a JOIN sig b
+          ON a.key = b.key AND a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
 
 
 class _BlockPairJoin:

@@ -50,6 +50,59 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+# -- integer-exact hyperplane signatures ------------------------------------
+#
+# Signatures are computed on INTEGER-quantized embeddings against
+# INTEGER-valued random hyperplanes, so every dot product is a sum of
+# integer-valued float64 terms < 2^36 ≪ 2^53 — exact in ANY summation
+# order, hence bit-identical between numpy matmul and a DuckDB
+# list_inner_product.  This is what lets the LSH bucket keys (and the
+# candidate sets derived from them) be hash-matched against a SQL
+# oracle instead of rows-only — the same determinism discipline as the
+# inlined minhash permutations.  Sign semantics are unchanged from a
+# float hyperplane (quantization perturbs each plane's offset by
+# < 2^-20 relative — statistically the same random hyperplane family).
+
+QUANT_SCALE = float(1 << 20)  # exact power-of-two float64 scale
+
+
+def lsh_planes(d: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic integer hyperplanes, float64-valued.  The SQL
+    oracle inlines exactly these values as literals."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-999, 1000, size=(d, n_bits)).astype(np.float64)
+
+
+def quantized_signature(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Bucket keys: quantize to integers (floor(x·2^20 + 0.5) — the
+    quantize_embeddings exactness trick), dot with integer planes, pack
+    the sign bits.  Exact in both engines."""
+    q = np.floor(emb * QUANT_SCALE + 0.5)
+    bits = (q @ planes) > 0
+    return bits.dot(1 << np.arange(planes.shape[1], dtype=np.int64))
+
+
+def quantize_sql(col: str = "embedding") -> str:
+    """DuckDB expression for the integer quantization of a FLOAT[]
+    column (name the result ``q`` in a CTE, then apply
+    :func:`signature_sql`)."""
+    return (f"list_transform(CAST({col} AS DOUBLE[]), "
+            f"x -> floor(x * {QUANT_SCALE} + 0.5))")
+
+
+def signature_sql(n_bits: int, d: int = 64, seed: int = 42,
+                  qcol: str = "q") -> str:
+    """DuckDB expression reproducing :func:`quantized_signature` over a
+    quantized list column ``qcol`` — plane constants inlined (the
+    testdata embeddings are 64-dim at every scale factor)."""
+    planes = lsh_planes(d, n_bits, seed)
+    return " + ".join(
+        f"(CASE WHEN list_inner_product({qcol}, ["
+        + ", ".join(str(v) for v in planes[:, j].astype(np.int64))
+        + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits))
+
+
 class BruteTopK:
     """Per-batch cosine scores against the broadcast query matrix,
     reduced to a local top-k partial per query."""
@@ -115,12 +168,13 @@ def run_ann_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
                 n_bits: int = 12, radius: int = 2, concurrency: int = 4,
                 seed: int = 42):
     """LSH-bucketed approximate top-k: candidates = vectors whose
-    hyperplane signature is within Hamming ``radius`` of the query's."""
+    hyperplane signature is within Hamming ``radius`` of the query's.
+    Signatures use the integer-exact scheme above, so the candidate set
+    is bit-reproducible by :func:`ann_lsh_oracle_sql`."""
     qids, qmat = _load_queries(sf_dir, num_queries)
+    planes = lsh_planes(qmat.shape[1], n_bits, seed)
+    qsig = quantized_signature(qmat, planes)
     qmat = _normalize(qmat)
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((qmat.shape[1], n_bits))
-    qsig = ((qmat @ planes) > 0).dot(1 << np.arange(n_bits, dtype=np.int64))
     qstate = (qids, qmat, planes, qsig, radius)
 
     class LshTopK:
@@ -129,9 +183,9 @@ def run_ann_lsh(sf_dir: str, num_queries: int = 5, k: int = 10,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            embb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
-            sig = ((embb @ self.planes) > 0).dot(
-                1 << np.arange(self.planes.shape[1], dtype=np.int64))
+            raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+            sig = quantized_signature(raw, self.planes)
+            embb = _normalize(raw)
             sig_u64 = sig.astype(np.uint64)
             out_q, out_v, out_s = [], [], []
             for qi, qid in enumerate(self.qids):
@@ -330,3 +384,40 @@ def run_ann_pq(sf_dir: str, num_queries: int = 5, k: int = 10,
                               batch_size=4096, concurrency=(1, concurrency))
     return partials.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas")
+
+
+def ann_lsh_oracle_sql(num_queries: int = 5, k: int = 10,
+                       n_bits: int = 12, radius: int = 2,
+                       seed: int = 42) -> str:
+    """DuckDB oracle for :func:`run_ann_lsh` — the ENTIRE approximate
+    pipeline recomputed independently: integer-quantized hyperplane
+    signatures (plane constants inlined, arithmetic exact on both
+    sides), the Hamming-radius candidate semi-join via
+    bit_count(xor()), then the same raw-cosine top-k / 4-dp rounding
+    contract as the ann_topk oracle."""
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   {signature_sql(n_bits, seed=seed)} AS key
+            FROM (SELECT vec_id, embedding,
+                         {quantize_sql()} AS q
+                  FROM embeddings)
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qe, key AS qkey
+            FROM sig ORDER BY vec_id LIMIT {num_queries}
+        ), cand AS (
+            SELECT q.query_id, s.vec_id,
+                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(s.embedding AS DOUBLE[]))
+                       AS raw_sim
+            FROM q JOIN sig s
+              ON s.vec_id <> q.query_id
+             AND bit_count(xor(s.key, q.qkey)) <= {radius}
+        )
+        SELECT query_id, vec_id, round(raw_sim, 4) AS sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY raw_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM cand
+        QUALIFY rank <= {k}
+    """
