@@ -181,7 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": dedup.run_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh": similarity.run_ann_lsh,
-        # -- slots 37-50: previously hash-matched SQL entries ----------
+        "hll_registers": _q_hll_registers,
+        # -- slots 38-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -389,12 +390,22 @@ def _q_dedup_incremental(sf_dir: str):
 
 
 def _q_distinct_users_approx(sf_dir: str):
-    """HLL sketch — approximate, so no SQL hash-match (rows-only
-    driver check); accuracy vs exact asserted in
+    """HLL sketch estimate — the ESTIMATE stays rows-only (a float
+    function of the sketch), but the sketch state it derives from is
+    hash-matched as ``hll_registers``; accuracy vs exact asserted in
     tests/test_pipelines.py::test_hll_accuracy_and_merge_invariance."""
     from dude_ray.pipelines.sketches import run_distinct_users_approx
 
     return run_distinct_users_approx(sf_dir)
+
+
+def _q_hll_registers(sf_dir: str):
+    """The distributed HLL sketch state itself (event_type, reg, rank)
+    — splitmix64 + exact-clz ranks + max-merge, all integer-exact, so
+    the whole sketch pipeline hash-matches its DuckDB recompute."""
+    from dude_ray.pipelines.sketches import run_hll_registers
+
+    return run_hll_registers(sf_dir)
 
 
 def _q_lm_score(sf_dir: str):
@@ -542,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
     from dude_ray.pipelines.similarity import ann_lsh_oracle_sql
+    from dude_ray.pipelines.sketches import hll_registers_oracle_sql
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
 
@@ -567,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": embedding_neardup_oracle_sql(threshold=0.35,
                                                           n_bits=4),
         "ann_lsh": ann_lsh_oracle_sql(),
+        "hll_registers": hll_registers_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,

@@ -46,11 +46,19 @@ def hll_registers(values: np.ndarray) -> np.ndarray:
     h = _mix64(values.astype(np.uint64))
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = (h << np.uint64(HLL_P)) | np.uint64(1 << (HLL_P - 1))
-    # rank = leading zeros of the remaining bits + 1, via float64 log2.
-    # Rounding at power-of-two boundaries can overshoot by 1 for ~2^-53
-    # of inputs — harmless inside a ~1.6%-error sketch; clamped below.
-    lz = np.uint64(63) - np.floor(np.log2(rest.astype(np.float64))).astype(np.uint64)
-    rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.uint8)
+    # rank = leading zeros of the remaining bits + 1, via an EXACT
+    # binary-search clz (shift-left while the top s bits are zero) —
+    # integer-only, so hll_registers_oracle_sql reproduces every rank
+    # bit-for-bit (a float64 log2 overshoots at power-of-two
+    # boundaries, engine-dependently).  The guard bit at HLL_P-1
+    # bounds lz ≤ 64-HLL_P, so rank ≤ 64-HLL_P+1 without clamping.
+    lz = np.zeros(len(rest), dtype=np.int64)
+    v = rest.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v < (np.uint64(1) << np.uint64(64 - s))
+        lz[m] += s
+        v[m] <<= np.uint64(s)
+    rank = (lz + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
 
@@ -68,6 +76,23 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def _hll_partials(batch: pa.Table) -> pa.Table:
+    """One 4 KiB register blob per event_type present in the batch."""
+    df = pd.DataFrame({
+        "event_type": batch["event_type"].to_pylist(),
+        "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+    })
+    types, blobs = [], []
+    for et, g in df.groupby("event_type", sort=False):
+        types.append(et)
+        blobs.append(hll_registers(
+            g["user_id"].to_numpy().astype(np.uint64)).tobytes())
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "regs": pa.array(blobs, type=pa.binary()),
+    })
+
+
 def run_distinct_users_approx(sf_dir: str):
     """Approximate distinct users per event_type — the HLL twin of
     ``run_distinct_users``.  Per-batch: one register blob per
@@ -78,21 +103,6 @@ def run_distinct_users_approx(sf_dir: str):
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_type", "user_id"])
-
-    def _partials(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "event_type": batch["event_type"].to_pylist(),
-            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-        })
-        types, blobs = [], []
-        for et, g in df.groupby("event_type", sort=False):
-            types.append(et)
-            blobs.append(hll_registers(
-                g["user_id"].to_numpy().astype(np.uint64)).tobytes())
-        return pa.table({
-            "event_type": pa.array(types, type=pa.string()),
-            "regs": pa.array(blobs, type=pa.binary()),
-        })
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         merged = np.zeros(_M, dtype=np.uint8)
@@ -105,10 +115,83 @@ def run_distinct_users_approx(sf_dir: str):
                 [int(round(hll_estimate(merged)))], dtype="int64"),
         })
 
-    partials = ds.map_batches(_partials, batch_format="pyarrow",
+    partials = ds.map_batches(_hll_partials, batch_format="pyarrow",
                               batch_size=16384)
     return partials.groupby("event_type").map_groups(
         _merge, batch_format="pandas").sort("event_type")
+
+
+def run_hll_registers(sf_dir: str):
+    """The merged HLL sketch STATE itself, exploded to
+    (event_type, reg, rank) rows for the nonzero registers — the
+    SQL-verifiable surface of ``run_distinct_users_approx``: the
+    splitmix64 hash, register index, exact-clz rank and max-merge are
+    all integer arithmetic, reproduced bit-for-bit by
+    :func:`hll_registers_oracle_sql`.  The estimate is a pure driver
+    function of these rows, so hash-matching them verifies the whole
+    distributed sketch."""
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def _explode(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(_M, dtype=np.uint8)
+        for blob in g["regs"]:
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                       out=merged)
+        nz = np.flatnonzero(merged)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]] * len(nz),
+            "reg": pd.Series(nz, dtype="int64"),
+            "rank": pd.Series(merged[nz], dtype="int64"),
+        })
+
+    partials = ds.map_batches(_hll_partials, batch_format="pyarrow",
+                              batch_size=16384)
+    return partials.groupby("event_type").map_groups(
+        _explode, batch_format="pandas")
+
+
+def hll_registers_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_hll_registers` — independent
+    recompute of the splitmix64 finalizer (wraparound multiplies via
+    the 32-bit-split schoolbook product, as in the minhash oracle),
+    the register index / guarded remainder, an exact binary-search
+    leading-zero count, and the per-register max."""
+    from dude_ray.pipelines.dedup import _sql_addmod64, _sql_mulmod64
+
+    inc = int(_SPLITMIX_INC)
+    c1, c2 = int(_SPLITMIX_C1), int(_SPLITMIX_C2)
+    clz = ""
+    prev, lzprev = "v0", "CAST(0 AS BIGINT)"
+    for i, s in enumerate((32, 16, 8, 4, 2, 1), 1):
+        lim = 1 << (64 - s)
+        clz += (f", c{i} AS (SELECT event_type, reg, "
+                f"CASE WHEN {prev} < {lim} THEN {prev} * {1 << s} "
+                f"ELSE {prev} END AS v{i}, "
+                f"{lzprev} + CASE WHEN {prev} < {lim} THEN {s} ELSE 0 END "
+                f"AS lz{i} FROM c{i-1})")
+        prev, lzprev = f"v{i}", f"lz{i}"
+    return f"""
+        WITH s0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS u
+                    FROM events),
+        s1 AS (SELECT event_type, {_sql_addmod64('u', str(inc))} AS x
+               FROM s0),
+        s2 AS (SELECT event_type, xor(x, x >> 30) AS x FROM s1),
+        s3 AS (SELECT event_type, {_sql_mulmod64('x', c1)} AS x FROM s2),
+        s4 AS (SELECT event_type, xor(x, x >> 27) AS x FROM s3),
+        s5 AS (SELECT event_type, {_sql_mulmod64('x', c2)} AS x FROM s4),
+        s6 AS (SELECT event_type, xor(x, x >> 31) AS h FROM s5),
+        c0 AS (SELECT event_type,
+                      CAST(h >> {64 - HLL_P} AS BIGINT) AS reg,
+                      (h % {1 << (64 - HLL_P)}) * {1 << HLL_P}
+                          + {1 << (HLL_P - 1)} AS v0
+               FROM s6)
+        {clz}
+        SELECT event_type, reg, CAST(max(lz6 + 1) AS BIGINT) AS rank
+        FROM c6 GROUP BY 1, 2
+    """
 
 
 # --------------------------------------------------------------------------

@@ -1102,3 +1102,39 @@ def test_chunk_dedup_planted_and_local(ray_session, tmp_path):
             for h, r in narrow.items()} == \
         {h: (r["keeper_doc_id"], r["keeper_chunk_id"], r["dup_count"])
          for h, r in rows.items()}
+
+
+def test_hll_registers_state_matches_estimate_path(ray_session):
+    """The SQL-verifiable register rows are exactly the sketch state
+    the estimate derives from, independent of batching."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.sketches import (_M, hll_estimate,
+                                             hll_registers,
+                                             run_hll_registers,
+                                             run_distinct_users_approx)
+
+    sf = "/root/testdata/sf0.001"
+    rows = run_hll_registers(sf).take_all()
+
+    # single-process reference per event_type
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_type", "user_id"])
+    df = t.to_pandas()
+    by_type = {}
+    for et, g in df.groupby("event_type"):
+        by_type[et] = hll_registers(g["user_id"].to_numpy().astype(np.uint64))
+    got = {}
+    for r in rows:
+        got.setdefault(r["event_type"], np.zeros(_M, dtype=np.uint8))[
+            r["reg"]] = r["rank"]
+    assert set(got) == set(by_type)
+    for et, regs in by_type.items():
+        assert np.array_equal(got[et], regs), et
+
+    # and the estimate path consumes exactly this state
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in run_distinct_users_approx(sf).take_all()}
+    for et, regs in by_type.items():
+        assert approx[et] == int(round(hll_estimate(regs))), et
