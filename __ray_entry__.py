@@ -182,7 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh": similarity.run_ann_lsh,
         "hll_registers": _q_hll_registers,
-        # -- slots 38-50: previously hash-matched SQL entries ----------
+        "ann_ivf": similarity.run_ann_ivf,
+        # -- slots 39-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -230,7 +231,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbs": _q_media_thumbs,
         "media_audio_chunks": _q_media_audio_chunks,
         # -- rows-only: approximate/banded ops (pytest accuracy oracles)
-        "ann_ivf": similarity.run_ann_ivf,
         "ann_pq": similarity.run_ann_pq,
         "distinct_users_approx": _q_distinct_users_approx,
     }
@@ -552,7 +552,8 @@ def oracle_sql() -> dict[str, str]:
                                           minhash_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
-    from dude_ray.pipelines.similarity import ann_lsh_oracle_sql
+    from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
+                                               ann_lsh_oracle_sql)
     from dude_ray.pipelines.sketches import hll_registers_oracle_sql
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
@@ -579,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": embedding_neardup_oracle_sql(threshold=0.35,
                                                           n_bits=4),
         "ann_lsh": ann_lsh_oracle_sql(),
+        "ann_ivf": ann_ivf_oracle_sql(),
         "hll_registers": hll_registers_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),

@@ -421,3 +421,71 @@ def ann_lsh_oracle_sql(num_queries: int = 5, k: int = 10,
         FROM cand
         QUALIFY rank <= {k}
     """
+
+
+def ann_ivf_oracle_sql(sf_dir: str | None = None, num_queries: int = 5,
+                       k: int = 10, n_cells: int = 16, nprobe: int = 4,
+                       train_rows: int = 2048, seed: int = 42) -> str:
+    """DuckDB oracle for :func:`run_ann_ivf` — the codebook is
+    deterministic given the seeded sample (trained here single-process
+    with the same :func:`_kmeans`, independent of Ray — the
+    pca_oracle_sql inlined-constants pattern), so the centroids and
+    each query's nprobe probe cells are INLINED and DuckDB recomputes
+    every cell assignment (argmax cosine, ties to the lowest cell),
+    the probe semi-join and the exact top-k with the shared 4-dp
+    contract.  ``sf_dir`` defaults to the driver's gate scale
+    (override via ``GRAFT_ORACLE_SF``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    semb = _normalize(emb[:train_rows])
+    cent = _kmeans(semb, min(n_cells, len(semb)), seed=seed)
+
+    vids = t["vec_id"].to_numpy()
+    order = np.argsort(vids)[:num_queries]
+    qids = vids[order]
+    qmat = _normalize(emb[order])
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+
+    cent_sql = ",".join(
+        "(%d, [%s])" % (j, ",".join(repr(float(x)) for x in cent[j]))
+        for j in range(len(cent)))
+    probe_sql = ",".join(
+        f"({int(qids[qi])}, {int(c)})"
+        for qi in range(len(qids)) for c in qcells[qi])
+    return f"""
+        WITH cent(j, c) AS (VALUES {cent_sql}),
+        probe(query_id, j) AS (VALUES {probe_sql}),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            ORDER BY vec_id LIMIT {num_queries}
+        ), assign AS (
+            SELECT e.vec_id, e.embedding,
+                   (SELECT j FROM cent
+                    ORDER BY list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c) DESC, j ASC
+                    LIMIT 1) AS cell
+            FROM embeddings e
+        ), cand AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[]))
+                       AS raw_sim
+            FROM assign a
+            JOIN probe p ON a.cell = p.j
+            JOIN q ON q.query_id = p.query_id
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, round(raw_sim, 4) AS sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY raw_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM cand
+        QUALIFY rank <= {k}
+    """
