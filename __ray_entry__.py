@@ -183,7 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": similarity.run_ann_lsh,
         "hll_registers": _q_hll_registers,
         "ann_ivf": similarity.run_ann_ivf,
-        # -- slots 39-50: previously hash-matched SQL entries ----------
+        "ngram_counts": textops.run_ngram_counts,
+        # -- slots 40-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -544,7 +545,8 @@ def oracle_sql() -> dict[str, str]:
                                           pagerank_oracle_sql)
     from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
-    from dude_ray.pipelines.textops import fingerprint_oracle_sql
+    from dude_ray.pipelines.textops import (fingerprint_oracle_sql,
+                                            ngram_counts_oracle_sql)
     from dude_ray.pipelines.clustering import (kmeans_cluster_oracle_sql,
                                                pca_oracle_sql,
                                                semdedup_oracle_sql)
@@ -573,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
+        "ngram_counts": ngram_counts_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -540,3 +540,109 @@ def run_char_entropy(sf_dir: str, batch_size: int = 4096):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ent, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# word n-gram count tables (LM / infini-gram style corpus statistics)
+# --------------------------------------------------------------------------
+
+def run_ngram_counts(sf_dir: str, n_max: int = 3, min_count: int = 5,
+                     top_per_n: int = 100, batch_size: int = 4096):
+    """Global word n-gram count table (n = 1..``n_max``) over the
+    lowered corpus, reported as the top ``top_per_n`` grams per n with
+    ``cnt >= min_count`` — the corpus statistic behind n-gram LMs and
+    infini-gram-style lookup indexes.
+
+    Scale shape: per-batch value_counts pre-aggregation (one (n, gram,
+    c) row per DISTINCT gram per batch), then the data-scaled
+    hash-grouped reduce — the only shuffle moves pre-counted partials,
+    never one row per token occurrence.  The final per-n top-k sorts
+    only grams that survived ``min_count``."""
+    import pandas as pd
+
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ns, grams, cs = [], [], []
+        cnt: dict = {}
+        for text in batch["text"].to_pylist():
+            toks = tok_re.findall((text or "").lower())
+            for n in range(1, n_max + 1):
+                if len(toks) < n:
+                    continue
+                if n == 1:
+                    it = toks
+                else:
+                    it = [" ".join(toks[i:i + n])
+                          for i in range(len(toks) - n + 1)]
+                for g in it:
+                    k = (n, g)
+                    cnt[k] = cnt.get(k, 0) + 1
+        for (n, g), c in cnt.items():
+            ns.append(n)
+            grams.append(g)
+            cs.append(c)
+        return pa.table({
+            "n": pa.array(ns, type=pa.int64()),
+            "gram": pa.array(grams, type=pa.string()),
+            "c": pa.array(cs, type=pa.int64()),
+        })
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["n", "gram"], sort=False)["c"].sum()
+                 .reset_index())
+        return out[out["c"] >= min_count]
+
+    ds = _docs(sf_dir, ["text"])
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    merged = hash_grouped_reduce(partials, ["n", "gram"], _reduce,
+                                 partials.count(),
+                                 out_cols=("n", "gram", "c"))
+
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["c", "gram"], ascending=[False, True])
+              .head(top_per_n).reset_index(drop=True))
+        return pd.DataFrame({
+            "n": g["n"].astype("int64"),
+            "gram": g["gram"],
+            "cnt": g["c"].astype("int64"),
+            "rank": pd.Series(range(1, len(g) + 1), dtype="int64"),
+        })
+
+    return merged.groupby("n").map_groups(_top, batch_format="pandas")
+
+
+def ngram_counts_oracle_sql(n_max: int = 3, min_count: int = 5,
+                            top_per_n: int = 100) -> str:
+    """DuckDB oracle for :func:`run_ngram_counts` — independent
+    n-gram explode + count + per-n ranking."""
+    gs = []
+    for n in range(1, n_max + 1):
+        if n == 1:
+            gs.append("SELECT 1 AS n, unnest(w) AS gram FROM toks")
+        else:
+            expr = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+            gs.append(
+                f"SELECT {n} AS n, unnest([{expr} "
+                f"for i in generate_series(1, len(w) - {n - 1})]) AS gram "
+                f"FROM toks WHERE len(w) >= {n}")
+    union = " UNION ALL ".join(gs)
+    return f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        ), cnt AS (
+            SELECT n, gram, count(*) AS cnt
+            FROM ({union}) GROUP BY 1, 2
+        )
+        SELECT CAST(n AS BIGINT) AS n, gram, CAST(cnt AS BIGINT) AS cnt,
+               CAST(row_number() OVER (
+                   PARTITION BY n
+                   ORDER BY cnt DESC, gram ASC) AS BIGINT) AS rank
+        FROM cnt WHERE cnt >= {min_count}
+        QUALIFY rank <= {top_per_n}
+    """

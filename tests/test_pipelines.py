@@ -1138,3 +1138,43 @@ def test_hll_registers_state_matches_estimate_path(ray_session):
               for r in run_distinct_users_approx(sf).take_all()}
     for et, regs in by_type.items():
         assert approx[et] == int(round(hll_estimate(regs))), et
+
+
+def test_ngram_counts_matches_reference(ray_session):
+    """Distributed n-gram counts equal a single-process recount; batch
+    boundaries must not leak into the partial pre-aggregation."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.textops import TOKEN_RE, run_ngram_counts
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    cnt = Counter()
+    tok = re.compile(TOKEN_RE)
+    for t in texts:
+        w = tok.findall((t or "").lower())
+        for n in (1, 2, 3):
+            for i in range(len(w) - n + 1):
+                cnt[(n, " ".join(w[i:i + n]))] += 1
+    rows = []
+    df = pd.DataFrame([(n, g, c) for (n, g), c in cnt.items()],
+                      columns=["n", "gram", "cnt"])
+    df = df[df["cnt"] >= 5]
+    for n, g in df.groupby("n"):
+        g = (g.sort_values(["cnt", "gram"], ascending=[False, True])
+              .head(100).reset_index(drop=True))
+        g["rank"] = range(1, len(g) + 1)
+        rows.append(g)
+    want = (pd.concat(rows).sort_values(["n", "rank"])
+            .reset_index(drop=True)[["n", "gram", "cnt", "rank"]])
+
+    for bs in (64, 4096):
+        got = (run_ngram_counts(sf, batch_size=bs).to_pandas()
+               .sort_values(["n", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["n", "gram", "cnt", "rank"]], want, check_dtype=False)
