@@ -184,7 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll_registers,
         "ann_ivf": similarity.run_ann_ivf,
         "ngram_counts": textops.run_ngram_counts,
-        # -- slots 40-50: previously hash-matched SQL entries ----------
+        "gopher_filter": cleaning.run_gopher_filter,
+        # -- slots 41-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -554,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
                                           minhash_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
+    from dude_ray.pipelines.cleaning import gopher_filter_oracle_sql
     from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
                                                ann_lsh_oracle_sql)
     from dude_ray.pipelines.sketches import hll_registers_oracle_sql
@@ -576,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "ngram_counts": ngram_counts_oracle_sql(),
+        "gopher_filter": gopher_filter_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -326,3 +326,114 @@ def run_curate_keep_best(sf_dir: str, threshold: float = 0.35,
     return (joined.map_batches(fill, batch_format="pyarrow")
             .groupby("component")
             .map_groups(keeper, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document filter (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_LEN = (3.0, 10.0)
+GOPHER_MIN_STOP_FRAC = 0.06
+GOPHER_MIN_ALPHA_FRAC = 0.80
+
+
+def run_gopher_filter(sf_dir: str, batch_size: int = 4096):
+    """Per-document keep/drop decision from the SQL-expressible subset
+    of the Gopher quality rules: token count in [50, 100k], mean token
+    length in [3, 10], stopword fraction ≥ 0.06 (the repetition rules
+    live in ``run_repetition_quality``), alpha-token fraction ≥ 0.8.
+
+    Output: (doc_id, n_tokens, mean_tok_len, stop_frac, alpha_frac,
+    keep) for every document with ≥ 1 token (the dsir empty-doc
+    convention).  All rule comparisons run on the RAW single-division
+    doubles — exact integer numerators/denominators make the division
+    bit-identical across engines — with 6-dp rounding only on the
+    reported columns."""
+    import re as _re
+
+    from dude_ray.pipelines.textops import STOPWORDS
+
+    tok = _re.compile(TOKEN_RE)
+    stops = frozenset(STOPWORDS)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ids, nt, ml, sf, af, keep = [], [], [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = tok.findall((text or "").lower())
+            n = len(toks)
+            if not n:
+                continue
+            sum_len = sum(len(t) for t in toks)
+            n_stop = sum(1 for t in toks if t in stops)
+            n_alpha = sum(1 for t in toks
+                          if any("a" <= c <= "z" for c in t))
+            mean_len = sum_len / n
+            stop_frac = n_stop / n
+            alpha_frac = n_alpha / n
+            ok = (GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
+                  and GOPHER_MEAN_LEN[0] <= mean_len <= GOPHER_MEAN_LEN[1]
+                  and stop_frac >= GOPHER_MIN_STOP_FRAC
+                  and alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+            ids.append(did)
+            nt.append(n)
+            ml.append(round(mean_len, 6))
+            sf.append(round(stop_frac, 6))
+            af.append(round(alpha_frac, 6))
+            keep.append(1 if ok else 0)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(nt, type=pa.int64()),
+            "mean_tok_len": pa.array(ml, type=pa.float64()),
+            "stop_frac": pa.array(sf, type=pa.float64()),
+            "alpha_frac": pa.array(af, type=pa.float64()),
+            "keep": pa.array(keep, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def gopher_filter_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_gopher_filter` — independent token
+    explode + per-doc aggregates + the same raw-division rule
+    comparisons."""
+    from dude_ray.pipelines.textops import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        ), t AS (
+            SELECT doc_id, unnest(w) AS tok FROM toks WHERE len(w) > 0
+        ), agg AS (
+            SELECT doc_id,
+                   count(*) AS n,
+                   sum(length(tok)) AS sum_len,
+                   count(*) FILTER (WHERE tok IN ({stop_list})) AS n_stop,
+                   count(*) FILTER (WHERE regexp_matches(tok, '[a-z]'))
+                       AS n_alpha
+            FROM t GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               round(sum_len / CAST(n AS DOUBLE), 6) AS mean_tok_len,
+               round(n_stop / CAST(n AS DOUBLE), 6) AS stop_frac,
+               round(n_alpha / CAST(n AS DOUBLE), 6) AS alpha_frac,
+               CAST(CASE WHEN n BETWEEN {GOPHER_MIN_TOKENS}
+                                    AND {GOPHER_MAX_TOKENS}
+                          AND sum_len / CAST(n AS DOUBLE)
+                              BETWEEN {GOPHER_MEAN_LEN[0]}
+                                  AND {GOPHER_MEAN_LEN[1]}
+                          AND n_stop / CAST(n AS DOUBLE)
+                              >= {GOPHER_MIN_STOP_FRAC}
+                          AND n_alpha / CAST(n AS DOUBLE)
+                              >= {GOPHER_MIN_ALPHA_FRAC}
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM agg
+    """

@@ -150,3 +150,47 @@ def test_curate_keep_best_semantics(ray_session):
         best = max(members, key=lambda d: (quality[d], -d))
         assert row["doc_id"] == best
         assert row["stop_ratio"] == quality[best]
+
+
+def test_gopher_filter_rules(ray_session):
+    """Every reported rule column recomputes from the text; keep is
+    the conjunction of the four Gopher rules."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.cleaning import (GOPHER_MEAN_LEN,
+                                             GOPHER_MIN_ALPHA_FRAC,
+                                             GOPHER_MIN_STOP_FRAC,
+                                             GOPHER_MIN_TOKENS,
+                                             run_gopher_filter)
+    from dude_ray.pipelines.textops import STOPWORDS, TOKEN_RE
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in run_gopher_filter(sf).take_all()}
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    tok = re.compile(TOKEN_RE)
+    stops = frozenset(STOPWORDS)
+    n_checked = 0
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = tok.findall((text or "").lower())
+        if not toks:
+            assert did not in got
+            continue
+        r = got[did]
+        n = len(toks)
+        assert r["n_tokens"] == n
+        mean_len = sum(map(len, toks)) / n
+        stop_frac = sum(t_ in stops for t_ in toks) / n
+        alpha_frac = sum(any(c.isalpha() for c in t_) for t_ in toks) / n
+        assert r["mean_tok_len"] == round(mean_len, 6)
+        assert r["stop_frac"] == round(stop_frac, 6)
+        assert r["alpha_frac"] == round(alpha_frac, 6)
+        want_keep = int(GOPHER_MIN_TOKENS <= n <= 100_000
+                        and GOPHER_MEAN_LEN[0] <= mean_len <= GOPHER_MEAN_LEN[1]
+                        and stop_frac >= GOPHER_MIN_STOP_FRAC
+                        and alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        assert r["keep"] == want_keep
+        n_checked += 1
+    assert n_checked == len(got)
