@@ -185,7 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": similarity.run_ann_ivf,
         "ngram_counts": textops.run_ngram_counts,
         "gopher_filter": cleaning.run_gopher_filter,
-        # -- slots 41-50: previously hash-matched SQL entries ----------
+        "bpe_train": _q_bpe_train,
+        # -- slots 42-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -410,6 +411,15 @@ def _q_hll_registers(sf_dir: str):
     return run_hll_registers(sf_dir)
 
 
+def _q_bpe_train(sf_dir: str):
+    """Distributed BPE merge-learning (Sennrich et al. 2016): the
+    greedy merge trajectory as a table, bit-identical to the DuckDB
+    MATERIALIZED-CTE recompute via the spaced-string replace trick."""
+    from dude_ray.pipelines.bpe import run_bpe_train
+
+    return run_bpe_train(sf_dir)
+
+
 def _q_lm_score(sf_dir: str):
     """Bigram-LM average log-likelihood per document (CCNet/KenLM-style
     quality filter) — distributed count tables + hash joins."""
@@ -555,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
                                           minhash_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
+    from dude_ray.pipelines.bpe import bpe_train_oracle_sql
     from dude_ray.pipelines.cleaning import gopher_filter_oracle_sql
     from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
                                                ann_lsh_oracle_sql)
@@ -579,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": fingerprint_oracle_sql(),
         "ngram_counts": ngram_counts_oracle_sql(),
         "gopher_filter": gopher_filter_oracle_sql(),
+        "bpe_train": bpe_train_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -298,6 +298,12 @@ def run_bench() -> dict:
     dsir.run_dsir_select(SF_DIR)
     timings["dsir_select"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import bpe
+
+    t0 = time.time()
+    bpe.run_bpe_train(SF_DIR)
+    timings["bpe_train"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
