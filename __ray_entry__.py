@@ -186,7 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": textops.run_ngram_counts,
         "gopher_filter": cleaning.run_gopher_filter,
         "bpe_train": _q_bpe_train,
-        # -- slots 42-50: previously hash-matched SQL entries ----------
+        "knn_graph": _q_knn_graph,
+        # -- slots 43-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -213,8 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.run_user_sessions,
         "top_orders_per_segment": relational.run_top_orders_per_segment,
         "streaming_window": _q_streaming_window,
-        "asof_join": relational.run_asof_join,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "asof_join": relational.run_asof_join,
         "events_band_join": relational.run_events_band_join,
         "value_percentiles": relational.run_value_percentiles,
         "distinct_users": relational.run_distinct_users,
@@ -420,6 +421,15 @@ def _q_bpe_train(sf_dir: str):
     return run_bpe_train(sf_dir)
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact cosine k-nearest-neighbor graph over the embeddings table
+    (the curation-graph building block) — blocked row-group pair join
+    with tie-inclusive local top-k partials."""
+    from dude_ray.pipelines.similarity import run_knn_graph
+
+    return run_knn_graph(sf_dir)
+
+
 def _q_lm_score(sf_dir: str):
     """Bigram-LM average log-likelihood per document (CCNet/KenLM-style
     quality filter) — distributed count tables + hash joins."""
@@ -568,7 +578,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.bpe import bpe_train_oracle_sql
     from dude_ray.pipelines.cleaning import gopher_filter_oracle_sql
     from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
-                                               ann_lsh_oracle_sql)
+                                               ann_lsh_oracle_sql,
+                                               knn_graph_oracle_sql)
     from dude_ray.pipelines.sketches import hll_registers_oracle_sql
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
@@ -591,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": ngram_counts_oracle_sql(),
         "gopher_filter": gopher_filter_oracle_sql(),
         "bpe_train": bpe_train_oracle_sql(),
+        "knn_graph": knn_graph_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

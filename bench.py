@@ -304,6 +304,10 @@ def run_bench() -> dict:
     bpe.run_bpe_train(SF_DIR)
     timings["bpe_train"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    similarity.run_knn_graph(SF_DIR).materialize()
+    timings["knn_graph"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -489,3 +489,141 @@ def ann_ivf_oracle_sql(sf_dir: str | None = None, num_queries: int = 5,
         FROM cand
         QUALIFY rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# exact k-nearest-neighbor graph (blocked all-pairs)
+# --------------------------------------------------------------------------
+
+class _BlockKnnJoin:
+    """Stateful pair-join worker for the exact kNN-graph scan — the
+    same row-group-keyed LRU block layout as dedup._BlockPairJoin, but
+    the per-pair output is a tie-safe local top-k PARTIAL per source
+    vector instead of a thresholded pair set: every source row keeps
+    all candidates whose raw cosine ties-or-beats its k-th best in the
+    opposite block, so the global groupby reduce sees a guaranteed
+    superset of the true top-k (ties at the boundary are resolved
+    there by the shared (sim DESC, dst ASC) contract, never dropped by
+    an arbitrary argpartition cut)."""
+
+    CACHE = 16
+
+    def __init__(self, k: int):
+        self.k = k
+        self._cache: dict = {}
+
+    def _block(self, path: str, rg: int):
+        import pyarrow.parquet as pq
+
+        key = (path, rg)
+        hit = self._cache.pop(key, None)
+        if hit is None:
+            t = pq.ParquetFile(path).read_row_group(
+                rg, columns=["vec_id", "embedding"])
+            vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+            emb = _normalize(emb)
+            hit = (vid, emb)
+            if len(self._cache) >= self.CACHE:
+                self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = hit
+        return hit
+
+    def _side(self, svid, sims, dvid, out):
+        """Emit, for every source row, all dst whose sim >= its k-th
+        largest (the tie-inclusive local top-k partial)."""
+        n_dst = sims.shape[1]
+        if n_dst == 0:
+            return
+        kk = min(self.k, n_dst)
+        thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+        ii, jj = np.nonzero(sims >= thresh[:, None])
+        out[0].append(svid[ii])
+        out[1].append(dvid[jj])
+        out[2].append(sims[ii, jj])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: tuple = ([], [], [])
+        for row in batch.to_pylist():
+            avid, amat = self._block(row["a_file"], row["a_rg"])
+            bvid, bmat = self._block(row["b_file"], row["b_rg"])
+            sims = amat @ bmat.T
+            if row["same"]:
+                np.fill_diagonal(sims, -np.inf)  # no self-edges
+                self._side(avid, sims, bvid, out)
+            else:
+                self._side(avid, sims, bvid, out)
+                self._side(bvid, sims.T, avid, out)
+        cat = lambda xs, dt: (np.concatenate(xs) if xs
+                              else np.array([], dtype=dt))
+        return pa.table({
+            "src": pa.array(cat(out[0], np.int64), type=pa.int64()),
+            "dst": pa.array(cat(out[1], np.int64), type=pa.int64()),
+            "raw_sim": pa.array(cat(out[2], np.float64), type=pa.float64()),
+        })
+
+
+def run_knn_graph(sf_dir: str, k: int = 5, concurrency: int = 8):
+    """EXACT cosine k-nearest-neighbor graph over the whole
+    ``embeddings`` table — the corpus-curation building block (SemDeDup
+    neighborhoods, graph-density pruning, label propagation all consume
+    this artifact).  Output: (src, dst, sim, rank), rank 1..k per src
+    by (raw cosine DESC, dst ASC), sim rounded to the 4-dp cross-engine
+    contract shared with the ann_topk oracle.
+
+    Scale shape: identical to run_embedding_neardup_exact — parquet row
+    groups are the blocks, the driver enumerates the B·(B+1)/2 block
+    pairs (footer metadata only), an actor pool streams block pairs
+    from storage (LRU-cached, nothing transits the driver) and emits
+    tie-inclusive per-source local top-k partials, so the final
+    groupby(src) shuffles ~n·k·B rows rather than n² scores.  The work
+    is inherently O(n²) — that is the exact-graph contract; the
+    LSH/IVF entry points are the approximate scale path."""
+    import ray.data as rd
+
+    from dude_ray.partitioning import parquet_row_groups
+
+    blocks = parquet_row_groups(f"{sf_dir}/embeddings.parquet")
+    items = []
+    for i, (fa, ra, _na) in enumerate(blocks):
+        for fb, rb, _nb in blocks[i:]:
+            items.append({"a_file": fa, "a_rg": ra, "b_file": fb,
+                          "b_rg": rb, "same": (fa, ra) == (fb, rb)})
+    partials = rd.from_items(items).map_batches(
+        _BlockKnnJoin, fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow", batch_size=4,
+        concurrency=(1, concurrency))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["raw_sim", "dst"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame({
+            "src": g["src"].to_numpy(dtype=np.int64),
+            "dst": g["dst"].to_numpy(dtype=np.int64),
+            "sim": np.round(g["raw_sim"].to_numpy(dtype=np.float64), 4),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return partials.groupby("src").map_groups(final, batch_format="pandas")
+
+
+def knn_graph_oracle_sql(k: int = 5) -> str:
+    """DuckDB oracle for :func:`run_knn_graph`: brute-force all-pairs
+    cosine + row_number, the exact (raw DESC, dst ASC) / 4-dp rounding
+    contract the engine's final reduce applies."""
+    return f"""
+        WITH cand AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))
+                       AS raw_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id <> b.vec_id
+        )
+        SELECT src, dst, round(raw_sim, 4) AS sim,
+               CAST(row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY raw_sim DESC, dst ASC) AS BIGINT) AS rank
+        FROM cand
+        QUALIFY rank <= {k}
+    """
