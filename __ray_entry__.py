@@ -187,7 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": cleaning.run_gopher_filter,
         "bpe_train": _q_bpe_train,
         "knn_graph": _q_knn_graph,
-        # -- slots 43-50: previously hash-matched SQL entries ----------
+        "bpe_encode": _q_bpe_encode,
+        # -- slots 44-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -421,6 +422,14 @@ def _q_bpe_train(sf_dir: str):
     return run_bpe_train(sf_dir)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Tokenizer application: per-document BPE token count under the
+    learned merges, broadcast merge list, zero-shuffle scan."""
+    from dude_ray.pipelines.bpe import run_bpe_encode
+
+    return run_bpe_encode(sf_dir)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact cosine k-nearest-neighbor graph over the embeddings table
     (the curation-graph building block) — blocked row-group pair join
@@ -575,7 +584,8 @@ def oracle_sql() -> dict[str, str]:
                                           minhash_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
-    from dude_ray.pipelines.bpe import bpe_train_oracle_sql
+    from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
+                                        bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import gopher_filter_oracle_sql
     from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
                                                ann_lsh_oracle_sql,
@@ -603,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": gopher_filter_oracle_sql(),
         "bpe_train": bpe_train_oracle_sql(),
         "knn_graph": knn_graph_oracle_sql(),
+        "bpe_encode": bpe_encode_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

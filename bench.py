@@ -308,6 +308,10 @@ def run_bench() -> dict:
     similarity.run_knn_graph(SF_DIR).materialize()
     timings["knn_graph"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    bpe.run_bpe_encode(SF_DIR).materialize()
+    timings["bpe_encode"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -244,3 +244,111 @@ def bpe_train_oracle_sql(n_merges: int = N_MERGES) -> str:
                 f"CAST(pair_count AS BIGINT) AS pair_count FROM ({s})"
                 for s in sels)
             + " ORDER BY step")
+
+
+# --------------------------------------------------------------------------
+# tokenizer APPLICATION: encode the corpus with the learned merges
+# --------------------------------------------------------------------------
+
+class BpeEncoder:
+    """Per-batch BPE encoding against the broadcast merge table — the
+    tokenizer-application stage every training pipeline runs after
+    merge learning.  Word → token-count results are memoized per actor
+    (web text reuses a small hot vocabulary), bounded to keep the
+    cache from growing with corpus size."""
+
+    CACHE_MAX = 1 << 20
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = [(f" {l}  {r} ", f" {l}{r} ") for l, r in merges]
+        self.tok = re.compile(TOKEN_RE)
+        self._cache: dict[str, int] = {}
+
+    def _ntok(self, w: str) -> int:
+        n = self._cache.get(w)
+        if n is None:
+            s = " " + "  ".join(w) + " "
+            for pat, rep in self.merges:
+                s = s.replace(pat, rep)
+            n = len(s.strip().split("  "))
+            if len(self._cache) >= self.CACHE_MAX:
+                self._cache.clear()
+            self._cache[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [sum(self._ntok(w) for w in
+                      self.tok.findall((t or "").lower()))
+                  for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bpe_tokens": pa.array(counts, type=pa.int64()),
+        })
+
+
+def run_bpe_encode(sf_dir: str, n_merges: int = N_MERGES,
+                   concurrency: int = 4):
+    """Per-document BPE token count under the first ``n_merges``
+    learned merges: ONE additional corpus scan after merge learning,
+    with the (tiny — vocab-sized even at 32k merges) merge list
+    broadcast into an encoder actor pool.  No shuffle at all — the
+    per-doc result is computed where the text lives.  Integer output →
+    the SQL oracle hash-matches with no rounding contract."""
+    mt = run_bpe_train(sf_dir, n_merges=n_merges)
+    merges = list(zip(mt["left_sym"].to_pylist(),
+                      mt["right_sym"].to_pylist()))
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        BpeEncoder, fn_constructor_kwargs={"merges": merges},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, concurrency))
+
+
+def bpe_encode_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB oracle: re-learn the merge chain (the bpe_train CTEs,
+    here carrying ``word`` through the replace chain), then join every
+    document word against the merged vocabulary and sum symbol
+    counts.  Pure-integer output."""
+    ctes = [f"""w0 AS MATERIALIZED (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '{TOKEN_RE}')) AS word
+    FROM documents) GROUP BY word
+), v0 AS MATERIALIZED (
+  SELECT word,
+         ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s,
+         cnt
+  FROM w0
+)"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT l, r, sum(cnt) AS c FROM (
+    SELECT syms[j] AS l, syms[j + 1] AS r, cnt
+    FROM (SELECT string_split(trim(s), '  ') AS syms, cnt FROM v{p}),
+         LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS j)
+    WHERE len(syms) >= 2) GROUP BY l, r
+), b{i} AS MATERIALIZED (
+  SELECT l, r FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+), v{i} AS MATERIALIZED (
+  SELECT word,
+         replace(s, ' ' || (SELECT l FROM b{i}) || '  ' ||
+                    (SELECT r FROM b{i}) || ' ',
+                    ' ' || (SELECT l FROM b{i}) ||
+                    (SELECT r FROM b{i}) || ' ') AS s, cnt
+  FROM v{p}
+)""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+enc AS (
+  SELECT word, len(string_split(trim(s), '  ')) AS ntok FROM v{n_merges}
+), dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '{TOKEN_RE}')) AS word
+  FROM documents
+), agg AS (
+  SELECT dw.doc_id, sum(e.ntok) AS t
+  FROM dw JOIN enc e ON dw.word = e.word GROUP BY dw.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(a.t, 0) AS BIGINT) AS bpe_tokens
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""")

@@ -73,3 +73,33 @@ def test_bpe_reference_merge_creates_compound_symbols():
     pairs = [(l, r) for _, l, r, _ in merges]
     assert ("l", "o") in pairs
     assert ("lo", "w") in pairs
+
+
+def test_bpe_encode_matches_duckdb_oracle(ray_session):
+    from dude_ray.pipelines.bpe import bpe_encode_oracle_sql, run_bpe_encode
+
+    got = sorted(run_bpe_encode(SF).to_pandas()
+                 .itertuples(index=False, name=None))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(bpe_encode_oracle_sql()).fetchall())
+    assert got == want
+    assert len(got) == 500
+
+
+def test_bpe_encode_merges_shrink_token_count():
+    """Encoding with merges must never produce MORE tokens than
+    char-level (0 merges), and at least one doc must actually shrink."""
+    from dude_ray.pipelines.bpe import BpeEncoder
+
+    texts = ["the cat sat on the mat", "the dog"]
+    base = BpeEncoder([])
+    enc = BpeEncoder([("t", "h"), ("th", "e")])
+    batch = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array(texts)})
+    b0 = base(batch)["bpe_tokens"].to_pylist()
+    b1 = enc(batch)["bpe_tokens"].to_pylist()
+    assert all(x <= y for x, y in zip(b1, b0))
+    assert b1[0] < b0[0]  # 'the' appears → both merges fire
