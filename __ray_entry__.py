@@ -188,7 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "knn_graph": _q_knn_graph,
         "bpe_encode": _q_bpe_encode,
-        # -- slots 44-50: previously hash-matched SQL entries ----------
+        "pmi_collocations": textops.run_pmi_collocations,
+        # -- slots 45-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -576,7 +577,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
     from dude_ray.pipelines.textops import (fingerprint_oracle_sql,
-                                            ngram_counts_oracle_sql)
+                                            ngram_counts_oracle_sql,
+                                            pmi_collocations_oracle_sql)
     from dude_ray.pipelines.clustering import (kmeans_cluster_oracle_sql,
                                                pca_oracle_sql,
                                                semdedup_oracle_sql)
@@ -614,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": bpe_train_oracle_sql(),
         "knn_graph": knn_graph_oracle_sql(),
         "bpe_encode": bpe_encode_oracle_sql(),
+        "pmi_collocations": pmi_collocations_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -312,6 +312,10 @@ def run_bench() -> dict:
     bpe.run_bpe_encode(SF_DIR).materialize()
     timings["bpe_encode"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    textops.run_pmi_collocations(SF_DIR)
+    timings["pmi_collocations"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

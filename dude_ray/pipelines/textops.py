@@ -646,3 +646,171 @@ def ngram_counts_oracle_sql(n_max: int = 3, min_count: int = 5,
         FROM cnt WHERE cnt >= {min_count}
         QUALIFY rank <= {top_per_n}
     """
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (association-ranked bigrams)
+# --------------------------------------------------------------------------
+
+def run_pmi_collocations(sf_dir: str, min_count: int = 5,
+                         top_k: int = 100, batch_size: int = 4096):
+    """Top-``top_k`` bigram collocations by pointwise mutual
+    information over the lowered word stream — the classic phrase /
+    multi-word-expression statistic (PMI = ln(lift); we report
+    ``lift = p(xy) / (p(x)·p(y))`` itself, which is order-equivalent
+    and needs no libm to match across engines).
+
+    Cross-engine exactness: every count is an exact int64; the score
+    is computed with the SAME float64 expression tree on both sides —
+    ``((c·N)·N) / ((M·cx)·cy)`` with left-associated multiplies — so
+    IEEE determinism makes the doubles (and hence the ranking)
+    bit-identical with no rounding contract.
+
+    Scale shape: ONE corpus scan emits per-batch (n, gram, c) partials
+    (pre-counted — one row per distinct uni/bigram per batch); totals
+    N, M are a 2-row groupby over those partials; exact counts come
+    from the data-scaled hash-grouped reduce; the surviving bigrams
+    join their word marginals through the tfidf-style tiered join
+    (broadcast ≤ 2M vocab rows, distributed hash join above); the
+    global top-k reduces per-block local-k partials, so the driver
+    only ever sees ≤ top_k · blocks candidate rows."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for text in batch["text"].to_pylist():
+            toks = tok_re.findall((text or "").lower())
+            for g in toks:
+                k = (1, g)
+                cnt[k] = cnt.get(k, 0) + 1
+            for i in range(len(toks) - 1):
+                k = (2, toks[i] + " " + toks[i + 1])
+                cnt[k] = cnt.get(k, 0) + 1
+        ks = list(cnt.keys())
+        return pa.table({
+            "n": pa.array([k[0] for k in ks], type=pa.int64()),
+            "gram": pa.array([k[1] for k in ks], type=pa.string()),
+            "c": pa.array([cnt[k] for k in ks], type=pa.int64()),
+        })
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        _partial, batch_format="pyarrow",
+        batch_size=batch_size).materialize()
+    totals = {int(r["n"]): int(r["sum(c)"])
+              for r in partials.groupby("n").sum("c").take_all()}
+    n_uni = float(totals.get(1, 0))
+    n_bi = float(totals.get(2, 0))
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["n", "gram"], sort=False)["c"].sum()
+                 .reset_index())
+        # safe for the marginals too: c_x >= c_xy, so no surviving
+        # bigram ever loses a word marginal to this filter
+        return out[out["c"] >= min_count]
+
+    merged = hash_grouped_reduce(partials, ["n", "gram"], _reduce,
+                                 partials.count(),
+                                 out_cols=("n", "gram", "c")).materialize()
+    uni = merged.filter(expr="n == 1").map_batches(
+        lambda t: pa.table({"w": t["gram"], "wc": t["c"]}),
+        batch_format="pyarrow")
+    bi = merged.filter(expr="n == 2")
+
+    def _split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["gram"], " ")
+        return pa.table({
+            "x": pc.list_element(parts, 0),
+            "y": pc.list_element(parts, 1),
+            "pair_count": t["c"],
+        })
+
+    bi = bi.map_batches(_split, batch_format="pyarrow")
+    if uni.count() <= 2_000_000:
+        uref = ray.put(uni.to_pandas())
+
+        def bjoin(df: pd.DataFrame) -> pd.DataFrame:
+            u = ray.get(uref)
+            df = df.merge(u.rename(columns={"w": "x", "wc": "cx"}), on="x")
+            return df.merge(u.rename(columns={"w": "y", "wc": "cy"}), on="y")
+
+        joined = bi.map_batches(bjoin, batch_format="pandas",
+                                batch_size=65536)
+    else:
+        joined = bi.join(uni, "inner", 64, on=("x",), right_on=("w",)) \
+                   .map_batches(lambda d: d.rename(columns={"wc": "cx"}),
+                                batch_format="pandas") \
+                   .join(uni, "inner", 64, on=("y",), right_on=("w",)) \
+                   .map_batches(lambda d: d.rename(columns={"wc": "cy"}),
+                                batch_format="pandas")
+
+    def _score_localk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["pair_count"].to_numpy(dtype=np.float64)
+        cx = df["cx"].to_numpy(dtype=np.float64)
+        cy = df["cy"].to_numpy(dtype=np.float64)
+        lift = ((c * n_uni) * n_uni) / ((n_bi * cx) * cy)
+        out = pd.DataFrame({"x": df["x"], "y": df["y"],
+                            "pair_count": df["pair_count"].astype("int64"),
+                            "lift": lift})
+        return (out.sort_values(["lift", "x", "y"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(top_k))
+
+    local = joined.map_batches(_score_localk, batch_format="pandas",
+                               batch_size=65536)
+    rows = local.sort(["lift", "x", "y"],
+                      descending=[True, False, False]) \
+                .limit(top_k).take_all()
+    return pa.table({
+        "x": pa.array([r["x"] for r in rows], type=pa.string()),
+        "y": pa.array([r["y"] for r in rows], type=pa.string()),
+        "pair_count": pa.array([r["pair_count"] for r in rows],
+                               type=pa.int64()),
+        "lift": pa.array([r["lift"] for r in rows], type=pa.float64()),
+        "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+    })
+
+
+def pmi_collocations_oracle_sql(min_count: int = 5,
+                                top_k: int = 100) -> str:
+    """DuckDB oracle for :func:`run_pmi_collocations` — independent
+    recount with the identical left-associated float64 score tree."""
+    return f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        ), uni AS (
+            SELECT unnest(w) AS g FROM toks
+        ), big AS (
+            SELECT unnest([w[i] || ' ' || w[i + 1]
+                           for i in generate_series(1, len(w) - 1)]) AS g
+            FROM toks WHERE len(w) >= 2
+        ), ucnt AS (
+            SELECT g, count(*) AS c FROM uni GROUP BY g
+        ), bcnt AS (
+            SELECT g, count(*) AS c FROM big GROUP BY g
+            HAVING count(*) >= {min_count}
+        ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+           mm AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM big),
+        sc AS (
+            SELECT string_split(b.g, ' ')[1] AS x,
+                   string_split(b.g, ' ')[2] AS y,
+                   b.c AS pair_count,
+                   ((CAST(b.c AS DOUBLE) * (SELECT v FROM nn))
+                        * (SELECT v FROM nn))
+                   / (((SELECT v FROM mm) * CAST(ux.c AS DOUBLE))
+                        * CAST(uy.c AS DOUBLE)) AS lift
+            FROM bcnt b
+            JOIN ucnt ux ON string_split(b.g, ' ')[1] = ux.g
+            JOIN ucnt uy ON string_split(b.g, ' ')[2] = uy.g
+        )
+        SELECT x, y, pair_count, lift,
+               CAST(row_number() OVER (
+                   ORDER BY lift DESC, x ASC, y ASC) AS BIGINT) AS rank
+        FROM sc
+        QUALIFY rank <= {top_k}
+    """
