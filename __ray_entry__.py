@@ -189,7 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "bpe_encode": _q_bpe_encode,
         "pmi_collocations": textops.run_pmi_collocations,
-        # -- slots 45-50: previously hash-matched SQL entries ----------
+        "blocklist_filter": cleaning.run_blocklist_filter,
+        # -- slots 46-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -588,7 +589,8 @@ def oracle_sql() -> dict[str, str]:
                                           substring_dup_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
-    from dude_ray.pipelines.cleaning import gopher_filter_oracle_sql
+    from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
+                                             gopher_filter_oracle_sql)
     from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
                                                ann_lsh_oracle_sql,
                                                knn_graph_oracle_sql)
@@ -617,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": knn_graph_oracle_sql(),
         "bpe_encode": bpe_encode_oracle_sql(),
         "pmi_collocations": pmi_collocations_oracle_sql(),
+        "blocklist_filter": blocklist_filter_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -316,6 +316,12 @@ def run_bench() -> dict:
     textops.run_pmi_collocations(SF_DIR)
     timings["pmi_collocations"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import cleaning
+
+    t0 = time.time()
+    cleaning.run_blocklist_filter(SF_DIR).materialize()
+    timings["blocklist_filter"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

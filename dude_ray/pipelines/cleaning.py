@@ -437,3 +437,65 @@ def gopher_filter_oracle_sql() -> str:
                     THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# wordlist blocklist filter (C4-style "bad words" keep/drop)
+# --------------------------------------------------------------------------
+
+# Placeholder blocklist: in production this is the deployment's content
+# blocklist (C4 shipped one of ~400 terms); the mechanism — broadcast
+# wordlist, whole-token lowercase match, count + keep flag — is what
+# the operator implements.  Words chosen to actually occur in the
+# synthetic corpus so the filter exercises both branches.
+BLOCKLIST_WORDS = ("slow", "error", "noise", "spam")
+
+
+def run_blocklist_filter(sf_dir: str, words=BLOCKLIST_WORDS,
+                         batch_size: int = 4096):
+    """C4-style wordlist filter: flag every document containing a
+    blocklisted token (whole-token, lowercase).  Output per document:
+    (doc_id, bad_hits = total blocked-token occurrences, keep =
+    bad_hits == 0).
+
+    Scale shape: the wordlist is a constant compiled into the batch
+    closure (even C4's full list is a few KB — broadcast-trivial);
+    one corpus scan, no shuffle, integer output → the SQL oracle
+    hash-matches with no rounding contract."""
+    import re as _re
+
+    tok = _re.compile(TOKEN_RE)
+    blocked = frozenset(words)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        hits = [sum(1 for t in tok.findall((x or "").lower())
+                    if t in blocked)
+                for x in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bad_hits": pa.array(hits, type=pa.int64()),
+            "keep": pa.array([h == 0 for h in hits], type=pa.bool_()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def blocklist_filter_oracle_sql(words=BLOCKLIST_WORDS) -> str:
+    """DuckDB oracle for :func:`run_blocklist_filter` — independent
+    tokenize + list membership count."""
+    wl = ", ".join("'%s'" % w for w in words)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(w, t -> list_contains([{wl}], t)))
+                    AS BIGINT) AS bad_hits,
+               len(list_filter(w, t -> list_contains([{wl}], t))) = 0
+                   AS keep
+        FROM toks
+    """
