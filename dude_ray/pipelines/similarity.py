@@ -594,17 +594,29 @@ def run_knn_graph(sf_dir: str, k: int = 5, concurrency: int = 8):
         batch_format="pyarrow", batch_size=4,
         concurrency=(1, concurrency))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["raw_sim", "dst"], ascending=[False, True],
-                          kind="mergesort").head(k)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-src top-k inside the hash bucket — a per-vector Ray
+        group would mean millions of tiny groups at scale (the
+        substring_dup lesson); here one vectorized pandas groupby
+        handles the whole bucket."""
+        df = df.sort_values(["src", "raw_sim", "dst"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df["rank"] = df.groupby("src", sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
         return pd.DataFrame({
-            "src": g["src"].to_numpy(dtype=np.int64),
-            "dst": g["dst"].to_numpy(dtype=np.int64),
-            "sim": np.round(g["raw_sim"].to_numpy(dtype=np.float64), 4),
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "src": df["src"].to_numpy(dtype=np.int64),
+            "dst": df["dst"].to_numpy(dtype=np.int64),
+            "sim": np.round(df["raw_sim"].to_numpy(dtype=np.float64), 4),
+            "rank": df["rank"].to_numpy(dtype=np.int64),
         })
 
-    return partials.groupby("src").map_groups(final, batch_format="pandas")
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    n_blocks = len(blocks)
+    n_rows_est = sum(nb for _f, _rg, nb in blocks) * k * max(n_blocks, 1)
+    return hash_grouped_reduce(partials, "src", final, n_rows_est,
+                               out_cols=("src", "dst", "sim", "rank"))
 
 
 def knn_graph_oracle_sql(k: int = 5) -> str:
