@@ -190,7 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _q_bpe_encode,
         "pmi_collocations": textops.run_pmi_collocations,
         "blocklist_filter": cleaning.run_blocklist_filter,
-        # -- slots 46-50: previously hash-matched SQL entries ----------
+        "cms_registers": _q_cms_registers,
+        # -- slots 47-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -424,6 +425,15 @@ def _q_bpe_train(sf_dir: str):
     return run_bpe_train(sf_dir)
 
 
+def _q_cms_registers(sf_dir: str):
+    """Count-Min sketch of corpus word frequencies, reported as its
+    full register state (d, idx, c) — the hll_registers discipline:
+    the point estimate is a pure driver function of these rows."""
+    from dude_ray.pipelines.sketches import run_cms_registers
+
+    return run_cms_registers(sf_dir)
+
+
 def _q_bpe_encode(sf_dir: str):
     """Tokenizer application: per-document BPE token count under the
     learned merges, broadcast merge list, zero-shuffle scan."""
@@ -594,7 +604,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
                                                ann_lsh_oracle_sql,
                                                knn_graph_oracle_sql)
-    from dude_ray.pipelines.sketches import hll_registers_oracle_sql
+    from dude_ray.pipelines.sketches import (cms_registers_oracle_sql,
+                                             hll_registers_oracle_sql)
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
 
@@ -629,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ann_lsh_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),
         "hll_registers": hll_registers_oracle_sql(),
+        "cms_registers": cms_registers_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,

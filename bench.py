@@ -322,6 +322,12 @@ def run_bench() -> dict:
     cleaning.run_blocklist_filter(SF_DIR).materialize()
     timings["blocklist_filter"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import sketches
+
+    t0 = time.time()
+    sketches.run_cms_registers(SF_DIR).materialize()
+    timings["cms_registers"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -249,3 +249,139 @@ def run_top_terms_sketch(sf_dir: str, k_counters: int = MG_COUNTERS,
     top = merged.map_batches(_local_top, batch_format="pyarrow",
                              batch_size=None)
     return top.sort(["n", "term"], descending=[True, False]).limit(m)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (approximate frequency table, SQL-verifiable state)
+# --------------------------------------------------------------------------
+
+CMS_D = 4       # depth: independent hash rows
+CMS_W = 1024    # width: counters per row (power of two)
+
+
+def _cms_word_hash(words) -> np.ndarray:
+    """md5-top-8 uint64 per word — the same string→u64 convention as
+    the minhash gram chain (dedup.py), reproduced in SQL by the hex
+    fold."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+         for w in words), dtype=np.uint64, count=len(words))
+
+
+def cms_cells(h0: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(CMS_D, CMS_W) int64 counter array for pre-counted word hashes:
+    row d uses splitmix64(h0 XOR d) — full-avalanche, so XORing the
+    tiny depth index yields CMS_D independent hash rows."""
+    acc = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for d in range(CMS_D):
+        idx = (_mix64(h0 ^ np.uint64(d))
+               & np.uint64(CMS_W - 1)).astype(np.int64)
+        np.add.at(acc[d], idx, counts)
+    return acc
+
+
+def cms_estimate(cells: dict[tuple[int, int], int], word: str) -> int:
+    """Point query: min over depths of the word's counter — the
+    classic one-sided CMS estimate (never under-counts).  A pure
+    driver function of the register rows, like hll_estimate."""
+    h0 = _cms_word_hash([word])
+    est = None
+    for d in range(CMS_D):
+        idx = int(_mix64(h0 ^ np.uint64(d))[0] & np.uint64(CMS_W - 1))
+        v = cells.get((d, idx), 0)
+        est = v if est is None else min(est, v)
+    return int(est)
+
+
+def run_cms_registers(sf_dir: str, batch_size: int = 4096):
+    """Count-Min sketch of the corpus word-frequency distribution,
+    reported as its full register STATE (d, idx, c) — the
+    SQL-verifiable surface (the hll_registers discipline: point
+    estimates are pure driver functions of these rows, so
+    hash-matching the state verifies the whole distributed sketch).
+
+    Scale shape: per-batch partials are the fixed-size (4 × 1024)
+    counter array of that batch's pre-counted words, emitted as ≤ 4096
+    nonzero cells; merge is an integer sum over a FIXED 4096-key
+    space — shuffle volume is blocks × 4096 rows at any corpus size."""
+    import re
+
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.textops import TOKEN_RE, _docs
+
+    tok = re.compile(TOKEN_RE)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for text in batch["text"].to_pylist():
+            for w in tok.findall((text or "").lower()):
+                cnt[w] = cnt.get(w, 0) + 1
+        words = list(cnt.keys())
+        acc = cms_cells(
+            _cms_word_hash(words),
+            np.fromiter((cnt[w] for w in words), dtype=np.int64,
+                        count=len(words)))
+        dd, ii = np.nonzero(acc)
+        return pa.table({
+            "d": pa.array(dd.astype(np.int64), type=pa.int64()),
+            "idx": pa.array(ii.astype(np.int64), type=pa.int64()),
+            "c": pa.array(acc[dd, ii], type=pa.int64()),
+        })
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=batch_size)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["d", "idx"], sort=False)["c"].sum()
+                 .reset_index())
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    return hash_grouped_reduce(partials, ["d", "idx"], _sum,
+                               CMS_D * CMS_W, out_cols=("d", "idx", "c"))
+
+
+def cms_registers_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_cms_registers` — independent
+    recompute: md5 hex-fold word hashes, the splitmix64 chain per
+    depth (wraparound multiplies via the 32-bit-split product), and
+    the grouped counter sums."""
+    from dude_ray.pipelines.dedup import _sql_addmod64, _sql_mulmod64
+    from dude_ray.pipelines.textops import TOKEN_RE
+
+    h16 = ("CAST(list_sum([CAST(strpos('0123456789abcdef', m[i]) - 1"
+           " AS UBIGINT)"
+           " * (CAST(1 AS UBIGINT) << CAST(4*(16 - i) AS INTEGER))"
+           " for i in generate_series(1, 16)]) AS UBIGINT)")
+    inc = int(_SPLITMIX_INC)
+    c1, c2 = int(_SPLITMIX_C1), int(_SPLITMIX_C2)
+    return f"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '{TOKEN_RE}')) AS tok
+            FROM documents
+        ), tc AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), th AS (
+            SELECT c, (SELECT {h16} FROM
+                       (SELECT string_split(substr(md5(tok), 1, 16), '')
+                        AS m)) AS u
+            FROM tc
+        ), dd AS (
+            SELECT th.c, g.d, xor(th.u, CAST(g.d AS UBIGINT)) AS x
+            FROM th, (SELECT unnest(generate_series(0, {CMS_D - 1}))
+                      AS d) g
+        ),
+        s1 AS (SELECT c, d, {_sql_addmod64('x', str(inc))} AS x FROM dd),
+        s2 AS (SELECT c, d, xor(x, x >> 30) AS x FROM s1),
+        s3 AS (SELECT c, d, {_sql_mulmod64('x', c1)} AS x FROM s2),
+        s4 AS (SELECT c, d, xor(x, x >> 27) AS x FROM s3),
+        s5 AS (SELECT c, d, {_sql_mulmod64('x', c2)} AS x FROM s4),
+        s6 AS (SELECT c, d, xor(x, x >> 31) AS h FROM s5)
+        SELECT CAST(d AS BIGINT) AS d,
+               CAST(h % {CMS_W} AS BIGINT) AS idx,
+               CAST(sum(c) AS BIGINT) AS c
+        FROM s6 GROUP BY 1, 2
+    """
