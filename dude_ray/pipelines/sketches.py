@@ -296,7 +296,8 @@ def cms_estimate(cells: dict[tuple[int, int], int], word: str) -> int:
 
 
 def run_cms_registers(sf_dir: str, batch_size: int = 4096):
-    """Count-Min sketch of the corpus word-frequency distribution,
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, J. Algorithms
+    55(1)) of the corpus word-frequency distribution,
     reported as its full register STATE (d, idx, c) — the
     SQL-verifiable surface (the hll_registers discipline: point
     estimates are pure driver functions of these rows, so
