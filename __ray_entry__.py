@@ -191,10 +191,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": textops.run_pmi_collocations,
         "blocklist_filter": cleaning.run_blocklist_filter,
         "cms_registers": _q_cms_registers,
-        # -- slots 47-50: previously hash-matched SQL entries ----------
+        "ann_pq": similarity.run_ann_pq,
+        # -- slots 48-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
+        # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "exact_dedup": dedup.run_exact_dedup,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -218,7 +220,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.run_user_sessions,
         "top_orders_per_segment": relational.run_top_orders_per_segment,
         "streaming_window": _q_streaming_window,
-        # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "asof_join": relational.run_asof_join,
         "events_band_join": relational.run_events_band_join,
         "value_percentiles": relational.run_value_percentiles,
@@ -238,8 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_thumbs": _q_media_thumbs,
         "media_audio_chunks": _q_media_audio_chunks,
-        # -- rows-only: approximate/banded ops (pytest accuracy oracles)
-        "ann_pq": similarity.run_ann_pq,
+        # -- rows-only: approximate ops (pytest accuracy oracles)
         "distinct_users_approx": _q_distinct_users_approx,
     }
 
@@ -603,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
                                              gopher_filter_oracle_sql)
     from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
                                                ann_lsh_oracle_sql,
+                                               ann_pq_oracle_sql,
                                                knn_graph_oracle_sql)
     from dude_ray.pipelines.sketches import (cms_registers_oracle_sql,
                                              hll_registers_oracle_sql)
@@ -639,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
                                                           n_bits=4),
         "ann_lsh": ann_lsh_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),
+        "ann_pq": ann_pq_oracle_sql(),
         "hll_registers": hll_registers_oracle_sql(),
         "cms_registers": cms_registers_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),

@@ -301,19 +301,57 @@ def run_ann_ivf(sf_dir: str, num_queries: int = 5, k: int = 10,
         _final_topk(k), batch_format="pandas")
 
 
+def _pq_books_and_luts(sample: np.ndarray, qmat_norm: np.ndarray,
+                       m_subspaces: int, n_codes: int, seed: int):
+    """Train the per-subspace codebooks and derive the INTEGER
+    artifacts both engines share: ``qbooks`` (codewords quantized with
+    the ``floor(x·2^20 + 0.5)`` exactness trick — every encode dot
+    product becomes a sum of integer-valued float64 terms < 2^45,
+    exact in any summation order) and ``lutq`` (the per-query
+    query·codeword lookup tables, quantized to int64).  With both
+    quantized, code assignment AND the ADC candidate ranking are pure
+    integer arithmetic — bit-reproducible by a DuckDB oracle that
+    inlines these constants, the same discipline as the hyperplane-LSH
+    signatures above."""
+    d = sample.shape[1]
+    assert d % m_subspaces == 0
+    sub = d // m_subspaces
+    books = np.stack([
+        _kmeans(np.ascontiguousarray(sample[:, j * sub:(j + 1) * sub]),
+                min(n_codes, len(sample)), seed=seed + j)
+        for j in range(m_subspaces)
+    ])  # (m, n_codes, sub) — _kmeans L2-normalizes centroids, fine for
+    # lookup tables (the dot decomposes per subspace)
+    qbooks = np.floor(books * QUANT_SCALE + 0.5)  # integer-valued f64
+    luts = np.einsum("qjd,jcd->qjc",
+                     qmat_norm.reshape(len(qmat_norm), m_subspaces, sub),
+                     books)
+    lutq = np.floor(luts * QUANT_SCALE + 0.5).astype(np.int64)
+    return qbooks, lutq
+
+
 def run_ann_pq(sf_dir: str, num_queries: int = 5, k: int = 10,
                m_subspaces: int = 8, n_codes: int = 128,
                train_rows: int = 2048, rerank: int = 100,
                concurrency: int = 4, seed: int = 42):
     """Product-quantization approximate top-k — the memory-bound scale
-    path: vectors are compressed ``m`` uint8 codes each (d=64 floats →
-    8 bytes, 32×), query-vs-code distances come from per-subspace
-    lookup tables (one ``np.add.reduce`` of table gathers per batch —
-    no float matmul against the corpus), and the per-batch PQ top
-    ``rerank`` candidates are exactly re-scored from the raw vectors
-    before the global top-k, which bounds the quantization recall
-    loss.  Codebooks are trained once on a bounded sample (the IVF
-    discipline: fixed driver cost at any corpus size) and broadcast.
+    path: vectors are compressed to ``m`` small codes each (d=64
+    floats → 8 codes, 32×), query-vs-code scores come from per-query
+    lookup tables (integer gathers per batch — no float matmul against
+    the corpus), the globally best ``rerank`` candidates by ADC score
+    are exactly re-scored from the raw vectors, and the final top-k is
+    taken from those true cosines.  Codebooks are trained once on a
+    bounded sample (the IVF discipline: fixed driver cost at any
+    corpus size) and broadcast.
+
+    The candidate cut is BATCH-INVARIANT: each batch emits its local
+    top-``rerank`` by the total order (adc DESC, vec_id ASC) — a
+    guaranteed superset of the global top-``rerank`` under the same
+    order — and the per-query reduce re-applies the identical cut, so
+    the result is independent of block/batch boundaries.  Encode and
+    ADC are integer-exact (see :func:`_pq_books_and_luts`), which is
+    what lets :func:`ann_pq_oracle_sql` reproduce the ENTIRE pipeline,
+    approximation included, in DuckDB.
 
     Recall vs the brute-force baseline is asserted in tests."""
     import ray
@@ -324,66 +362,153 @@ def run_ann_pq(sf_dir: str, num_queries: int = 5, k: int = 10,
                             columns=["vec_id", "embedding"])
     sample = _normalize(np.stack(
         ds.limit(train_rows).to_pandas()["embedding"].to_numpy()))
-    d = sample.shape[1]
-    assert d % m_subspaces == 0
-    sub = d // m_subspaces
-    books = np.stack([
-        _kmeans(np.ascontiguousarray(sample[:, j * sub:(j + 1) * sub]),
-                min(n_codes, len(sample)), seed=seed + j)
-        for j in range(m_subspaces)
-    ])  # (m, n_codes, sub) — NOTE: _kmeans L2-normalizes centroids,
-    # which is fine for table lookups (dot decomposes per subspace)
-
     qids, qmat = _load_queries(sf_dir, num_queries)
     qmat = _normalize(qmat)
-    # per-query LUT: table[q, j, c] = q_subj · book[j, c]
-    luts = np.einsum("qjd,jcd->qjc",
-                     qmat.reshape(len(qids), m_subspaces, sub), books)
-    state_ref = ray.put((qids, qmat, books, luts))
+    qbooks, lutq = _pq_books_and_luts(sample, qmat, m_subspaces,
+                                      n_codes, seed)
+    state_ref = ray.put((qids, qmat, qbooks, lutq))
 
     class PqTopK:
         def __init__(self):
-            self.qids, self.qmat, self.books, self.luts = ray.get(state_ref)
+            self.qids, self.qmat, self.qbooks, self.lutq = ray.get(state_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            emb = _normalize(np.stack(
-                batch["embedding"].to_pylist()).astype(np.float64))
+            raw = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
             n = len(vids)
-            m, _nc, sub_d = self.books.shape
-            parts = emb.reshape(n, m, sub_d)
-            # encode: nearest codeword per subspace (n, m)
+            m, _nc, sub_d = self.qbooks.shape
+            # encode on the quantized RAW vector (argmax over codewords
+            # is invariant to the vector's positive scale, so skipping
+            # normalization keeps the quantization exact on both
+            # engines — raw parquet floats times 2^20 are exact f64)
+            qv = np.floor(raw * QUANT_SCALE + 0.5).reshape(n, m, sub_d)
             codes = np.stack([
-                ((parts[:, j] @ self.books[j].T)).argmax(axis=1)
+                (qv[:, j] @ self.qbooks[j].T).argmax(axis=1)
                 for j in range(m)
-            ], axis=1)
-            out_q, out_v, out_s = [], [], []
+            ], axis=1)  # (n, m) — ties to the lowest codeword
+            embn = _normalize(raw)
+            out = {"query_id": [], "vec_id": [], "adc": [], "sim": []}
             for qi, qid in enumerate(self.qids):
-                # ADC score = Σ_j lut[j, code_j]  (n,)
-                approx = self.luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                # ADC score = Σ_j lutq[j, code_j]  — int64, exact
+                adc = self.lutq[qi][np.arange(m)[None, :], codes].sum(axis=1)
                 mask = vids != qid
                 cand = np.nonzero(mask)[0]
                 if not len(cand):
                     continue
-                take = min(rerank, len(cand))
-                top = cand[np.argpartition(-approx[cand], take - 1)[:take]]
-                exact = emb[top] @ self.qmat[qi]
-                if len(top) > k:
-                    idx = np.argpartition(-exact, k)[:k]
-                    top, exact = top[idx], exact[idx]
-                out_q.extend([int(qid)] * len(top))
-                out_v.extend(int(v) for v in vids[top])
-                out_s.extend(float(s) for s in exact)
+                # local top-rerank by the shared (adc DESC, vid ASC)
+                # total order — superset of the global cut
+                order = np.lexsort((vids[cand], -adc[cand]))
+                top = cand[order[:rerank]]
+                exact = embn[top] @ self.qmat[qi]
+                out["query_id"].extend([int(qid)] * len(top))
+                out["vec_id"].extend(int(v) for v in vids[top])
+                out["adc"].extend(int(a) for a in adc[top])
+                out["sim"].extend(float(s) for s in exact)
             return pa.table({
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                "adc": pa.array(out["adc"], type=pa.int64()),
+                "sim": pa.array(out["sim"], type=pa.float64()),
             })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", "vec_id"],
+                          ascending=[False, True]).head(rerank)
+        g = g.sort_values(["sim", "vec_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["sim"] = g["sim"].round(4)
+        g["rank"] = range(1, len(g) + 1)
+        return g.drop(columns=["adc"])
 
     partials = ds.map_batches(PqTopK, batch_format="pyarrow",
                               batch_size=4096, concurrency=(1, concurrency))
     return partials.groupby("query_id").map_groups(
-        _final_topk(k), batch_format="pandas")
+        final, batch_format="pandas")
+
+
+def ann_pq_oracle_sql(sf_dir: str | None = None, num_queries: int = 5,
+                      k: int = 10, m_subspaces: int = 8, n_codes: int = 128,
+                      train_rows: int = 2048, rerank: int = 100,
+                      seed: int = 42) -> str:
+    """DuckDB oracle for :func:`run_ann_pq` — the ENTIRE approximate
+    pipeline recomputed independently: the quantized codebooks and
+    per-query integer LUTs are retrained here (same seeded
+    :func:`_kmeans`, independent of Ray — the ann_ivf inlined-constants
+    pattern) and inlined as VALUES; DuckDB then recomputes every code
+    assignment (integer argmax, ties to the lowest codeword), the
+    integer ADC ranking with its global top-``rerank`` cut, and the
+    exact raw-cosine rerank under the shared 4-dp / (sim DESC, vec_id
+    ASC) contract.  ``sf_dir`` defaults to the driver's gate scale
+    (override via ``GRAFT_ORACLE_SF``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    sample = _normalize(emb[:train_rows])
+    vids = t["vec_id"].to_numpy()
+    order = np.argsort(vids)[:num_queries]
+    qids = vids[order]
+    qmat = _normalize(emb[order])
+    qbooks, lutq = _pq_books_and_luts(sample, qmat, m_subspaces,
+                                      n_codes, seed)
+    m, nc, sub = qbooks.shape
+
+    qb_sql = ",".join(
+        "(%d, %d, [%s])" % (j, c,
+                            ",".join(str(int(x)) for x in qbooks[j, c]))
+        for j in range(m) for c in range(nc))
+    lut_sql = ",".join(
+        f"({int(qids[qi])}, {j}, {c}, {int(lutq[qi, j, c])})"
+        for qi in range(len(qids)) for j in range(m) for c in range(nc))
+    return f"""
+        WITH qb(j, c, b) AS (VALUES {qb_sql}),
+        lut(query_id, j, c, w) AS (VALUES {lut_sql}),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            ORDER BY vec_id LIMIT {num_queries}
+        ), qv AS (
+            SELECT vec_id, {quantize_sql()} AS qvec FROM embeddings
+        ), codes AS (
+            SELECT vec_id, j, c FROM (
+                SELECT v.vec_id, b.j, b.c,
+                       list_inner_product(
+                           list_slice(v.qvec, b.j * {sub} + 1,
+                                      (b.j + 1) * {sub}), b.b) AS d
+                FROM qv v CROSS JOIN qb b
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY d DESC, c ASC) = 1
+        ), adc AS (
+            SELECT l.query_id, co.vec_id, sum(l.w) AS adc
+            FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
+            WHERE co.vec_id <> l.query_id
+            GROUP BY 1, 2
+        ), cand AS (
+            SELECT query_id, vec_id FROM adc
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc DESC, vec_id ASC) <= {rerank}
+        ), scored AS (
+            SELECT c.query_id, c.vec_id,
+                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))
+                       AS raw_sim
+            FROM cand c
+            JOIN q ON q.query_id = c.query_id
+            JOIN embeddings e ON e.vec_id = c.vec_id
+        )
+        SELECT query_id, vec_id, round(raw_sim, 4) AS sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY raw_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
 
 
 def ann_lsh_oracle_sql(num_queries: int = 5, k: int = 10,
