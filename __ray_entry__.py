@@ -192,11 +192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": cleaning.run_blocklist_filter,
         "cms_registers": _q_cms_registers,
         "ann_pq": similarity.run_ann_pq,
-        # -- slots 48-50: previously hash-matched SQL entries ----------
+        "ccnet_buckets": _q_ccnet_buckets,
+        # -- slots 49-50: previously hash-matched SQL entries ----------
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
-        "simhash_dedup": dedup.run_simhash_dedup,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "simhash_dedup": dedup.run_simhash_dedup,
         "exact_dedup": dedup.run_exact_dedup,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
@@ -425,6 +426,15 @@ def _q_bpe_train(sf_dir: str):
     return run_bpe_train(sf_dir)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity terciles (Wenzek et al.
+    2020): lang_id × lm_score joined distributed, ntile(3) bucket
+    assignment by distributed selection — no global sort."""
+    from dude_ray.pipelines.ccnet import run_ccnet_buckets
+
+    return run_ccnet_buckets(sf_dir)
+
+
 def _q_cms_registers(sf_dir: str):
     """Count-Min sketch of corpus word frequencies, reported as its
     full register state (d, idx, c) — the hll_registers discipline:
@@ -585,9 +595,11 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.graph import (graph_pagerank_oracle_sql,
                                           pagerank_oracle_sql)
+    from dude_ray.pipelines.ccnet import ccnet_oracle_sql
     from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
-    from dude_ray.pipelines.textops import (fingerprint_oracle_sql,
+    from dude_ray.pipelines.textops import (LANG_ID_ORACLE_SQL,
+                                            fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
                                             pmi_collocations_oracle_sql)
     from dude_ray.pipelines.clustering import (kmeans_cluster_oracle_sql,
@@ -641,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ann_lsh_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),
         "ann_pq": ann_pq_oracle_sql(),
+        "ccnet_buckets": ccnet_oracle_sql(),
         "hll_registers": hll_registers_oracle_sql(),
         "cms_registers": cms_registers_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
@@ -827,28 +840,7 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
         """,
-        "lang_id": r"""
-            WITH scored AS (
-                SELECT doc_id,
-                       len(regexp_extract_all(text, '\b(?:der|die|und|ist|nicht|ein)\b')) AS de,
-                       len(regexp_extract_all(text, '\b(?:the|and|of|is|with|for)\b')) AS en,
-                       len(regexp_extract_all(text, '\b(?:el|la|y|es|los|una)\b')) AS es,
-                       len(regexp_extract_all(text, '\b(?:le|la|et|est|les|des)\b')) AS fr,
-                       greatest(1, len(regexp_extract_all(text, '\S+'))) AS n_words
-                FROM documents
-            )
-            -- first-max-wins over languages in sorted order (de,en,es,fr),
-            -- 'und' when nothing matches — the LangId tie-break exactly
-            SELECT doc_id,
-                   CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
-                        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
-                        WHEN en >= es AND en >= fr THEN 'en'
-                        WHEN es >= fr THEN 'es'
-                        ELSE 'fr' END AS pred_lang,
-                   round(CAST(greatest(de, en, es, fr) AS DOUBLE) / n_words, 6)
-                       AS lang_score
-            FROM scored
-        """,
+        "lang_id": LANG_ID_ORACLE_SQL,
         "lang_dist": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
         """,

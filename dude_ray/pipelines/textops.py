@@ -89,6 +89,32 @@ def run_quality(sf_dir: str):
 # language ID (character/stopword n-gram heuristic)
 # --------------------------------------------------------------------------
 
+# DuckDB oracle reproducing LangId exactly (marker-word counts,
+# first-max-wins over languages in sorted order de,en,es,fr, 'und' when
+# nothing matches) — shared by the lang_id gate entry and the
+# ccnet_buckets composition.
+LANG_ID_ORACLE_SQL = r"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\b(?:der|die|und|ist|nicht|ein)\b')) AS de,
+               len(regexp_extract_all(text, '\b(?:the|and|of|is|with|for)\b')) AS en,
+               len(regexp_extract_all(text, '\b(?:el|la|y|es|los|una)\b')) AS es,
+               len(regexp_extract_all(text, '\b(?:le|la|et|est|les|des)\b')) AS fr,
+               greatest(1, len(regexp_extract_all(text, '\S+'))) AS n_words
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                WHEN en >= es AND en >= fr THEN 'en'
+                WHEN es >= fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           round(CAST(greatest(de, en, es, fr) AS DOUBLE) / n_words, 6)
+               AS lang_score
+    FROM scored
+"""
+
+
 class LangId:
     """Tiny deterministic language-ID: per-language marker-word profiles
     scored per document; state (compiled regexes) built once per actor."""

@@ -774,6 +774,45 @@ def test_ann_pq_recall(ray_session):
     assert (merged["sim_pq"] == merged["sim_bf"]).all()
 
 
+def test_ccnet_buckets_invariants(ray_session):
+    """CCNet terciles: every scored doc appears exactly once, per-lang
+    tercile sizes follow ntile(3) arithmetic, scores are ordered
+    head >= middle >= tail within each language, and the output is
+    invariant to the selection granularity knobs (coarse_shift /
+    target_rows_per_group), which exercises the boundary-bucket
+    refinement path at several histogram widths."""
+    import pandas as pd
+
+    from dude_ray.pipelines.ccnet import _ntile_cuts, run_ccnet_buckets
+    from dude_ray.pipelines.lm import run_lm_score
+
+    sf = "/root/testdata/sf0.001"
+    keys = ["doc_id"]
+    base = (run_ccnet_buckets(sf).to_pandas()
+            .sort_values(keys).reset_index(drop=True))
+    scored = run_lm_score(sf).to_pandas()
+    assert sorted(base["doc_id"]) == sorted(scored["doc_id"])
+
+    for _lang, g in base.groupby("pred_lang"):
+        n = len(g)
+        r1, r2 = _ntile_cuts(n)
+        sizes = g["bucket"].value_counts()
+        assert sizes.get("head", 0) == r1
+        assert sizes.get("middle", 0) == r2 - r1
+        assert sizes.get("tail", 0) == n - r2
+        by = {b: gg["lm_score"] for b, gg in g.groupby("bucket")}
+        if "head" in by and "middle" in by:
+            assert by["head"].min() >= by["middle"].max()
+        if "middle" in by and "tail" in by:
+            assert by["middle"].min() >= by["tail"].max()
+
+    for shift, width in ((4, 256), (20, 65536)):
+        alt = (run_ccnet_buckets(sf, target_rows_per_group=width,
+                                 coarse_shift=shift).to_pandas()
+               .sort_values(keys).reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, alt)
+
+
 def test_dedup_ops_run_to_run_deterministic(ray_session):
     """The bucketed/banded dedup ops must be bit-identical across runs
     in one session — guards against nondeterministic group dispatch or
