@@ -193,10 +193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_registers": _q_cms_registers,
         "ann_pq": similarity.run_ann_pq,
         "ccnet_buckets": _q_ccnet_buckets,
-        # -- slots 49-50: previously hash-matched SQL entries ----------
+        "graph_hits": _q_graph_hits,
+        # -- slot 50: previously hash-matched SQL entry -----------------
         "jaccard_join": dedup.run_jaccard_join,
-        "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
         "exact_dedup": dedup.run_exact_dedup,
         "dedup_incremental": _q_dedup_incremental,
@@ -426,6 +427,15 @@ def _q_bpe_train(sf_dir: str):
     return run_bpe_train(sf_dir)
 
 
+def _q_graph_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over the relational
+    customer→supplier graph — the second iterative graph kernel, with
+    the same adaptive broadcast/scatter/join tiers as PageRank."""
+    from dude_ray.pipelines.graph import run_graph_hits
+
+    return run_graph_hits(sf_dir)
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet-style per-language perplexity terciles (Wenzek et al.
     2020): lang_id × lm_score joined distributed, ntile(3) bucket
@@ -593,7 +603,8 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 
 def oracle_sql() -> dict[str, str]:
-    from dude_ray.pipelines.graph import (graph_pagerank_oracle_sql,
+    from dude_ray.pipelines.graph import (graph_hits_oracle_sql,
+                                          graph_pagerank_oracle_sql,
                                           pagerank_oracle_sql)
     from dude_ray.pipelines.ccnet import ccnet_oracle_sql
     from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
@@ -635,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
         "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),
+        "graph_hits": graph_hits_oracle_sql(),
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "ngram_counts": ngram_counts_oracle_sql(),

@@ -283,20 +283,13 @@ def _pagerank_scatter(edges, nodes, n_nodes: int, n_edges: int,
         "rank": pa.array(rank, type=pa.float64())}))
 
 
-def run_graph_pagerank(sf_dir: str, damping: float = 0.85,
-                       iters: int = 4, num_partitions: int = 4):
-    """PageRank over a relational graph: customers link to the
-    suppliers that filled their orders (distinct (o_custkey,
+def _cust_supp_graph(sf_dir: str, num_partitions: int = 4):
+    """(edges, nodes) of the relational test graph shared by
+    ``run_graph_pagerank`` and ``run_graph_hits``: customers link to
+    the suppliers that filled their orders (distinct (o_custkey,
     l_suppkey) pairs via the orders⋈lineitem join), node universe =
-    all customers ∪ all suppliers.  Suppliers have no out-edges, so
-    the dangling-mass path is exercised on every iteration.
-
-    Exists to give the distributed power-iteration kernel a DuckDB
-    hash-match (the link-graph variant's input is HTML extraction,
-    which SQL can't reach): the oracle unrolls the same fixed
-    iteration count as chained CTEs.  Ranks round to 10 decimals on
-    both sides — float64 association drift across 4 iterations is
-    ~1e-14, two orders below the rounding quantum."""
+    all customers ∪ all suppliers.  Broadcast-map tier for the
+    orderkey→custkey dimension below 2M orders, Dataset.join above."""
     import os
 
     import ray
@@ -371,7 +364,22 @@ def run_graph_pagerank(sf_dir: str, damping: float = 0.85,
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
     ).map_batches(prefix("s_suppkey", "s"), batch_format="pyarrow")
     nodes = cust.union(supp).materialize()
+    return edges, nodes
 
+
+def run_graph_pagerank(sf_dir: str, damping: float = 0.85,
+                       iters: int = 4, num_partitions: int = 4):
+    """PageRank over the relational customer→supplier graph
+    (:func:`_cust_supp_graph`).  Suppliers have no out-edges, so the
+    dangling-mass path is exercised on every iteration.
+
+    Exists to give the distributed power-iteration kernel a DuckDB
+    hash-match (the link-graph variant's input is HTML extraction,
+    which SQL can't reach): the oracle unrolls the same fixed
+    iteration count as chained CTEs.  Ranks round to 10 decimals on
+    both sides — float64 association drift across 4 iterations is
+    ~1e-14, two orders below the rounding quantum."""
+    edges, nodes = _cust_supp_graph(sf_dir, num_partitions)
     ranks = pagerank_kernel(edges, nodes, damping=damping, iters=iters,
                             num_partitions=num_partitions)
     return ranks.map_batches(
@@ -535,3 +543,255 @@ def pagerank_reference(edge_list, node_list, damping: float = 0.85,
         rank = ((1 - damping) / n + damping * dangling / n
                 + damping * contrib)
     return {node: rank[i] for node, i in idx.items()}
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg, JACM 1999)
+# --------------------------------------------------------------------------
+
+def hits_kernel(edges, nodes, iters: int = 4, num_partitions: int = 4,
+                broadcast_threshold: int = 500_000,
+                local_threshold: int = 2_000_000):
+    """Distributed HITS over (src, dst) string edges and a (node,)
+    universe — hubs point at good authorities, authorities are pointed
+    at by good hubs, L1-normalized each half-step:
+
+        a_k(v) = Σ_{(u,v)} h_{k-1}(u),  a_k /= Σ a_k
+        h_k(u) = Σ_{(u,v)} a_k(v),      h_k /= Σ h_k
+
+    Same adaptive tiers as :func:`pagerank_kernel` (equivalence
+    asserted in tests): vertex state ≤ ``broadcast_threshold`` runs as
+    bincount scatters over the int-ified edge list (driver-local numpy
+    below ``local_threshold`` edges, per-block scatter partials with
+    the ranks broadcast via ``ray.put`` above); past the threshold
+    every half-step is one hash join + data-scaled grouped sum, so
+    nothing vertex- or edge-sized ever sits on the driver."""
+    import ray
+
+    n_nodes = nodes.count()
+    empty = pa.table({"node": pa.array([], type=pa.string()),
+                      "auth": pa.array([], type=pa.float64()),
+                      "hub": pa.array([], type=pa.float64())})
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    n_edges = max(edges.count(), 1)
+
+    if n_nodes <= broadcast_threshold:
+        node_arr = np.sort(np.asarray(
+            [r["node"] for r in nodes.take_all()], dtype=object))
+        nodes_ref = ray.put(node_arr)
+
+        def to_ids(t: pa.Table) -> pa.Table:
+            na = ray.get(nodes_ref)
+            out = {}
+            for col, name in (("src", "src_id"), ("dst", "dst_id")):
+                vals = t[col].to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(na, vals), len(na) - 1)
+                if not np.array_equal(na[pos], vals):
+                    raise ValueError(f"edge {col} outside node universe")
+                out[name] = pa.array(pos.astype(np.int64), type=pa.int64())
+            return pa.table(out)
+
+        eint = edges.map_batches(to_ids, batch_format="pyarrow",
+                                 batch_size=65536).materialize()
+        hub = np.full(n_nodes, 1.0 / n_nodes)
+        auth = np.zeros(n_nodes)
+
+        if n_edges <= local_threshold:
+            edf = eint.to_pandas()
+            src = edf["src_id"].to_numpy(dtype=np.int64)
+            dst = edf["dst_id"].to_numpy(dtype=np.int64)
+            for _ in range(iters):
+                auth = np.bincount(dst, weights=hub[src],
+                                   minlength=n_nodes)
+                s = auth.sum()
+                if s > 0:
+                    auth = auth / s
+                hub = np.bincount(src, weights=auth[dst],
+                                  minlength=n_nodes)
+                s = hub.sum()
+                if s > 0:
+                    hub = hub / s
+        else:
+            n_blocks = max(16, min(128, n_edges // 200_000 + 1))
+            eint = eint.repartition(n_blocks).materialize()
+
+            def gather(weights: np.ndarray, by: str, take: str):
+                w_ref = ray.put(weights)
+
+                def scatter(t: pa.Table, _ref=w_ref) -> pa.Table:
+                    w = ray.get(_ref)
+                    c = np.bincount(
+                        t[by].to_numpy(zero_copy_only=False),
+                        weights=w[t[take].to_numpy(zero_copy_only=False)],
+                        minlength=n_nodes)
+                    return pa.table({"v": pa.array([c.tobytes()],
+                                                   type=pa.binary())})
+
+                acc = np.zeros(n_nodes)
+                for row in eint.map_batches(scatter,
+                                            batch_format="pyarrow",
+                                            batch_size=None).take_all():
+                    acc += np.frombuffer(row["v"], dtype=np.float64)
+                return acc
+
+            for _ in range(iters):
+                auth = gather(hub, by="dst_id", take="src_id")
+                s = auth.sum()
+                if s > 0:
+                    auth = auth / s
+                hub = gather(auth, by="src_id", take="dst_id")
+                s = hub.sum()
+                if s > 0:
+                    hub = hub / s
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(node_arr, type=pa.string()),
+            "auth": pa.array(auth, type=pa.float64()),
+            "hub": pa.array(hub, type=pa.float64())}))
+
+    # join tier: per half-step, ship the opposite score onto the edge
+    # list (hash join), grouped-sum by the gathering endpoint, union
+    # zero rows so the full universe keeps a row, normalize by the
+    # scalar L1 mass (one Dataset.sum — never a driver vector)
+    agg_args = {"num_cpus": 0}
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "value": pa.array(np.zeros(len(t)),
+                                              type=pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    def half_step(scores, on: str, gather_by: str):
+        j = edges.join(scores, "inner", num_partitions,
+                       on=(on,), right_on=("node",),
+                       aggregator_ray_remote_args=agg_args)
+        contribs = j.map_batches(
+            lambda t: pa.table({"node": t[gather_by],
+                                "value": t["score"]}),
+            batch_format="pyarrow")
+        sums = _grouped_sum(contribs.union(zero_rows),
+                            n_edges + n_nodes).materialize()
+        mass = sums.sum("value") or 0.0
+        inv = 1.0 / mass if mass > 0 else 0.0
+
+        def norm(t: pa.Table, _inv=inv) -> pa.Table:
+            v = t["value"].to_numpy(zero_copy_only=False) * _inv
+            return pa.table({"node": t["node"],
+                             "score": pa.array(v, type=pa.float64())})
+
+        return sums.map_batches(norm, batch_format="pyarrow").materialize()
+
+    hub = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "score": pa.array(
+                                np.full(len(t), 1.0 / n_nodes),
+                                type=pa.float64())}),
+        batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, on="src", gather_by="dst")
+        hub = half_step(auth, on="dst", gather_by="src")
+
+    a = auth.map_batches(
+        lambda t: pa.table({"node": t["node"], "auth": t["score"],
+                            "hub": pa.array(np.zeros(len(t)),
+                                            type=pa.float64())}),
+        batch_format="pyarrow")
+    h = hub.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "auth": pa.array(np.zeros(len(t)),
+                                             type=pa.float64()),
+                            "hub": t["score"]}),
+        batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False).agg(
+            auth=("auth", "sum"), hub=("hub", "sum")).reset_index()
+        return g
+
+    from dude_ray.partitioning import hash_grouped_reduce
+    return hash_grouped_reduce(a.union(h), "node", merge, 2 * n_nodes,
+                               out_cols=("node", "auth", "hub"))
+
+
+def run_graph_hits(sf_dir: str, iters: int = 4, num_partitions: int = 4,
+                   **kernel_kwargs):
+    """HITS over the relational customer→supplier graph
+    (:func:`_cust_supp_graph`): authorities concentrate on suppliers
+    (in-edges only), hubs on customers (out-edges only) — both sides
+    of the update are exercised.  Scores round to 10 decimals on both
+    sides, the ``graph_pagerank`` drift contract."""
+    edges, nodes = _cust_supp_graph(sf_dir, num_partitions)
+    scores = hits_kernel(edges, nodes, iters=iters,
+                         num_partitions=num_partitions, **kernel_kwargs)
+    return scores.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "auth": pc.round(t["auth"], ndigits=10),
+            "hub": pc.round(t["hub"], ndigits=10),
+        }), batch_format="pyarrow")
+
+
+def graph_hits_oracle_sql(iters: int = 4) -> str:
+    """DuckDB oracle for :func:`run_graph_hits`: the identical
+    L1-normalized update with the iteration loop unrolled as chained
+    CTEs (the graph_pagerank oracle pattern)."""
+    parts = [
+        "WITH nodes AS MATERIALIZED ("
+        " SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer"
+        " UNION ALL"
+        " SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier),",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "edges AS MATERIALIZED ("
+        " SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,"
+        " 's' || CAST(l_suppkey AS VARCHAR) AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey),",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS s FROM nodes),",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS node, sum(h.s) AS v"
+            f" FROM edges e JOIN h{p} h ON h.node = e.src GROUP BY e.dst),")
+        parts.append(
+            f"am{k} AS MATERIALIZED (SELECT coalesce(sum(v), 0) AS m FROM ar{k}),")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT m FROM am{k}) > 0"
+            f" THEN coalesce(r.v, 0) / (SELECT m FROM am{k}) ELSE 0 END AS s"
+            f" FROM nodes n LEFT JOIN ar{k} r ON r.node = n.node),")
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS node, sum(a.s) AS v"
+            f" FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),")
+        parts.append(
+            f"hm{k} AS MATERIALIZED (SELECT coalesce(sum(v), 0) AS m FROM hr{k}),")
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT n.node, CASE WHEN (SELECT m FROM hm{k}) > 0"
+            f" THEN coalesce(r.v, 0) / (SELECT m FROM hm{k}) ELSE 0 END AS s"
+            f" FROM nodes n LEFT JOIN hr{k} r ON r.node = n.node),")
+    parts.append(
+        f"fin AS (SELECT a{iters}.node, round(a{iters}.s, 10) AS auth,"
+        f" round(h{iters}.s, 10) AS hub"
+        f" FROM a{iters} JOIN h{iters} ON h{iters}.node = a{iters}.node)"
+        " SELECT node, auth, hub FROM fin ORDER BY node")
+    return "\n".join(parts)
+
+
+def hits_reference(edge_list, node_list, iters: int = 4):
+    """Single-process numpy HITS with the identical update rule — the
+    tier-equivalence oracle for ``hits_kernel``."""
+    idx = {n: i for i, n in enumerate(node_list)}
+    n = len(node_list)
+    hub = np.full(n, 1.0 / n)
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = np.zeros(n)
+        for s, d in edge_list:
+            auth[idx[d]] += hub[idx[s]]
+        if auth.sum() > 0:
+            auth = auth / auth.sum()
+        hub = np.zeros(n)
+        for s, d in edge_list:
+            hub[idx[s]] += auth[idx[d]]
+        if hub.sum() > 0:
+            hub = hub / hub.sum()
+    return {node: (auth[i], hub[i]) for node, i in idx.items()}

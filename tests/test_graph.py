@@ -103,3 +103,57 @@ def test_pagerank_prefers_linked_pages(ray_session):
     if len(floor) and len(linked):
         assert got[got.index.isin(linked)].mean() > floor.mean()
         assert np.isclose(floor.to_numpy(), floor.iloc[0]).all()
+
+
+def test_graph_hits_matches_reference(ray_session):
+    """HITS against an independent numpy implementation, edge set
+    rebuilt with pandas from the raw parquet; authorities live on
+    suppliers, hubs on customers, each side L1-normalized."""
+    import pandas as pd
+
+    from dude_ray.pipelines.graph import hits_reference, run_graph_hits
+
+    got = run_graph_hits(SF, iters=4).to_pandas()
+    orders = pd.read_parquet(SF + "/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    el = sorted({("c%d" % c, "s%d" % s)
+                 for c, s in zip(m["o_custkey"], m["l_suppkey"])})
+    cust = pd.read_parquet(SF + "/customer.parquet", columns=["c_custkey"])
+    supp = pd.read_parquet(SF + "/supplier.parquet", columns=["s_suppkey"])
+    nl = (["c%d" % c for c in cust["c_custkey"]]
+          + ["s%d" % s for s in supp["s_suppkey"]])
+    assert len(got) == len(nl)
+    assert abs(got["auth"].sum() - 1.0) < 1e-6
+    assert abs(got["hub"].sum() - 1.0) < 1e-6
+    # structure: only suppliers hold authority, only customers hub mass
+    assert (got.loc[got["node"].str.startswith("s"), "hub"] == 0).all()
+    assert (got.loc[got["node"].str.startswith("c"), "auth"] == 0).all()
+    ref = hits_reference(el, nl, iters=4)
+    gm = {r["node"]: (r["auth"], r["hub"])
+          for r in got.to_dict("records")}
+    err = max(max(abs(gm[n][0] - ref[n][0]), abs(gm[n][1] - ref[n][1]))
+              for n in nl)
+    assert err < 1e-9
+
+
+def test_hits_tiers_agree(ray_session):
+    """All three planner tiers (driver-numpy, distributed scatter,
+    per-half-step hash joins) produce the same HITS scores."""
+    from dude_ray.pipelines.graph import _cust_supp_graph, hits_kernel
+
+    edges, nodes = _cust_supp_graph(SF)
+    local = hits_kernel(edges, nodes, iters=3).to_pandas()
+    scatter = hits_kernel(edges, nodes, iters=3,
+                          local_threshold=0).to_pandas()
+    joins = hits_kernel(edges, nodes, iters=3,
+                        broadcast_threshold=0).to_pandas()
+    base = local.set_index("node").sort_index()
+    for other in (scatter, joins):
+        o = other.set_index("node").sort_index()
+        assert len(o) == len(base)
+        for col in ("auth", "hub"):
+            assert np.max(np.abs(o[col].to_numpy()
+                                 - base[col].to_numpy())) < 1e-12
