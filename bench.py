@@ -328,6 +328,20 @@ def run_bench() -> dict:
     sketches.run_cms_registers(SF_DIR).materialize()
     timings["cms_registers"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    similarity.run_ann_pq(SF_DIR).materialize()
+    timings["ann_pq"] = round(time.time() - t0, 3)
+
+    from dude_ray.pipelines import ccnet
+
+    t0 = time.time()
+    ccnet.run_ccnet_buckets(SF_DIR).materialize()
+    timings["ccnet_buckets"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    graph.run_graph_hits(SF_DIR).materialize()
+    timings["graph_hits"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
