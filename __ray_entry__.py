@@ -194,9 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": similarity.run_ann_pq,
         "ccnet_buckets": _q_ccnet_buckets,
         "graph_hits": _q_graph_hits,
-        # -- slot 50: previously hash-matched SQL entry -----------------
-        "jaccard_join": dedup.run_jaccard_join,
+        "distinct_users_approx": _q_distinct_users_approx,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
         "exact_dedup": dedup.run_exact_dedup,
@@ -241,8 +241,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_thumbs": _q_media_thumbs,
         "media_audio_chunks": _q_media_audio_chunks,
-        # -- rows-only: approximate ops (pytest accuracy oracles)
-        "distinct_users_approx": _q_distinct_users_approx,
     }
 
 
@@ -400,9 +398,11 @@ def _q_dedup_incremental(sf_dir: str):
 
 
 def _q_distinct_users_approx(sf_dir: str):
-    """HLL sketch estimate — the ESTIMATE stays rows-only (a float
-    function of the sketch), but the sketch state it derives from is
-    hash-matched as ``hll_registers``; accuracy vs exact asserted in
+    """HLL sketch estimate — hash-matched since r4: the harmonic sum
+    is the exact HUGEINT Σ 2^(53-rank) so the raw estimate is one
+    float division of shared values (sketches.distinct_users_approx
+    _oracle_sql); the state it derives from is separately matched as
+    ``hll_registers``; accuracy vs exact asserted in
     tests/test_pipelines.py::test_hll_accuracy_and_merge_invariance."""
     from dude_ray.pipelines.sketches import run_distinct_users_approx
 
@@ -628,8 +628,9 @@ def oracle_sql() -> dict[str, str]:
                                                ann_lsh_oracle_sql,
                                                ann_pq_oracle_sql,
                                                knn_graph_oracle_sql)
-    from dude_ray.pipelines.sketches import (cms_registers_oracle_sql,
-                                             hll_registers_oracle_sql)
+    from dude_ray.pipelines.sketches import (
+        cms_registers_oracle_sql, distinct_users_approx_oracle_sql,
+        hll_registers_oracle_sql)
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
 
@@ -668,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": ccnet_oracle_sql(),
         "hll_registers": hll_registers_oracle_sql(),
         "cms_registers": cms_registers_oracle_sql(),
+        "distinct_users_approx": distinct_users_approx_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,

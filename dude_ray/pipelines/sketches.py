@@ -63,12 +63,27 @@ def hll_registers(values: np.ndarray) -> np.ndarray:
     return regs
 
 
+# max rank = 64 - HLL_P + 1 = 53, so Σ_j 2^(-M_j) = S_int / 2^53 with
+# S_int = Σ_j 2^(53 - M_j) an EXACT integer (≤ m·2^53 < 2^66 — Python
+# int here, HUGEINT in the SQL oracle).  The raw estimate then reduces
+# to ONE float division of two values both engines hold bit-identically
+# (the numerator α·m²·2^53 inlined as the same literal), which is what
+# lets distinct_users_approx hash-match instead of staying rows-only.
+_HLL_RANK_MAX = 64 - HLL_P + 1
+_HLL_NUM = _ALPHA * _M * _M * (1 << _HLL_RANK_MAX)
+
+
 def hll_estimate(regs: np.ndarray) -> float:
-    """Bias-corrected harmonic-mean estimate with range corrections."""
-    regs = regs.astype(np.float64)
-    est = _ALPHA * _M * _M / np.sum(np.exp2(-regs))
+    """Bias-corrected harmonic-mean estimate with range corrections.
+    The harmonic sum is exact-integer (see _HLL_NUM note); only the
+    linear-counting branch calls a transcendental (ln), whose ≤1-ulp
+    libm spread is absorbed by the integer rounding of the caller."""
+    cnt = np.bincount(regs.astype(np.int64), minlength=_HLL_RANK_MAX + 1)
+    s_int = sum(int(c) << (_HLL_RANK_MAX - r)
+                for r, c in enumerate(cnt) if c)
+    est = _HLL_NUM / float(s_int)
     if est <= 2.5 * _M:
-        zeros = np.count_nonzero(regs == 0)
+        zeros = int(cnt[0])
         if zeros:
             est = _M * np.log(_M / zeros)  # linear counting
     elif est > (1 << 64) / 30.0:  # pragma: no cover (needs ~10^18 keys)
@@ -112,7 +127,8 @@ def run_distinct_users_approx(sf_dir: str):
         return pd.DataFrame({
             "event_type": [g["event_type"].iloc[0]],
             "n_users_approx": pd.Series(
-                [int(round(hll_estimate(merged)))], dtype="int64"),
+                [int(np.floor(hll_estimate(merged) + 0.5))],
+                dtype="int64"),
         })
 
     partials = ds.map_batches(_hll_partials, batch_format="pyarrow",
@@ -191,6 +207,43 @@ def hll_registers_oracle_sql() -> str:
         {clz}
         SELECT event_type, reg, CAST(max(lz6 + 1) AS BIGINT) AS rank
         FROM c6 GROUP BY 1, 2
+    """
+
+
+def distinct_users_approx_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_distinct_users_approx` — the HLL
+    ESTIMATE recomputed from the independently-recomputed register
+    state (:func:`hll_registers_oracle_sql` as a derived table): the
+    harmonic sum as the exact HUGEINT Σ 2^(53-rank) (absent registers
+    contribute 2^53 each), the raw estimate as the single float
+    division of the shared inlined numerator, and the same
+    linear-counting branch.  ln() is the one transcendental — a ≤1-ulp
+    libm spread at ~1e3 magnitude sits ~1e-13 from any integer
+    rounding boundary, absorbed by the BIGINT round on both sides."""
+    shift_max = _HLL_RANK_MAX
+    full = 1 << _HLL_RANK_MAX
+    return f"""
+        WITH regs AS ({hll_registers_oracle_sql()}),
+        agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS HUGEINT) AS npresent,
+                   sum(CAST(1 AS BIGINT) << CAST({shift_max} - rank
+                                                 AS INTEGER)) AS s_present
+            FROM regs GROUP BY 1
+        ), est AS (
+            SELECT event_type,
+                   {_M} - npresent AS zeros,
+                   {_HLL_NUM!r} / CAST(
+                       CAST(s_present AS HUGEINT)
+                       + ({_M} - npresent) * CAST({full} AS HUGEINT)
+                       AS DOUBLE) AS raw
+            FROM agg
+        )
+        SELECT event_type,
+               CAST(floor(0.5 + CASE WHEN raw <= {2.5 * _M!r} AND zeros > 0
+                                THEN {float(_M)!r} * ln({float(_M)!r} / zeros)
+                                ELSE raw END) AS BIGINT) AS n_users_approx
+        FROM est ORDER BY event_type
     """
 
 
