@@ -194,8 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": similarity.run_ann_pq,
         "ccnet_buckets": _q_ccnet_buckets,
         "graph_hits": _q_graph_hits,
-        "distinct_users_approx": _q_distinct_users_approx,
+        "embedding_project": _q_embedding_project,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "distinct_users_approx": _q_distinct_users_approx,
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
         "simhash_dedup": dedup.run_simhash_dedup,
@@ -427,6 +428,15 @@ def _q_bpe_train(sf_dir: str):
     return run_bpe_train(sf_dir)
 
 
+def _q_embedding_project(sf_dir: str):
+    """Johnson-Lindenstrauss integer random projection (Achlioptas
+    2003) — quantized embeddings × inlined integer planes, exact in
+    both engines; the dimensionality-reduction front of ANN/k-means."""
+    from dude_ray.pipelines.clustering import run_embedding_project
+
+    return run_embedding_project(sf_dir)
+
+
 def _q_graph_hits(sf_dir: str):
     """HITS hubs & authorities (Kleinberg 1999) over the relational
     customer→supplier graph — the second iterative graph kernel, with
@@ -613,7 +623,8 @@ def oracle_sql() -> dict[str, str]:
                                             fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
                                             pmi_collocations_oracle_sql)
-    from dude_ray.pipelines.clustering import (kmeans_cluster_oracle_sql,
+    from dude_ray.pipelines.clustering import (embedding_project_oracle_sql,
+                                               kmeans_cluster_oracle_sql,
                                                pca_oracle_sql,
                                                semdedup_oracle_sql)
     from dude_ray.pipelines.dedup import (embedding_neardup_oracle_sql,
@@ -670,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": hll_registers_oracle_sql(),
         "cms_registers": cms_registers_oracle_sql(),
         "distinct_users_approx": distinct_users_approx_oracle_sql(),
+        "embedding_project": embedding_project_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,

@@ -342,6 +342,10 @@ def run_bench() -> dict:
     graph.run_graph_hits(SF_DIR).materialize()
     timings["graph_hits"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    clustering.run_embedding_project(SF_DIR).materialize()
+    timings["embedding_project"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -673,3 +673,72 @@ def run_quantize_embeddings(sf_dir: str, batch_size: int = 4096,
 
     return ds.map_batches(_codes, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def run_embedding_project(sf_dir: str, k: int = 16, seed: int = 42,
+                          batch_size: int = 4096, concurrency: int = 4):
+    """Johnson-Lindenstrauss random projection of the embedding column
+    to ``k`` dimensions — the dimensionality-reduction step in front
+    of clustering / ANN at scale (Achlioptas, JCSS 2003:
+    database-friendly integer projections preserve pairwise distances
+    in expectation like Gaussian ones).  Stateless single pass, no
+    shuffle: the d×k integer plane matrix is generated per actor from
+    the seed.
+
+    Integer-exact on both engines (the ann_lsh discipline): embeddings
+    quantize via floor(x·2^20 + 0.5), planes are integers in
+    [-999, 999], so every projection component is a sum of 64
+    integer-valued float64 terms < 2^31 — exact in any order, hence
+    bit-identical to :func:`embedding_project_oracle_sql`.  Output is
+    unnested (vec_id, dim, value), 1-based dims, the
+    quantize_embeddings convention."""
+    from dude_ray.pipelines.similarity import QUANT_SCALE, lsh_planes
+
+    ds = _emb(sf_dir)
+
+    class Project:
+        def __init__(self):
+            # d inferred lazily from the first batch; planes cached
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+            if self.planes is None:
+                self.planes = lsh_planes(emb.shape[1], k, seed=seed)
+            q = np.floor(emb * QUANT_SCALE + 0.5)
+            proj = (q @ self.planes).astype(np.int64)
+            return pa.table({
+                "vec_id": pa.array(np.repeat(vids, k), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, k + 1,
+                                                  dtype=np.int64),
+                                        len(vids)), type=pa.int64()),
+                "value": pa.array(proj.ravel(), type=pa.int64()),
+            })
+
+    # autoscaling (1, N) pool — a FIXED pool of N reserves every CPU
+    # on a small session and starves the upstream read (deadlock
+    # observed at num_cpus=4); min-1 keeps progress guaranteed
+    return ds.map_batches(Project, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=(1, concurrency))
+
+
+def embedding_project_oracle_sql(k: int = 16, d: int = 64,
+                                 seed: int = 42) -> str:
+    """DuckDB oracle for :func:`run_embedding_project` — the same
+    integer plane matrix inlined as VALUES, the same quantization, one
+    exact list_inner_product per output dimension."""
+    from dude_ray.pipelines.similarity import lsh_planes, quantize_sql
+
+    planes = lsh_planes(d, k, seed=seed)
+    rows = ",".join(
+        "(%d, [%s])" % (j + 1, ",".join(str(int(v)) for v in planes[:, j]))
+        for j in range(k))
+    return f"""
+        WITH planes(dim, p) AS (VALUES {rows}),
+        qv AS (SELECT vec_id, {quantize_sql()} AS q FROM embeddings)
+        SELECT v.vec_id, pl.dim,
+               CAST(list_inner_product(v.q, pl.p) AS BIGINT) AS value
+        FROM qv v CROSS JOIN planes pl
+    """

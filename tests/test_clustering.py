@@ -223,3 +223,46 @@ def test_semdedup_kept_set_is_threshold_monotone(ray_session):
     assert hi["pruned"].sum() <= lo["pruned"].sum()
     # anything kept at the low threshold stays kept at the high one
     assert not (hi["pruned"] & ~lo["pruned"]).any()
+
+
+def test_embedding_project_jl_property(ray_session):
+    """JL projection: every vector gets k complete dims, values match
+    an independent numpy recompute, and pairwise distances in the
+    projected space correlate strongly with the original space
+    (the Johnson-Lindenstrauss property the op exists for)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.clustering import run_embedding_project
+    from dude_ray.pipelines.similarity import QUANT_SCALE, lsh_planes
+
+    sf = "/root/testdata/sf0.001"
+    got = run_embedding_project(sf, k=16).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    vids = t["vec_id"].to_numpy()
+    planes = lsh_planes(emb.shape[1], 16, seed=42)
+    ref = (np.floor(emb * QUANT_SCALE + 0.5) @ planes).astype(np.int64)
+
+    assert len(got) == len(vids) * 16
+    wide = (got.pivot(index="vec_id", columns="dim", values="value")
+            .loc[vids].to_numpy())
+    assert np.array_equal(wide, ref)
+
+    # JL distance preservation on a bounded sample: for pairwise
+    # difference vectors δ, E[||Pδ||²] = k·σ²·||δ||² (P entries uniform
+    # integers in [-999, 999], σ² = (1999²-1)/12), and the squared
+    # ratio concentrates ~ χ²_k/k (rel-std √(2/k) ≈ 0.35 at k=16) —
+    # assert the mean sits at 1 and every pair within a ±4σ-ish band
+    n = min(64, len(emb))
+    q = np.floor(emb[:n] * QUANT_SCALE + 0.5)
+    p = ref[:n].astype(np.float64)
+    iu = np.triu_indices(n, 1)
+    dq = ((q[:, None] - q[None, :]) ** 2).sum(axis=2)[iu]
+    dp = ((p[:, None] - p[None, :]) ** 2).sum(axis=2)[iu]
+    sigma2 = (1999 ** 2 - 1) / 12
+    ratio = dp / (16 * sigma2 * dq)
+    assert abs(ratio.mean() - 1.0) < 0.2
+    assert ratio.min() > 0.1 and ratio.max() < 3.0
