@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": _q_graph_hits,
         "embedding_project": _q_embedding_project,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "bloom_registers": _q_bloom_registers,
         "distinct_users_approx": _q_distinct_users_approx,
         "jaccard_join": dedup.run_jaccard_join,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
@@ -455,6 +456,15 @@ def _q_ccnet_buckets(sf_dir: str):
     return run_ccnet_buckets(sf_dir)
 
 
+def _q_bloom_registers(sf_dir: str):
+    """Bloom filter membership state over document text hashes — the
+    third order-independent sketch state hash-matched end-to-end
+    (md5_number_lower slices; union is commutative+idempotent)."""
+    from dude_ray.pipelines.sketches import run_bloom_registers
+
+    return run_bloom_registers(sf_dir)
+
+
 def _q_cms_registers(sf_dir: str):
     """Count-Min sketch of corpus word frequencies, reported as its
     full register state (d, idx, c) — the hll_registers discipline:
@@ -640,8 +650,8 @@ def oracle_sql() -> dict[str, str]:
                                                ann_pq_oracle_sql,
                                                knn_graph_oracle_sql)
     from dude_ray.pipelines.sketches import (
-        cms_registers_oracle_sql, distinct_users_approx_oracle_sql,
-        hll_registers_oracle_sql)
+        bloom_registers_oracle_sql, cms_registers_oracle_sql,
+        distinct_users_approx_oracle_sql, hll_registers_oracle_sql)
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
 
@@ -682,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_registers": cms_registers_oracle_sql(),
         "distinct_users_approx": distinct_users_approx_oracle_sql(),
         "embedding_project": embedding_project_oracle_sql(),
+        "bloom_registers": bloom_registers_oracle_sql(),
         "embedding_pca": pca_oracle_sql(),
         "substring_dup": substring_dup_oracle_sql(),
         "lm_score": LM_SCORE_ORACLE_SQL,

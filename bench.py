@@ -346,6 +346,10 @@ def run_bench() -> dict:
     clustering.run_embedding_project(SF_DIR).materialize()
     timings["embedding_project"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    sketches.run_bloom_registers(SF_DIR).materialize()
+    timings["bloom_registers"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

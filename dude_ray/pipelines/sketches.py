@@ -439,3 +439,79 @@ def cms_registers_oracle_sql() -> str:
                CAST(sum(c) AS BIGINT) AS c
         FROM s6 GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# Bloom filter membership state (Bloom, CACM 1970)
+# --------------------------------------------------------------------------
+#
+# The third order-independent sketch whose full distributed state
+# hash-matches a SQL recompute (after the HLL registers and the CMS
+# cells): the bit set of an m-bit / k-hash Bloom filter over the
+# corpus documents' text hashes — the membership structure behind the
+# engine's URL-seen frontier dedup and the decontamination semi-join.
+# The k bit positions are independent 16-bit SLICES of the document's
+# md5 (DuckDB's md5_number_lower = the digest's low 8 bytes,
+# little-endian — bit-for-bit reproducible from hashlib), so no
+# wraparound arithmetic is needed at all.  Bit-set union is
+# commutative and idempotent: any merge order, any batching, any
+# partitioning yields the same state.  The false-positive rate
+# (1 - e^{-kn/m})^k is a pure driver function of the row count; size
+# m ≈ n·k/ln2 for the target FPR at scale.
+
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 4        # 16-bit slices of one md5-derived uint64
+
+
+def bloom_bits(texts) -> np.ndarray:
+    """Distinct bit positions set by ``texts`` — k 16-bit slices of
+    md5_number_lower per text, vectorized over the batch."""
+    import hashlib
+
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(
+            (t or "").encode("utf-8", "surrogatepass")).digest()[8:16],
+            "little") for t in texts),
+        dtype=np.uint64, count=len(texts))
+    bits = np.concatenate([
+        ((h >> np.uint64(16 * j)) & np.uint64(BLOOM_M - 1)).astype(np.int64)
+        for j in range(BLOOM_K)
+    ]) if len(h) else np.empty(0, dtype=np.int64)
+    return np.unique(bits)
+
+
+def run_bloom_registers(sf_dir: str, batch_size: int = 4096):
+    """(bit,) — the full Bloom state over ``documents.text``.  Per
+    batch: the distinct local bit set (≤ m int64 rows, constant-bound
+    at any corpus size); merge: one data-scaled hash-grouped distinct.
+    Nothing row-count-sized ever aggregates anywhere."""
+    from dude_ray.io import read_parquet_clean
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bits = bloom_bits(batch["text"].to_pylist())
+        return pa.table({"bit": pa.array(bits, type=pa.int64())})
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+    return hash_grouped_reduce(parts, "bit", _distinct, BLOOM_M,
+                               out_cols=("bit",))
+
+
+def bloom_registers_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_bloom_registers` — md5_number_lower
+    reproduces the hashlib digest slice exactly; UNION dedups."""
+    selects = " UNION ".join(
+        f"SELECT CAST((h >> {16 * j}) % {BLOOM_M} AS BIGINT) AS bit FROM x"
+        for j in range(BLOOM_K))
+    return f"""
+        WITH x AS (SELECT CAST(md5_number_lower(text) AS UBIGINT) AS h
+                   FROM documents)
+        {selects}
+    """

@@ -1217,3 +1217,28 @@ def test_ngram_counts_matches_reference(ray_session):
                .sort_values(["n", "rank"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got[["n", "gram", "cnt", "rank"]], want, check_dtype=False)
+
+
+def test_bloom_registers_membership(ray_session):
+    """Bloom state: every document's k bits are set (no false
+    negatives, the Bloom guarantee), random absent strings are mostly
+    rejected, and the state is invariant to batch size (union is
+    commutative + idempotent)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.sketches import (BLOOM_K, bloom_bits,
+                                             run_bloom_registers)
+
+    sf = "/root/testdata/sf0.001"
+    got = set(run_bloom_registers(sf).to_pandas()["bit"])
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    for t in texts[:50]:
+        assert set(bloom_bits([t])) <= got  # no false negatives
+    fp = sum(set(bloom_bits([f"absent-{i}-xyzzy"])) <= got
+             for i in range(200))
+    assert fp < 40  # FPR ~ (fill)^k, far below 20% here
+
+    small = set(run_bloom_registers(sf, batch_size=7).to_pandas()["bit"])
+    assert small == got
