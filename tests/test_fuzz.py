@@ -271,3 +271,29 @@ def test_char_entropy_oracle_parity_fuzz(text):
     """).fetchone()
     assert got[0] == want_d
     assert abs(got[1] - want) <= 1e-6
+
+
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_bloom_bits_cross_engine_on_arbitrary_unicode(texts):
+    """bloom_bits' md5-slice positions must equal DuckDB's
+    md5_number_lower slices for ARBITRARY Unicode text — locks the
+    UTF-8 encoding contract between hashlib and DuckDB VARCHAR
+    hashing (surrogates are excluded: parquet/DuckDB VARCHAR cannot
+    carry them, so the engine never sees one)."""
+    import duckdb
+    import numpy as np
+
+    from dude_ray.pipelines.sketches import BLOOM_K, BLOOM_M, bloom_bits
+
+    texts = ["".join(c for c in t if not 0xD800 <= ord(c) <= 0xDFFF)
+             for t in texts]
+    got = set(bloom_bits(texts).tolist())
+    con = duckdb.connect()
+    want = set()
+    for t in texts:
+        (h,) = con.execute("SELECT md5_number_lower(?)", [t]).fetchone()
+        h = np.uint64(h)
+        for j in range(BLOOM_K):
+            want.add(int((h >> np.uint64(16 * j)) & np.uint64(BLOOM_M - 1)))
+    assert got == want

@@ -1242,3 +1242,42 @@ def test_bloom_registers_membership(ray_session):
 
     small = set(run_bloom_registers(sf, batch_size=7).to_pandas()["bit"])
     assert small == got
+
+
+def test_ccnet_buckets_all_tied_boundary(ray_session, tmp_path):
+    """Adversarial tercile case: one coarse bucket holds EVERY doc of a
+    language (identical texts → identical lm_scores), so BOTH tercile
+    cuts fall inside it and the boundary refinement must 3-way-split
+    the tie group purely by doc_id — compared against the DuckDB
+    ntile oracle on the same data."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.ccnet import ccnet_oracle_sql, run_ccnet_buckets
+
+    same = "the cat sat on the mat and the dog ran for the hill"
+    other = "el gato y la casa es una cosa y los perros"
+    texts = [same] * 11 + [other] * 4
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["x"] * len(texts)),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = sorted(run_ccnet_buckets(str(d)).to_pandas()
+                 .itertuples(index=False, name=None))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(ccnet_oracle_sql()).fetchall())
+    assert got == want
+    # the tie group really did split 4/4/3 by doc_id
+    en = [r for r in got if r[1] == "en"]
+    assert [r[3] for r in sorted(en)] == (
+        ["head"] * 4 + ["middle"] * 4 + ["tail"] * 3)
