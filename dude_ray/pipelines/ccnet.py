@@ -137,17 +137,21 @@ def run_ccnet_buckets(sf_dir: str, target_rows_per_group: int = 65536,
                 refine[(lang, ck)] = lo
             cum = hi
 
+    # broadcastable bounded label tables — per-batch assignment is one
+    # vectorized pandas merge, never a per-row Python loop
+    direct_df = pd.DataFrame(
+        [(lang, ck, lab) for (lang, ck), lab in direct.items()],
+        columns=["pred_lang", "ck", "bucket"])
+    refine_df = pd.DataFrame(
+        [(lang, ck) for (lang, ck) in refine],
+        columns=["pred_lang", "ck"])
+
     def _label_direct(df: pd.DataFrame) -> pd.DataFrame:
-        key = list(zip(df["pred_lang"], df["ck"]))
-        lab = [direct.get(k) for k in key]
-        df = df.assign(bucket=lab)
-        return df.loc[df["bucket"].notna(),
-                      ["doc_id", "pred_lang", "lm_score", "bucket"]]
+        out = df.merge(direct_df, on=["pred_lang", "ck"], how="inner")
+        return out[["doc_id", "pred_lang", "lm_score", "bucket"]]
 
     def _needs_refine(df: pd.DataFrame) -> pd.DataFrame:
-        key = list(zip(df["pred_lang"], df["ck"]))
-        mask = [k in refine for k in key]
-        return df.loc[mask]
+        return df.merge(refine_df, on=["pred_lang", "ck"], how="inner")
 
     labeled = ds.map_batches(_label_direct, batch_format="pandas")
 
