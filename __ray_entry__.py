@@ -143,7 +143,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- slots 1-20: never driver-verified before round 4 ---------
         "training_mix": _q_training_mix,
         "tfidf_keywords": _q_tfidf_keywords,
-        "kmeans_assign": _q_kmeans_assign,
         "kmeans_cluster": _q_kmeans_cluster,
         "term_postings": _q_term_postings,
         "bm25_topk": _q_bm25_topk,
@@ -156,9 +155,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "embedding_pca": _q_embedding_pca,
         "embedding_cov": _q_embedding_cov,
-        "label_centroids": _q_label_centroids,
-        "events_hopping_window": _q_events_hopping_window,
-        "value_percent_rank": _q_value_percent_rank,
         "pagerank": _q_pagerank,
         "graph_pagerank": _q_graph_pagerank,
         # -- slots 21-29: NEW in round 4 (never driver-verified) --------
@@ -195,7 +191,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "graph_hits": _q_graph_hits,
         "embedding_project": _q_embedding_project,
+        "source_stats": textops.run_source_stats,
+        "readability": textops.run_readability,
+        "phrase_search": textops.run_phrase_search,
+        "contamination_overlap": textops.run_contamination_overlap,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "kmeans_assign": _q_kmeans_assign,
+        "label_centroids": _q_label_centroids,
+        "events_hopping_window": _q_events_hopping_window,
+        "value_percent_rank": _q_value_percent_rank,
         "bloom_registers": _q_bloom_registers,
         "distinct_users_approx": _q_distinct_users_approx,
         "jaccard_join": dedup.run_jaccard_join,
@@ -630,9 +634,13 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.lm import LM_SCORE_ORACLE_SQL
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
     from dude_ray.pipelines.textops import (LANG_ID_ORACLE_SQL,
+                                            contamination_overlap_oracle_sql,
                                             fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
-                                            pmi_collocations_oracle_sql)
+                                            phrase_search_oracle_sql,
+                                            pmi_collocations_oracle_sql,
+                                            readability_oracle_sql,
+                                            source_stats_oracle_sql)
     from dude_ray.pipelines.clustering import (embedding_project_oracle_sql,
                                                kmeans_cluster_oracle_sql,
                                                pca_oracle_sql,
@@ -678,6 +686,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": bpe_encode_oracle_sql(),
         "pmi_collocations": pmi_collocations_oracle_sql(),
         "blocklist_filter": blocklist_filter_oracle_sql(),
+        "source_stats": source_stats_oracle_sql(),
+        "readability": readability_oracle_sql(),
+        "phrase_search": phrase_search_oracle_sql(),
+        "contamination_overlap": contamination_overlap_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

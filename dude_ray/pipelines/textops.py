@@ -840,3 +840,345 @@ def pmi_collocations_oracle_sql(min_count: int = 5,
         FROM sc
         QUALIFY rank <= {top_k}
     """
+
+
+# --------------------------------------------------------------------------
+# per-source corpus report card
+# --------------------------------------------------------------------------
+
+def run_source_stats(sf_dir: str, batch_size: int = 4096):
+    """Per-source corpus report card: document count, word-token
+    total, character total and distinct-language count — the rollup a
+    corpus build prints per domain / crawl slice before making mixing
+    decisions (what dude's per-run log lines would aggregate to,
+    /root/reference/dude/base.py:366,370).
+
+    Scale shape: per-batch (source, lang) partials — one row per
+    source×lang per batch, bounded by slice cardinality, never corpus
+    size — merge through the data-scaled hash-grouped reduce; the
+    final per-source rollup groups the tiny merged table.  Corpus
+    text never shuffles, and every output is an exact int64, so the
+    SQL oracle hash-matches with no rounding contract."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].fillna("").str.findall(TOKEN_RE)
+                .str.len().astype("int64"))
+        g = (pd.DataFrame({"source": df["source"], "lang": df["lang"],
+                           "docs": np.ones(len(df), dtype=np.int64),
+                           "toks": toks,
+                           "chars": df["n_chars"].astype("int64")})
+             .groupby(["source", "lang"], sort=False)
+             .sum().reset_index())
+        return g
+
+    partials = _docs(sf_dir, ["source", "lang", "text", "n_chars"]).map_batches(
+        _partial, batch_format="pandas", batch_size=batch_size)
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/documents.parquet"))
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["source", "lang"], sort=False)
+                .sum().reset_index())
+
+    merged = hash_grouped_reduce(
+        partials, ["source", "lang"], _merge, n_rows,
+        out_cols=("source", "lang", "docs", "toks", "chars"))
+
+    def _rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": pd.Series([int(g["docs"].sum())], dtype="int64"),
+            "n_tokens": pd.Series([int(g["toks"].sum())], dtype="int64"),
+            "n_chars": pd.Series([int(g["chars"].sum())], dtype="int64"),
+            "n_langs": pd.Series([g["lang"].nunique()], dtype="int64"),
+        })
+
+    return merged.groupby("source").map_groups(_rollup, batch_format="pandas")
+
+
+def source_stats_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_source_stats`."""
+    return f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                                               '{TOKEN_RE}'))) AS BIGINT)
+                   AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY source
+    """
+
+
+# --------------------------------------------------------------------------
+# readability (Flesch reading ease, deterministic syllable heuristic)
+# --------------------------------------------------------------------------
+
+VOWEL_RE = r"[aeiouy]+"
+SENT_RE = r"[.!?]+"
+
+
+def run_readability(sf_dir: str, batch_size: int = 4096):
+    """Flesch reading ease per document with a deterministic
+    vowel-group syllable heuristic: a word's syllable count is
+    max(#[aeiouy]+ runs, 1) and sentences are max(#[.!?]+ runs, 1) —
+    the classic quality/complexity signal corpus filters bucket on.
+
+    Cross-engine exactness: the three counts are exact int64; the
+    score is computed with the SAME float64 expression tree on both
+    engines — ``206.835 - 1.015·(words/sentences) -
+    84.6·(syllables/max(words,1))``, left-associated — so IEEE
+    determinism makes the doubles bit-identical with no rounding
+    contract (the pmi_collocations / priority_sample precedent).
+    One corpus scan, no shuffle."""
+    tok_re = re.compile(TOKEN_RE)
+    vow_re = re.compile(VOWEL_RE)
+    sent_re = re.compile(SENT_RE)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        nw_out, ns_out, sy_out, fl_out = [], [], [], []
+        for text in batch["text"].to_pylist():
+            t = (text or "").lower()
+            words = tok_re.findall(t)
+            nw = len(words)
+            ns = max(len(sent_re.findall(t)), 1)
+            sy = 0
+            for wd in words:
+                sy += max(len(vow_re.findall(wd)), 1)
+            fl = 206.835 - 1.015 * (nw / ns) - 84.6 * (sy / max(nw, 1))
+            nw_out.append(nw)
+            ns_out.append(ns)
+            sy_out.append(sy)
+            fl_out.append(fl)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(nw_out, type=pa.int64()),
+            "n_sentences": pa.array(ns_out, type=pa.int64()),
+            "n_syllables": pa.array(sy_out, type=pa.int64()),
+            "flesch": pa.array(fl_out, type=pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def readability_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_readability` — independent
+    tokenize + the identical left-associated float64 expression."""
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w,
+                   greatest(len(regexp_extract_all(
+                       lower(coalesce(text, '')), '{SENT_RE}')), 1) AS ns
+            FROM documents
+        ), k AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(ns AS BIGINT) AS n_sentences,
+                   CAST(list_sum(list_transform(w, x ->
+                       greatest(len(regexp_extract_all(x, '{VOWEL_RE}')),
+                                1))) AS BIGINT) AS n_syllables
+            FROM c
+        )
+        SELECT doc_id, n_words, n_sentences,
+               coalesce(n_syllables, 0) AS n_syllables,
+               206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(coalesce(n_syllables, 0) AS DOUBLE)
+                             / greatest(n_words, 1)) AS flesch
+        FROM k
+    """
+
+
+# --------------------------------------------------------------------------
+# exact phrase search
+# --------------------------------------------------------------------------
+
+def run_phrase_search(sf_dir: str, phrase: tuple = ("table", "hash"),
+                      batch_size: int = 4096):
+    """Exact consecutive-token phrase occurrence counts: every
+    document containing the phrase, with its match count — the batch
+    side of a phrase query.
+
+    Scale shape: phrase adjacency is a PER-DOCUMENT property, so the
+    corpus scans once with zero shuffle (numpy shifted-equality over
+    the token array — no Python position loop).  The interactive
+    variant composes term_postings (probe the positional index, join
+    term_i postings on doc_id and pos+i); batch-over-corpus is
+    strictly cheaper as a single scan.  Integer output → the SQL
+    oracle hash-matches with no rounding contract."""
+    tok_re = re.compile(TOKEN_RE)
+    ph = tuple(w.lower() for w in phrase)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = np.asarray(tok_re.findall((text or "").lower()),
+                              dtype=object)
+            k = len(ph)
+            if len(toks) < k:
+                continue
+            mask = toks[: len(toks) - k + 1] == ph[0]
+            for i in range(1, k):
+                mask = mask & (toks[i: len(toks) - k + 1 + i] == ph[i])
+            n = int(mask.sum())
+            if n:
+                ids.append(doc_id)
+                ns.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_matches": pa.array(ns, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def phrase_search_oracle_sql(phrase: tuple = ("table", "hash")) -> str:
+    """DuckDB oracle for :func:`run_phrase_search` — k-gram list
+    construction + equality count."""
+    ph = [w.lower() for w in phrase]
+    k = len(ph)
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    target = " ".join(ph)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   [{gram} for i in
+                    generate_series(1, greatest(len(w) - {k - 1}, 0))] AS gs
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(gs, x -> x = '{target}')) AS BIGINT)
+                   AS n_matches
+        FROM g
+        WHERE len(list_filter(gs, x -> x = '{target}')) > 0
+    """
+
+
+# --------------------------------------------------------------------------
+# n-gram containment decontamination (GPT-3 appendix C / PaLM style)
+# --------------------------------------------------------------------------
+
+CONTAM_MOD = 97
+CONTAM_N = 5
+
+
+class ContaminationScorer:
+    """Actor-pool stage: broadcast benchmark gram set probed per batch
+    (set built once per actor from the ray.put handle)."""
+
+    def __init__(self, grams_ref):
+        import ray
+
+        self.bench = frozenset(ray.get(grams_ref))
+        self.tok_re = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_out, h_out, c_out = [], [], []
+        for text in batch["text"].to_pylist():
+            w = self.tok_re.findall((text or "").lower())
+            gs = {" ".join(w[i:i + CONTAM_N])
+                  for i in range(len(w) - CONTAM_N + 1)}
+            n = len(gs)
+            hits = sum(1 for g in gs if g in self.bench)
+            n_out.append(n)
+            h_out.append(hits)
+            c_out.append(hits * 8 >= n and n > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(n_out, type=pa.int64()),
+            "hit_grams": pa.array(h_out, type=pa.int64()),
+            "contaminated": pa.array(c_out, type=pa.bool_()),
+        })
+
+
+def _benchmark_grams(sf_dir: str) -> list:
+    """Distinct word-5-grams of the deterministic stand-in benchmark
+    slice (doc_id % CONTAM_MOD == 0).  In production the benchmark is
+    a FIXED eval corpus (megabytes, independent of corpus size) so the
+    driver-side set is bounded; here it derives from the input table
+    so the oracle reproduces it in SQL.  Only distinct gram strings of
+    the matching slice reach the driver — the filter and gram
+    extraction run distributed."""
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kept = batch.filter(pa.array(ids % CONTAM_MOD == 0))
+        tok_re = re.compile(TOKEN_RE)
+        out = set()
+        for text in kept["text"].to_pylist():
+            w = tok_re.findall((text or "").lower())
+            out.update(" ".join(w[i:i + CONTAM_N])
+                       for i in range(len(w) - CONTAM_N + 1))
+        return pa.table({"g": pa.array(sorted(out), type=pa.string())})
+
+    rows = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(grams, batch_format="pyarrow", batch_size=8192)
+            .take_all())
+    return sorted({r["g"] for r in rows})
+
+
+def run_contamination_overlap(sf_dir: str, concurrency: int = 4):
+    """Per-document n-gram containment against a benchmark gram set —
+    the GPT-3 appendix-C / PaLM decontamination statistic (fraction of
+    a document's distinct word n-grams that appear in any eval
+    benchmark; docs above the overlap threshold are dropped from
+    training).  Output: (doc_id, n_grams, hit_grams, contaminated =
+    hit_grams·8 ≥ n_grams ∧ n_grams > 0) — the 1/8 threshold kept as
+    an exact integer cross-multiply so no float enters the contract.
+
+    Complements `decontaminate` (verbatim-substring semi-join): the
+    gram-containment form catches paraphrased / partially-copied eval
+    leakage that exact substring match misses.
+
+    Scale shape: the benchmark gram set broadcasts once via ray.put
+    (eval corpora are MBs); ONE corpus scan probes it per batch in an
+    actor pool — no shuffle anywhere."""
+    import ray
+
+    ref = ray.put(_benchmark_grams(sf_dir))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ContaminationScorer, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"grams_ref": ref})
+
+
+def contamination_overlap_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_contamination_overlap` —
+    independent gram lists + list_intersect against the same slice."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+{CONTAM_N - 1}], ' ')
+                                  for i in generate_series(
+                                      1, greatest(len(w) - {CONTAM_N - 1},
+                                                  0))]) AS gs
+            FROM toks
+        ), bench AS (
+            SELECT list(DISTINCT bg) AS bl
+            FROM (SELECT unnest(gs) AS bg FROM g
+                  WHERE doc_id % {CONTAM_MOD} = 0)
+        )
+        SELECT doc_id,
+               CAST(len(gs) AS BIGINT) AS n_grams,
+               CAST(len(list_intersect(gs, bl)) AS BIGINT) AS hit_grams,
+               len(list_intersect(gs, bl)) * 8 >= len(gs) AND len(gs) > 0
+                   AS contaminated
+        FROM g CROSS JOIN bench
+    """

@@ -1281,3 +1281,144 @@ def test_ccnet_buckets_all_tied_boundary(ray_session, tmp_path):
     en = [r for r in got if r[1] == "en"]
     assert [r[3] for r in sorted(en)] == (
         ["head"] * 4 + ["middle"] * 4 + ["tail"] * 3)
+
+
+def test_source_stats_local_oracle(ray_session):
+    """Per-source rollup equals a single-process pandas recount, and
+    the partial/merge path is batch-size invariant (a batch boundary
+    splitting a source must not change any exact count)."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.textops import TOKEN_RE, run_source_stats
+
+    sf = "/root/testdata/sf0.001"
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["source", "lang", "text",
+                                "n_chars"]).to_pandas()
+    tok = re.compile(TOKEN_RE)
+    df["toks"] = [len(tok.findall(t or "")) for t in df["text"]]
+    want = (df.groupby("source")
+            .agg(n_docs=("source", "size"), n_tokens=("toks", "sum"),
+                 n_chars=("n_chars", "sum"), n_langs=("lang", "nunique"))
+            .reset_index().sort_values("source").reset_index(drop=True))
+
+    for bs in (64, 4096):
+        got = (run_source_stats(sf, batch_size=bs).to_pandas()
+               .sort_values("source").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_readability_local_oracle(ray_session):
+    """Flesch score equals a single-process recompute BIT-EXACTLY —
+    the same left-associated float64 expression must make the doubles
+    identical with no tolerance."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.textops import (SENT_RE, TOKEN_RE, VOWEL_RE,
+                                            run_readability)
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tok, vow, sen = (re.compile(TOKEN_RE), re.compile(VOWEL_RE),
+                     re.compile(SENT_RE))
+    rows = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        low = (text or "").lower()
+        words = tok.findall(low)
+        nw = len(words)
+        ns = max(len(sen.findall(low)), 1)
+        sy = sum(max(len(vow.findall(w)), 1) for w in words)
+        fl = 206.835 - 1.015 * (nw / ns) - 84.6 * (sy / max(nw, 1))
+        rows.append((doc_id, nw, ns, sy, fl))
+    want = (pd.DataFrame(rows, columns=["doc_id", "n_words", "n_sentences",
+                                        "n_syllables", "flesch"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+    got = (run_readability(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_phrase_search_planted(ray_session, tmp_path):
+    """Planted-phrase exactness: overlapping and repeated occurrences
+    count correctly, punctuation between tokens breaks adjacency only
+    when it splits tokens, and phrase-free docs are absent."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.textops import run_phrase_search
+
+    texts = [
+        "the hash table hash table hash lives here",   # 2 matches
+        "HASH, TABLE! hash table",                      # 2 (case/punct-split)
+        "hash alone and table alone never adjacent",    # 0
+        "table hash table hash table",                  # 2 of (table, hash)
+    ]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["x"] * 4),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = {r["doc_id"]: r["n_matches"]
+           for r in run_phrase_search(str(d),
+                                      phrase=("hash", "table")).take_all()}
+    assert got == {0: 2, 1: 2, 3: 2}
+
+    got3 = {r["doc_id"]: r["n_matches"]
+            for r in run_phrase_search(
+                str(d), phrase=("table", "hash", "table")).take_all()}
+    # doc 3 overlaps: positions 0 and 2 both start "table hash table"
+    assert got3 == {0: 1, 1: 1, 3: 2}
+
+
+def test_contamination_overlap_invariants(ray_session):
+    """Benchmark-slice docs (doc_id % 97 == 0) with any grams are 100%
+    contained by construction → contaminated; hit counts equal a
+    single-process recount against the same gram set."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.textops import (CONTAM_MOD, CONTAM_N, TOKEN_RE,
+                                            run_contamination_overlap)
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(TOKEN_RE)
+
+    def grams(text):
+        w = tok.findall((text or "").lower())
+        return {" ".join(w[i:i + CONTAM_N])
+                for i in range(len(w) - CONTAM_N + 1)}
+
+    bench = set()
+    per_doc = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        gs = grams(text)
+        per_doc[doc_id] = gs
+        if doc_id % CONTAM_MOD == 0:
+            bench |= gs
+
+    got = {r["doc_id"]: r
+           for r in run_contamination_overlap(sf).take_all()}
+    assert set(got) == set(per_doc)
+    for doc_id, gs in per_doc.items():
+        r = got[doc_id]
+        assert r["n_grams"] == len(gs)
+        assert r["hit_grams"] == len(gs & bench)
+        assert r["contaminated"] == (len(gs & bench) * 8 >= len(gs)
+                                     and len(gs) > 0)
+        if doc_id % CONTAM_MOD == 0 and len(gs) > 0:
+            assert r["contaminated"]
