@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": textops.run_phrase_search,
         "contamination_overlap": textops.run_contamination_overlap,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "dataset_split": sampling.run_dataset_split,
+        "dup_rate_by_source": dedup.run_dup_rate_by_source,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -645,10 +647,12 @@ def oracle_sql() -> dict[str, str]:
                                                kmeans_cluster_oracle_sql,
                                                pca_oracle_sql,
                                                semdedup_oracle_sql)
-    from dude_ray.pipelines.dedup import (embedding_neardup_oracle_sql,
+    from dude_ray.pipelines.dedup import (dup_rate_by_source_oracle_sql,
+                                          embedding_neardup_oracle_sql,
                                           minhash_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
+    from dude_ray.pipelines.sampling import dataset_split_oracle_sql
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
@@ -690,6 +694,8 @@ def oracle_sql() -> dict[str, str]:
         "readability": readability_oracle_sql(),
         "phrase_search": phrase_search_oracle_sql(),
         "contamination_overlap": contamination_overlap_oracle_sql(),
+        "dataset_split": dataset_split_oracle_sql(),
+        "dup_rate_by_source": dup_rate_by_source_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

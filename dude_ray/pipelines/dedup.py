@@ -2031,3 +2031,74 @@ def run_chunk_dedup(sf_dir: str, target_rows_per_group: int = 65536):
     return hash_grouped_reduce(
         hashed, "h", _keepers, n_chunks_est, target_rows_per_group,
         out_cols=("h", "keeper_doc_id", "keeper_chunk_id", "dup_count"))
+
+
+# --------------------------------------------------------------------------
+# per-source duplication rate (corpus health report)
+# --------------------------------------------------------------------------
+
+def run_dup_rate_by_source(sf_dir: str, target_rows_per_group: int = 65536):
+    """Per-source exact-duplication report: how many of a source's
+    documents share their md5 text hash with ANY other document in the
+    corpus (cross-source included) — the corpus-health number a dedup
+    run is judged by ("source X is 40% boilerplate").
+
+    Scale shape: md5 per batch, then ONE data-scaled hash-grouped
+    reduce keyed on the md5 (colocating every copy of a text so the
+    global per-hash count is group-local); the reduce emits one row
+    per (hash, source) — bounded by distinct-content volume, not
+    corpus size — and the final per-source rollup groups that already
+    small table.  Corpus text never shuffles (only 32-char hashes +
+    source move), and all outputs are exact BIGINTs."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    docs = _docs(sf_dir, ["source", "text"]).map_batches(
+        lambda t: pa.table({
+            "source": t["source"],
+            "h": pa.array([hashlib.md5((x or "").encode()).hexdigest()
+                           for x in t["text"].to_pylist()],
+                          type=pa.string()),
+        }), batch_format="pyarrow", batch_size=4096)
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/documents.parquet"))
+
+    def _per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("h", sort=False)["source"].transform("size")
+        g = (df.assign(docs=np.int64(1),
+                       dups=(tot > 1).to_numpy().astype(np.int64))
+             .groupby(["h", "source"], sort=False)
+             .agg(docs=("docs", "sum"), dups=("dups", "sum"))
+             .reset_index())
+        return g[["source", "docs", "dups"]]
+
+    per_hash = hash_grouped_reduce(
+        docs, "h", _per_hash, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("source", "docs", "dups"))
+
+    def _rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": pd.Series([int(g["docs"].sum())], dtype="int64"),
+            "n_dup_docs": pd.Series([int(g["dups"].sum())], dtype="int64"),
+        })
+
+    return per_hash.groupby("source").map_groups(
+        _rollup, batch_format="pandas")
+
+
+def dup_rate_by_source_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_dup_rate_by_source`."""
+    return """
+        WITH h AS (
+            SELECT source, md5(coalesce(text, '')) AS h FROM documents
+        ), c AS (
+            SELECT h, count(*) AS tot FROM h GROUP BY h
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN tot > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+        FROM h JOIN c USING (h)
+        GROUP BY source
+    """

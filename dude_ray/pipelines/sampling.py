@@ -451,3 +451,72 @@ def run_priority_sample(sf_dir: str, k: int = PRIORITY_K):
         local_k, batch_format="pandas", batch_size=8192)
     return partials.repartition(1).map_batches(
         final_k, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 100
+SPLIT_EDGES = (80, 90)  # [0,80) train, [80,90) val, [90,100) test
+
+
+def run_dataset_split(sf_dir: str, batch_size: int = 65536):
+    """Deterministic train/val/test assignment: bucket =
+    splitmix64(doc_id) % 100 → train (<80) / val (<90) / test — the
+    standard content-independent hash split that is rerunnable,
+    resumable and identical across cluster sizes (no RNG state, no
+    shuffle; adding documents never reassigns existing ones, unlike a
+    row-number split).
+
+    One column-pruned scan of doc_id only; integer-exact output, so
+    the SQL oracle (the same splitmix64 chain via wraparound-emulated
+    HUGEINT multiplies) hash-matches with no rounding contract."""
+    from dude_ray.pipelines.sketches import _mix64
+
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = (_mix64(ids.astype(np.uint64))
+             % np.uint64(SPLIT_BUCKETS)).astype(np.int64)
+        s = np.searchsorted(np.asarray(SPLIT_EDGES), b, side="right")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bucket": pa.array(b, type=pa.int64()),
+            "split": pa.array(names[s], type=pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def dataset_split_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_dataset_split` — the splitmix64
+    finalizer recomputed step-by-step (wraparound multiplies via the
+    32-bit-split schoolbook product, as in the HLL oracle)."""
+    from dude_ray.pipelines.dedup import _sql_addmod64, _sql_mulmod64
+    from dude_ray.pipelines.sketches import (_SPLITMIX_C1, _SPLITMIX_C2,
+                                             _SPLITMIX_INC)
+
+    lo, hi = SPLIT_EDGES
+    return f"""
+        WITH s1 AS (SELECT doc_id,
+                    {_sql_addmod64('CAST(doc_id AS UBIGINT)',
+                                   str(int(_SPLITMIX_INC)))} AS x
+                    FROM documents),
+        s2 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM s1),
+        s3 AS (SELECT doc_id,
+               {_sql_mulmod64('x', int(_SPLITMIX_C1))} AS x FROM s2),
+        s4 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM s3),
+        s5 AS (SELECT doc_id,
+               {_sql_mulmod64('x', int(_SPLITMIX_C2))} AS x FROM s4),
+        s6 AS (SELECT doc_id,
+               CAST(xor(x, x >> 31) % {SPLIT_BUCKETS} AS BIGINT) AS bucket
+               FROM s5)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < {lo} THEN 'train'
+                    WHEN bucket < {hi} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM s6
+    """

@@ -1422,3 +1422,61 @@ def test_contamination_overlap_invariants(ray_session):
                                      and len(gs) > 0)
         if doc_id % CONTAM_MOD == 0 and len(gs) > 0:
             assert r["contaminated"]
+
+
+def test_dataset_split_local_oracle(ray_session):
+    """Split assignment equals a local splitmix64 recompute, depends
+    only on doc_id (batch-size invariant), and lands near 80/10/10."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.sampling import (SPLIT_BUCKETS, SPLIT_EDGES,
+                                             run_dataset_split)
+    from dude_ray.pipelines.sketches import _mix64
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    b = (_mix64(ids.astype(np.uint64)) % np.uint64(SPLIT_BUCKETS)).astype(int)
+    names = np.array(["train", "val", "test"], dtype=object)
+    want = {int(i): (int(bb), names[np.searchsorted(SPLIT_EDGES, bb,
+                                                    side="right")])
+            for i, bb in zip(ids, b)}
+
+    for bs in (32, 65536):
+        got = {r["doc_id"]: (r["bucket"], r["split"])
+               for r in run_dataset_split(sf, batch_size=bs).take_all()}
+        assert got == want
+
+    frac_train = sum(1 for _b, s in want.values() if s == "train") / len(want)
+    assert 0.7 < frac_train < 0.9
+
+
+def test_dup_rate_by_source_planted(ray_session, tmp_path):
+    """Planted exact duplicates: copies count as dup docs in EVERY
+    source holding one (cross-source dup included); unique docs don't;
+    the reduce is group-width invariant."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_dup_rate_by_source
+
+    texts = ["same exact text", "same exact text",   # dup within src a
+             "same exact text",                      # same content, src b
+             "unique one", "unique two"]              # uniques
+    srcs = ["a", "a", "b", "a", "b"]
+    t = pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(srcs, type=pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    for width in (1, 65536):
+        got = {r["source"]: (r["n_docs"], r["n_dup_docs"])
+               for r in run_dup_rate_by_source(
+                   str(d), target_rows_per_group=width).take_all()}
+        assert got == {"a": (3, 2), "b": (2, 1)}
