@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "dataset_split": sampling.run_dataset_split,
         "dup_rate_by_source": dedup.run_dup_rate_by_source,
+        "editdist_neardup": dedup.run_editdist_neardup,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -648,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
                                                pca_oracle_sql,
                                                semdedup_oracle_sql)
     from dude_ray.pipelines.dedup import (dup_rate_by_source_oracle_sql,
+                                          editdist_neardup_oracle_sql,
                                           embedding_neardup_oracle_sql,
                                           minhash_oracle_sql,
                                           simhash_oracle_sql,
@@ -696,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_overlap": contamination_overlap_oracle_sql(),
         "dataset_split": dataset_split_oracle_sql(),
         "dup_rate_by_source": dup_rate_by_source_oracle_sql(),
+        "editdist_neardup": editdist_neardup_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -2102,3 +2102,154 @@ def dup_rate_by_source_oracle_sql() -> str:
         FROM h JOIN c USING (h)
         GROUP BY source
     """
+
+
+# --------------------------------------------------------------------------
+# edit-distance near-dup (SymSpell deletion-neighborhood, k = 1)
+# --------------------------------------------------------------------------
+
+EDIT_PREFIX_CHARS = 32
+
+
+def _lev_le1_bytes(x: bytes, y: bytes):
+    """Exact Levenshtein-≤1 test over BYTES (DuckDB's levenshtein is
+    byte-based — 'café'→'cafe' is 2): returns 0, 1 or None.  Linear
+    scan, no DP — distance ≤1 admits only equal / one-substitution /
+    one-indel shapes."""
+    if x == y:
+        return 0
+    lx, ly = len(x), len(y)
+    if lx == ly:
+        diff = i = 0
+        while i < lx:
+            if x[i] != y[i]:
+                diff += 1
+                if diff > 1:
+                    return None
+            i += 1
+        return 1
+    if abs(lx - ly) != 1:
+        return None
+    if lx > ly:
+        x, y, lx = y, x, ly
+    i = 0
+    while i < lx and x[i] == y[i]:
+        i += 1
+    return 1 if x[i:] == y[i + 1:] else None
+
+
+def run_editdist_neardup(sf_dir: str, prefix_chars: int = EDIT_PREFIX_CHARS,
+                         target_rows_per_group: int = 65536):
+    """Fuzzy near-dup pairs on the document's head: every (a, b, dist)
+    with byte-Levenshtein(prefix_a, prefix_b) ≤ 1 over the first
+    ``prefix_chars`` code points — the title/boilerplate fuzzy-match a
+    dedup pass runs where minhash (set semantics) misses single-typo
+    clones.
+
+    EXACT by the SymSpell k=1 theorem: two byte strings within
+    distance 1 are equal, differ by one substitution, or one is a
+    1-deletion of the other — in every case they share a key in
+    K(s) = {s} ∪ del1(s), so bucketing on K and verifying inside the
+    bucket loses no pair; the verify (:func:`_lev_le1_bytes`) removes
+    the false candidates (e.g. 'ab'/'ba' share key 'a' at distance 2).
+
+    Scale shape: ≤ (prefix_bytes+1) key rows per doc (within-doc
+    deduped), ONE data-scaled hash-grouped reduce on the raw key bytes
+    colocates each neighborhood; equal-prefix (dist-0) pairs are
+    emitted only under their identity key — kind-1 rows with equal
+    prefixes skip — so the quadratic exact-dup mass is not multiplied
+    by the deletion-alphabet; candidate (a, b) then dedups through the
+    same measured two-tier distinct as minhash.  Only ≤33 short byte
+    keys per doc ever shuffle, never text."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def _keys(t: pa.Table) -> pa.Table:
+        kb, ids, pres, kinds = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            pre = ((text or "")[:prefix_chars]).encode()
+            ks = {pre: 0}
+            for i in range(len(pre)):
+                ks.setdefault(pre[:i] + pre[i + 1:], 1)
+            for k, kind in ks.items():
+                kb.append(k)
+                ids.append(doc_id)
+                pres.append(pre)
+                kinds.append(kind)
+        return pa.table({
+            "key": pa.array(kb, type=pa.binary()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "pre": pa.array(pres, type=pa.binary()),
+            "kind": pa.array(kinds, type=pa.int8()),
+        })
+
+    keyed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _keys, batch_format="pyarrow", batch_size=4096)
+    n_docs = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/documents.parquet"))
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, d_out = [], [], []
+        for _k, g in df.groupby("key", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            pres = g["pre"].to_numpy()
+            kinds = g["kind"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids, pres, kinds = ids[order], pres[order], kinds[order]
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    if (pres[i] == pres[j]
+                            and (kinds[i] or kinds[j])):
+                        continue  # dist-0 pair owned by its identity key
+                    d = _lev_le1_bytes(pres[i], pres[j])
+                    if d is not None:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        d_out.append(d)
+        return pd.DataFrame({
+            "a": pd.Series(a_out, dtype="int64"),
+            "b": pd.Series(b_out, dtype="int64"),
+            "dist": pd.Series(d_out, dtype="int64"),
+        })
+
+    cand = hash_grouped_reduce(
+        keyed, "key", _bucket, n_docs * (prefix_chars + 1),
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("a", "b", "dist"))
+
+    # measured two-tier distinct, the _distinct_pairs idiom with the
+    # dist column carried (dist is a function of (a, b), so any copy
+    # of a duplicated candidate row is the right one)
+    def _dd(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["a", "b", "dist"]).aggregate([])
+                .select(["a", "b", "dist"]))
+
+    lvl1 = cand.map_batches(_dd, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    n = lvl1.count()
+    if n == 0 or n <= 100_000:
+        return lvl1.repartition(1).map_batches(
+            _dd, batch_format="pyarrow", batch_size=None)
+    return hash_grouped_reduce(
+        lvl1, ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"])[["a", "b", "dist"]],
+        n, target_rows_per_group, out_cols=("a", "b", "dist"))
+
+
+def editdist_neardup_oracle_sql(prefix_chars: int = EDIT_PREFIX_CHARS) -> str:
+    """DuckDB oracle for :func:`run_editdist_neardup` — brute-force
+    all-pairs with the byte-based ``levenshtein`` ≤ 1 predicate over
+    the same code-point prefix."""
+    return f"""
+        WITH p AS (
+            SELECT doc_id, substr(coalesce(text, ''), 1, {prefix_chars})
+                       AS pre
+            FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.pre, b.pre) <= 1
+    """

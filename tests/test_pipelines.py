@@ -1480,3 +1480,47 @@ def test_dup_rate_by_source_planted(ray_session, tmp_path):
                for r in run_dup_rate_by_source(
                    str(d), target_rows_per_group=width).take_all()}
         assert got == {"a": (3, 2), "b": (2, 1)}
+
+
+def test_editdist_neardup_planted(ray_session, tmp_path):
+    """Planted typo clones: dist-0 (exact), one-substitution,
+    one-insertion pairs are found with the right distance; a dist-2
+    false candidate ('ab'/'ba' shares a deletion key) and unrelated
+    docs are absent; the byte-based contract counts a 2-byte UTF-8
+    substitution ('café'→'cafe') as dist 2; width-invariant."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.dedup import run_editdist_neardup
+
+    texts = [
+        "the quick brown fox jumps here",        # 0
+        "the quick brown fox jumps here",        # 1: dist 0 with 0
+        "the quick browm fox jumps here",        # 2: 1 substitution
+        "the quick brown foxx jumps here",       # 3: 1 insertion vs 0
+        "completely different text entirely",    # 4: unrelated
+        "ab", "ba",                              # 5,6: dist 2, false cand
+        "café and more words follow here ok",    # 7
+        "cafe and more words follow here ok",    # 8: byte-dist 2 vs 7
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["x"] * len(texts)),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    for width in (1, 65536):
+        got = {(r["a"], r["b"]): r["dist"]
+               for r in run_editdist_neardup(
+                   str(d), target_rows_per_group=width).take_all()}
+        assert got[(0, 1)] == 0
+        assert got[(0, 2)] == 1 and got[(1, 2)] == 1
+        assert got[(0, 3)] == 1 and got[(1, 3)] == 1
+        assert (2, 3) not in got            # browN→brown + foxx = dist 2
+        assert (5, 6) not in got            # SymSpell false candidate
+        assert (7, 8) not in got            # byte-dist 2 (é is 2 bytes)
+        assert all(a < 4 and b < 4 for a, b in got)
