@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": sampling.run_dataset_split,
         "dup_rate_by_source": dedup.run_dup_rate_by_source,
         "editdist_neardup": dedup.run_editdist_neardup,
+        "shipping_priority": relational.run_shipping_priority,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -655,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
     from dude_ray.pipelines.sampling import dataset_split_oracle_sql
+    from dude_ray.pipelines.relational import shipping_priority_oracle_sql
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
@@ -699,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": dataset_split_oracle_sql(),
         "dup_rate_by_source": dup_rate_by_source_oracle_sql(),
         "editdist_neardup": editdist_neardup_oracle_sql(),
+        "shipping_priority": shipping_priority_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

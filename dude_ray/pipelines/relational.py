@@ -1024,3 +1024,162 @@ def run_retention_cohorts(sf_dir: str, users_per_group: int | None = None):
                                                   batch_format="pandas")
     return tree_combine(partials, keys=("cohort_week_us", "week_offset"),
                         sums=("n_users",))
+
+
+# --------------------------------------------------------------------------
+# shipping priority (TPC-H Q3 shape — big x big shuffle hash join)
+# --------------------------------------------------------------------------
+
+Q3_CUTOFF = "1998-01-01"
+Q3_SEGMENT = "BUILDING"
+
+
+def run_shipping_priority(sf_dir: str, k: int = 10, cutoff: str = Q3_CUTOFF,
+                          segment: str = Q3_SEGMENT,
+                          target_rows_per_group: int = 65536):
+    """TPC-H Q3 shape: top-k open orders of one market segment by
+    outstanding lineitem revenue — the canonical dimension-broadcast +
+    FACT-x-FACT equi-join.  The other relational joins here broadcast
+    the small side; this is the one where BOTH sides are fact-sized,
+    so orders and lineitem meet in a genuine shuffle hash join.
+
+    Scale shape: customer (the dimension) broadcasts once via ray.put
+    (at TPC-H ratios it is ~1% of lineitem; if the dimension ever
+    outgrew a worker heap the same hash-bucket union below would take
+    it too); both fact scans filter + project + PRE-AGGREGATE per
+    batch before anything moves (lineitem collapses to one partial row
+    per (orderkey, batch)), then ONE data-scaled hash-grouped reduce
+    on the orderkey colocates the two tagged streams — the classic
+    partition-hash-join, no driver materialization, no row ever
+    carrying more than 4 columns.  Top-k cuts per block first, so the
+    global sort sees k rows per block.
+
+    Float contract: revenue rounds to 2 dp (`_py_round` == DuckDB
+    round) BEFORE the top-k comparison on both engines, so the cut and
+    the hash agree (the pricing_summary precedent)."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    cut_us = np.int64(pd.Timestamp(cutoff).value // 1000)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys_ref = ray.put(np.sort(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"]
+        .to_numpy(dtype=np.int64)))
+
+    class OrderSide:
+        def __init__(self):
+            self.keys = ray.get(seg_keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            dt = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = (dt < cut_us) & np.isin(ck, self.keys)
+            kept = batch.filter(pa.array(m))
+            n = len(kept)
+            return pa.table({
+                "okey": kept["o_orderkey"],
+                "rev": pa.nulls(n, type=pa.float64()),
+                "odate": pc.strftime(kept["o_orderdate"], format="%Y-%m-%d"),
+                "opri": kept["o_orderpriority"],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kept = batch.filter(pa.array(sd > cut_us))
+        rev = pc.multiply(kept["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), kept["l_discount"]))
+        g = (pa.table({"okey": kept["l_orderkey"], "rev": rev})
+             .group_by("okey").aggregate([("rev", "sum")]))
+        n = len(g)
+        return pa.table({
+            "okey": g["okey"],
+            "rev": g["rev_sum"],
+            "odate": pa.nulls(n, type=pa.string()),
+            "opri": pa.nulls(n, type=pa.string()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]).map_batches(
+        OrderSide, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]).map_batches(
+        line_side, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = sum(n for t in ("orders", "lineitem") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1]
+        if o.empty or l.empty:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64"),
+                "o_orderdate": pd.Series(dtype="object"),
+                "o_orderpriority": pd.Series(dtype="object"),
+            })
+        rev = l.groupby("okey", sort=False)["rev"].sum()
+        m = o.merge(rev.rename("revenue"), left_on="okey",
+                    right_index=True, how="inner")
+        return pd.DataFrame({
+            "l_orderkey": m["okey"].astype("int64"),
+            "revenue": m["revenue"].to_numpy(dtype=np.float64),
+            "o_orderdate": m["odate"],
+            "o_orderpriority": m["opri"],
+        })
+
+    joined = hash_grouped_reduce(
+        orders.union(lines), "okey", _join, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("l_orderkey", "revenue", "o_orderdate",
+                  "o_orderpriority"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.set_column(
+            batch.schema.get_field_index("revenue"), "revenue",
+            _py_round(batch["revenue"], 2))
+        idx = pc.select_k_unstable(batch, k,
+                                   [("revenue", "descending"),
+                                    ("l_orderkey", "ascending")])
+        return batch.take(idx)
+
+    return (joined.map_batches(local_topk, batch_format="pyarrow",
+                               batch_size=65536)
+            .sort(["revenue", "l_orderkey"], descending=[True, False])
+            .limit(k))
+
+
+def shipping_priority_oracle_sql(k: int = 10, cutoff: str = Q3_CUTOFF,
+                                 segment: str = Q3_SEGMENT) -> str:
+    """DuckDB oracle for :func:`run_shipping_priority` (TPC-H Q3 with
+    the same 2-dp revenue rounding applied before the top-k cut)."""
+    return f"""
+        WITH o AS (
+            SELECT o_orderkey, o_orderdate, o_orderpriority
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = '{segment}'
+              AND o_orderdate < TIMESTAMP '{cutoff}'
+        ), r AS (
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+            FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '{cutoff}'
+            GROUP BY l_orderkey
+        )
+        SELECT l_orderkey, rev AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority
+        FROM r JOIN o ON l_orderkey = o_orderkey
+        ORDER BY rev DESC, l_orderkey
+        LIMIT {k}
+    """

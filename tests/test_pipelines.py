@@ -1524,3 +1524,28 @@ def test_editdist_neardup_planted(ray_session, tmp_path):
         assert (5, 6) not in got            # SymSpell false candidate
         assert (7, 8) not in got            # byte-dist 2 (é is 2 bytes)
         assert all(a < 4 and b < 4 for a, b in got)
+
+
+def test_shipping_priority_local_oracle(ray_session):
+    """Q3-shaped fact-x-fact shuffle join equals a DuckDB recompute at
+    sf0.001 and is hash-group-width invariant (the orders/lineitem
+    streams meeting in different bucket layouts must not change the
+    join or the top-k cut)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_shipping_priority,
+                                               shipping_priority_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(shipping_priority_oracle_sql()).df()
+    assert len(want) == 10
+
+    for width in (256, 65536):
+        got = (run_shipping_priority(sf, target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
