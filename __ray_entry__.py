@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": dedup.run_dup_rate_by_source,
         "editdist_neardup": dedup.run_editdist_neardup,
         "shipping_priority": relational.run_shipping_priority,
+        "knn_triangles": _q_knn_triangles,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -499,6 +500,14 @@ def _q_knn_graph(sf_dir: str):
     return run_knn_graph(sf_dir)
 
 
+def _q_knn_triangles(sf_dir: str):
+    """Per-node triangle counts over the symmetrized kNN graph
+    (forward algorithm — wedge + edge streams colocated by pair)."""
+    from dude_ray.pipelines.graph import run_knn_triangles
+
+    return run_knn_triangles(sf_dir)
+
+
 def _q_lm_score(sf_dir: str):
     """Bigram-LM average log-likelihood per document (CCNet/KenLM-style
     quality filter) — distributed count tables + hash joins."""
@@ -657,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
                                           substring_dup_oracle_sql)
     from dude_ray.pipelines.sampling import dataset_split_oracle_sql
     from dude_ray.pipelines.relational import shipping_priority_oracle_sql
+    from dude_ray.pipelines.graph import knn_triangles_oracle_sql
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
@@ -702,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": dup_rate_by_source_oracle_sql(),
         "editdist_neardup": editdist_neardup_oracle_sql(),
         "shipping_priority": shipping_priority_oracle_sql(),
+        "knn_triangles": knn_triangles_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -795,3 +795,137 @@ def hits_reference(edge_list, node_list, iters: int = 4):
         if hub.sum() > 0:
             hub = hub / hub.sum()
     return {node: (auth[i], hub[i]) for node, i in idx.items()}
+
+
+# --------------------------------------------------------------------------
+# triangle counting over the kNN graph (forward / compact-forward)
+# --------------------------------------------------------------------------
+
+def run_knn_triangles(sf_dir: str, k: int = 5, concurrency: int = 8,
+                      target_rows_per_group: int = 65536):
+    """Per-node triangle counts over the symmetrized exact-kNN graph —
+    the local-clustering signal corpus curation uses to find dense
+    near-duplicate neighborhoods (a triangle-rich kNN region is a
+    semantic cluster; triangle-free nodes are outliers).
+
+    Forward algorithm (Schank & Wagner 2005), each triangle counted
+    exactly once at its LOWEST vertex: edges orient low→high, wedges
+    (b, c) enumerate per low endpoint a, and a wedge closes iff (b, c)
+    is itself an edge — checked by colocating the tagged wedge and
+    edge streams in ONE data-scaled hash-grouped reduce on the (x, y)
+    pair, then a second tiny reduce sums the three per-node increments
+    per closed triangle.  kNN degrees are ≤ 2k after symmetrization,
+    so wedge fan-out is ≤ C(2k, 2) per node — id-orientation is safe
+    here; a general power-law graph would orient by (degree, id)
+    instead (same plumbing, one extra degree broadcast).
+
+    Output: (node, n_triangles) for every node in ≥1 triangle — exact
+    BIGINTs, so the DuckDB oracle (three-way self-join over the same
+    kNN edge CTE) hash-matches with no rounding contract."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+    from dude_ray.pipelines.similarity import run_knn_graph
+
+    n_vecs = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/embeddings.parquet"))
+
+    def _und(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        g = (pa.table({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+             .group_by(["a", "b"]).aggregate([]))
+        return g.select(["a", "b"])
+
+    edges = hash_grouped_reduce(
+        run_knn_graph(sf_dir, k=k, concurrency=concurrency)
+        .map_batches(_und, batch_format="pyarrow", batch_size=65536),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
+        n_vecs * k, target_rows_per_group,
+        out_cols=("a", "b")).materialize()
+
+    def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        xs, ys, ws = [], [], []
+        for a, g in df.groupby("a", sort=False):
+            nb = np.sort(g["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            xs.append(nb[i])
+            ys.append(nb[j])
+            ws.append(np.full(len(i), a, dtype=np.int64))
+        if not xs:
+            return pd.DataFrame({"x": pd.Series(dtype="int64"),
+                                 "y": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="int64"),
+                                 "tag": pd.Series(dtype="int8")})
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys),
+                             "w": np.concatenate(ws),
+                             "tag": np.int8(1)})
+
+    # wedge stream: adjacency grouped by the LOW endpoint (kNN degree
+    # is bounded, so one hash group per low node is bounded work)
+    wedges = hash_grouped_reduce(
+        edges, "a", _wedges, n_vecs * k, target_rows_per_group,
+        out_cols=("x", "y", "w", "tag"))
+    edge_tagged = edges.map_batches(
+        lambda t: pa.table({
+            "x": t["a"], "y": t["b"],
+            "w": pa.nulls(len(t), type=pa.int64()),
+            "tag": pa.array(np.zeros(len(t), dtype=np.int8)),
+        }), batch_format="pyarrow", batch_size=65536)
+
+    def _close(df: pd.DataFrame) -> pd.DataFrame:
+        has_edge = (df.loc[df["tag"] == 0, ["x", "y"]]
+                    .drop_duplicates())
+        wed = df[df["tag"] == 1].merge(has_edge, on=["x", "y"],
+                                       how="inner")
+        if wed.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "cnt": pd.Series(dtype="int64")})
+        inc = pd.concat([wed["w"], wed["x"], wed["y"]],
+                        ignore_index=True).astype("int64")
+        g = inc.value_counts()
+        return pd.DataFrame({"node": g.index.to_numpy(dtype=np.int64),
+                             "cnt": g.to_numpy(dtype=np.int64)})
+
+    partials = hash_grouped_reduce(
+        wedges.union(edge_tagged), ["x", "y"], _close,
+        n_vecs * k * (2 * k), target_rows_per_group,
+        out_cols=("node", "cnt"))
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["cnt"].sum()
+        return pd.DataFrame({
+            "node": g.index.to_numpy(dtype=np.int64),
+            "n_triangles": g.to_numpy(dtype=np.int64)})
+
+    return hash_grouped_reduce(partials, "node", _sum, n_vecs,
+                               target_rows_per_group,
+                               out_cols=("node", "n_triangles"))
+
+
+def knn_triangles_oracle_sql(k: int = 5) -> str:
+    """DuckDB oracle for :func:`run_knn_triangles` — the same kNN edge
+    set (knn_graph's hash-matched oracle as a CTE), symmetrized
+    low<high, three-way self-joined."""
+    from dude_ray.pipelines.similarity import knn_graph_oracle_sql
+
+    return f"""
+        WITH knn AS ({knn_graph_oracle_sql(k)}),
+        e AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn GROUP BY 1, 2
+        ), t AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), u AS (
+            SELECT x AS node FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM u GROUP BY node
+    """

@@ -157,3 +157,38 @@ def test_hits_tiers_agree(ray_session):
         for col in ("auth", "hub"):
             assert np.max(np.abs(o[col].to_numpy()
                                  - base[col].to_numpy())) < 1e-12
+
+
+def test_knn_triangles_matches_bruteforce(ray_session):
+    """Triangle counts equal a single-process brute-force recount over
+    the SAME kNN edge set (isolates the wedge/close machinery from the
+    kNN construction), and the tagged-stream reduce is group-width
+    invariant."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from dude_ray.pipelines.graph import run_knn_triangles
+    from dude_ray.pipelines.similarity import run_knn_graph
+
+    sf = "/root/testdata/sf0.001"
+    edges = set()
+    for r in run_knn_graph(sf).take_all():
+        a, b = sorted((r["src"], r["dst"]))
+        edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = defaultdict(int)
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count each triangle once
+                for n in (a, b, c):
+                    want[n] += 1
+    assert sum(want.values()) % 3 == 0 and len(want) > 0
+
+    for width in (64, 65536):
+        got = {r["node"]: r["n_triangles"]
+               for r in run_knn_triangles(
+                   sf, target_rows_per_group=width).take_all()}
+        assert got == dict(want)
