@@ -350,6 +350,42 @@ def run_bench() -> dict:
     sketches.run_bloom_registers(SF_DIR).materialize()
     timings["bloom_registers"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    textops.run_source_stats(SF_DIR).materialize()
+    timings["source_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_readability(SF_DIR).materialize()
+    timings["readability"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_phrase_search(SF_DIR).materialize()
+    timings["phrase_search"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_contamination_overlap(SF_DIR).materialize()
+    timings["contamination_overlap"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sampling.run_dataset_split(SF_DIR).materialize()
+    timings["dataset_split"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_dup_rate_by_source(SF_DIR).materialize()
+    timings["dup_rate_by_source"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_editdist_neardup(SF_DIR).materialize()
+    timings["editdist_neardup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_shipping_priority(SF_DIR).materialize()
+    timings["shipping_priority"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    graph.run_knn_triangles(SF_DIR).materialize()
+    timings["knn_triangles"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
