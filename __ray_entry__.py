@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_neardup": dedup.run_editdist_neardup,
         "shipping_priority": relational.run_shipping_priority,
         "knn_triangles": _q_knn_triangles,
+        "events_lag_diff": relational.run_events_lag_diff,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -665,7 +666,8 @@ def oracle_sql() -> dict[str, str]:
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
     from dude_ray.pipelines.sampling import dataset_split_oracle_sql
-    from dude_ray.pipelines.relational import shipping_priority_oracle_sql
+    from dude_ray.pipelines.relational import (events_lag_diff_oracle_sql,
+                                                shipping_priority_oracle_sql)
     from dude_ray.pipelines.graph import knn_triangles_oracle_sql
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
@@ -713,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "editdist_neardup": editdist_neardup_oracle_sql(),
         "shipping_priority": shipping_priority_oracle_sql(),
         "knn_triangles": knn_triangles_oracle_sql(),
+        "events_lag_diff": events_lag_diff_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

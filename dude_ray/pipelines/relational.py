@@ -1183,3 +1183,77 @@ def shipping_priority_oracle_sql(k: int = 10, cutoff: str = Q3_CUTOFF,
         ORDER BY rev DESC, l_orderkey
         LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------
+# lag window: per-user consecutive-event deltas
+# --------------------------------------------------------------------------
+
+def run_events_lag_diff(sf_dir: str, users_per_group: int | None = None):
+    """LAG window over each user's (ts, event_id)-ordered timeline:
+    for every event with a predecessor, the previous value, the value
+    delta and the microsecond gap — the feature-engineering shape
+    (inter-event time, value momentum) sessionization doesn't cover.
+
+    Scale shape: identical to :func:`run_user_sessions` — ONE hash
+    partition on data-scaled coarsened user buckets, one vectorized
+    lexsort + shifted-subtract pass per bucket; a user's timeline
+    always lands whole in one bucket so the result is bucket-width
+    independent.  First-per-user rows are dropped, so every output is
+    per-row arithmetic on identical float64/int64 inputs in both
+    engines — IEEE-deterministic, no null-representation or rounding
+    contract."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "value": batch["value"],
+        })
+
+    def _lag(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, val = uid[order], ts[order], eid[order], val[order]
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame({
+            "event_id": pd.Series(eid[1:][same], dtype="int64"),
+            "prev_value": pd.Series(val[:-1][same], dtype="float64"),
+            "value_delta": pd.Series((val[1:] - val[:-1])[same],
+                                     dtype="float64"),
+            "gap_us": pd.Series((ts[1:] - ts[:-1])[same], dtype="int64"),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow", batch_size=16384)
+    return keyed.groupby("ugroup").map_groups(_lag, batch_format="pandas")
+
+
+def events_lag_diff_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_events_lag_diff`."""
+    return """
+        WITH w AS (
+            SELECT event_id, value,
+                   lag(value) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_value,
+                   lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts,
+                   ts
+            FROM events
+        )
+        SELECT event_id, prev_value,
+               value - prev_value AS value_delta,
+               CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+        FROM w WHERE prev_ts IS NOT NULL
+    """

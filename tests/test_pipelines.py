@@ -1549,3 +1549,33 @@ def test_shipping_priority_local_oracle(ray_session):
         got = (run_shipping_priority(sf, target_rows_per_group=width)
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_lag_diff_local_oracle(ray_session):
+    """Lag deltas equal a single-process pandas window recompute
+    bit-exactly, and are user-bucket-width invariant (a user's
+    timeline always lands whole in one bucket)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.relational import run_events_lag_diff
+
+    sf = "/root/testdata/sf0.001"
+    df = (pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_id", "user_id", "ts", "value"])
+          .to_pandas().sort_values(["user_id", "ts", "event_id"]))
+    g = df.groupby("user_id", sort=False)
+    df["prev_value"] = g["value"].shift(1)
+    df["value_delta"] = df["value"] - df["prev_value"]
+    df["prev_ts"] = g["ts"].shift(1)
+    df = df.dropna(subset=["prev_ts"])
+    unit_div = 1000 if str(df["ts"].dtype).endswith("[ns]") else 1
+    df["gap_us"] = ((df["ts"].astype("int64")
+                     - df["prev_ts"].astype("int64")) // unit_div)
+    want = (df[["event_id", "prev_value", "value_delta", "gap_us"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+    for width in (4, 1 << 20):
+        got = (run_events_lag_diff(sf, users_per_group=width).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
