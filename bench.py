@@ -386,6 +386,10 @@ def run_bench() -> dict:
     graph.run_knn_triangles(SF_DIR).materialize()
     timings["knn_triangles"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_events_lag_diff(SF_DIR).materialize()
+    timings["events_lag_diff"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

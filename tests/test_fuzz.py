@@ -297,3 +297,35 @@ def test_bloom_bits_cross_engine_on_arbitrary_unicode(texts):
         for j in range(BLOOM_K):
             want.add(int((h >> np.uint64(16 * j)) & np.uint64(BLOOM_M - 1)))
     assert got == want
+
+
+@given(st.text(alphabet="abcé日", max_size=8),
+       st.text(alphabet="abcé日", max_size=8))
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_lev_le1_bytes_matches_dp_and_duckdb(x, y):
+    """_lev_le1_bytes (the editdist_neardup verify kernel) must agree
+    with a full DP Levenshtein over the UTF-8 BYTES on arbitrary
+    short strings — including multi-byte characters, where the
+    byte-based contract (matching DuckDB's levenshtein) differs from
+    code-point distance."""
+    from dude_ray.pipelines.dedup import _lev_le1_bytes
+
+    def dp(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    xb, yb = x.encode(), y.encode()
+    d = dp(xb, yb)
+    got = _lev_le1_bytes(xb, yb)
+    assert got == (d if d <= 1 else None)
+
+    import duckdb
+    (dd,) = duckdb.connect().execute(
+        "SELECT levenshtein(?, ?)", [x, y]).fetchone()
+    assert dd == d
