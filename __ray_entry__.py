@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.run_shipping_priority,
         "knn_triangles": _q_knn_triangles,
         "events_lag_diff": relational.run_events_lag_diff,
+        "events_rolling": relational.run_events_rolling,
+        "revenue_by_nation": relational.run_revenue_by_nation,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -667,6 +669,8 @@ def oracle_sql() -> dict[str, str]:
                                           substring_dup_oracle_sql)
     from dude_ray.pipelines.sampling import dataset_split_oracle_sql
     from dude_ray.pipelines.relational import (events_lag_diff_oracle_sql,
+                                                events_rolling_oracle_sql,
+                                                revenue_by_nation_oracle_sql,
                                                 shipping_priority_oracle_sql)
     from dude_ray.pipelines.graph import knn_triangles_oracle_sql
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
@@ -716,6 +720,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": shipping_priority_oracle_sql(),
         "knn_triangles": knn_triangles_oracle_sql(),
         "events_lag_diff": events_lag_diff_oracle_sql(),
+        "events_rolling": events_rolling_oracle_sql(),
+        "revenue_by_nation": revenue_by_nation_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -390,6 +390,14 @@ def run_bench() -> dict:
     relational.run_events_lag_diff(SF_DIR).materialize()
     timings["events_lag_diff"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_events_rolling(SF_DIR).materialize()
+    timings["events_rolling"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_revenue_by_nation(SF_DIR).materialize()
+    timings["revenue_by_nation"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

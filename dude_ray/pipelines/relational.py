@@ -1257,3 +1257,269 @@ def events_lag_diff_oracle_sql() -> str:
                CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
         FROM w WHERE prev_ts IS NOT NULL
     """
+
+
+# --------------------------------------------------------------------------
+# rolling window: per-user running total + moving average + row_number
+# --------------------------------------------------------------------------
+
+def run_events_rolling(sf_dir: str, users_per_group: int | None = None):
+    """The three remaining window frames the family lacked: per-user
+    ``row_number()``, running total (ROWS UNBOUNDED PRECEDING) and a
+    3-row moving average (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    over the (ts, event_id)-ordered timeline.
+
+    Scale shape: identical to :func:`run_events_lag_diff` — ONE hash
+    partition on data-scaled coarsened user buckets, one vectorized
+    lexsort + shifted-add pass per bucket; a user's whole timeline
+    lands in one bucket, so output is bucket-width independent.
+
+    Float contract: the running sum accumulates sequentially per user
+    (pandas groupby-cumsum) and the 3-row sum adds explicitly shifted
+    arrays; DuckDB's window aggregator may associate differently, so
+    BOTH engines round to 6 dp (values are O(1e2)-O(1e5) doubles —
+    1-ulp scatter is ~1e-11, far inside the rounding guard)."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "value": batch["value"],
+        })
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        n = len(uid)
+        # row_number per user: position minus position of segment start
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        rn = np.arange(n) - seg_start + 1
+        # sequential per-user running total (pandas cumsum is ordered)
+        cum = pd.Series(val).groupby(pd.Series(uid), sort=False).cumsum() \
+            .to_numpy(dtype=np.float64)
+        # 3-row moving sum/count with the window clipped at segment start
+        prev1 = np.zeros(n)
+        prev1[1:] = np.where(uid[1:] == uid[:-1], val[:-1], 0.0)
+        has1 = np.zeros(n, dtype=bool)
+        has1[1:] = uid[1:] == uid[:-1]
+        prev2 = np.zeros(n)
+        prev2[2:] = np.where(uid[2:] == uid[:-2], val[:-2], 0.0)
+        has2 = np.zeros(n, dtype=bool)
+        has2[2:] = uid[2:] == uid[:-2]
+        cnt3 = 1 + has1.astype(np.int64) + has2.astype(np.int64)
+        avg3 = (val + prev1 + prev2) / cnt3
+        return pd.DataFrame({
+            "event_id": pd.Series(eid, dtype="int64"),
+            "rn": pd.Series(rn, dtype="int64"),
+            "cum_value": np.round(cum, 6),
+            "avg3": np.round(avg3, 6),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow", batch_size=16384)
+    return keyed.groupby("ugroup").map_groups(_roll, batch_format="pandas")
+
+
+def events_rolling_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_events_rolling`."""
+    return """
+        SELECT event_id,
+               CAST(row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS rn,
+               round(sum(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 6) AS cum_value,
+               round(avg(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+        FROM events
+    """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: six-table join — region/nation/supplier/customer
+# broadcast, orders x lineitem in the shuffle hash join
+# --------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_START = "1996-01-01"
+Q5_END = "1997-01-01"
+
+
+def run_revenue_by_nation(sf_dir: str, region: str = Q5_REGION,
+                          start: str = Q5_START, end: str = Q5_END,
+                          target_rows_per_group: int = 65536):
+    """TPC-H Q5 shape: revenue per nation where the ordering customer
+    and the line's supplier share a nation inside one region — the
+    canonical MULTI-WAY join plan.
+
+    Plan (the 100 TB shape): region⋈nation collapse on the driver
+    (tiny); supplier and customer reduce to two sorted int64
+    (key → nationkey) lookup arrays broadcast ONCE via ``ray.put``
+    and searchsorted inside map_batches — dimension rows never
+    shuffle.  Both fact scans filter + project + pre-aggregate per
+    batch (lineitem collapses to one partial row per
+    (orderkey, supp_nation, batch)), then the SAME data-scaled
+    hash-grouped reduce :func:`run_shipping_priority` uses colocates
+    the two tagged streams on orderkey, where the c_nation = s_nation
+    equality is applied per group.  Output is ≤ |nation| partial rows
+    per group, merged by :func:`tree_combine`.
+
+    Float contract: per-nation revenue rounds to 2 dp (``_py_round``
+    == DuckDB round) after the final merge, the pricing_summary
+    precedent."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    start_us = np.int64(pd.Timestamp(start).value // 1000)
+    end_us = np.int64(pd.Timestamp(end).value // 1000)
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nset = nat["n_nationkey"].to_numpy(dtype=np.int64)
+
+    def _lookup_arrays(df, key, natcol):
+        df = df[np.isin(df[natcol].to_numpy(dtype=np.int64), nset)]
+        order = np.argsort(df[key].to_numpy(dtype=np.int64), kind="stable")
+        return (df[key].to_numpy(dtype=np.int64)[order],
+                df[natcol].to_numpy(dtype=np.int64)[order])
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    sup_ref = ray.put(_lookup_arrays(sup, "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_lookup_arrays(cust, "c_custkey", "c_nationkey"))
+
+    def _map_nation(keys: np.ndarray, ref) -> tuple[np.ndarray, np.ndarray]:
+        """searchsorted lookup; returns (found_mask, nationkey)."""
+        lk, ln = ref
+        pos = np.searchsorted(lk, keys)
+        pos_c = np.minimum(pos, len(lk) - 1) if len(lk) else pos
+        found = (len(lk) > 0) & (lk[pos_c] == keys) if len(lk) else \
+            np.zeros(len(keys), dtype=bool)
+        return found, ln[pos_c] if len(lk) else np.zeros(len(keys), np.int64)
+
+    class OrderSide:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dt = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            in_range = (dt >= start_us) & (dt < end_us)
+            kept = batch.filter(pa.array(in_range))
+            ck = kept["o_custkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            found, cnat = _map_nation(ck, self.cust)
+            kept = kept.filter(pa.array(found))
+            n = len(kept)
+            return pa.table({
+                "okey": kept["o_orderkey"],
+                "nat": pa.array(cnat[found], type=pa.int64()),
+                "rev": pa.nulls(n, type=pa.float64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            })
+
+    class LineSide:
+        def __init__(self):
+            self.sup = ray.get(sup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            found, snat = _map_nation(sk, self.sup)
+            kept = batch.filter(pa.array(found))
+            rev = pc.multiply(kept["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), kept["l_discount"]))
+            g = (pa.table({"okey": kept["l_orderkey"],
+                           "nat": pa.array(snat[found], type=pa.int64()),
+                           "rev": rev})
+                 .group_by(["okey", "nat"]).aggregate([("rev", "sum")]))
+            n = len(g)
+            return pa.table({
+                "okey": g["okey"],
+                "nat": g["nat"],
+                "rev": g["rev_sum"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        OrderSide, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"]).map_batches(
+        LineSide, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+
+    n_rows = sum(n for t in ("orders", "lineitem") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1]
+        if o.empty or l.empty:
+            return pd.DataFrame({"nat": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="float64")})
+        m = l.merge(o[["okey", "nat"]].rename(columns={"nat": "cnat"}),
+                    on="okey", how="inner")
+        m = m[m["nat"] == m["cnat"]]
+        g = m.groupby("nat", sort=False)["rev"].sum().reset_index()
+        return pd.DataFrame({"nat": g["nat"].astype("int64"),
+                             "rev": g["rev"].to_numpy(dtype=np.float64)})
+
+    partials = hash_grouped_reduce(
+        orders.union(lines), "okey", _join, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("nat", "rev"))
+
+    out = tree_combine(partials, ["nat"], sums=("rev",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nats = batch["nat"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([nat_names[int(k)] for k in nats],
+                               type=pa.string()),
+            "revenue": _py_round(batch["rev"], 2),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort(["revenue", "n_name"], descending=[True, False]))
+
+
+def revenue_by_nation_oracle_sql(region: str = Q5_REGION,
+                                 start: str = Q5_START,
+                                 end: str = Q5_END) -> str:
+    """DuckDB oracle for :func:`run_revenue_by_nation` (TPC-H Q5 with
+    the same 2-dp rounding)."""
+    return f"""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = '{region}'
+          AND o_orderdate >= TIMESTAMP '{start}'
+          AND o_orderdate < TIMESTAMP '{end}'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """

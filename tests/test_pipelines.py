@@ -1579,3 +1579,51 @@ def test_events_lag_diff_local_oracle(ray_session):
         got = (run_events_lag_diff(sf, users_per_group=width).to_pandas()
                .sort_values("event_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_events_rolling_local_oracle(ray_session):
+    """row_number / running total / 3-row moving average equal the
+    DuckDB window recompute at sf0.001 and are user-bucket-width
+    invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_events_rolling,
+                                               events_rolling_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(events_rolling_oracle_sql()).df()
+            .sort_values("event_id").reset_index(drop=True))
+    assert len(want) > 0
+
+    for width in (4, 1 << 20):
+        got = (run_events_rolling(sf, users_per_group=width).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_revenue_by_nation_local_oracle(ray_session):
+    """Q5-shaped six-table join equals a DuckDB recompute at sf0.001
+    and is hash-group-width invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_revenue_by_nation,
+                                               revenue_by_nation_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(revenue_by_nation_oracle_sql()).df()
+    assert len(want) > 0
+
+    for width in (256, 65536):
+        got = (run_revenue_by_nation(sf, target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
