@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_diff": relational.run_events_lag_diff,
         "events_rolling": relational.run_events_rolling,
         "revenue_by_nation": relational.run_revenue_by_nation,
+        "qty_rollup": relational.run_qty_rollup,
+        "cheapest_part": relational.run_cheapest_part,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -668,8 +670,10 @@ def oracle_sql() -> dict[str, str]:
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql)
     from dude_ray.pipelines.sampling import dataset_split_oracle_sql
-    from dude_ray.pipelines.relational import (events_lag_diff_oracle_sql,
+    from dude_ray.pipelines.relational import (cheapest_part_oracle_sql,
+                                                events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
+                                                qty_rollup_oracle_sql,
                                                 revenue_by_nation_oracle_sql,
                                                 shipping_priority_oracle_sql)
     from dude_ray.pipelines.graph import knn_triangles_oracle_sql
@@ -722,6 +726,8 @@ def oracle_sql() -> dict[str, str]:
         "events_lag_diff": events_lag_diff_oracle_sql(),
         "events_rolling": events_rolling_oracle_sql(),
         "revenue_by_nation": revenue_by_nation_oracle_sql(),
+        "qty_rollup": qty_rollup_oracle_sql(),
+        "cheapest_part": cheapest_part_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -398,6 +398,14 @@ def run_bench() -> dict:
     relational.run_revenue_by_nation(SF_DIR).materialize()
     timings["revenue_by_nation"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_qty_rollup(SF_DIR).materialize()
+    timings["qty_rollup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_cheapest_part(SF_DIR).materialize()
+    timings["cheapest_part"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

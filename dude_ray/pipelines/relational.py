@@ -1523,3 +1523,156 @@ def revenue_by_nation_oracle_sql(region: str = Q5_REGION,
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """
+
+
+# --------------------------------------------------------------------------
+# ROLLUP aggregate (multi-level subtotals from one scan)
+# --------------------------------------------------------------------------
+
+def run_qty_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): row count +
+    sum(l_quantity) at every rollup level — detail, per-flag subtotal,
+    grand total — the nested-group accounting shape the reference's
+    per-group/per-page save rollups imply (dude/base.py flatten +
+    storage grouping), done as ONE distributed pass.
+
+    Plan (the 100 TB shape): one scan; each batch pre-aggregates to
+    ≤|flag×status| partial rows, :func:`tree_combine` merges them, and
+    the coarser rollup levels are EXPANDED from the ≤6-row finest
+    aggregate inside the final block — subtotals are sums of the
+    finest level, never a second scan or shuffle.  Measures are exact
+    under reordering: counts are integers and l_quantity is integral
+    (driver testdata + TPC-H spec), so float sums are bit-identical
+    in any association.  Rolled-up columns carry 'ALL' (the COALESCE
+    contract shared with the DuckDB oracle)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "n_rows": pc.cast(g["l_quantity_count"], pa.int64()),
+            "sum_qty": g["l_quantity_sum"],
+        })
+
+    finest = tree_combine(ds.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=65536),
+                          ["l_returnflag", "l_linestatus"],
+                          sums=("n_rows", "sum_qty"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lvl1 = (df.groupby("l_returnflag", sort=False)
+                [["n_rows", "sum_qty"]].sum().reset_index())
+        lvl1["l_linestatus"] = "ALL"
+        lvl2 = pd.DataFrame({
+            "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+            "n_rows": [df["n_rows"].sum()],
+            "sum_qty": [df["sum_qty"].sum()]})
+        out = pd.concat([df, lvl1, lvl2], ignore_index=True)[
+            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty"]]
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["sum_qty"] = out["sum_qty"].astype("float64")
+        return pa.Table.from_pandas(
+            out.sort_values(["l_returnflag", "l_linestatus"]),
+            preserve_index=False)
+
+    return finest.map_batches(expand, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def qty_rollup_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_qty_rollup` (same COALESCE
+    contract for the rolled-up level markers)."""
+    return """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS n_rows,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+# --------------------------------------------------------------------------
+# groupwise ARGMIN (keeper row per key, total-order tiebreak)
+# --------------------------------------------------------------------------
+
+def run_cheapest_part(sf_dir: str, target_rows_per_group: int = 65536):
+    """Groupwise ARGMIN: for every part, the single lineitem row with
+    the lowest extended price, ties broken by (orderkey, linenumber)
+    so the winner is a TOTAL order — the keeper-row-per-key shape
+    curate_keep_best uses, here against a fact table with ~200k keys
+    per SF (too many for a driver dict, exactly right for the
+    data-scaled hash-grouped reduce).
+
+    Plan (the 100 TB shape): per-batch partial argmin first (lexsort +
+    first-per-key — one surviving row per partkey per batch, so only
+    ~|parts| rows per block ever shuffle), then ONE data-scaled
+    hash-grouped reduce on l_partkey applies the same kernel per
+    bucket.  No arithmetic touches the price — the winning float
+    passes through bit-identical to the oracle's."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    cols = ["l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"]
+
+    def _first_per_part(pk, price, ok, ln):
+        order = np.lexsort((ln, ok, price, pk))
+        pks = pk[order]
+        first = np.ones(len(pks), dtype=bool)
+        first[1:] = pks[1:] != pks[:-1]
+        return order[first]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sel = _first_per_part(
+            pk,
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            batch["l_linenumber"].to_numpy(zero_copy_only=False))
+        kept = batch.take(pa.array(sel))
+        return pa.table({
+            "l_partkey": kept["l_partkey"],
+            "l_orderkey": kept["l_orderkey"],
+            "l_linenumber": pc.cast(kept["l_linenumber"], pa.int64()),
+            "min_price": kept["l_extendedprice"],
+        })
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        sel = _first_per_part(
+            df["l_partkey"].to_numpy(dtype=np.int64),
+            df["min_price"].to_numpy(dtype=np.float64),
+            df["l_orderkey"].to_numpy(dtype=np.int64),
+            df["l_linenumber"].to_numpy(dtype=np.int64))
+        return df.iloc[sel]
+
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/lineitem.parquet"))
+    partials = _read(sf_dir, "lineitem", cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_grouped_reduce(
+        partials, "l_partkey", reduce_fn, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("l_partkey", "l_orderkey", "l_linenumber", "min_price"))
+    return out.sort("l_partkey")
+
+
+def cheapest_part_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_cheapest_part` (row_number, not
+    arg_min, so the tiebreak is the same total order)."""
+    return """
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               l_extendedprice AS min_price
+        FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (
+                         PARTITION BY l_partkey
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ) AS rn
+              FROM lineitem)
+        WHERE rn = 1
+        ORDER BY l_partkey
+    """

@@ -1627,3 +1627,48 @@ def test_revenue_by_nation_local_oracle(ray_session):
         got = (run_revenue_by_nation(sf, target_rows_per_group=width)
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_qty_rollup_local_oracle(ray_session):
+    """ROLLUP(l_returnflag, l_linestatus) expansion equals the DuckDB
+    GROUP BY ROLLUP recompute at sf0.001, exactly (integral sums)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_qty_rollup,
+                                               qty_rollup_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(qty_rollup_oracle_sql()).df().reset_index(drop=True)
+    assert len(want) > 3  # detail + subtotal + grand total present
+
+    got = run_qty_rollup(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_cheapest_part_local_oracle(ray_session):
+    """Groupwise argmin equals the DuckDB row_number()=1 recompute at
+    sf0.001 and is hash-group-width invariant (exact floats — the
+    winning price passes through untouched)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_cheapest_part,
+                                               cheapest_part_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(cheapest_part_oracle_sql()).df().reset_index(drop=True)
+    assert len(want) > 0
+
+    for width in (64, 1 << 20):
+        got = (run_cheapest_part(sf, target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
