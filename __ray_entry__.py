@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.run_revenue_by_nation,
         "qty_rollup": relational.run_qty_rollup,
         "cheapest_part": relational.run_cheapest_part,
+        "priority_semijoin": relational.run_priority_semijoin,
+        "lapsed_customers": relational.run_lapsed_customers,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -673,6 +675,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.relational import (cheapest_part_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
+                                                lapsed_customers_oracle_sql,
+                                                priority_semijoin_oracle_sql,
                                                 qty_rollup_oracle_sql,
                                                 revenue_by_nation_oracle_sql,
                                                 shipping_priority_oracle_sql)
@@ -728,6 +732,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": revenue_by_nation_oracle_sql(),
         "qty_rollup": qty_rollup_oracle_sql(),
         "cheapest_part": cheapest_part_oracle_sql(),
+        "priority_semijoin": priority_semijoin_oracle_sql(),
+        "lapsed_customers": lapsed_customers_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

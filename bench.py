@@ -406,6 +406,14 @@ def run_bench() -> dict:
     relational.run_cheapest_part(SF_DIR).materialize()
     timings["cheapest_part"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_priority_semijoin(SF_DIR).materialize()
+    timings["priority_semijoin"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_lapsed_customers(SF_DIR).materialize()
+    timings["lapsed_customers"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

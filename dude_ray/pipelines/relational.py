@@ -1676,3 +1676,204 @@ def cheapest_part_oracle_sql() -> str:
         WHERE rn = 1
         ORDER BY l_partkey
     """
+
+
+# --------------------------------------------------------------------------
+# EXISTS semi-join + NOT EXISTS anti-join (Q4 / Q22 shapes)
+# --------------------------------------------------------------------------
+
+Q4_START = "1997-01-01"
+Q4_END = "1998-01-01"
+Q4_QTY_MIN = 45.0
+
+
+def run_priority_semijoin(sf_dir: str, start: str = Q4_START,
+                          end: str = Q4_END, qty_min: float = Q4_QTY_MIN,
+                          target_rows_per_group: int = 65536):
+    """TPC-H Q4 shape: orders per priority that have AT LEAST ONE
+    qualifying lineitem — the canonical EXISTS semi-join between two
+    fact tables (the relational analog of the crawl engine's
+    allowed-domains semi-join, frontier.py J2, at fact×fact scale
+    where neither side can broadcast).
+
+    Plan (the 100 TB shape): both scans filter + project + pre-shrink
+    per batch (lineitem collapses to its DISTINCT orderkeys per batch
+    — existence needs no payload), then the shipping_priority
+    tagged-union hash reduce colocates the two streams on orderkey;
+    each bucket keeps orders whose key appears on the line side and
+    emits ≤|priority| partial count rows.  Counts are integers —
+    exact under any merge order."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    start_us = np.int64(pd.Timestamp(start).value // 1000)
+    end_us = np.int64(pd.Timestamp(end).value // 1000)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        dt = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kept = batch.filter(pa.array((dt >= start_us) & (dt < end_us)))
+        n = len(kept)
+        return pa.table({
+            "okey": kept["o_orderkey"],
+            "pri": kept["o_orderpriority"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater_equal(batch["l_quantity"],
+                                             pa.scalar(qty_min)))
+        keys = pc.unique(kept["l_orderkey"])
+        n = len(keys)
+        return pa.table({
+            "okey": keys,
+            "pri": pa.nulls(n, type=pa.string()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate",
+                    "o_orderpriority"]).map_batches(
+        order_side, batch_format="pyarrow", batch_size=65536)
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_quantity"]).map_batches(
+        line_side, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = sum(n for t in ("orders", "lineitem") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _semi(df: pd.DataFrame) -> pd.DataFrame:
+        have = df.loc[df["side"] == 1, "okey"].unique()
+        o = df[(df["side"] == 0) & df["okey"].isin(have)]
+        g = o.groupby("pri", sort=False).size().reset_index(name="n")
+        return pd.DataFrame({"pri": g["pri"],
+                             "n": g["n"].astype("int64")})
+
+    partials = hash_grouped_reduce(
+        orders.union(lines), "okey", _semi, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("pri", "n"))
+    out = tree_combine(partials, ["pri"], sums=("n",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch["pri"],
+            "n_orders": pc.cast(batch["n"], pa.int64()),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort("o_orderpriority"))
+
+
+def priority_semijoin_oracle_sql(start: str = Q4_START, end: str = Q4_END,
+                                 qty_min: float = Q4_QTY_MIN) -> str:
+    """DuckDB oracle for :func:`run_priority_semijoin`."""
+    return f"""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '{start}'
+          AND o_orderdate < TIMESTAMP '{end}'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= {qty_min})
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
+Q22_CUTOFF = "2000-01-01"
+
+
+def run_lapsed_customers(sf_dir: str, cutoff: str = Q22_CUTOFF,
+                         target_rows_per_group: int = 65536):
+    """TPC-H Q22 shape: positive-balance customers with NO order since
+    ``cutoff``, counted + balance-summed per market segment — the
+    canonical NOT EXISTS anti-join (the relational analog of the
+    frontier's adblock anti-join, J3, at fact×fact scale).
+
+    Plan (the 100 TB shape): orders pre-shrinks to its DISTINCT
+    custkeys per batch; customers carry (segment, balance-in-cents);
+    ONE tagged-union hash reduce on custkey keeps the customers whose
+    key never appears on the order side.  Balances convert to exact
+    integer cents (the testdata's 2-dp contract) so every sum is
+    order-independent and bit-identical to the oracle's."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    cut_us = np.int64(pd.Timestamp(cutoff).value // 1000)
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch["c_acctbal"], pa.scalar(0.0)))
+        cents = np.round(kept["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        n = len(kept)
+        return pa.table({
+            "ckey": kept["c_custkey"],
+            "seg": kept["c_mktsegment"],
+            "cents": pa.array(cents, type=pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        dt = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kept = batch.filter(pa.array(dt >= cut_us))
+        keys = pc.unique(kept["o_custkey"])
+        n = len(keys)
+        return pa.table({
+            "ckey": keys,
+            "seg": pa.nulls(n, type=pa.string()),
+            "cents": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        cust_side, batch_format="pyarrow", batch_size=65536)
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate"]).map_batches(
+        order_side, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = sum(n for t in ("customer", "orders") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _anti(df: pd.DataFrame) -> pd.DataFrame:
+        active = df.loc[df["side"] == 1, "ckey"].unique()
+        c = df[(df["side"] == 0) & ~df["ckey"].isin(active)]
+        g = (c.groupby("seg", sort=False)
+             .agg(n=("ckey", "size"), cents=("cents", "sum"))
+             .reset_index())
+        return pd.DataFrame({"seg": g["seg"],
+                             "n": g["n"].astype("int64"),
+                             "cents": g["cents"].astype("int64")})
+
+    partials = hash_grouped_reduce(
+        cust.union(orders), "ckey", _anti, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("seg", "n", "cents"))
+    out = tree_combine(partials, ["seg"], sums=("n", "cents"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch["seg"],
+            "n_customers": pc.cast(batch["n"], pa.int64()),
+            "sum_acctbal_cents": pc.cast(batch["cents"], pa.int64()),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort("c_mktsegment"))
+
+
+def lapsed_customers_oracle_sql(cutoff: str = Q22_CUTOFF) -> str:
+    """DuckDB oracle for :func:`run_lapsed_customers` (same exact
+    integer-cents contract)."""
+    return f"""
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_acctbal_cents
+        FROM customer c
+        WHERE c_acctbal > 0
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '{cutoff}')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """

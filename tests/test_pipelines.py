@@ -1672,3 +1672,54 @@ def test_cheapest_part_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_priority_semijoin_local_oracle(ray_session):
+    """EXISTS semi-join (Q4 shape) equals the DuckDB recompute at
+    sf0.001 and is hash-group-width invariant (integer counts)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_priority_semijoin,
+                                               priority_semijoin_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(priority_semijoin_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    for width in (64, 1 << 20):
+        got = (run_priority_semijoin(sf, target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_lapsed_customers_local_oracle(ray_session):
+    """NOT EXISTS anti-join (Q22 shape) equals the DuckDB recompute at
+    sf0.001, bit-exact via the integer-cents contract, width
+    invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_lapsed_customers,
+                                               lapsed_customers_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(lapsed_customers_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    for width in (64, 1 << 20):
+        got = (run_lapsed_customers(sf, target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
