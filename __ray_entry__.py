@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_part": relational.run_cheapest_part,
         "priority_semijoin": relational.run_priority_semijoin,
         "lapsed_customers": relational.run_lapsed_customers,
+        "user_top_event": relational.run_user_top_event,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -677,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
                                                 events_rolling_oracle_sql,
                                                 lapsed_customers_oracle_sql,
                                                 priority_semijoin_oracle_sql,
+                                                user_top_event_oracle_sql,
                                                 qty_rollup_oracle_sql,
                                                 revenue_by_nation_oracle_sql,
                                                 shipping_priority_oracle_sql)
@@ -734,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_part": cheapest_part_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),
+        "user_top_event": user_top_event_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

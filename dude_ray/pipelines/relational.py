@@ -1877,3 +1877,64 @@ def lapsed_customers_oracle_sql(cutoff: str = Q22_CUTOFF) -> str:
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """
+
+
+def run_user_top_event(sf_dir: str, target_rows_per_group: int = 65536):
+    """Groupwise MODE: each user's most frequent event_type (ties
+    broken by event_type ascending — a total order, so the winner is
+    unique).  The two-level aggregate shape: count per (user, type),
+    then argmax per user — the per-host top-rule accounting the
+    reference's per-group save rollups imply, at per-user cardinality.
+
+    Plan (the 100 TB shape): per-batch Arrow group_by collapses each
+    batch to ≤|users×types| partial count rows, then ONE data-scaled
+    hash-grouped reduce on user_id sums partials and takes the
+    argmax inside each bucket.  Counts are integers — exact under any
+    merge order."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+            "n_events": pc.cast(g["event_type_count"], pa.int64()),
+        })
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        full = (df.groupby(["user_id", "event_type"], sort=False)
+                ["n_events"].sum().reset_index())
+        top = (full.sort_values(["user_id", "n_events", "event_type"],
+                                ascending=[True, False, True], kind="stable")
+               .drop_duplicates("user_id"))
+        top["n_events"] = top["n_events"].astype("int64")
+        return top
+
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/events.parquet"))
+    partials = _read(sf_dir, "events",
+                     ["user_id", "event_type"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_grouped_reduce(
+        partials, "user_id", reduce_fn, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("user_id", "event_type", "n_events"))
+    return out.sort("user_id")
+
+
+def user_top_event_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_user_top_event` (row_number, not
+    mode(), so the tiebreak is the same total order)."""
+    return """
+        SELECT user_id, event_type, n AS n_events
+        FROM (SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY count(*) DESC, event_type
+                     ) AS rn
+              FROM events
+              GROUP BY user_id, event_type)
+        WHERE rn = 1
+        ORDER BY user_id
+    """

@@ -1723,3 +1723,27 @@ def test_lapsed_customers_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_user_top_event_local_oracle(ray_session):
+    """Groupwise mode (top event_type per user) equals the DuckDB
+    row_number()=1 recompute at sf0.001 and is width invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_user_top_event,
+                                               user_top_event_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(user_top_event_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    for width in (64, 1 << 20):
+        got = (run_user_top_event(sf, target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
