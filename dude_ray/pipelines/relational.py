@@ -1938,3 +1938,94 @@ def user_top_event_oracle_sql() -> str:
         WHERE rn = 1
         ORDER BY user_id
     """
+
+
+def run_event_pivot(sf_dir: str, target_rows_per_group: int = 65536):
+    """PIVOT / crosstab: one row per user, one count column per
+    event_type plus a total — the wide conditional-aggregation shape
+    (the reference's per-page × per-group save matrix, SURVEY §2.10,
+    as a relational operator).
+
+    Plan (the 100 TB shape): a first TINY pass collects the distinct
+    event_type domain (per-batch unique partials → tree merge — the
+    domain is bounded by the schema, not the data volume) and fixes
+    the output column set; the main pass collapses each batch to
+    ≤|users×types| (user, type, n) partial rows, then ONE data-scaled
+    hash-grouped reduce on user_id pivots each bucket wide.  Counts
+    are integers — exact under any merge order.  The oracle inlines
+    the same domain as FILTER columns (the inlined-codebook pattern
+    ann_ivf/hll use)."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    types = _event_type_domain(sf_dir)
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+            "n": pc.cast(g["event_type_count"], pa.int64()),
+        })
+
+    def reduce_fn(df: pd.DataFrame) -> pd.DataFrame:
+        wide = (df.groupby(["user_id", "event_type"], sort=False)["n"]
+                .sum().unstack(fill_value=0))
+        for t in types:
+            if t not in wide.columns:
+                wide[t] = 0
+        wide = wide[types].astype("int64")
+        out = wide.reset_index()
+        out.columns = ["user_id"] + cols
+        out["n_total"] = wide.sum(axis=1).to_numpy()
+        return out
+
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/events.parquet"))
+    partials = _read(sf_dir, "events",
+                     ["user_id", "event_type"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    out = hash_grouped_reduce(
+        partials, "user_id", reduce_fn, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=tuple(["user_id"] + cols + ["n_total"]))
+    return out.sort("user_id")
+
+
+def _event_type_domain(sf_dir: str) -> list[str]:
+    """Distinct event_type values via per-batch unique partials and a
+    tree merge — never a full-column materialization."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": pc.unique(batch["event_type"]),
+                         "one": pa.nulls(len(pc.unique(batch["event_type"])),
+                                         type=pa.int64())})
+
+    merged = tree_combine(
+        ds.map_batches(uniq, batch_format="pyarrow", batch_size=65536),
+        ["event_type"], sums=("one",))
+    return sorted(r["event_type"] for r in merged.take_all())
+
+
+def event_pivot_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_event_pivot` — the event_type
+    domain inlines as FILTER columns (scale-pinned via GRAFT_ORACLE_SF
+    like the other inlined-domain oracles)."""
+    import os
+
+    sf = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                  "/root/testdata/sf0.01")
+    types = _event_type_domain(sf)
+    filters = ",\n               ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in types)
+    return f"""
+        SELECT user_id,
+               {filters},
+               count(*) AS n_total
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """

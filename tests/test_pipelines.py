@@ -1747,3 +1747,28 @@ def test_user_top_event_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_event_pivot_local_oracle(ray_session):
+    """Crosstab (count column per event_type + total per user) equals
+    the DuckDB FILTER-column recompute at sf0.001 and is width
+    invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_event_pivot,
+                                               event_pivot_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(event_pivot_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    assert len(want) > 0 and len(want.columns) > 3
+
+    for width in (64, 1 << 20):
+        got = (run_event_pivot(sf, target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
