@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lapsed_customers": relational.run_lapsed_customers,
         "user_top_event": relational.run_user_top_event,
         "event_pivot": relational.run_event_pivot,
+        "event_transitions": relational.run_event_transitions,
         "kmeans_assign": _q_kmeans_assign,
         "label_centroids": _q_label_centroids,
         "events_hopping_window": _q_events_hopping_window,
@@ -676,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.sampling import dataset_split_oracle_sql
     from dude_ray.pipelines.relational import (cheapest_part_oracle_sql,
                                                 event_pivot_oracle_sql,
+                                                event_transitions_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
                                                 lapsed_customers_oracle_sql,
@@ -740,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "lapsed_customers": lapsed_customers_oracle_sql(),
         "user_top_event": user_top_event_oracle_sql(),
         "event_pivot": event_pivot_oracle_sql(),
+        "event_transitions": event_transitions_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
         "dsir_weights": dsir_weights_oracle_sql(),

@@ -422,6 +422,10 @@ def run_bench() -> dict:
     relational.run_event_pivot(SF_DIR).materialize()
     timings["event_pivot"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_event_transitions(SF_DIR).materialize()
+    timings["event_transitions"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -2029,3 +2029,81 @@ def event_pivot_oracle_sql(sf_dir: str | None = None) -> str:
         GROUP BY user_id
         ORDER BY user_id
     """
+
+
+def run_event_transitions(sf_dir: str, users_per_group: int | None = None):
+    """Markov transition counts: for every ordered pair of
+    CONSECUTIVE events in a user's (ts, event_id)-ordered timeline,
+    the global count of (prev_type → type) transitions — the sequence
+    bigram shape (funnel analysis's raw material; event_funnel counts
+    one fixed path, this counts all 1-step paths).
+
+    Scale shape: the :func:`run_events_lag_diff` discipline — ONE
+    hash partition on data-scaled coarsened user buckets, a vectorized
+    lexsort + shift per bucket emitting ≤|types|² partial count rows,
+    then :func:`tree_combine` sums the tiny pair table.  Counts are
+    integers — exact under any merge order."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        typ = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, typ = uid[order], typ[order]
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({"prev_type": typ[:-1][same],
+                              "event_type": typ[1:][same]})
+        out = (pairs.groupby(["prev_type", "event_type"], sort=False)
+               .size().reset_index(name="n_transitions"))
+        out["n_transitions"] = out["n_transitions"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow",
+                           batch_size=16384)
+    partials = keyed.groupby("ugroup").map_groups(
+        _pairs, batch_format="pandas")
+    out = tree_combine(partials, ["prev_type", "event_type"],
+                       sums=("n_transitions",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "prev_type": batch["prev_type"],
+            "event_type": batch["event_type"],
+            "n_transitions": pc.cast(batch["n_transitions"], pa.int64()),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort(["prev_type", "event_type"]))
+
+
+def event_transitions_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_event_transitions`."""
+    return """
+        WITH w AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type, count(*) AS n_transitions
+        FROM w WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, event_type
+    """

@@ -1772,3 +1772,27 @@ def test_event_pivot_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_event_transitions_local_oracle(ray_session):
+    """Markov transition counts equal the DuckDB LAG recompute at
+    sf0.001 and are user-bucket-width invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_event_transitions,
+                                               event_transitions_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(event_transitions_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    for width in (4, 1 << 20):
+        got = (run_event_transitions(sf, users_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
