@@ -122,80 +122,24 @@ def _q_media_audio_chunks(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
-    records only the FIRST 50 entries (insertion order).  Slots 1-20
-    are the operators that had never appeared in a CORRECTNESS file
-    through round 3; slots 21-29 are the round-4 additions
-    (text_chunk, shard_assign, event_funnel, retention_cohorts,
-    quantize_embeddings, bpe_pair_counts, char_entropy,
-    priority_sample, chunk_dedup); slots 30-36 are new or SQL-oracled
-    for the first time in r4 (semdedup, DSIR, the bit-exact banded
-    minhash-LSH oracle, and the integer-exact hyperplane-LSH oracles
-    for embedding_neardup / ann_lsh); the rest of the window is
-    SQL-hash-matchable entries.  The rotation tail (51+) — hash-matched
-    ops plus the
-    rows-only crawl/media/approximate entries — stays verified by
+    records only the FIRST 50 entries (insertion order).  Round-5
+    rotation (VERDICT_r04 "Next round" #1): slots 1-21 are the 21
+    entries that had never appeared in any driver CORRECTNESS file
+    through round 4 (registry tail positions 51-65 plus kmeans_assign,
+    label_centroids, events_hopping_window, value_percent_rank,
+    bloom_registers, anchor_texts).  Slots 22-50 are the entries this
+    round MODIFIES (the (band, hash-prefix) minhash candidate split
+    and its dependants; the Arrow-native sweep of sketches/sampling/
+    streaming stages) plus the flagship — so the driver record also
+    re-verifies every changed code path.  The rotation tail (51+) —
+    all previously driver-hash-matched — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
     entries) and by pytest."""
     from dude_ray.pipelines import (cleaning, dedup, relational, sampling,
                                     similarity, textops)
 
     return {
-        # -- slots 1-20: never driver-verified before round 4 ---------
-        "training_mix": _q_training_mix,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "kmeans_cluster": _q_kmeans_cluster,
-        "term_postings": _q_term_postings,
-        "bm25_topk": _q_bm25_topk,
-        "mix_interleave": _q_mix_interleave,
-        "dup_clusters": _q_dup_clusters,
-        "value_buckets": _q_value_buckets,
-        "substring_dup": _q_substring_dup,
-        "substring_redact": _q_substring_redact,
-        "curate_keep_best": _q_curate_keep_best,
-        "events_zscore": _q_events_zscore,
-        "embedding_pca": _q_embedding_pca,
-        "embedding_cov": _q_embedding_cov,
-        "pagerank": _q_pagerank,
-        "graph_pagerank": _q_graph_pagerank,
-        # -- slots 21-29: NEW in round 4 (never driver-verified) --------
-        "text_chunk": sampling.run_text_chunk,
-        "shard_assign": sampling.run_shard_assign,
-        "event_funnel": relational.run_event_funnel,
-        "retention_cohorts": relational.run_retention_cohorts,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "bpe_pair_counts": textops.run_bpe_pair_counts,
-        "char_entropy": textops.run_char_entropy,
-        "priority_sample": sampling.run_priority_sample,
-        "chunk_dedup": dedup.run_chunk_dedup,
-        # -- slots 30-36: new/newly SQL-oracled in r4 (semdedup, DSIR;
-        # bit-exact banded minhash-LSH oracle; integer-exact
-        # hyperplane-LSH oracles) — never driver-verified
-        "semdedup": _q_semdedup,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_select": _q_dsir_select,
-        "minhash_dedup": dedup.run_minhash_dedup,
-        "ngram_jaccard": dedup.run_ngram_jaccard,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_lsh": similarity.run_ann_lsh,
-        "hll_registers": _q_hll_registers,
-        "ann_ivf": similarity.run_ann_ivf,
-        "ngram_counts": textops.run_ngram_counts,
-        "gopher_filter": cleaning.run_gopher_filter,
-        "bpe_train": _q_bpe_train,
-        "knn_graph": _q_knn_graph,
-        "bpe_encode": _q_bpe_encode,
-        "pmi_collocations": textops.run_pmi_collocations,
-        "blocklist_filter": cleaning.run_blocklist_filter,
-        "cms_registers": _q_cms_registers,
-        "ann_pq": similarity.run_ann_pq,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "graph_hits": _q_graph_hits,
-        "embedding_project": _q_embedding_project,
-        "source_stats": textops.run_source_stats,
-        "readability": textops.run_readability,
-        "phrase_search": textops.run_phrase_search,
-        "contamination_overlap": textops.run_contamination_overlap,
-        # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        # -- slots 1-21: never driver-verified through round 4 ---------
         "dataset_split": sampling.run_dataset_split,
         "dup_rate_by_source": dedup.run_dup_rate_by_source,
         "editdist_neardup": dedup.run_editdist_neardup,
@@ -216,17 +160,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": _q_events_hopping_window,
         "value_percent_rank": _q_value_percent_rank,
         "bloom_registers": _q_bloom_registers,
-        "distinct_users_approx": _q_distinct_users_approx,
-        "jaccard_join": dedup.run_jaccard_join,
+        "anchor_texts": _q_anchor_texts,
+        # -- slots 22-50: every entry whose code path changes in r5
+        # (minhash (band,prefix) candidate split; Arrow-native sweep of
+        # sketches/sampling/streaming) plus the flagship -------------
+        "minhash_dedup": dedup.run_minhash_dedup,
+        "ngram_jaccard": dedup.run_ngram_jaccard,
         "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
-        "simhash_dedup": dedup.run_simhash_dedup,
+        "jaccard_join": dedup.run_jaccard_join,
+        "dup_clusters": _q_dup_clusters,
+        "hll_registers": _q_hll_registers,
+        "cms_registers": _q_cms_registers,
+        "distinct_users_approx": _q_distinct_users_approx,
+        "top_terms_sketch": _q_top_terms_sketch,
+        "priority_sample": sampling.run_priority_sample,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "sample_stratified": sampling.run_sample_stratified,
+        "sample_per_group": sampling.run_sample_per_group,
+        "token_pack": sampling.run_token_pack,
+        "text_chunk": sampling.run_text_chunk,
+        "shard_assign": sampling.run_shard_assign,
+        "streaming_window": _q_streaming_window,
+        "training_mix": _q_training_mix,
+        "mix_interleave": _q_mix_interleave,
+        "semdedup": _q_semdedup,
+        "substring_dup": _q_substring_dup,
+        "substring_redact": _q_substring_redact,
+        "curate_keep_best": _q_curate_keep_best,
         "exact_dedup": dedup.run_exact_dedup,
+        "simhash_dedup": dedup.run_simhash_dedup,
+        "chunk_dedup": dedup.run_chunk_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_lsh": similarity.run_ann_lsh,
+        # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "tfidf_keywords": _q_tfidf_keywords,
+        "kmeans_cluster": _q_kmeans_cluster,
+        "term_postings": _q_term_postings,
+        "bm25_topk": _q_bm25_topk,
+        "value_buckets": _q_value_buckets,
+        "events_zscore": _q_events_zscore,
+        "embedding_pca": _q_embedding_pca,
+        "embedding_cov": _q_embedding_cov,
+        "pagerank": _q_pagerank,
+        "graph_pagerank": _q_graph_pagerank,
+        "event_funnel": relational.run_event_funnel,
+        "retention_cohorts": relational.run_retention_cohorts,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "bpe_pair_counts": textops.run_bpe_pair_counts,
+        "char_entropy": textops.run_char_entropy,
+        "ann_ivf": similarity.run_ann_ivf,
+        "ngram_counts": textops.run_ngram_counts,
+        "gopher_filter": cleaning.run_gopher_filter,
+        "bpe_train": _q_bpe_train,
+        "knn_graph": _q_knn_graph,
+        "bpe_encode": _q_bpe_encode,
+        "pmi_collocations": textops.run_pmi_collocations,
+        "blocklist_filter": cleaning.run_blocklist_filter,
+        "ann_pq": similarity.run_ann_pq,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "graph_hits": _q_graph_hits,
+        "embedding_project": _q_embedding_project,
+        "source_stats": textops.run_source_stats,
+        "readability": textops.run_readability,
+        "phrase_search": textops.run_phrase_search,
+        "contamination_overlap": textops.run_contamination_overlap,
         "dedup_incremental": _q_dedup_incremental,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "doc_fingerprint": textops.run_fingerprint,
         "lm_score": _q_lm_score,
         "lr_quality": _q_lr_quality,
-        "top_terms_sketch": _q_top_terms_sketch,
         "corpus_prep": textops.run_corpus_prep,
         "token_count": textops.run_token_count,
         "quality_score": textops.run_quality,
@@ -235,14 +238,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": cleaning.run_repetition_quality,
         "decontaminate": cleaning.run_decontaminate,
         "top_terms_per_source": cleaning.run_top_terms_per_source,
-        "sample_stratified": sampling.run_sample_stratified,
         "ann_topk": similarity.run_ann_topk,
         "events_window": relational.run_events_window,
         "segment_revenue": relational.run_segment_revenue,
         "pricing_summary": relational.run_pricing_summary,
         "user_sessions": relational.run_user_sessions,
         "top_orders_per_segment": relational.run_top_orders_per_segment,
-        "streaming_window": _q_streaming_window,
         "asof_join": relational.run_asof_join,
         "events_band_join": relational.run_events_band_join,
         "value_percentiles": relational.run_value_percentiles,
@@ -251,11 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": _q_lang_dist,
         "events_stats": relational.run_events_stats,
         "top_orders": relational.run_top_orders,
-        "sample_per_group": sampling.run_sample_per_group,
-        "token_pack": sampling.run_token_pack,
         # -- rows-only: crawl/extract engine (non-SQL; pytest oracles) -
         "extract_spans": _q_extract_spans,
-        "anchor_texts": _q_anchor_texts,
         "crawl_visits": _q_crawl_visits,
         "crawl_host_counts": _q_crawl_host_counts,
         "media_decode": _q_media_decode,

@@ -26,9 +26,21 @@ def test_registry_consistency():
     # the driver records only the first 50 entries: all of them must
     # be SQL-oracled EXCEPT the documented rows-only crawl/extract ops
     first50 = list(q)[:50]
-    rows_only_allowed = {"substring_redact"}
+    # anchor_texts joins the r5 window per VERDICT_r04 "Next round" #1
+    # (it is HTML-extraction-derived, hence rows-only like the crawl
+    # entries); substring_redact is pytest-oracled by design.
+    rows_only_allowed = {"substring_redact", "anchor_texts"}
     not_oracled = [k for k in first50 if k not in o]
     assert set(not_oracled) <= rows_only_allowed, not_oracled
+    # the 21 never-driver-verified entries (VERDICT_r04) lead the gate
+    assert first50[:21] == [
+        "dataset_split", "dup_rate_by_source", "editdist_neardup",
+        "shipping_priority", "knn_triangles", "events_lag_diff",
+        "events_rolling", "revenue_by_nation", "qty_rollup",
+        "cheapest_part", "priority_semijoin", "lapsed_customers",
+        "user_top_event", "event_pivot", "event_transitions",
+        "kmeans_assign", "label_centroids", "events_hopping_window",
+        "value_percent_rank", "bloom_registers", "anchor_texts"]
     # every registered callable takes exactly one required positional
     for k, fn in q.items():
         params = [p for p in inspect.signature(fn).parameters.values()
