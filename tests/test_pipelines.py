@@ -455,6 +455,24 @@ def test_bucketed_pipelines_width_independent(ray_session, widths):
         SF, target_rows_per_group=100_000, small_tier_max_rows=0))
 
 
+def test_minhash_band_prefix_tiers_agree(ray_session):
+    """The r5 (band, hash-prefix) candidate grouping (VERDICT_r04 #2):
+    every LSH bucket shares one band_hash, so splitting bands by a
+    hash prefix must yield the IDENTICAL verified pair set — asserted
+    for a forced bit width and for the auto tier trigger (tiny
+    band_rows_per_group ⇒ the sf0.001 corpus itself selects a
+    positive prefix_bits)."""
+    from dude_ray.pipelines.dedup import run_minhash_dedup
+
+    def rows(ds):
+        return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+    base = rows(run_minhash_dedup(SF))
+    assert base == rows(run_minhash_dedup(SF, prefix_bits=6))
+    assert base == rows(run_minhash_dedup(SF, band_rows_per_group=8))
+    assert len(base) > 0
+
+
 def test_jaccard_join_chunked_bucket_path(ray_session, monkeypatch):
     """Forcing every prefix bucket through the chunked O(b²) generator
     (tiny _PAIR_CHUNK_LIMIT) must not change the exact join output."""
