@@ -226,3 +226,17 @@ def test_module_level_run(ray_session, site):
     finally:
         app.rules[:] = saved_rules
         app.groups.clear()
+
+
+def test_run_row_ceiling_warns(ray_session, site, monkeypatch):
+    """Scraper.run is the dude-parity small-crawl front-end: past
+    _ROW_CEILING driver-held rows it must warn and point at the
+    streaming run_crawl path (VERDICT_r04 #8)."""
+    import dude_ray.scraper as sc
+
+    monkeypatch.setattr(sc, "_ROW_CEILING", 1)
+    app = Scraper()
+    css_rules(app)
+    with pytest.warns(ResourceWarning, match="run_crawl"):
+        rows = app.run(urls=[file_url(site / "index.html")])
+    assert len(rows) > 1  # the warning fired because rows exceeded 1
