@@ -6,7 +6,14 @@ is a clearly marked deterministic stub (`_fake_decode`); everything
 around it — schema, batch sizing for wide binary rows, actor-pool
 signature, output layout — is the real Ray plumbing and is tested.
 A real deployment replaces ``_fake_decode`` with PIL/ffmpeg calls in
-``MediaDecoder.__call__``; nothing else changes.
+``MediaDecoder.__call__``; nothing else changes.  The seam's exact
+input→output contract is locked by golden-bytes tests
+(tests/test_multimodal_seam.py) so a codec drop-in is verified by
+diff, not by re-reading this module.
+
+pip install attempts for pillow/ffmpeg: failed 2026-08-15, 2026-08-16,
+2026-08-17 (rounds 2-4) and again 2026-08-19 (round 5) — "No matching
+distribution found" (the container has no package index/network).
 """
 
 from __future__ import annotations
