@@ -11,9 +11,11 @@ engine over the NETWORK-rule subset that matters for a crawler:
 * ``^`` separator placeholder,
 * ``@@`` exception rules,
 * ``$`` options: ``domain=a|~b`` (source-URL host filter, with
-  subdomain semantics), ``third-party``/``~third-party``, and resource
+  subdomain semantics), ``third-party``/``~third-party``, resource
   types (``script``, ``image``, ``stylesheet``, ``xmlhttprequest``,
   ``document``, ``subdocument``, ``media``, ``font``, ``other``),
+  ``important`` (block wins over exceptions) and ``match-case``,
+* ``/regex/`` raw-regex rule bodies,
 * ``!`` comments / ``[Adblock…]`` headers / element-hiding rules
   (``##``) are ignored — they are not network rules.
 
@@ -70,7 +72,7 @@ def _pattern_to_regex(pat: str) -> str:
 
 class _Rule:
     __slots__ = ("regex", "domains", "not_domains", "third_party",
-                 "types", "not_types")
+                 "types", "not_types", "important", "match_case")
 
     def __init__(self, regex: str):
         self.regex = regex
@@ -79,13 +81,18 @@ class _Rule:
         self.third_party: Optional[bool] = None
         self.types: frozenset[str] = frozenset()
         self.not_types: frozenset[str] = frozenset()
+        self.important = False     # $important: wins over exceptions
+        self.match_case = False    # $match-case: case-sensitive search
 
     @property
     def plain(self) -> bool:
-        """No per-request options → eligible for the fused alternation."""
+        """No per-request options → eligible for the fused alternation
+        ($important changes exception precedence and $match-case the
+        regex flags, so both stay out of the case-insensitive fusion)."""
         return (not self.domains and not self.not_domains
                 and self.third_party is None and not self.types
-                and not self.not_types)
+                and not self.not_types and not self.important
+                and not self.match_case)
 
 
 def _host_matches(host: str, dom: str) -> bool:
@@ -105,12 +112,20 @@ def _parse_line(line: str) -> Optional[_Rule]:
         maybe = body[idx + 1:]
         if maybe and all(
                 p.split("=")[0].lstrip("~") in _RESOURCE_TYPES
-                | {"domain", "third-party", "match-case"}
+                | {"domain", "third-party", "match-case", "important"}
                 for p in maybe.split(",") if p):
             body, opts = body[:idx], maybe
     if not body:
         return None
-    rule = _Rule(_pattern_to_regex(body))
+    if len(body) > 2 and body.startswith("/") and body.endswith("/"):
+        # braveblock regex-literal rule: /.../ is a raw regex pattern
+        try:
+            re.compile(body[1:-1])
+        except re.error:
+            return None
+        rule = _Rule(body[1:-1])
+    else:
+        rule = _Rule(_pattern_to_regex(body))
     for opt in filter(None, opts.split(",")):
         if opt.startswith("domain="):
             for d in opt[7:].split("|"):
@@ -126,7 +141,9 @@ def _parse_line(line: str) -> Optional[_Rule]:
         elif opt == "~third-party":
             rule.third_party = False
         elif opt == "match-case":
-            pass  # we match case-insensitively like braveblock defaults
+            rule.match_case = True
+        elif opt == "important":
+            rule.important = True
         elif opt.startswith("~"):
             if opt[1:] in _RESOURCE_TYPES:
                 rule.not_types |= {opt[1:]}
@@ -190,16 +207,31 @@ class Adblocker:
             return False
         return True
 
+    @staticmethod
+    def _search(rule: _Rule, url: str) -> bool:
+        return bool(re.search(rule.regex, url,
+                              0 if rule.match_case else re.IGNORECASE))
+
     def check_network_urls(self, url: str, source_url: str = "",
                            request_type: str = "document") -> bool:
-        """True = block (matches a block rule and no exception)."""
+        """True = block (matches a block rule and no exception;
+        ``$important`` block rules win over exceptions, braveblock
+        precedence)."""
         url_host = (urlparse(url).hostname or "").lower()
         src_host = (urlparse(source_url).hostname or url_host or "").lower()
+        for r in self._block:
+            if r.important \
+                    and self._rule_applies(r, url_host, src_host,
+                                           request_type) \
+                    and self._search(r, url):
+                return True
         blocked = bool(self._fused_block and self._fused_block.search(url))
         if not blocked:
             for r in self._block:
-                if self._rule_applies(r, url_host, src_host, request_type) \
-                        and re.search(r.regex, url, re.IGNORECASE):
+                if not r.important \
+                        and self._rule_applies(r, url_host, src_host,
+                                               request_type) \
+                        and self._search(r, url):
                     blocked = True
                     break
         if not blocked:
@@ -208,6 +240,6 @@ class Adblocker:
             return False
         for r in self._except:
             if self._rule_applies(r, url_host, src_host, request_type) \
-                    and re.search(r.regex, url, re.IGNORECASE):
+                    and self._search(r, url):
                 return False
         return True

@@ -139,3 +139,35 @@ def test_add_rules_twice_keeps_earlier_plain_rules():
     ab.add_rules(["@@/banner/ok"])
     assert not ab.check_network_urls("http://x.com/banner/ok.png")
     assert ab.check_network_urls("http://x.com/banner/ad.png")
+
+
+def test_important_overrides_exception():
+    """braveblock precedence: a $important block rule wins even when an
+    @@ exception also matches."""
+    from dude_ray.adblock import Adblocker
+
+    plain = Adblocker(["||ads.example^", "@@||ads.example^"])
+    assert not plain.check_network_urls("https://ads.example/x.js")
+    imp = Adblocker(["||ads.example^$important", "@@||ads.example^"])
+    assert imp.check_network_urls("https://ads.example/x.js")
+
+
+def test_regex_literal_rule():
+    from dude_ray.adblock import Adblocker
+
+    b = Adblocker([r"/banner\d+\.gif/"])
+    assert b.check_network_urls("https://cdn.example/banner123.gif")
+    assert not b.check_network_urls("https://cdn.example/banner.gif")
+    # invalid regex bodies are skipped, not fatal
+    assert not Adblocker(["/([unclosed/"]).check_network_urls(
+        "https://cdn.example/x")
+
+
+def test_match_case_option():
+    from dude_ray.adblock import Adblocker
+
+    cs = Adblocker(["/TrackPixel$match-case"])
+    assert cs.check_network_urls("https://x.example/TrackPixel")
+    assert not cs.check_network_urls("https://x.example/trackpixel")
+    ci = Adblocker(["/TrackPixel"])
+    assert ci.check_network_urls("https://x.example/trackpixel")
