@@ -236,31 +236,35 @@ def run_mix_interleave(sf_dir: str, base: int = INTERLEAVE_BASE):
     #blocks×#sources-row driver round-trip."""
     from dude_ray.partitioning import resolve_ordered
 
-    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"first_id": pd.Series([], dtype="int64"),
-                                 "last_id": pd.Series([], dtype="int64"),
-                                 "mono": pd.Series([], dtype="bool"),
-                                 "source": pd.Series([], dtype="object"),
-                                 "cnt": pd.Series([], dtype="int64")})
-        g = df.groupby("source", sort=True).size()
-        ids = df["doc_id"].to_numpy()
-        return pd.DataFrame({"first_id": int(ids[0]),
-                             "last_id": int(ids[-1]),
-                             "mono": bool(np.all(ids[:-1] < ids[1:])),
-                             "source": g.index,
-                             "cnt": g.to_numpy(dtype=np.int64)})
+    def block_partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native (r5 sweep): C++ group_by count, zero-copy ids
+        if not batch.num_rows:
+            return pa.table({"first_id": pa.array([], type=pa.int64()),
+                             "last_id": pa.array([], type=pa.int64()),
+                             "mono": pa.array([], type=pa.bool_()),
+                             "source": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = (batch.group_by("source")
+             .aggregate([("source", "count")]).sort_by("source"))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        k = g.num_rows
+        return pa.table({
+            "first_id": pa.array([int(ids[0])] * k, type=pa.int64()),
+            "last_id": pa.array([int(ids[-1])] * k, type=pa.int64()),
+            "mono": pa.array([bool(np.all(ids[:-1] < ids[1:]))] * k),
+            "source": g["source"],
+            "cnt": pc.cast(g["source_count"], pa.int64()),
+        })
 
     docs, partials = resolve_ordered(
         _docs(sf_dir, ["doc_id", "source"]),
         f"{sf_dir}/documents.parquet", "doc_id", block_partial,
-        batch_format="pandas")
+        batch_format="pyarrow")
     totals: dict[str, int] = {}
     for p in partials:
         totals[p["source"]] = totals.get(p["source"], 0) + p["cnt"]
     sources = sorted(totals)
     stride = {s: base // _src_weight(s) for s in sources}
-    lex = {s: i for i, s in enumerate(sources)}
     offsets: dict[tuple[int, str], int] = {}
     acc = {s: 0 for s in sources}
     for p in partials:
@@ -270,36 +274,53 @@ def run_mix_interleave(sf_dir: str, base: int = INTERLEAVE_BASE):
     n_arr = np.array([totals[s] for s in sources], dtype=np.int64)
     st_arr = np.array([stride[s] for s in sources], dtype=np.int64)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "source": pd.Series([], dtype="object"),
-                                 "rk": pd.Series([], dtype="int64"),
-                                 "key": pd.Series([], dtype="int64"),
-                                 "mix_pos": pd.Series([], dtype="int64")})
-        first = int(df["doc_id"].iloc[0])
-        local = df.groupby("source", sort=False).cumcount().to_numpy()
-        start = df["source"].map(
-            lambda s: offsets[(first, s)]).to_numpy(dtype=np.int64)
-        rk = start + local
-        srow = df["source"].map(stride).to_numpy(dtype=np.int64)
-        key = rk * srow
-        lexrow = df["source"].map(lex).to_numpy(dtype=np.int64)
-        pos = np.zeros(len(df), dtype=np.int64)
+    src_domain = pa.array(sources, type=pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        """Arrow-native (r5 sweep): the old pandas version paid three
+        per-row Python ``Series.map`` calls per batch; source values now
+        dictionary-encode ONCE via ``pc.index_in`` (lex code == domain
+        index, the domain being the sorted source list) and every
+        lookup is a small-array gather."""
+        n = batch.num_rows
+        if not n:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "rk": pa.array([], type=pa.int64()),
+                             "key": pa.array([], type=pa.int64()),
+                             "mix_pos": pa.array([], type=pa.int64())})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        first = int(ids[0])
+        codes = pc.index_in(batch["source"],
+                            value_set=src_domain).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # block-local per-source cumcount: stable sort by code, then
+        # position-minus-segment-start, scattered back
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        local = np.empty(n, dtype=np.int64)
+        local[order] = np.arange(n, dtype=np.int64) - seg_start
+        off_by_code = np.array(
+            [offsets.get((first, s), 0) for s in sources], dtype=np.int64)
+        rk = off_by_code[codes] + local
+        key = rk * st_arr[codes]
+        pos = np.zeros(n, dtype=np.int64)
         for i in range(len(sources)):
-            st, n = st_arr[i], n_arr[i]
-            pos += np.minimum(n, (key + st - 1) // st)
-            pos += ((i < lexrow) & (key % st == 0)
-                    & (key // st < n)).astype(np.int64)
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
-            "source": df["source"].to_numpy(),
-            "rk": rk.astype(np.int64),
-            "key": key.astype(np.int64),
-            "mix_pos": pos,
+            st, cnt = st_arr[i], n_arr[i]
+            pos += np.minimum(cnt, (key + st - 1) // st)
+            pos += ((i < codes) & (key % st == 0)
+                    & (key // st < cnt)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "rk": pa.array(rk, type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "mix_pos": pa.array(pos, type=pa.int64()),
         })
 
-    return docs.map_batches(assign, batch_format="pandas",
+    return docs.map_batches(assign, batch_format="pyarrow",
                             batch_size=None)
 
 
