@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": dedup.run_chunk_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh": similarity.run_ann_lsh,
+        # -- new in round 5 (first driver verification) ----------------
+        "small_qty_revenue": relational.run_small_qty_revenue,
+        "large_orders": relational.run_large_orders,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "tfidf_keywords": _q_tfidf_keywords,
         "kmeans_cluster": _q_kmeans_cluster,
@@ -676,6 +679,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.relational import (cheapest_part_oracle_sql,
                                                 event_pivot_oracle_sql,
                                                 event_transitions_oracle_sql,
+                                                large_orders_oracle_sql,
+                                                small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
                                                 lapsed_customers_oracle_sql,
@@ -736,6 +741,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": revenue_by_nation_oracle_sql(),
         "qty_rollup": qty_rollup_oracle_sql(),
         "cheapest_part": cheapest_part_oracle_sql(),
+        "small_qty_revenue": small_qty_revenue_oracle_sql(),
+        "large_orders": large_orders_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),
         "user_top_event": user_top_event_oracle_sql(),

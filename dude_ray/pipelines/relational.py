@@ -2169,3 +2169,309 @@ def event_transitions_oracle_sql() -> str:
         GROUP BY prev_type, event_type
         ORDER BY prev_type, event_type
     """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated per-key threshold (avg-quantity subquery)
+# --------------------------------------------------------------------------
+
+def run_small_qty_revenue(sf_dir: str, frac: float = 0.2,
+                          target_rows_per_group: int = 65536):
+    """TPC-H Q17 shape, widened to every brand: revenue (integer
+    cents) of lineitems whose quantity is below ``frac`` x that PART's
+    average quantity — the correlated-scalar-subquery plan
+    (``WHERE l_quantity < (SELECT 0.2*avg(..) .. same part)``), the
+    one relational shape the registry lacked.
+
+    Plan (the 100 TB shape): the threshold needs every row of a part
+    on one worker ANYWAY, so instead of aggregate + re-scan + join we
+    hash-colocate ONE projected pass of lineitem with the tagged part
+    dimension (the :func:`run_revenue_by_nation` tag-union discipline)
+    and compute avg-threshold, filter and brand attribution per part
+    inside the group — lineitem is scanned once and only (partkey,
+    qty, price-cents, brand) ever shuffles.  Money follows the
+    integer-cents contract (`run_lapsed_customers`): half-away
+    conversion per row, int64 sums exact under any merge order; the
+    threshold compare reproduces DuckDB's ``0.2 * avg(qty)`` double
+    arithmetic exactly because integral quantities sum exactly in
+    float64.  Reference parity: the correlated-filter shape of
+    dude's per-group handler filters (dude/base.py flatten loop),
+    here as one distributed pass."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        y = pc.multiply(batch["l_extendedprice"],
+                        pa.scalar(100.0)).to_numpy(zero_copy_only=False)
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        n = len(batch)
+        return pa.table({
+            "pkey": batch["l_partkey"],
+            "qty": batch["l_quantity"],
+            "cents": pa.array(cents, type=pa.int64()),
+            "p_brand": pa.nulls(n, type=pa.string()),
+        })
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "pkey": batch["p_partkey"],
+            "qty": pa.nulls(n, type=pa.float64()),
+            "cents": pa.array(np.zeros(n, dtype=np.int64)),
+            "p_brand": batch["p_brand"],
+        })
+
+    lines = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        line_side, batch_format="pyarrow", batch_size=65536)
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        part_side, batch_format="pyarrow", batch_size=65536)
+
+    def _per_part(df: pd.DataFrame) -> pd.DataFrame:
+        dim = df[df["p_brand"].notna()]
+        fact = df[df["p_brand"].isna()]
+        if dim.empty or fact.empty:
+            return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                                 "revenue_cents": pd.Series(dtype="int64"),
+                                 "n_small": pd.Series(dtype="int64")})
+        codes, uniq = pd.factorize(fact["pkey"].to_numpy(dtype=np.int64))
+        qty = fact["qty"].to_numpy(dtype=np.float64)
+        sum_q = np.bincount(codes, weights=qty, minlength=len(uniq))
+        n_q = np.bincount(codes, minlength=len(uniq))
+        thr = frac * (sum_q / n_q)          # same op order as the SQL
+        keep = qty < thr[codes]
+        kc = codes[keep]
+        rev = np.bincount(kc, weights=fact["cents"].to_numpy(
+            dtype=np.float64)[keep], minlength=len(uniq)).astype(np.int64)
+        n_small = np.bincount(kc, minlength=len(uniq)).astype(np.int64)
+        brand = dict(zip(dim["pkey"].to_numpy(dtype=np.int64),
+                         dim["p_brand"]))
+        out = pd.DataFrame({
+            "p_brand": [brand.get(int(k)) for k in uniq],
+            "revenue_cents": rev, "n_small": n_small})
+        out = out[(out["n_small"] > 0) & out["p_brand"].notna()]
+        return (out.groupby("p_brand", sort=False)
+                [["revenue_cents", "n_small"]].sum().reset_index())
+
+    n_rows = sum(n for t in ("lineitem", "part") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+    partials = hash_grouped_reduce(
+        lines.union(parts), "pkey", _per_part, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("p_brand", "revenue_cents", "n_small"))
+    out = tree_combine(partials, ["p_brand"],
+                       sums=("revenue_cents", "n_small"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "revenue_cents": pc.cast(batch["revenue_cents"], pa.int64()),
+            "n_small": pc.cast(batch["n_small"], pa.int64()),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort("p_brand"))
+
+
+def small_qty_revenue_oracle_sql(frac: float = 0.2) -> str:
+    """DuckDB oracle for :func:`run_small_qty_revenue` (Q17 widened to
+    GROUP BY brand; integer-cents contract)."""
+    return f"""
+        WITH thr AS (
+            SELECT l_partkey, {frac} * avg(l_quantity) AS t
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_brand,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               count(*) AS n_small
+        FROM lineitem JOIN thr USING (l_partkey)
+             JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < t
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-filtered groupby driving a two-hop join
+# --------------------------------------------------------------------------
+
+Q18_MIN_QTY = 250.0
+
+
+def run_large_orders(sf_dir: str, min_qty: float = Q18_MIN_QTY,
+                     target_rows_per_group: int = 65536):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer name attached — the HAVING-filtered
+    aggregate feeding a selective two-hop (orders, customer) join.
+
+    Plan (the 100 TB shape): lineitem pre-aggregates per batch to one
+    (orderkey, qty) partial row (Arrow group_by — only ~|orders per
+    block| rows shuffle), tag-unions with the projected orders table
+    on ONE orderkey hash colocation where the HAVING cut applies, then
+    the ~1%-selective survivor set tag-unions with customer on a
+    SECOND custkey colocation for the name.  No driver-side key lists,
+    no broadcast of a data-scaled dimension; quantities are integral
+    so every float sum is exact in any association."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["l_orderkey", "l_quantity"])
+             .group_by("l_orderkey").aggregate([("l_quantity", "sum")]))
+        n = len(g)
+        return pa.table({
+            "okey": g["l_orderkey"],
+            "sqty": g["l_quantity_sum"],
+            "ckey": pa.array(np.full(n, -1, dtype=np.int64)),
+            "odate_us": pa.array(np.zeros(n, dtype=np.int64)),
+            "tprice": pa.array(np.zeros(n, dtype=np.float64)),
+        })
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "okey": batch["o_orderkey"],
+            "sqty": pa.nulls(n, type=pa.float64()),
+            "ckey": pc.cast(batch["o_custkey"], pa.int64()),
+            "odate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "tprice": batch["o_totalprice"],
+        })
+
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_quantity"]).map_batches(
+        line_partial, batch_format="pyarrow", batch_size=65536)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"]).map_batches(
+        order_side, batch_format="pyarrow", batch_size=65536)
+
+    def _having_join(df: pd.DataFrame) -> pd.DataFrame:
+        fact = df[df["sqty"].notna()]
+        dim = df[df["sqty"].isna()]
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "ckey": pd.Series(dtype="int64"),
+            "odate_us": pd.Series(dtype="int64"),
+            "o_totalprice": pd.Series(dtype="float64"),
+            "total_qty": pd.Series(dtype="int64")})
+        if fact.empty or dim.empty:
+            return empty
+        codes, uniq = pd.factorize(fact["okey"].to_numpy(dtype=np.int64))
+        tot = np.bincount(codes, weights=fact["sqty"].to_numpy(
+            dtype=np.float64), minlength=len(uniq))
+        big = tot > min_qty
+        if not big.any():
+            return empty
+        keys = uniq[big]
+        d = dim.set_index(dim["okey"].to_numpy(dtype=np.int64))
+        d = d.loc[d.index.intersection(keys)]
+        qty_by_key = dict(zip(uniq[big], tot[big]))
+        return pd.DataFrame({
+            "o_orderkey": d.index.to_numpy(dtype=np.int64),
+            "ckey": d["ckey"].to_numpy(dtype=np.int64),
+            "odate_us": d["odate_us"].to_numpy(dtype=np.int64),
+            "o_totalprice": d["tprice"].to_numpy(dtype=np.float64),
+            "total_qty": np.array([int(qty_by_key[k]) for k in d.index],
+                                  dtype=np.int64),
+        })
+
+    n1 = sum(n for t in ("lineitem", "orders") for _f, _rg, n in
+             parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+    survivors = hash_grouped_reduce(
+        lines.union(orders), "okey", _having_join, n1,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("o_orderkey", "ckey", "odate_us", "o_totalprice",
+                  "total_qty"))
+
+    def surv_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ckey": batch["ckey"],
+            "c_name": pa.nulls(len(batch), type=pa.string()),
+            "o_orderkey": batch["o_orderkey"],
+            "odate_us": batch["odate_us"],
+            "o_totalprice": batch["o_totalprice"],
+            "total_qty": batch["total_qty"],
+        })
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "ckey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_name": batch["c_name"],
+            "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
+            "odate_us": pa.array(np.zeros(n, dtype=np.int64)),
+            "o_totalprice": pa.array(np.zeros(n, dtype=np.float64)),
+            "total_qty": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        cust_side, batch_format="pyarrow", batch_size=65536)
+
+    def _name_join(df: pd.DataFrame) -> pd.DataFrame:
+        dim = df[df["c_name"].notna()]
+        fact = df[df["c_name"].isna()]
+        if fact.empty:
+            return pd.DataFrame({
+                "c_name": pd.Series(dtype="object"),
+                "c_custkey": pd.Series(dtype="int64"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "odate_us": pd.Series(dtype="int64"),
+                "o_totalprice": pd.Series(dtype="float64"),
+                "total_qty": pd.Series(dtype="int64")})
+        names = dict(zip(dim["ckey"].to_numpy(dtype=np.int64),
+                         dim["c_name"]))
+        ck = fact["ckey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "c_name": [names.get(int(k)) for k in ck],
+            "c_custkey": ck,
+            "o_orderkey": fact["o_orderkey"].to_numpy(dtype=np.int64),
+            "odate_us": fact["odate_us"].to_numpy(dtype=np.int64),
+            "o_totalprice": fact["o_totalprice"].to_numpy(
+                dtype=np.float64),
+            "total_qty": fact["total_qty"].to_numpy(dtype=np.int64),
+        }).dropna(subset=["c_name"])
+
+    n2 = sum(n for _f, _rg, n in
+             parquet_row_groups(f"{sf_dir}/customer.parquet"))
+    named = hash_grouped_reduce(
+        survivors.map_batches(surv_side, batch_format="pyarrow")
+        .union(cust), "ckey", _name_join, n2,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("c_name", "c_custkey", "o_orderkey", "odate_us",
+                  "o_totalprice", "total_qty"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        odate = pd.to_datetime(
+            batch["odate_us"].to_numpy(zero_copy_only=False),
+            unit="us").strftime("%Y-%m-%d")
+        return pa.table({
+            "c_name": batch["c_name"],
+            "c_custkey": batch["c_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderdate": pa.array(odate, type=pa.string()),
+            "o_totalprice": batch["o_totalprice"],
+            "total_qty": batch["total_qty"],
+        })
+
+    return (named.map_batches(finalize, batch_format="pyarrow")
+            .sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]))
+
+
+def large_orders_oracle_sql(min_qty: float = Q18_MIN_QTY) -> str:
+    """DuckDB oracle for :func:`run_large_orders` (TPC-H Q18 without
+    the LIMIT so the full survivor set hashes; dates as strings, the
+    shipping_priority convention)."""
+    return f"""
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > {min_qty})
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+    """

@@ -1814,3 +1814,58 @@ def test_event_transitions_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_small_qty_revenue_local_oracle(ray_session):
+    """Correlated avg-threshold filter (Q17 shape widened to every
+    brand) equals the DuckDB recompute at sf0.001, bit-exact via the
+    integer-cents contract, hash-group-width invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_small_qty_revenue,
+                                               small_qty_revenue_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(small_qty_revenue_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    for width in (64, 1 << 20):
+        got = (run_small_qty_revenue(sf, target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_large_orders_local_oracle(ray_session):
+    """HAVING-filtered aggregate + two-hop join (Q18 shape) equals the
+    DuckDB recompute at sf0.001 and is hash-group-width invariant
+    (integral quantities sum exactly at any width)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_large_orders,
+                                               large_orders_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    # sf0.001 orders are small: lower the HAVING cut so the survivor
+    # set is non-trivial at this scale
+    want = (con.execute(large_orders_oracle_sql(min_qty=120.0)).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    for width in (64, 1 << 20):
+        got = (run_large_orders(sf, min_qty=120.0,
+                                target_rows_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
