@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5 (first driver verification) ----------------
         "small_qty_revenue": relational.run_small_qty_revenue,
         "large_orders": relational.run_large_orders,
+        "qty_cube": relational.run_qty_cube,
+        "event_trigrams": relational.run_event_trigrams,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "tfidf_keywords": _q_tfidf_keywords,
         "kmeans_cluster": _q_kmeans_cluster,
@@ -680,6 +682,8 @@ def oracle_sql() -> dict[str, str]:
                                                 event_pivot_oracle_sql,
                                                 event_transitions_oracle_sql,
                                                 large_orders_oracle_sql,
+                                                qty_cube_oracle_sql,
+                                                event_trigrams_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -743,6 +747,8 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_part": cheapest_part_oracle_sql(),
         "small_qty_revenue": small_qty_revenue_oracle_sql(),
         "large_orders": large_orders_oracle_sql(),
+        "qty_cube": qty_cube_oracle_sql(),
+        "event_trigrams": event_trigrams_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),
         "user_top_event": user_top_event_oracle_sql(),

@@ -2475,3 +2475,168 @@ def large_orders_oracle_sql(min_qty: float = Q18_MIN_QTY) -> str:
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         ORDER BY o_totalprice DESC, o_orderkey
     """
+
+
+# --------------------------------------------------------------------------
+# GROUP BY CUBE expansion from one scan
+# --------------------------------------------------------------------------
+
+def run_qty_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): count + quantity sum
+    at ALL FOUR cube levels — detail, per-flag, per-status, grand
+    total.  Extends :func:`run_qty_rollup` (which omits the
+    per-status slice) to the full lattice, the OLAP cube shape.
+
+    Plan (the 100 TB shape): identical to the rollup — one scan,
+    per-batch partials of ≤|flag×status| rows, :func:`tree_combine`,
+    then the three coarser levels EXPANDED from the ≤6-row finest
+    aggregate inside the final block; no second scan, no extra
+    shuffle.  Integral quantities and integer counts are exact under
+    any merge order."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "n_rows": pc.cast(g["l_quantity_count"], pa.int64()),
+            "sum_qty": g["l_quantity_sum"],
+        })
+
+    finest = tree_combine(ds.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=65536),
+                          ["l_returnflag", "l_linestatus"],
+                          sums=("n_rows", "sum_qty"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        by_flag = (df.groupby("l_returnflag", sort=False)
+                   [["n_rows", "sum_qty"]].sum().reset_index())
+        by_flag["l_linestatus"] = "ALL"
+        by_status = (df.groupby("l_linestatus", sort=False)
+                     [["n_rows", "sum_qty"]].sum().reset_index())
+        by_status["l_returnflag"] = "ALL"
+        grand = pd.DataFrame({
+            "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+            "n_rows": [df["n_rows"].sum()],
+            "sum_qty": [df["sum_qty"].sum()]})
+        out = pd.concat([df, by_flag, by_status, grand],
+                        ignore_index=True)[
+            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty"]]
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["sum_qty"] = out["sum_qty"].astype("float64")
+        return pa.Table.from_pandas(
+            out.sort_values(["l_returnflag", "l_linestatus"]),
+            preserve_index=False)
+
+    return finest.map_batches(expand, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def qty_cube_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_qty_cube` (COALESCE contract for
+    the rolled-up level markers, as in the rollup oracle)."""
+    return """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS n_rows,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+# --------------------------------------------------------------------------
+# sequence trigrams (3-step Markov paths per user timeline)
+# --------------------------------------------------------------------------
+
+def run_event_trigrams(sf_dir: str, users_per_group: int | None = None):
+    """Sequence trigram counts: for every run of THREE consecutive
+    events in a user's (ts, event_id)-ordered timeline, the global
+    count of (t1 → t2 → t3) paths — the 2-step funnel raw material,
+    one order deeper than :func:`run_event_transitions`.
+
+    Scale shape: same discipline — ONE hash partition on data-scaled
+    coarsened user buckets, a vectorized lexsort + double shift per
+    bucket emitting ≤|types|³ partial count rows, then
+    :func:`tree_combine` sums the tiny path table.  Integer counts
+    are exact under any merge order."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    def _trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        typ = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, typ = uid[order], typ[order]
+        if len(uid) < 3:
+            return pd.DataFrame({"type_1": pd.Series(dtype="object"),
+                                 "type_2": pd.Series(dtype="object"),
+                                 "type_3": pd.Series(dtype="object"),
+                                 "n_paths": pd.Series(dtype="int64")})
+        same = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        tri = pd.DataFrame({"type_1": typ[:-2][same],
+                            "type_2": typ[1:-1][same],
+                            "type_3": typ[2:][same]})
+        out = (tri.groupby(["type_1", "type_2", "type_3"], sort=False)
+               .size().reset_index(name="n_paths"))
+        out["n_paths"] = out["n_paths"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow",
+                           batch_size=16384)
+    partials = keyed.groupby("ugroup").map_groups(
+        _trigrams, batch_format="pandas")
+    out = tree_combine(partials, ["type_1", "type_2", "type_3"],
+                       sums=("n_paths",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "type_1": batch["type_1"],
+            "type_2": batch["type_2"],
+            "type_3": batch["type_3"],
+            "n_paths": pc.cast(batch["n_paths"], pa.int64()),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort(["type_1", "type_2", "type_3"]))
+
+
+def event_trigrams_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_event_trigrams`."""
+    return """
+        WITH w AS (
+            SELECT user_id, event_type,
+                   lag(event_type, 1) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS t2,
+                   lag(event_type, 2) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS t1
+            FROM events
+        )
+        SELECT t1 AS type_1, t2 AS type_2, event_type AS type_3,
+               count(*) AS n_paths
+        FROM w WHERE t1 IS NOT NULL
+        GROUP BY type_1, type_2, type_3
+        ORDER BY type_1, type_2, type_3
+    """

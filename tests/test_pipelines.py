@@ -1869,3 +1869,49 @@ def test_large_orders_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_qty_cube_local_oracle(ray_session):
+    """Full CUBE lattice (detail + both marginals + grand total)
+    equals the DuckDB GROUP BY CUBE recompute at sf0.001."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_qty_cube,
+                                               qty_cube_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(qty_cube_oracle_sql()).df().reset_index(drop=True)
+    # detail + flag marginals + status marginals + grand total
+    assert len(want) > 6
+
+    got = run_qty_cube(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_event_trigrams_local_oracle(ray_session):
+    """Per-user sequence trigram counts equal the DuckDB double-LAG
+    recompute at sf0.001 and are user-bucket-width invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_event_trigrams,
+                                               event_trigrams_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(event_trigrams_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    for width in (4, 1 << 20):
+        got = (run_event_trigrams(sf, users_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
