@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": relational.run_large_orders,
         "qty_cube": relational.run_qty_cube,
         "event_trigrams": relational.run_event_trigrams,
+        "winsorize": relational.run_winsorize,
+        "pareto_front": relational.run_pareto_front,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "tfidf_keywords": _q_tfidf_keywords,
         "kmeans_cluster": _q_kmeans_cluster,
@@ -684,6 +686,8 @@ def oracle_sql() -> dict[str, str]:
                                                 large_orders_oracle_sql,
                                                 qty_cube_oracle_sql,
                                                 event_trigrams_oracle_sql,
+                                                winsorize_oracle_sql,
+                                                pareto_front_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -749,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": large_orders_oracle_sql(),
         "qty_cube": qty_cube_oracle_sql(),
         "event_trigrams": event_trigrams_oracle_sql(),
+        "winsorize": winsorize_oracle_sql(),
+        "pareto_front": pareto_front_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),
         "user_top_event": user_top_event_oracle_sql(),

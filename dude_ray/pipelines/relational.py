@@ -2640,3 +2640,126 @@ def event_trigrams_oracle_sql() -> str:
         GROUP BY type_1, type_2, type_3
         ORDER BY type_1, type_2, type_3
     """
+
+
+# --------------------------------------------------------------------------
+# winsorization (percentile clipping) via the exact value histogram
+# --------------------------------------------------------------------------
+
+def run_winsorize(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """Winsorize ``events.value`` at the exact [lo, hi] percentiles —
+    the outlier-clipping pass a feature pipeline runs before
+    normalization.  Percentile rule shared with
+    :func:`run_value_buckets`: bound b_q = the value at sorted
+    position ceil(q*n) (row_number semantics), so both engines pick
+    the identical element with no interpolation ambiguity.
+
+    Scale shape: pass 1 builds the exact mergeable value histogram
+    (bounded 2-decimal domain — :func:`_value_histogram`); the driver
+    holds two floats.  Pass 2 clips per batch with broadcast bounds —
+    clipping passes exact input doubles through, so parity is
+    bit-exact with no rounding contract needed."""
+    vals, counts = _value_histogram(sf_dir)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    lo_v = float(vals[np.searchsorted(cum, int(np.ceil(lo * total)),
+                                      side="left")])
+    hi_v = float(vals[np.searchsorted(cum, int(np.ceil(hi * total)),
+                                      side="left")])
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(v, lo_v), hi_v)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "value": batch["value"],
+            "value_w": pa.array(w, type=pa.float64()),
+        })
+
+    return (_read(sf_dir, "events", ["event_id", "value"])
+            .map_batches(_clip, batch_format="pyarrow",
+                         batch_size=16384)
+            .sort("event_id"))
+
+
+def winsorize_oracle_sql(lo: float = 0.05, hi: float = 0.95) -> str:
+    """DuckDB oracle for :func:`run_winsorize` (row_number-position
+    percentile rule, no interpolation)."""
+    return f"""
+        WITH ranked AS (
+            SELECT value,
+                   row_number() OVER (ORDER BY value) AS rn,
+                   count(*) OVER () AS n
+            FROM events
+        ), b AS (
+            SELECT min(CASE WHEN rn >= ceil({lo} * n) THEN value END)
+                       AS lo_v,
+                   min(CASE WHEN rn >= ceil({hi} * n) THEN value END)
+                       AS hi_v
+            FROM ranked
+        )
+        SELECT event_id, value,
+               least(greatest(value, b.lo_v), b.hi_v) AS value_w
+        FROM events, b
+        ORDER BY event_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Pareto front (2D skyline: cheapest-for-its-size parts)
+# --------------------------------------------------------------------------
+
+def run_pareto_front(sf_dir: str, batch_size: int = 65536):
+    """2D skyline over ``part``: rows not dominated on (minimize
+    p_retailprice, maximize p_size) — the multi-objective shortlist
+    shape (cheapest part at every size level).  A dominates B iff
+    price(A) <= price(B), size(A) >= size(B), and one is strict.
+
+    Scale shape: the skyline operator distributes as a local filter —
+    skyline(union of local skylines) == skyline(all) because
+    dominance is global and a locally-dominated point is globally
+    dominated.  Each batch runs one vectorized kernel (sort by
+    (price asc, size desc), per-price group max, strict prefix max)
+    and emits its local front; the union (tiny — fronts are ~sqrt-
+    sized on random data, bounded by #distinct prices) collapses in
+    one final block with the SAME kernel.  No shuffle wider than the
+    partial fronts; ties (equal price AND equal size) all survive,
+    matching SQL's strict-dominance NOT EXISTS."""
+
+    def _skyline(batch: pa.Table) -> pa.Table:
+        price = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        size = batch["p_size"].to_numpy(zero_copy_only=False)
+        if len(price) == 0:
+            return batch
+        o = np.lexsort((-size, price))
+        p, s = price[o], size[o]
+        new = np.concatenate(([True], p[1:] != p[:-1]))
+        gidx = np.cumsum(new) - 1
+        gmax = s[new]  # within a price group rows are size-desc
+        prefix = np.concatenate(
+            ([-np.inf], np.maximum.accumulate(gmax)[:-1]))
+        keep = (s == gmax[gidx]) & (s > prefix[gidx])
+        return batch.take(pa.array(o[keep]))
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    local = ds.map_batches(_skyline, batch_format="pyarrow",
+                           batch_size=batch_size)
+    front = local.repartition(1).map_batches(
+        _skyline, batch_format="pyarrow", batch_size=None)
+    return front.sort(["p_retailprice", "p_partkey"])
+
+
+def pareto_front_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_pareto_front` (strict-dominance
+    NOT EXISTS self-join)."""
+    return """
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part o
+            WHERE o.p_retailprice <= t.p_retailprice
+              AND o.p_size >= t.p_size
+              AND (o.p_retailprice < t.p_retailprice
+                   OR o.p_size > t.p_size))
+        ORDER BY p_retailprice, p_partkey
+    """

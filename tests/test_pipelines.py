@@ -1915,3 +1915,50 @@ def test_event_trigrams_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_winsorize_local_oracle(ray_session):
+    """Percentile clipping equals the DuckDB row_number-rule recompute
+    at sf0.001, bit-exact (clipping passes exact doubles through)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_winsorize,
+                                               winsorize_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(winsorize_oracle_sql()).df().reset_index(drop=True)
+    assert len(want) > 0
+    assert (want["value_w"] != want["value"]).any()  # clipping bites
+
+    got = run_winsorize(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_pareto_front_local_oracle(ray_session):
+    """2D skyline equals the DuckDB strict-dominance NOT EXISTS
+    recompute at sf0.001 and is batch-fragmentation invariant (local
+    fronts merge to the exact global front)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_pareto_front,
+                                               pareto_front_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{sf}/part.parquet')")
+    want = (con.execute(pareto_front_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    for bs in (16, 65536):  # 16 forces many local fronts + the merge
+        got = (run_pareto_front(sf, batch_size=bs)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
