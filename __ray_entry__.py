@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": relational.run_event_trigrams,
         "winsorize": relational.run_winsorize,
         "pareto_front": relational.run_pareto_front,
+        "rrf_fusion": relational.run_rrf_fusion,
+        "hash_features": textops.run_hash_features,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "tfidf_keywords": _q_tfidf_keywords,
         "kmeans_cluster": _q_kmeans_cluster,
@@ -663,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.ranking import tfidf_keywords_oracle_sql
     from dude_ray.pipelines.textops import (LANG_ID_ORACLE_SQL,
                                             contamination_overlap_oracle_sql,
+                                            hash_features_oracle_sql,
                                             fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
                                             phrase_search_oracle_sql,
@@ -688,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
                                                 event_trigrams_oracle_sql,
                                                 winsorize_oracle_sql,
                                                 pareto_front_oracle_sql,
+                                                rrf_fusion_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -755,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
         "event_trigrams": event_trigrams_oracle_sql(),
         "winsorize": winsorize_oracle_sql(),
         "pareto_front": pareto_front_oracle_sql(),
+        "rrf_fusion": rrf_fusion_oracle_sql(),
+        "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),
         "user_top_event": user_top_event_oracle_sql(),

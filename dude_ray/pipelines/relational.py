@@ -2763,3 +2763,126 @@ def pareto_front_oracle_sql() -> str:
                    OR o.p_size > t.p_size))
         ORDER BY p_retailprice, p_partkey
     """
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion of two user rankings
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def run_rrf_fusion(sf_dir: str, k: int = 100, rrf_k: int = RRF_K,
+                   users_per_group: int | None = None):
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse the top-k
+    users by TOTAL SPEND (sum of event value, integer cents) with the
+    top-k by ACTIVITY (event count); fused score =
+    Σ 1/(rrf_k + rank) over the lists containing the user — the
+    standard multi-signal retrieval-fusion shape.
+
+    Scale shape: per-batch Arrow pre-aggregation to ≤|users-per-batch|
+    partial rows, ONE hash partition on data-scaled coarsened user
+    buckets (each bucket holds all of its users' partials → exact
+    totals), per-bucket vectorized local top-k by BOTH metrics
+    (≤2k rows leave each bucket), then the tiny union collapses in one
+    final block where global ranks are assigned under the same total
+    order (metric desc, user_id asc).  Ranks never require a global
+    sort of the totals table; cents are int64-exact under any merge
+    order.  Absent-from-list ranks surface as 0 (the COALESCE
+    contract), score is correctly-rounded to 6 decimals."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        y = pc.multiply(batch["value"],
+                        pa.scalar(100.0)).to_numpy(zero_copy_only=False)
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"],
+                      "cents": pa.array(cents),
+                      "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+        g = t.group_by(["user_id"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(g["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": g["user_id"],
+            "cents": pc.cast(g["cents_sum"], pa.int64()),
+            "n": pc.cast(g["n_sum"], pa.int64()),
+        })
+
+    def _local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(uid)
+        cents = np.bincount(codes, weights=g["cents"].to_numpy(
+            dtype=np.float64), minlength=len(uniq)).astype(np.int64)
+        n = np.bincount(codes, weights=g["n"].to_numpy(
+            dtype=np.float64), minlength=len(uniq)).astype(np.int64)
+        by_c = np.lexsort((uniq, -cents))[:k]
+        by_n = np.lexsort((uniq, -n))[:k]
+        keep = np.unique(np.concatenate([by_c, by_n]))
+        return pd.DataFrame({"user_id": uniq[keep],
+                             "cents": cents[keep], "n": n[keep]})
+
+    totals = (_read(sf_dir, "events", ["user_id", "value"])
+              .map_batches(_partial, batch_format="pyarrow",
+                           batch_size=16384)
+              .groupby("ugroup").map_groups(_local_topk,
+                                            batch_format="pandas"))
+
+    def _fuse(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        rank_v = np.zeros(len(uid), dtype=np.int64)
+        rank_c = np.zeros(len(uid), dtype=np.int64)
+        by_c = np.lexsort((uid, -cents))[:k]
+        by_n = np.lexsort((uid, -n))[:k]
+        rank_v[by_c] = np.arange(1, len(by_c) + 1)
+        rank_c[by_n] = np.arange(1, len(by_n) + 1)
+        keep = (rank_v > 0) | (rank_c > 0)
+        rv, rc, u = rank_v[keep], rank_c[keep], uid[keep]
+        score = (np.where(rv > 0, 1.0 / (rrf_k + rv), 0.0)
+                 + np.where(rc > 0, 1.0 / (rrf_k + rc), 0.0))
+        return pa.table({
+            "user_id": pa.array(u),
+            "rank_value": pa.array(rv),
+            "rank_count": pa.array(rc),
+            "rrf_score": _py_round(pa.array(score, type=pa.float64()), 6),
+        })
+
+    return (totals.repartition(1)
+            .map_batches(_fuse, batch_format="pyarrow", batch_size=None)
+            .sort(["rrf_score", "user_id"], descending=[True, False]))
+
+
+def rrf_fusion_oracle_sql(k: int = 100, rrf_k: int = RRF_K) -> str:
+    """DuckDB oracle for :func:`run_rrf_fusion` (row_number under the
+    identical (metric desc, user_id) total order; COALESCE-0 ranks)."""
+    return f"""
+        WITH tot AS (
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   count(*) AS n
+            FROM events GROUP BY user_id
+        ), rv AS (
+            SELECT user_id,
+                   row_number() OVER (ORDER BY cents DESC, user_id) AS r
+            FROM tot QUALIFY r <= {k}
+        ), rc AS (
+            SELECT user_id,
+                   row_number() OVER (ORDER BY n DESC, user_id) AS r
+            FROM tot QUALIFY r <= {k}
+        )
+        SELECT coalesce(rv.user_id, rc.user_id) AS user_id,
+               CAST(coalesce(rv.r, 0) AS BIGINT) AS rank_value,
+               CAST(coalesce(rc.r, 0) AS BIGINT) AS rank_count,
+               round(CASE WHEN rv.r IS NULL THEN 0
+                          ELSE 1.0 / ({rrf_k} + rv.r) END
+                     + CASE WHEN rc.r IS NULL THEN 0
+                            ELSE 1.0 / ({rrf_k} + rc.r) END, 6)
+                   AS rrf_score
+        FROM rv FULL OUTER JOIN rc ON rc.user_id = rv.user_id
+        ORDER BY rrf_score DESC, user_id
+    """

@@ -1182,3 +1182,110 @@ def contamination_overlap_oracle_sql() -> str:
                    AS contaminated
         FROM g CROSS JOIN bench
     """
+
+
+# --------------------------------------------------------------------------
+# hashing-trick feature vectors (the sparse text-featurization primitive)
+# --------------------------------------------------------------------------
+
+HASH_FEATURE_DIMS = 256
+
+
+class HashFeaturizer:
+    """Hashing-trick featurizer: every whitespace token of the
+    lowercased text maps to feature ``md5_top8(token) % dims`` and the
+    doc's sparse vector is the per-feature token count — the
+    vocabulary-free featurization a linear quality model or LSH
+    front-end consumes (Weinberger et al. 2009 feature hashing).
+
+    Stateful per-actor memo exactly like dedup's Shingler: web
+    vocabularies repeat heavily, so md5 runs only on cache miss; the
+    per-doc count is one vectorized ``np.bincount`` over the hash
+    array.  md5-top-8 keeps the DuckDB oracle able to reproduce every
+    feature id bit-for-bit (the minhash_oracle_sql hex-fold)."""
+
+    def __init__(self, dims: int = HASH_FEATURE_DIMS):
+        self.dims = dims
+        self._cache: dict[str, int] = {}
+
+    def _tok_hashes(self, toks: list[str]) -> np.ndarray:
+        c = self._cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = c.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "big")
+                if len(c) < 1_000_000:
+                    c[t] = h
+            out[i] = h
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats, counts = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            f = (self._tok_hashes(toks) % np.uint64(self.dims)).astype(
+                np.int64)
+            cnt = np.bincount(f, minlength=self.dims)
+            nz = np.nonzero(cnt)[0]
+            ids.append(np.full(len(nz), did, dtype=np.int64))
+            feats.append(nz.astype(np.int64))
+            counts.append(cnt[nz].astype(np.int64))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "feature_idx": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids)),
+            "feature_idx": pa.array(np.concatenate(feats)),
+            "n_tokens": pa.array(np.concatenate(counts)),
+        })
+
+
+def run_hash_features(sf_dir: str, dims: int = HASH_FEATURE_DIMS,
+                      concurrency: int = 4):
+    """documents → sparse hashed feature triples
+    (doc_id, feature_idx, n_tokens), sorted.  One corpus scan; output
+    is ≤ min(dims, doc_tokens) rows per doc; the md5 memo lives in the
+    actor (`HashFeaturizer.__init__`), never re-built per batch."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(HashFeaturizer, batch_format="pyarrow",
+                         batch_size=2048, concurrency=(1, concurrency),
+                         fn_constructor_kwargs={"dims": dims})
+            .sort(["doc_id", "feature_idx"]))
+
+
+def hash_features_oracle_sql(dims: int = HASH_FEATURE_DIMS) -> str:
+    """DuckDB oracle for :func:`run_hash_features` — the
+    minhash_oracle_sql md5 hex-fold reproduces every token hash
+    bit-for-bit; feature id is the UBIGINT modulo."""
+    h16 = ("CAST(list_sum([CAST(strpos('0123456789abcdef', m[i]) - 1 "
+           "AS UBIGINT) * (CAST(1 AS UBIGINT) << CAST(4*(16 - i) "
+           "AS INTEGER)) for i in generate_series(1, 16)]) AS UBIGINT)")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')),
+                                         '\\s+'),
+                   x -> x <> '') AS w
+          FROM documents
+        ), tokrows AS (
+          SELECT doc_id, unnest(w) AS t FROM toks
+        ), th AS (
+          SELECT doc_id,
+                 (SELECT {h16} FROM
+                  (SELECT string_split(substr(md5(t), 1, 16), '') AS m))
+                     AS h
+          FROM tokrows
+        )
+        SELECT doc_id,
+               CAST(h % {dims} AS BIGINT) AS feature_idx,
+               count(*) AS n_tokens
+        FROM th
+        GROUP BY doc_id, feature_idx
+        ORDER BY doc_id, feature_idx
+    """

@@ -1962,3 +1962,53 @@ def test_pareto_front_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_hash_features_local_oracle(ray_session):
+    """Hashing-trick feature triples equal the DuckDB md5-hex-fold
+    recompute at sf0.001 (every feature id reproduced bit-for-bit)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.textops import (run_hash_features,
+                                            hash_features_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(hash_features_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+
+    got = run_hash_features(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_rrf_fusion_local_oracle(ray_session):
+    """Reciprocal-rank fusion equals the DuckDB row_number recompute
+    at sf0.001 and is user-bucket-width invariant; k below the user
+    count exercises the partial-overlap union of the two lists."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_rrf_fusion,
+                                               rrf_fusion_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(rrf_fusion_oracle_sql(k=8)).df()
+            .reset_index(drop=True))
+    assert len(want) >= 8
+    # both lists contribute users the other lacks
+    assert (want["rank_value"] == 0).any()
+    assert (want["rank_count"] == 0).any()
+
+    for width in (4, 1 << 20):
+        got = (run_rrf_fusion(sf, k=8, users_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
