@@ -426,6 +426,38 @@ def run_bench() -> dict:
     relational.run_event_transitions(SF_DIR).materialize()
     timings["event_transitions"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_small_qty_revenue(SF_DIR).materialize()
+    timings["small_qty_revenue"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_large_orders(SF_DIR).materialize()
+    timings["large_orders"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_qty_cube(SF_DIR).materialize()
+    timings["qty_cube"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_event_trigrams(SF_DIR).materialize()
+    timings["event_trigrams"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_winsorize(SF_DIR).materialize()
+    timings["winsorize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_pareto_front(SF_DIR).materialize()
+    timings["pareto_front"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_rrf_fusion(SF_DIR).materialize()
+    timings["rrf_fusion"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_hash_features(SF_DIR).materialize()
+    timings["hash_features"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
