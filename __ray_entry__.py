@@ -201,6 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": relational.run_winsorize,
         "pareto_front": relational.run_pareto_front,
         "rrf_fusion": relational.run_rrf_fusion,
+        "asof_attribution": relational.run_asof_attribution,
+        "median_by_type": relational.run_median_by_type,
+        "top_orders_per_cust": relational.run_top_orders_per_cust,
+        "user_type_profile": relational.run_user_type_profile,
         "hash_features": textops.run_hash_features,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "tfidf_keywords": _q_tfidf_keywords,
@@ -692,6 +696,10 @@ def oracle_sql() -> dict[str, str]:
                                                 winsorize_oracle_sql,
                                                 pareto_front_oracle_sql,
                                                 rrf_fusion_oracle_sql,
+                                                asof_attribution_oracle_sql,
+                                                median_by_type_oracle_sql,
+                                                top_orders_per_cust_oracle_sql,
+                                                user_type_profile_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -760,6 +768,10 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": winsorize_oracle_sql(),
         "pareto_front": pareto_front_oracle_sql(),
         "rrf_fusion": rrf_fusion_oracle_sql(),
+        "asof_attribution": asof_attribution_oracle_sql(),
+        "median_by_type": median_by_type_oracle_sql(),
+        "top_orders_per_cust": top_orders_per_cust_oracle_sql(),
+        "user_type_profile": user_type_profile_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

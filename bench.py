@@ -458,6 +458,22 @@ def run_bench() -> dict:
     textops.run_hash_features(SF_DIR).materialize()
     timings["hash_features"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_asof_attribution(SF_DIR).materialize()
+    timings["asof_attribution"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_median_by_type(SF_DIR).materialize()
+    timings["median_by_type"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_top_orders_per_cust(SF_DIR).materialize()
+    timings["top_orders_per_cust"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_user_type_profile(SF_DIR).materialize()
+    timings["user_type_profile"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -2886,3 +2886,296 @@ def rrf_fusion_oracle_sql(k: int = 100, rrf_k: int = RRF_K) -> str:
         FROM rv FULL OUTER JOIN rc ON rc.user_id = rv.user_id
         ORDER BY rrf_score DESC, user_id
     """
+
+
+# --------------------------------------------------------------------------
+# as-of join (purchase → most recent preceding view, per user)
+# --------------------------------------------------------------------------
+
+def run_asof_attribution(sf_dir: str, match: str = "view",
+                         target: str = "purchase",
+                         users_per_group: int | None = None):
+    """AS-OF JOIN within the event stream: every ``target`` (purchase)
+    event joins the MOST RECENT preceding ``match`` (view) event of
+    the same user — last-touch attribution, the canonical as-of-join
+    shape Ray Data lacks natively.  "Preceding" is strict under the
+    (ts, event_id) total order, so simultaneous-timestamp ties are
+    deterministic on both engines.
+
+    Scale shape: the sessionization discipline — filter to the two
+    event types BEFORE any shuffle (only attribution-relevant rows
+    move), ONE hash partition on data-scaled coarsened user buckets,
+    then a per-bucket vectorized kernel: lexsort, forward-fill of the
+    last match index via ``np.maximum.accumulate`` with user-boundary
+    reset (no per-row Python, no per-user loop).  Output: one row per
+    attributed target with the matched ts and the gap."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([match, target]))
+        b = batch.filter(keep)
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(b["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "is_target": pc.equal(b["event_type"], target),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+        })
+
+    def _attrib(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        tgt = g["is_target"].to_numpy(dtype=bool)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, tgt = uid[order], ts[order], eid[order], tgt[order]
+        n = len(uid)
+        idx = np.arange(n)
+        # last match (view) index up to AND INCLUDING each position,
+        # then shift to "strictly preceding"; reset at user boundary
+        mark = np.where(~tgt, idx, -1)
+        ff = np.maximum.accumulate(mark)
+        prev_ff = np.concatenate(([-1], ff[:-1]))
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        ustart = idx[new_user][np.cumsum(new_user) - 1]
+        ok = tgt & (prev_ff >= ustart)
+        out_t = idx[ok]
+        out_v = prev_ff[ok]
+        return pd.DataFrame({
+            "event_id": eid[out_t],
+            "user_id": uid[out_t],
+            "ts_us": ts[out_t],
+            "last_view_us": ts[out_v],
+            "gap_us": ts[out_t] - ts[out_v],
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow",
+                           batch_size=16384)
+    return (keyed.groupby("ugroup").map_groups(
+        _attrib, batch_format="pandas").sort("event_id"))
+
+
+def asof_attribution_oracle_sql(match: str = "view",
+                                target: str = "purchase") -> str:
+    """DuckDB oracle for :func:`run_asof_attribution` (IGNORE NULLS
+    last_value window under the identical (ts, event_id) order)."""
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM events
+            WHERE event_type IN ('{match}', '{target}')
+        ), w AS (
+            SELECT *, last_value(
+                       CASE WHEN event_type = '{match}'
+                            THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS last_view_us
+            FROM seq
+        )
+        SELECT event_id, user_id, ts_us, last_view_us,
+               ts_us - last_view_us AS gap_us
+        FROM w
+        WHERE event_type = '{target}' AND last_view_us IS NOT NULL
+        ORDER BY event_id
+    """
+
+
+# --------------------------------------------------------------------------
+# exact per-group median (holistic aggregate via mergeable histogram)
+# --------------------------------------------------------------------------
+
+def run_median_by_type(sf_dir: str):
+    """Exact per-event-type MEDIAN of ``value`` — the holistic
+    aggregate no partial-sum trick covers.  quantile_cont(0.5)
+    semantics: odd n → the middle element, even n → the exact mean of
+    the two middle elements (matching DuckDB ``median``).
+
+    Scale shape: medians are not mergeable, but the exact PER-KEY
+    VALUE HISTOGRAM is — value's bounded 2-decimal domain makes
+    (type, value) cardinality data-independent, so per-batch Arrow
+    partials tree-combine to one tiny block where cumulative counts
+    select each type's middle element(s).  One scan, no sort, no
+    row-level shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "value"]).aggregate(
+            [("value", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"],
+                         "n": pc.cast(g["value_count"], pa.int64())})
+
+    hist = tree_combine(ds.map_batches(_hist, batch_format="pyarrow",
+                                       batch_size=16384),
+                        ["event_type", "value"], sums=("n",))
+
+    def _median(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["event_type", "value"])
+        types, medians, counts = [], [], []
+        for t, g in df.groupby("event_type", sort=True):
+            c = g["n"].to_numpy(dtype=np.int64)
+            v = g["value"].to_numpy(dtype=np.float64)
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            k1, k2 = (n - 1) // 2, n // 2
+            a = v[np.searchsorted(cum, k1 + 1, side="left")]
+            b = v[np.searchsorted(cum, k2 + 1, side="left")]
+            types.append(t)
+            medians.append((a + b) / 2.0)
+            counts.append(n)
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "n_rows": pa.array(counts, type=pa.int64()),
+            "median_value": pa.array(medians, type=pa.float64()),
+        })
+
+    return hist.repartition(1).map_batches(
+        _median, batch_format="pyarrow", batch_size=None)
+
+
+def median_by_type_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_median_by_type`."""
+    return """
+        SELECT event_type, count(*) AS n_rows,
+               median(value) AS median_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+# --------------------------------------------------------------------------
+# top-N per group (generalized keeper rows per key)
+# --------------------------------------------------------------------------
+
+def run_top_orders_per_cust(sf_dir: str, n: int = 3,
+                            target_rows_per_group: int = 65536):
+    """Top-N rows per key: every customer's ``n`` highest-price orders
+    with their rank — the generalized keeper shape
+    (:func:`run_cheapest_part` is the N=1 special case).  Rank is a
+    row_number under the (o_totalprice desc, o_orderkey asc) total
+    order, so ties are deterministic.
+
+    Scale shape: ONE data-scaled hash-grouped partition on custkey;
+    the per-group kernel is a vectorized lexsort + per-key cumcount,
+    emitting ≤N rows per customer.  No global sort — the only wide
+    step is the single key-hash shuffle of the projected columns."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def _topn(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        ok = df["o_orderkey"].to_numpy(dtype=np.int64)
+        tp = df["o_totalprice"].to_numpy(dtype=np.float64)
+        order = np.lexsort((ok, -tp, ck))
+        ck, ok, tp = ck[order], ok[order], tp[order]
+        new = np.concatenate(([True], ck[1:] != ck[:-1]))
+        # rank within key = position - key start position + 1
+        idx = np.arange(len(ck))
+        start = idx[new][np.cumsum(new) - 1]
+        rank = idx - start + 1
+        keep = rank <= n
+        return pd.DataFrame({
+            "o_custkey": ck[keep], "rank": rank[keep],
+            "o_orderkey": ok[keep], "o_totalprice": tp[keep]})
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"])
+    n_rows = sum(nr for _f, _rg, nr in parquet_row_groups(
+        f"{sf_dir}/orders.parquet"))
+    out = hash_grouped_reduce(
+        ds, "o_custkey", _topn, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("o_custkey", "rank", "o_orderkey", "o_totalprice"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "rank": pc.cast(batch["rank"], pa.int64()),
+            "o_orderkey": batch["o_orderkey"],
+            "o_totalprice": batch["o_totalprice"],
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort(["o_custkey", "rank"]))
+
+
+def top_orders_per_cust_oracle_sql(n: int = 3) -> str:
+    """DuckDB oracle for :func:`run_top_orders_per_cust`."""
+    return f"""
+        SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders)
+        WHERE rank <= {n}
+        ORDER BY o_custkey, rank
+    """
+
+
+# --------------------------------------------------------------------------
+# ordered distinct string aggregation per key
+# --------------------------------------------------------------------------
+
+def run_user_type_profile(sf_dir: str,
+                          users_per_group: int | None = None):
+    """Per-user behavioural profile string: the alphabetically-sorted
+    DISTINCT event types joined by ',' plus the distinct count — the
+    ordered string-aggregation shape (SQL ``string_agg`` with a
+    deterministic ORDER BY contract).
+
+    Scale shape: per-batch Arrow dedup of (user, type) pairs (the
+    moved data shrinks to ≤|users × types| per batch BEFORE the
+    shuffle), ONE hash partition on coarsened user buckets, then a
+    per-bucket sorted-dedup + pandas grouped join — output is one row
+    per user."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["user_id", "event_type"])
+             .group_by(["user_id", "event_type"]).aggregate([]))
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(g["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+        })
+
+    def _profile(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g[["user_id", "event_type"]]
+             .drop_duplicates()
+             .sort_values(["user_id", "event_type"]))
+        out = (d.groupby("user_id", sort=True)["event_type"]
+               .agg([("type_profile", ",".join),
+                     ("n_types", "size")]).reset_index())
+        out["n_types"] = out["n_types"].astype("int64")
+        return out
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    keyed = ds.map_batches(_pairs, batch_format="pyarrow",
+                           batch_size=16384)
+    return (keyed.groupby("ugroup").map_groups(
+        _profile, batch_format="pandas").sort("user_id"))
+
+
+def user_type_profile_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_user_type_profile` (list-sorted
+    distinct aggregation — deterministic, unlike bare string_agg)."""
+    return """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                   AS type_profile,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """

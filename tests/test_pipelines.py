@@ -2012,3 +2012,109 @@ def test_rrf_fusion_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_asof_attribution_local_oracle(ray_session):
+    """As-of join (purchase -> most recent preceding view per user)
+    equals the DuckDB IGNORE-NULLS window recompute at sf0.001 and is
+    user-bucket-width invariant (the forward-fill kernel is exact for
+    any partitioning that keeps a user's rows together)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_asof_attribution,
+                                               asof_attribution_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(asof_attribution_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+    assert (want["gap_us"] > 0).all()
+
+    for width in (4, 1 << 20):
+        got = (run_asof_attribution(sf, users_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_median_by_type_local_oracle(ray_session):
+    """Exact per-type median via the mergeable value histogram equals
+    DuckDB median() at sf0.001 — both the odd (middle element) and
+    even (interpolated midpoint) arms must fire across the types."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_median_by_type,
+                                               median_by_type_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(median_by_type_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+    # both parities present so both median arms are exercised
+    assert (want["n_rows"] % 2 == 0).any()
+    assert (want["n_rows"] % 2 == 1).any()
+
+    got = run_median_by_type(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_top_orders_per_cust_local_oracle(ray_session):
+    """Top-N per key equals the DuckDB row_number recompute at
+    sf0.001 across both hash_grouped_reduce tiers (tiny groups force
+    the multi-partition path; huge groups collapse to one)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_top_orders_per_cust,
+                                               top_orders_per_cust_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = (con.execute(top_orders_per_cust_oracle_sql(n=3)).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+    assert (want["rank"] == 3).any()  # some customers have >= 3 orders
+
+    for trg in (64, 1 << 22):
+        got = (run_top_orders_per_cust(sf, n=3,
+                                       target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_user_type_profile_local_oracle(ray_session):
+    """Ordered distinct string aggregation equals the DuckDB
+    list_sort(list(DISTINCT ...)) recompute at sf0.001 and is
+    user-bucket-width invariant."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_user_type_profile,
+                                               user_type_profile_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(user_type_profile_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+    assert want["type_profile"].str.contains(",").any()
+
+    for width in (4, 1 << 20):
+        got = (run_user_type_profile(sf, users_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
