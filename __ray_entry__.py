@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_by_type": relational.run_median_by_type,
         "top_orders_per_cust": relational.run_top_orders_per_cust,
         "user_type_profile": relational.run_user_type_profile,
+        "custdist": relational.run_custdist,
+        "returned_items": relational.run_returned_items,
+        "top_supplier": relational.run_top_supplier,
+        "disjunctive_revenue": relational.run_disjunctive_revenue,
         "hash_features": textops.run_hash_features,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
         "tfidf_keywords": _q_tfidf_keywords,
@@ -700,6 +704,10 @@ def oracle_sql() -> dict[str, str]:
                                                 median_by_type_oracle_sql,
                                                 top_orders_per_cust_oracle_sql,
                                                 user_type_profile_oracle_sql,
+                                                custdist_oracle_sql,
+                                                returned_items_oracle_sql,
+                                                top_supplier_oracle_sql,
+                                                disjunctive_revenue_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -772,6 +780,10 @@ def oracle_sql() -> dict[str, str]:
         "median_by_type": median_by_type_oracle_sql(),
         "top_orders_per_cust": top_orders_per_cust_oracle_sql(),
         "user_type_profile": user_type_profile_oracle_sql(),
+        "custdist": custdist_oracle_sql(),
+        "returned_items": returned_items_oracle_sql(),
+        "top_supplier": top_supplier_oracle_sql(),
+        "disjunctive_revenue": disjunctive_revenue_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

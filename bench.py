@@ -474,6 +474,22 @@ def run_bench() -> dict:
     relational.run_user_type_profile(SF_DIR).materialize()
     timings["user_type_profile"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_custdist(SF_DIR).materialize()
+    timings["custdist"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_returned_items(SF_DIR)
+    timings["returned_items"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_top_supplier(SF_DIR)
+    timings["top_supplier"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_disjunctive_revenue(SF_DIR).materialize()
+    timings["disjunctive_revenue"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

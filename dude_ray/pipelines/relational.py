@@ -3179,3 +3179,465 @@ def user_type_profile_oracle_sql() -> str:
         GROUP BY user_id
         ORDER BY user_id
     """
+
+
+# --------------------------------------------------------------------------
+# customer order-count distribution (LEFT-JOIN histogram, TPC-H Q13 shape)
+# --------------------------------------------------------------------------
+
+def run_custdist(sf_dir: str, target_rows_per_group: int = 65536):
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    INCLUDING customers with zero orders — the left-outer-join
+    aggregate whose naive plan joins two fact tables just to count.
+
+    Plan (the 100 TB shape): no join at all.  The orders scan
+    pre-counts per custkey per batch (one partial row per key per
+    batch), ONE data-scaled hash-grouped reduce makes the counts exact
+    per customer AND collapses each group to its local histogram
+    (count → #customers), so the final combine sees ≤|distinct counts|
+    rows per group.  The zero bucket is arithmetic, not a join:
+    #customers with no orders = |customer| (parquet metadata row
+    count) − Σ custdist — valid under the TPC-H FK contract
+    (o_custkey ⊆ c_custkey), stated here and enforced by the oracle's
+    LEFT JOIN."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    n_cust = sum(nr for _f, _rg, nr in parquet_row_groups(
+        f"{sf_dir}/customer.parquet"))
+    n_orders = sum(nr for _f, _rg, nr in parquet_row_groups(
+        f"{sf_dir}/orders.parquet"))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"ckey": g["o_custkey"],
+                         "n": pc.cast(g["o_custkey_count"], pa.int64())})
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        per_cust = df.groupby("ckey", sort=False)["n"].sum()
+        h = per_cust.value_counts()
+        return pd.DataFrame({"c_count": h.index.to_numpy(dtype=np.int64),
+                             "custdist": h.to_numpy(dtype=np.int64)})
+
+    partials = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=65536)
+    hist = hash_grouped_reduce(
+        partials, "ckey", _hist, n_orders,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("c_count", "custdist"))
+    combined = tree_combine(hist, ["c_count"], sums=("custdist",))
+
+    def _add_zero(batch: pa.Table) -> pa.Table:
+        c = batch["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["custdist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zero = n_cust - int(d.sum())
+        if zero > 0:
+            c = np.concatenate((c, [0]))
+            d = np.concatenate((d, [zero]))
+        return pa.table({"c_count": pa.array(c, type=pa.int64()),
+                         "custdist": pa.array(d, type=pa.int64())})
+
+    return (combined.repartition(1)
+            .map_batches(_add_zero, batch_format="pyarrow",
+                         batch_size=None)
+            .sort(["custdist", "c_count"], descending=[True, True]))
+
+
+def custdist_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_custdist` (TPC-H Q13 without the
+    o_comment NOT-LIKE filter — the trimmed schema carries no
+    comments)."""
+    return """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+            SELECT c_custkey,
+                   CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+
+# --------------------------------------------------------------------------
+# returned-item revenue report (TPC-H Q10 shape: fact⋈fact + top-k
+# + dimension join-back AFTER the cut)
+# --------------------------------------------------------------------------
+
+Q10_START = "1996-01-01"
+Q10_END = "1996-04-01"
+
+
+def run_returned_items(sf_dir: str, k: int = 20, start: str = Q10_START,
+                       end: str = Q10_END,
+                       target_rows_per_group: int = 65536):
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned
+    lineitems in one quarter, reported with their name, balance and
+    nation — the fact⋈fact join whose dimension attributes are
+    joined back ONLY for the k winners.
+
+    Plan (the 100 TB shape): both fact scans filter + project +
+    pre-aggregate per batch (lineitem keeps only returnflag='R' rows
+    and collapses to one partial row per (orderkey, batch)); ONE
+    data-scaled hash-grouped reduce colocates the tagged streams on
+    orderkey AND re-keys the joined revenue to custkey; a SECOND
+    hash-grouped reduce makes per-customer revenue exact and cuts to
+    a local top-k per group, so the global sort sees ≤k rows per
+    group.  Customer name/balance/nation attach afterwards: the ≤k
+    winner keys broadcast into a filtered customer scan — dimension
+    attributes never ride through either shuffle.
+
+    Float contract: revenue rounds to 2 dp (``_py_round`` == DuckDB
+    round) BEFORE the top-k comparison on both engines (the
+    shipping_priority precedent)."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    start_us = np.int64(pd.Timestamp(start).value // 1000)
+    end_us = np.int64(pd.Timestamp(end).value // 1000)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        dt = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kept = batch.filter(pa.array((dt >= start_us) & (dt < end_us)))
+        n = len(kept)
+        return pa.table({
+            "okey": kept["o_orderkey"],
+            "ckey": kept["o_custkey"],
+            "rev": pa.nulls(n, type=pa.float64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(kept["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), kept["l_discount"]))
+        g = (pa.table({"okey": kept["l_orderkey"], "rev": rev})
+             .group_by("okey").aggregate([("rev", "sum")]))
+        n = len(g)
+        return pa.table({
+            "okey": g["okey"],
+            "ckey": pa.nulls(n, type=pa.int64()),
+            "rev": g["rev_sum"],
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_side, batch_format="pyarrow", batch_size=65536)
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_extendedprice",
+                   "l_discount"]).map_batches(
+        line_side, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = sum(n for t in ("orders", "lineitem") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1]
+        if o.empty or l.empty:
+            return pd.DataFrame({"ckey": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="float64")})
+        rev = l.groupby("okey", sort=False)["rev"].sum()
+        m = o.merge(rev.rename("revenue"), left_on="okey",
+                    right_index=True, how="inner")
+        g = m.groupby("ckey", sort=False)["revenue"].sum().reset_index()
+        return pd.DataFrame({"ckey": g["ckey"].astype("int64"),
+                             "rev": g["revenue"].to_numpy(dtype=np.float64)})
+
+    by_cust = hash_grouped_reduce(
+        orders.union(lines), "okey", _join, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("ckey", "rev"))
+
+    def _cust_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ckey", sort=False)["rev"].sum().reset_index()
+        g["rev"] = _vec_round(g["rev"].to_numpy(dtype=np.float64), 2)
+        g = g.sort_values(["rev", "ckey"], ascending=[False, True])
+        return g.head(k)
+
+    winners = hash_grouped_reduce(
+        by_cust, "ckey", _cust_topk, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("ckey", "rev"))
+    top = (winners.repartition(1)
+           .sort(["rev", "ckey"], descending=[True, False])
+           .limit(k).to_pandas())
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    keys_ref = ray.put(np.sort(top["ckey"].to_numpy(dtype=np.int64)))
+
+    class CustAttrs:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(ck, self.keys)))
+
+    attrs = (_read(sf_dir, "customer",
+                   ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+             .map_batches(CustAttrs, batch_format="pyarrow",
+                          batch_size=65536, concurrency=(1, 4))
+             .to_pandas())
+    out = (top.merge(attrs, left_on="ckey", right_on="c_custkey")
+           .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+           .sort_values(["rev", "ckey"], ascending=[False, True]))
+    return pd.DataFrame({
+        "c_custkey": out["ckey"].astype("int64"),
+        "c_name": out["c_name"],
+        "revenue": out["rev"].to_numpy(dtype=np.float64),
+        "c_acctbal": out["c_acctbal"].to_numpy(dtype=np.float64),
+        "n_name": out["n_name"],
+    }).reset_index(drop=True)
+
+
+def returned_items_oracle_sql(k: int = 20, start: str = Q10_START,
+                              end: str = Q10_END) -> str:
+    """DuckDB oracle for :func:`run_returned_items` (TPC-H Q10 on the
+    trimmed schema; 2-dp rounding before the top-k cut on both
+    engines)."""
+    return f"""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '{start}'
+          AND o_orderdate < TIMESTAMP '{end}'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# top supplier (TPC-H Q15 shape: global argmax-with-ties over an aggregate)
+# --------------------------------------------------------------------------
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def run_top_supplier(sf_dir: str, start: str = Q15_START,
+                     end: str = Q15_END,
+                     target_rows_per_group: int = 65536):
+    """TPC-H Q15 shape: the supplier(s) whose quarterly shipped
+    revenue equals the GLOBAL maximum — the aggregate-then-argmax
+    whose SQL form is a view plus a scalar subquery.
+
+    Plan (the 100 TB shape): lineitem pre-aggregates per batch (one
+    partial row per (suppkey, batch)), ONE data-scaled hash-grouped
+    reduce makes per-supplier revenue exact; the supplier-cardinality
+    aggregate (2 columns, ~10⁻⁴ of the fact bytes) materializes in
+    the OBJECT STORE — never the driver — so the argmax is two cheap
+    passes over it: per-block local maxima (≤1 row per block reaches
+    the driver) fix the global max, then a filter selects the
+    winner(s).  Name lookup joins the ≤tie-count winner keys into a
+    filtered supplier scan, the returned_items pattern.
+
+    Float contract: both engines compare each supplier's own float
+    sum to a max over those same sums, so the comparison is internally
+    consistent per engine; the reported total rounds to 2 dp."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    start_us = np.int64(pd.Timestamp(start).value // 1000)
+    end_us = np.int64(pd.Timestamp(end).value // 1000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kept = batch.filter(pa.array((sd >= start_us) & (sd < end_us)))
+        rev = pc.multiply(kept["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), kept["l_discount"]))
+        g = (pa.table({"skey": kept["l_suppkey"], "rev": rev})
+             .group_by("skey").aggregate([("rev", "sum")]))
+        return pa.table({"skey": g["skey"], "rev": g["rev_sum"]})
+
+    n_rows = sum(nr for _f, _rg, nr in parquet_row_groups(
+        f"{sf_dir}/lineitem.parquet"))
+    partials = _read(sf_dir, "lineitem",
+                     ["l_suppkey", "l_shipdate", "l_extendedprice",
+                      "l_discount"]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=65536)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("skey", sort=False)["rev"].sum().reset_index()
+        return pd.DataFrame({"skey": g["skey"].astype("int64"),
+                             "rev": g["rev"].to_numpy(dtype=np.float64)})
+
+    agg = hash_grouped_reduce(
+        partials, "skey", _sum, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("skey", "rev")).materialize()
+
+    def _local_max(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"m": pa.array([], type=pa.float64())})
+        return pa.table({"m": pa.array(
+            [pc.max(batch["rev"]).as_py()], type=pa.float64())})
+
+    maxima = agg.map_batches(_local_max, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    gmax = max(r["m"] for r in maxima)
+
+    winners = (agg.map_batches(
+        lambda t: t.filter(pc.equal(t["rev"], gmax)),
+        batch_format="pyarrow").to_pandas())
+
+    keys_ref = ray.put(np.sort(winners["skey"].to_numpy(dtype=np.int64)))
+
+    class SupAttrs:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(sk, self.keys)))
+
+    attrs = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+             .map_batches(SupAttrs, batch_format="pyarrow",
+                          batch_size=65536, concurrency=(1, 4))
+             .to_pandas())
+    out = (winners.merge(attrs, left_on="skey", right_on="s_suppkey")
+           .sort_values("skey"))
+    return pd.DataFrame({
+        "s_suppkey": out["skey"].astype("int64"),
+        "s_name": out["s_name"],
+        "total_revenue": _vec_round(
+            out["rev"].to_numpy(dtype=np.float64), 2),
+    }).reset_index(drop=True)
+
+
+def top_supplier_oracle_sql(start: str = Q15_START,
+                            end: str = Q15_END) -> str:
+    """DuckDB oracle for :func:`run_top_supplier` (TPC-H Q15 as a CTE
+    instead of the spec's CREATE VIEW)."""
+    return f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(l_extendedprice * (1 - l_discount)) AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{start}'
+              AND l_shipdate < TIMESTAMP '{end}'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total = (SELECT max(total) FROM revenue)
+        ORDER BY s_suppkey
+    """
+
+
+# --------------------------------------------------------------------------
+# disjunctive-predicate revenue (TPC-H Q19 shape: OR-of-conjunctions)
+# --------------------------------------------------------------------------
+
+Q19_CLAUSES = (
+    ("Brand#4", 1, 5, 1.0, 11.0),
+    ("Brand#2", 1, 10, 10.0, 20.0),
+    ("Brand#19", 1, 15, 20.0, 30.0),
+)
+
+
+def run_disjunctive_revenue(sf_dir: str, clauses=Q19_CLAUSES):
+    """TPC-H Q19 shape (trimmed schema): revenue over an
+    OR-of-conjunctions predicate mixing part attributes (brand, size)
+    with lineitem attributes (quantity) — the disjunctive join filter
+    no single pushdown covers.
+
+    Plan (the 100 TB shape): the part side FIRST filters to rows any
+    clause could accept (brand ∈ clause brands AND size ≤ max size —
+    ~6 % of parts here), THEN broadcasts three sorted int64 arrays
+    (partkey, brand-code, size) once via ``ray.put``; each lineitem
+    batch resolves its partkeys by searchsorted and evaluates every
+    clause vectorized (a boolean OR-reduction, no row loop), emitting
+    a single partial revenue sum per batch.  If the filtered part side
+    ever outgrew a worker heap the orderkey-colocate pattern of
+    :func:`run_revenue_by_nation` applies unchanged; at TPC-H ratios
+    the filtered broadcast is ~10⁻³ of the fact bytes.
+
+    Float contract: one output row, revenue rounded to 2 dp
+    (``_py_round`` == DuckDB round) after the final merge."""
+    import ray
+
+    brands = sorted({c[0] for c in clauses})
+    brand_code = {b: i for i, b in enumerate(brands)}
+    max_size = max(c[2] for c in clauses)
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part[part["p_brand"].isin(brands) &
+                (part["p_size"] >= min(c[1] for c in clauses)) &
+                (part["p_size"] <= max_size)]
+    order = np.argsort(part["p_partkey"].to_numpy(dtype=np.int64),
+                       kind="stable")
+    lookup_ref = ray.put((
+        part["p_partkey"].to_numpy(dtype=np.int64)[order],
+        part["p_brand"].map(brand_code).to_numpy(dtype=np.int64)[order],
+        part["p_size"].to_numpy(dtype=np.int64)[order],
+    ))
+    codes = [(brand_code[b], lo, hi, qlo, qhi)
+             for b, lo, hi, qlo, qhi in clauses]
+
+    class Clause:
+        def __init__(self):
+            self.pk, self.pb, self.psz = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.pk, lk)
+            pos_c = np.minimum(pos, max(len(self.pk) - 1, 0))
+            found = (self.pk[pos_c] == lk) if len(self.pk) else \
+                np.zeros(len(lk), dtype=bool)
+            pb = self.pb[pos_c] if len(self.pk) else np.zeros(len(lk),
+                                                              np.int64)
+            psz = self.psz[pos_c] if len(self.pk) else np.zeros(len(lk),
+                                                                np.int64)
+            m = np.zeros(len(lk), dtype=bool)
+            for bc, lo, hi, qlo, qhi in codes:
+                m |= ((pb == bc) & (psz >= lo) & (psz <= hi)
+                      & (qty >= qlo) & (qty <= qhi))
+            kept = batch.filter(pa.array(found & m))
+            rev = pc.multiply(kept["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0),
+                                          kept["l_discount"]))
+            s = pc.sum(rev).as_py()
+            return pa.table({"k": pa.array([0], type=pa.int64()),
+                             "rev": pa.array(
+                                 [0.0 if s is None else s],
+                                 type=pa.float64())})
+
+    partials = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"]).map_batches(
+        Clause, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+    out = tree_combine(partials, ["k"], sums=("rev",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"revenue": _py_round(batch["rev"], 2)})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def disjunctive_revenue_oracle_sql(clauses=Q19_CLAUSES) -> str:
+    """DuckDB oracle for :func:`run_disjunctive_revenue` (TPC-H Q19 on
+    the trimmed schema — brand/size/quantity conjunctions only)."""
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {lo} AND {hi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, lo, hi, qlo, qhi in clauses)
+    return f"""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND ({ors})
+    """

@@ -2118,3 +2118,127 @@ def test_user_type_profile_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_custdist_local_oracle(ray_session):
+    """Order-count distribution equals the DuckDB LEFT JOIN recompute
+    at sf0.001 across both hash_grouped_reduce tiers."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_custdist,
+                                               custdist_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(custdist_oracle_sql()).df().reset_index(drop=True)
+    assert len(want) > 0
+
+    for trg in (64, 1 << 22):
+        got = (run_custdist(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_custdist_zero_bucket(ray_session, tmp_path):
+    """Customers with NO orders land in the arithmetic zero bucket
+    (the testdata has none, so synthesize the case)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.relational import run_custdist
+
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5],
+                                                   type=pa.int64())}),
+                   str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2], type=pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = run_custdist(str(tmp_path)).to_pandas()
+    dist = dict(zip(got["c_count"], got["custdist"]))
+    assert dist == {3: 1, 1: 1, 0: 3}
+
+
+def test_returned_items_local_oracle(ray_session):
+    """Q10-shape top-k equals the DuckDB recompute at sf0.001 across
+    both hash_grouped_reduce tiers (rounding applied before the cut
+    on both engines)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_returned_items,
+                                               returned_items_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(returned_items_oracle_sql(k=10)).df()
+            .reset_index(drop=True))
+    assert len(want) == 10
+
+    for trg in (64, 1 << 22):
+        got = (run_returned_items(sf, k=10, target_rows_per_group=trg)
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_top_supplier_local_oracle(ray_session):
+    """Q15-shape global argmax equals the DuckDB scalar-subquery
+    recompute at sf0.001 across both hash_grouped_reduce tiers."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_top_supplier,
+                                               top_supplier_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("supplier", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(top_supplier_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) >= 1
+
+    for trg in (64, 1 << 22):
+        got = (run_top_supplier(sf, target_rows_per_group=trg)
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_disjunctive_revenue_local_oracle(ray_session):
+    """Q19-shape OR-of-conjunctions revenue equals the DuckDB join
+    recompute at sf0.001, and every clause contributes rows (so the
+    vectorized OR-reduction is fully exercised)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (Q19_CLAUSES,
+                                               run_disjunctive_revenue,
+                                               disjunctive_revenue_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("part", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(disjunctive_revenue_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert want["revenue"][0] > 0
+    for clause in Q19_CLAUSES:  # each clause alone matches something
+        solo = con.execute(
+            disjunctive_revenue_oracle_sql(clauses=(clause,))).df()
+        assert solo["revenue"][0] > 0
+
+    got = run_disjunctive_revenue(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
