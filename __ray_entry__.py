@@ -161,39 +161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _q_value_percent_rank,
         "bloom_registers": _q_bloom_registers,
         "anchor_texts": _q_anchor_texts,
-        # -- slots 22-50: every entry whose code path changes in r5
-        # (minhash (band,prefix) candidate split; Arrow-native sweep of
-        # sketches/sampling/streaming) plus the flagship -------------
-        "minhash_dedup": dedup.run_minhash_dedup,
-        "ngram_jaccard": dedup.run_ngram_jaccard,
-        "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
-        "jaccard_join": dedup.run_jaccard_join,
-        "dup_clusters": _q_dup_clusters,
-        "hll_registers": _q_hll_registers,
-        "cms_registers": _q_cms_registers,
-        "distinct_users_approx": _q_distinct_users_approx,
-        "top_terms_sketch": _q_top_terms_sketch,
-        "priority_sample": sampling.run_priority_sample,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_select": _q_dsir_select,
-        "sample_stratified": sampling.run_sample_stratified,
-        "sample_per_group": sampling.run_sample_per_group,
-        "token_pack": sampling.run_token_pack,
-        "text_chunk": sampling.run_text_chunk,
-        "shard_assign": sampling.run_shard_assign,
-        "streaming_window": _q_streaming_window,
-        "training_mix": _q_training_mix,
-        "mix_interleave": _q_mix_interleave,
-        "semdedup": _q_semdedup,
-        "substring_dup": _q_substring_dup,
-        "substring_redact": _q_substring_redact,
-        "curate_keep_best": _q_curate_keep_best,
-        "exact_dedup": dedup.run_exact_dedup,
-        "simhash_dedup": dedup.run_simhash_dedup,
-        "chunk_dedup": dedup.run_chunk_dedup,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_lsh": similarity.run_ann_lsh,
-        # -- new in round 5 (first driver verification) ----------------
+        # -- slots 22-50: every operator NEW in round 5 (first driver
+        # verification), then every entry whose code path CHANGED in
+        # r5 (the (band, hash-prefix) minhash candidate split and its
+        # dependants; the Arrow-native HLL/mix_interleave rewrites;
+        # the crawl front-end adblock/fetch/scraper changes) ----------
         "small_qty_revenue": relational.run_small_qty_revenue,
         "large_orders": relational.run_large_orders,
         "qty_cube": relational.run_qty_cube,
@@ -210,7 +182,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": relational.run_top_supplier,
         "disjunctive_revenue": relational.run_disjunctive_revenue,
         "hash_features": textops.run_hash_features,
+        "minhash_dedup": dedup.run_minhash_dedup,
+        "ngram_jaccard": dedup.run_ngram_jaccard,
+        "ngram_jaccard_pairs": dedup.run_ngram_jaccard_pairs,
+        "jaccard_join": dedup.run_jaccard_join,
+        "dup_clusters": _q_dup_clusters,
+        "hll_registers": _q_hll_registers,
+        "distinct_users_approx": _q_distinct_users_approx,
+        "mix_interleave": _q_mix_interleave,
+        "crawl_visits": _q_crawl_visits,
+        "extract_spans": _q_extract_spans,
+        "semdedup": _q_semdedup,
+        "chunk_dedup": dedup.run_chunk_dedup,
+        "ann_lsh": similarity.run_ann_lsh,
         # -- 51+: rotation tail (hash-matched; green in check_oracle) --
+        "cms_registers": _q_cms_registers,
+        "top_terms_sketch": _q_top_terms_sketch,
+        "priority_sample": sampling.run_priority_sample,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "sample_stratified": sampling.run_sample_stratified,
+        "sample_per_group": sampling.run_sample_per_group,
+        "token_pack": sampling.run_token_pack,
+        "text_chunk": sampling.run_text_chunk,
+        "shard_assign": sampling.run_shard_assign,
+        "streaming_window": _q_streaming_window,
+        "training_mix": _q_training_mix,
+        "substring_dup": _q_substring_dup,
+        "substring_redact": _q_substring_redact,
+        "curate_keep_best": _q_curate_keep_best,
+        "exact_dedup": dedup.run_exact_dedup,
+        "simhash_dedup": dedup.run_simhash_dedup,
+        "embedding_neardup": _q_embedding_neardup,
         "tfidf_keywords": _q_tfidf_keywords,
         "kmeans_cluster": _q_kmeans_cluster,
         "term_postings": _q_term_postings,
@@ -269,9 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": _q_lang_dist,
         "events_stats": relational.run_events_stats,
         "top_orders": relational.run_top_orders,
-        # -- rows-only: crawl/extract engine (non-SQL; pytest oracles) -
-        "extract_spans": _q_extract_spans,
-        "crawl_visits": _q_crawl_visits,
+        # -- rows-only: crawl/extract engine (non-SQL; pytest oracles;
+        # crawl_visits/extract_spans moved into the gate window above) -
         "crawl_host_counts": _q_crawl_host_counts,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,

@@ -28,8 +28,12 @@ def test_registry_consistency():
     first50 = list(q)[:50]
     # anchor_texts joins the r5 window per VERDICT_r04 "Next round" #1
     # (it is HTML-extraction-derived, hence rows-only like the crawl
-    # entries); substring_redact is pytest-oracled by design.
-    rows_only_allowed = {"substring_redact", "anchor_texts"}
+    # entries); crawl_visits/extract_spans join it because the r5
+    # adblock/fetch/scraper changes touch their code path and the
+    # driver record should re-verify changed paths; substring_redact
+    # is pytest-oracled by design.
+    rows_only_allowed = {"substring_redact", "anchor_texts",
+                         "crawl_visits", "extract_spans"}
     not_oracled = [k for k in first50 if k not in o]
     assert set(not_oracled) <= rows_only_allowed, not_oracled
     # the 21 never-driver-verified entries (VERDICT_r04) lead the gate
