@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
         "disjunctive_revenue": relational.run_disjunctive_revenue,
+        "promo_revenue": relational.run_promo_revenue,
+        "volume_shipping": relational.run_volume_shipping,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -710,6 +712,8 @@ def oracle_sql() -> dict[str, str]:
                                                 returned_items_oracle_sql,
                                                 top_supplier_oracle_sql,
                                                 disjunctive_revenue_oracle_sql,
+                                                promo_revenue_oracle_sql,
+                                                volume_shipping_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -786,6 +790,8 @@ def oracle_sql() -> dict[str, str]:
         "returned_items": returned_items_oracle_sql(),
         "top_supplier": top_supplier_oracle_sql(),
         "disjunctive_revenue": disjunctive_revenue_oracle_sql(),
+        "promo_revenue": promo_revenue_oracle_sql(),
+        "volume_shipping": volume_shipping_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

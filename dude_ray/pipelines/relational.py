@@ -3641,3 +3641,293 @@ def disjunctive_revenue_oracle_sql(clauses=Q19_CLAUSES) -> str:
         FROM lineitem, part
         WHERE p_partkey = l_partkey AND ({ors})
     """
+
+
+# --------------------------------------------------------------------------
+# promo revenue share (TPC-H Q14 shape: conditional-aggregate ratio)
+# --------------------------------------------------------------------------
+
+Q14_START = "1996-01-01"
+Q14_END = "1996-02-01"
+
+
+def run_promo_revenue(sf_dir: str, start: str = Q14_START,
+                      end: str = Q14_END):
+    """TPC-H Q14 shape: the percentage of one month's revenue that
+    came from PROMO parts — the conditional-aggregate ratio
+    (CASE-WHEN numerator over the unconditional denominator, one
+    scalar out).
+
+    Plan (the 100 TB shape): the part side reduces to ONE broadcast
+    structure — a sorted partkey array plus a parallel is-promo
+    bitmask (1 bit of payload per part, ~10⁻⁴ of the fact bytes);
+    each lineitem batch resolves membership by searchsorted and emits
+    a single two-sum partial row (promo revenue, total revenue), so
+    the combine is a fixed-size scalar merge regardless of corpus
+    size.
+
+    Float contract: the ratio rounds to 2 dp after the final merge
+    (``_py_round`` == DuckDB round); numerator and denominator are
+    summed in engine-local order, the repo-wide accepted ulp
+    contract."""
+    import ray
+
+    start_us = np.int64(pd.Timestamp(start).value // 1000)
+    end_us = np.int64(pd.Timestamp(end).value // 1000)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy(dtype=np.int64),
+                       kind="stable")
+    lookup_ref = ray.put((
+        part["p_partkey"].to_numpy(dtype=np.int64)[order],
+        (part["p_type"] == "PROMO").to_numpy(dtype=bool)[order],
+    ))
+
+    class Partial:
+        def __init__(self):
+            self.pk, self.promo = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sd = pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            kept = batch.filter(pa.array((sd >= start_us)
+                                         & (sd < end_us)))
+            lk = kept["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            pos = np.searchsorted(self.pk, lk)
+            pos_c = np.minimum(pos, max(len(self.pk) - 1, 0))
+            found = (self.pk[pos_c] == lk) if len(self.pk) else \
+                np.zeros(len(lk), dtype=bool)
+            rev = pc.multiply(
+                kept["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), kept["l_discount"])
+            ).to_numpy(zero_copy_only=False)
+            is_promo = found & self.promo[pos_c] if len(self.pk) else \
+                np.zeros(len(lk), dtype=bool)
+            return pa.table({
+                "k": pa.array([0], type=pa.int64()),
+                "promo": pa.array([float(rev[found & is_promo].sum())],
+                                  type=pa.float64()),
+                "total": pa.array([float(rev[found].sum())],
+                                  type=pa.float64()),
+            })
+
+    partials = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_shipdate", "l_extendedprice",
+                      "l_discount"]).map_batches(
+        Partial, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+    out = tree_combine(partials, ["k"], sums=("promo", "total"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        p = batch["promo"].to_numpy(zero_copy_only=False)
+        t = batch["total"].to_numpy(zero_copy_only=False)
+        return pa.table({"promo_revenue": _py_round(
+            pa.array(100.0 * p / t, type=pa.float64()), 2)})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def promo_revenue_oracle_sql(start: str = Q14_START,
+                             end: str = Q14_END) -> str:
+    """DuckDB oracle for :func:`run_promo_revenue` (TPC-H Q14; the
+    trimmed schema stores the bare type word, so equality replaces the
+    spec's LIKE 'PROMO%%')."""
+    return f"""
+        SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '{start}'
+          AND l_shipdate < TIMESTAMP '{end}'
+    """
+
+
+# --------------------------------------------------------------------------
+# volume shipping between two nations (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_START = "1996-01-01"
+Q7_END = "1998-01-01"
+
+
+def run_volume_shipping(sf_dir: str, nation_a: str = Q7_NATION_A,
+                        nation_b: str = Q7_NATION_B,
+                        start: str = Q7_START, end: str = Q7_END,
+                        target_rows_per_group: int = 65536):
+    """TPC-H Q7 shape: shipped revenue between two nations in BOTH
+    directions, by (supplier nation, customer nation, ship year) —
+    the bidirectional dimension-pair join.
+
+    Plan (the 100 TB shape): supplier and customer each reduce to a
+    sorted (key → nationkey) broadcast restricted to the two nations
+    (the :func:`run_revenue_by_nation` pattern — dimension rows never
+    shuffle); lineitem pre-aggregates per batch to one partial row per
+    (orderkey, supp-nation, year); orders contributes (orderkey,
+    cust-nation); ONE data-scaled hash-grouped reduce colocates the
+    tagged streams on orderkey and keeps only cross-nation pairs.  The
+    final combine sees ≤ 2 nations × 2 nations × years rows per
+    group.
+
+    Float contract: per-(pair, year) revenue rounds to 2 dp after the
+    final merge."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    start_us = np.int64(pd.Timestamp(start).value // 1000)
+    end_us = np.int64(pd.Timestamp(end).value // 1000)
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = nat[nat["n_name"].isin([nation_a, nation_b])]
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nset = nat["n_nationkey"].to_numpy(dtype=np.int64)
+
+    def _lookup(df, key, natcol):
+        df = df[np.isin(df[natcol].to_numpy(dtype=np.int64), nset)]
+        order = np.argsort(df[key].to_numpy(dtype=np.int64),
+                           kind="stable")
+        return (df[key].to_numpy(dtype=np.int64)[order],
+                df[natcol].to_numpy(dtype=np.int64)[order])
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    sup_ref = ray.put(_lookup(sup, "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_lookup(cust, "c_custkey", "c_nationkey"))
+
+    def _resolve(keys: np.ndarray, lk, ln):
+        if not len(lk):
+            return (np.zeros(len(keys), dtype=bool),
+                    np.zeros(len(keys), dtype=np.int64))
+        pos = np.minimum(np.searchsorted(lk, keys), len(lk) - 1)
+        return lk[pos] == keys, ln[pos]
+
+    class OrderSide:
+        def __init__(self):
+            self.lk, self.ln = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            found, cnat = _resolve(ck, self.lk, self.ln)
+            kept = batch.filter(pa.array(found))
+            n = len(kept)
+            return pa.table({
+                "okey": kept["o_orderkey"],
+                "nat": pa.array(cnat[found], type=pa.int64()),
+                "year": pa.nulls(n, type=pa.int64()),
+                "rev": pa.nulls(n, type=pa.float64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            })
+
+    class LineSide:
+        def __init__(self):
+            self.lk, self.ln = ray.get(sup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sd = pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            batch = batch.filter(pa.array((sd >= start_us)
+                                          & (sd < end_us)))
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            found, snat = _resolve(sk, self.lk, self.ln)
+            kept = batch.filter(pa.array(found))
+            year = pc.cast(pc.year(kept["l_shipdate"]), pa.int64())
+            rev = pc.multiply(kept["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0),
+                                          kept["l_discount"]))
+            g = (pa.table({"okey": kept["l_orderkey"],
+                           "nat": pa.array(snat[found], type=pa.int64()),
+                           "year": year, "rev": rev})
+                 .group_by(["okey", "nat", "year"])
+                 .aggregate([("rev", "sum")]))
+            n = len(g)
+            return pa.table({
+                "okey": g["okey"], "nat": g["nat"], "year": g["year"],
+                "rev": g["rev_sum"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey"]).map_batches(
+        OrderSide, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount"]).map_batches(
+        LineSide, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+
+    n_rows = sum(n for t in ("orders", "lineitem") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1]
+        if o.empty or l.empty:
+            return pd.DataFrame({
+                "snat": pd.Series(dtype="int64"),
+                "cnat": pd.Series(dtype="int64"),
+                "year": pd.Series(dtype="int64"),
+                "rev": pd.Series(dtype="float64")})
+        m = l.merge(o[["okey", "nat"]].rename(columns={"nat": "cnat"}),
+                    on="okey", how="inner")
+        m = m[m["nat"] != m["cnat"]]  # cross-nation pairs only
+        g = (m.groupby(["nat", "cnat", "year"], sort=False)["rev"]
+             .sum().reset_index())
+        return pd.DataFrame({
+            "snat": g["nat"].astype("int64"),
+            "cnat": g["cnat"].astype("int64"),
+            "year": g["year"].astype("int64"),
+            "rev": g["rev"].to_numpy(dtype=np.float64)})
+
+    partials = hash_grouped_reduce(
+        orders.union(lines), "okey", _join, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("snat", "cnat", "year", "rev"))
+    out = tree_combine(partials, ["snat", "cnat", "year"], sums=("rev",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sn = [nat_names[int(k)] for k in batch["snat"].to_pylist()]
+        cn = [nat_names[int(k)] for k in batch["cnat"].to_pylist()]
+        return pa.table({
+            "supp_nation": pa.array(sn, type=pa.string()),
+            "cust_nation": pa.array(cn, type=pa.string()),
+            "l_year": batch["year"],
+            "revenue": _py_round(batch["rev"], 2),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
+def volume_shipping_oracle_sql(nation_a: str = Q7_NATION_A,
+                               nation_b: str = Q7_NATION_B,
+                               start: str = Q7_START,
+                               end: str = Q7_END) -> str:
+    """DuckDB oracle for :func:`run_volume_shipping` (TPC-H Q7)."""
+    return f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM supplier, lineitem, orders, customer,
+             nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}')
+               OR (n1.n_name = '{nation_b}' AND n2.n_name = '{nation_a}'))
+          AND l_shipdate >= TIMESTAMP '{start}'
+          AND l_shipdate < TIMESTAMP '{end}'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """

@@ -2242,3 +2242,57 @@ def test_disjunctive_revenue_local_oracle(ray_session):
     got = run_disjunctive_revenue(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_promo_revenue_local_oracle(ray_session):
+    """Q14-shape conditional-ratio equals the DuckDB join recompute at
+    sf0.001 (single scalar, broadcast bitmask membership)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_promo_revenue,
+                                               promo_revenue_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("part", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(promo_revenue_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert 0 < want["promo_revenue"][0] < 100
+
+    got = run_promo_revenue(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_volume_shipping_local_oracle(ray_session):
+    """Q7-shape bidirectional nation-pair revenue equals the DuckDB
+    six-table recompute at sf0.001 across both hash_grouped_reduce
+    tiers, and both directions appear."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_volume_shipping,
+                                               volume_shipping_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    # sf0.001 is too sparse for the sf0.01 default pair — use one
+    # known to have traffic in BOTH directions in the date window.
+    na, nb = "NATION_12", "NATION_13"
+    want = (con.execute(volume_shipping_oracle_sql(na, nb)).df()
+            .reset_index(drop=True))
+    assert len(want) > 0
+    assert want["supp_nation"].nunique() == 2  # both directions
+
+    for trg in (64, 1 << 22):
+        got = (run_volume_shipping(sf, nation_a=na, nation_b=nb,
+                                   target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
