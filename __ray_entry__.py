@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": relational.run_disjunctive_revenue,
         "promo_revenue": relational.run_promo_revenue,
         "volume_shipping": relational.run_volume_shipping,
+        "audience_overlap": relational.run_audience_overlap,
+        "spend_deciles": relational.run_spend_deciles,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -714,6 +716,8 @@ def oracle_sql() -> dict[str, str]:
                                                 disjunctive_revenue_oracle_sql,
                                                 promo_revenue_oracle_sql,
                                                 volume_shipping_oracle_sql,
+                                                audience_overlap_oracle_sql,
+                                                spend_deciles_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -792,6 +796,8 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": disjunctive_revenue_oracle_sql(),
         "promo_revenue": promo_revenue_oracle_sql(),
         "volume_shipping": volume_shipping_oracle_sql(),
+        "audience_overlap": audience_overlap_oracle_sql(),
+        "spend_deciles": spend_deciles_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

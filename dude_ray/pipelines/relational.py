@@ -3931,3 +3931,219 @@ def volume_shipping_oracle_sql(nation_a: str = Q7_NATION_A,
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
     """
+
+
+# --------------------------------------------------------------------------
+# audience overlap (users shared between every event-type pair)
+# --------------------------------------------------------------------------
+
+def run_audience_overlap(sf_dir: str, n_buckets: int | None = None):
+    """For every unordered pair of event types, the number of distinct
+    users who performed BOTH — the audience-overlap matrix behind
+    retargeting / cohort analysis.
+
+    Plan (the 100 TB shape): the type domain T is tiny (≤ ~20), so a
+    user's whole type history compresses to ONE int64 bitmask.
+    Per-batch distinct (user, bit) pairs shuffle hash-bucketed on
+    ``user_id`` (a user lands whole in one bucket); each bucket
+    OR-folds masks per user and emits a (mask → n_users) histogram of
+    ≤ 2^T rows; the tree merge and the pair expansion are both
+    O(2^T·T²) — constants, independent of corpus size.  No stage ever
+    holds the distinct-user set in one task."""
+    types = list(_event_type_domain(sf_dir))
+    if len(types) > 24:
+        raise ValueError(
+            f"audience_overlap: {len(types)} event types exceed the "
+            "bitmask tier; switch pair counting to a (type_a, type_b) "
+            "hash-grouped reduce over per-user sorted type lists")
+    dom = pa.array(types, type=pa.string())
+    if n_buckets is None:
+        n_buckets = _scaled_buckets(sf_dir, "events", lo=16)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        g = batch.select(["user_id", "event_type"]).group_by(
+            ["user_id", "event_type"]).aggregate([])
+        idx = pc.index_in(g["event_type"], dom).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pc.cast(
+                pc.bit_wise_and(g["user_id"], n_buckets - 1), pa.int64()),
+            "user_id": g["user_id"],
+            "mask": pa.array(np.int64(1) << idx, type=pa.int64()),
+        })
+
+    def _bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"].to_numpy(), sort=False)
+        masks = np.zeros(codes.max() + 1 if len(codes) else 0,
+                         dtype=np.int64)
+        np.bitwise_or.at(masks, codes, g["mask"].to_numpy(dtype=np.int64))
+        hist = np.bincount(masks, minlength=0)
+        nz = np.flatnonzero(hist)
+        return pd.DataFrame({"mask": nz.astype("int64"),
+                             "n": hist[nz].astype("int64")})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = ds.map_batches(_pairs, batch_format="pyarrow",
+                              batch_size=65536)
+    per_bucket = partials.groupby("bucket").map_groups(
+        _bucket_hist, batch_format="pandas")
+    merged = tree_combine(per_bucket, ["mask"], sums=("n",))
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        ta, tb, cnt = [], [], []
+        order = sorted(range(len(types)), key=lambda i: types[i])
+        for x, i in enumerate(order):
+            for j in order[x + 1:]:
+                both = int(n[((m >> i) & 1).astype(bool)
+                             & ((m >> j) & 1).astype(bool)].sum())
+                if both:
+                    ta.append(types[i])
+                    tb.append(types[j])
+                    cnt.append(both)
+        return pa.table({
+            "type_a": pa.array(ta, type=pa.string()),
+            "type_b": pa.array(tb, type=pa.string()),
+            "n_users": pa.array(cnt, type=pa.int64()),
+        })
+
+    return (merged.map_batches(_expand, batch_format="pyarrow",
+                               batch_size=None)
+            .sort(["type_a", "type_b"]))
+
+
+def audience_overlap_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_audience_overlap` (pairwise
+    distinct-user self-join on the deduped (user, type) set)."""
+    return """
+        WITH f AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_users
+        FROM f a JOIN f b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+        ORDER BY type_a, type_b
+    """
+
+
+# --------------------------------------------------------------------------
+# customer spend deciles (global NTILE(10) over per-customer totals)
+# --------------------------------------------------------------------------
+
+def run_spend_deciles(sf_dir: str, tiles: int = 10,
+                      target_rows_per_group: int = 65536):
+    """Per-decile stats (count, min/max/sum spend) of customers ranked
+    by lifetime order spend — the global NTILE(10) window.
+
+    Plan (the 100 TB shape): per-customer totals come from ONE
+    hash-grouped reduce on custkey in exact integer cents (the repo's
+    half-away-from-zero contract, bit-identical to DuckDB's
+    ``round(x*100)``); each reduce group then emits only its local
+    (spend → count) histogram, so what reaches the merge is the
+    distinct-spend-value distribution, not customers.  Tile boundaries
+    and per-tile count/min/max/sum all derive from the merged
+    histogram's cumulative counts — NTILE's tie-splitting never
+    changes them because equal-spend rows are interchangeable.  Scale
+    assumption (same as :func:`run_value_percentiles`): the distinct
+    spend-value histogram fits one final block; an unbounded domain
+    swaps in a mergeable KLL/t-digest with approximate tiles."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        y = batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        t = pa.table({"ckey": batch["o_custkey"],
+                      "cents": pa.array(cents, type=pa.int64())})
+        g = t.group_by(["ckey"]).aggregate([("cents", "sum")])
+        return pa.table({"ckey": g["ckey"], "cents": g["cents_sum"]})
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        spend = df.groupby("ckey", sort=False)["cents"].sum()
+        c = spend.value_counts()
+        return pd.DataFrame({"spend_cents": c.index.astype("int64"),
+                             "n": c.to_numpy().astype("int64")})
+
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/orders.parquet"))
+    partials = _read(sf_dir, "orders",
+                     ["o_custkey", "o_totalprice"]).map_batches(
+        _cents, batch_format="pyarrow", batch_size=65536)
+    hist_parts = hash_grouped_reduce(
+        partials, "ckey", _hist, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("spend_cents", "n"))
+    hist = tree_combine(hist_parts, ["spend_cents"], sums=("n",))
+
+    def _tiles(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "v": batch["spend_cents"].to_numpy(zero_copy_only=False),
+            "n": batch["n"].to_numpy(zero_copy_only=False),
+        }).sort_values("v")
+        v = df["v"].to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(n)                       # rows through value k
+        wsum = np.cumsum(v * n)                  # spend through value k
+        total = int(cum[-1]) if len(cum) else 0
+        base, rem = divmod(total, tiles)
+        sizes = np.full(tiles, base, dtype=np.int64)
+        sizes[:rem] += 1
+        hi_ranks = np.cumsum(sizes)              # 1-based tile ends
+        lo_ranks = hi_ranks - sizes
+
+        def _prefix_spend(r: int) -> int:
+            # total spend of the first r rows in (spend, key) order
+            if r <= 0:
+                return 0
+            k = int(np.searchsorted(cum, r, side="left"))
+            prev_rows = int(cum[k - 1]) if k else 0
+            prev_spend = int(wsum[k - 1]) if k else 0
+            return prev_spend + int(v[k]) * (r - prev_rows)
+
+        def _value_at(r: int) -> int:            # value of the r-th row
+            return int(v[np.searchsorted(cum, r, side="left")])
+
+        dec, cnts, mins, maxs, sums = [], [], [], [], []
+        for d in range(tiles):
+            lo, hi = int(lo_ranks[d]), int(hi_ranks[d])
+            if hi <= lo:
+                continue
+            dec.append(d + 1)
+            cnts.append(hi - lo)
+            mins.append(_value_at(lo + 1) / 100.0)
+            maxs.append(_value_at(hi) / 100.0)
+            sums.append((_prefix_spend(hi) - _prefix_spend(lo)) / 100.0)
+        return pa.table({
+            "decile": pa.array(dec, type=pa.int64()),
+            "n_cust": pa.array(cnts, type=pa.int64()),
+            "min_spend": _py_round(pa.array(mins, type=pa.float64()), 2),
+            "max_spend": _py_round(pa.array(maxs, type=pa.float64()), 2),
+            "sum_spend": _py_round(pa.array(sums, type=pa.float64()), 2),
+        })
+
+    return hist.map_batches(_tiles, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def spend_deciles_oracle_sql(tiles: int = 10) -> str:
+    """DuckDB oracle for :func:`run_spend_deciles` (NTILE over exact
+    integer cents; the tie order is pinned by custkey but per-tile
+    stats are tie-invariant)."""
+    return f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ), t AS (
+            SELECT cents,
+                   NTILE({tiles}) OVER (ORDER BY cents, o_custkey)
+                       AS decile
+            FROM spend
+        )
+        SELECT decile, count(*) AS n_cust,
+               round(min(cents) / 100.0, 2) AS min_spend,
+               round(max(cents) / 100.0, 2) AS max_spend,
+               round(sum(cents) / 100.0, 2) AS sum_spend
+        FROM t GROUP BY decile ORDER BY decile
+    """

@@ -2296,3 +2296,73 @@ def test_volume_shipping_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_audience_overlap_local_oracle(ray_session):
+    """Bitmask-histogram pair counts equal the DuckDB self-join
+    recompute at sf0.001, invariant to the user-bucket width."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_audience_overlap,
+                                               audience_overlap_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(audience_overlap_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 1
+
+    for nb in (2, 64):
+        got = (run_audience_overlap(sf, n_buckets=nb)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_spend_deciles_local_oracle(ray_session):
+    """Histogram-derived NTILE stats equal the DuckDB window recompute
+    at sf0.001 across both hash_grouped_reduce tiers (per-tile stats
+    are tie-invariant, so the histogram shortcut is exact)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_spend_deciles,
+                                               spend_deciles_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = (con.execute(spend_deciles_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) == 10
+    assert (want["min_spend"] <= want["max_spend"]).all()
+
+    for trg in (64, 1 << 22):
+        got = (run_spend_deciles(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_spend_deciles_tie_split(ray_session, tmp_path):
+    """A spend value whose count straddles a tile boundary splits
+    arithmetically (synthesized: 12 customers, all equal spend, 10
+    tiles → first two tiles get 2 rows each)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.relational import run_spend_deciles
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(list(range(12)), type=pa.int64()),
+        "o_totalprice": pa.array([5.0] * 12, type=pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+
+    got = run_spend_deciles(str(tmp_path)).to_pandas()
+    assert got["n_cust"].tolist() == [2, 2] + [1] * 8
+    assert (got["min_spend"] == 5.0).all()
+    assert (got["sum_spend"] == got["n_cust"] * 5.0).all()
