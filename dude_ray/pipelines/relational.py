@@ -4147,3 +4147,220 @@ def spend_deciles_oracle_sql(tiles: int = 10) -> str:
                round(sum(cents) / 100.0, 2) AS sum_spend
         FROM t GROUP BY decile ORDER BY decile
     """
+
+
+# --------------------------------------------------------------------------
+# nation market share within a region (TPC-H Q8 shape)
+# --------------------------------------------------------------------------
+
+Q8_REGION = "AMERICA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_19"
+Q8_START = "1995-01-01"
+Q8_END = "1997-01-01"
+
+
+def run_market_share(sf_dir: str, region: str = Q8_REGION,
+                     ptype: str = Q8_TYPE, nation: str = Q8_NATION,
+                     start: str = Q8_START, end: str = Q8_END,
+                     target_rows_per_group: int = 65536):
+    """TPC-H Q8 shape: one supplier nation's share of a customer
+    region's market for one part type, by order year — the
+    ratio-of-conditional-sums over the widest logical join in the
+    suite (part, supplier, lineitem, orders, customer, nation×2,
+    region).
+
+    Plan (the 100 TB shape): all four dimension legs collapse to
+    broadcasts — a sorted partkey set (type filter), a sorted suppkey
+    array with an is-target-nation bit, and a sorted custkey set
+    (region semi-join; at a scale where one region's customers no
+    longer broadcast, this leg becomes a second tagged stream in the
+    same orderkey reduce, the :func:`run_lapsed_customers` shape).
+    Facts then shuffle ONCE: lineitem pre-aggregates per batch to
+    (orderkey, target_vol, total_vol); orders contributes (orderkey,
+    year); a data-scaled hash reduce on orderkey joins them and
+    re-groups to ≤ #years rows per group before a constant-size final
+    merge.
+
+    Float contract: the share rounds to 4 dp after the final merge;
+    numerator/denominator sum in engine-local order (repo ulp
+    contract)."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    start_us = np.int64(pd.Timestamp(start).value // 1000)
+    end_us = np.int64(pd.Timestamp(end).value // 1000)
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    region_nations = nat.loc[nat["n_regionkey"].astype(int).isin(rkeys),
+                             "n_nationkey"].to_numpy(dtype=np.int64)
+    target_nk = nat.loc[nat["n_name"] == nation,
+                        "n_nationkey"].to_numpy(dtype=np.int64)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pk = np.sort(part.loc[part["p_type"] == ptype,
+                          "p_partkey"].to_numpy(dtype=np.int64))
+
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_order = np.argsort(sup["s_suppkey"].to_numpy(dtype=np.int64),
+                         kind="stable")
+    sk = sup["s_suppkey"].to_numpy(dtype=np.int64)[s_order]
+    s_target = np.isin(sup["s_nationkey"].to_numpy(dtype=np.int64)[s_order],
+                       target_nk)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust.loc[np.isin(cust["c_nationkey"].to_numpy(
+        dtype=np.int64), region_nations),
+        "c_custkey"].to_numpy(dtype=np.int64))
+
+    line_ref = ray.put((pk, sk, s_target))
+    order_ref = ray.put(ck)
+
+    def _member(keys: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+        if not len(sorted_arr):
+            return np.zeros(len(keys), dtype=bool)
+        pos = np.minimum(np.searchsorted(sorted_arr, keys),
+                         len(sorted_arr) - 1)
+        return sorted_arr[pos] == keys
+
+    class OrderSide:
+        def __init__(self):
+            self.ck = ray.get(order_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            od = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            batch = batch.filter(pa.array((od >= start_us)
+                                          & (od < end_us)))
+            keep = _member(batch["o_custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64), self.ck)
+            kept = batch.filter(pa.array(keep))
+            n = len(kept)
+            return pa.table({
+                "okey": kept["o_orderkey"],
+                "year": pc.cast(pc.year(kept["o_orderdate"]), pa.int64()),
+                "tvol": pa.nulls(n, type=pa.float64()),
+                "vol": pa.nulls(n, type=pa.float64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            })
+
+    class LineSide:
+        def __init__(self):
+            self.pk, self.sk, self.s_target = ray.get(line_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = _member(batch["l_partkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64), self.pk)
+            kept = batch.filter(pa.array(keep))
+            skeys = kept["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = (np.minimum(np.searchsorted(self.sk, skeys),
+                              max(len(self.sk) - 1, 0))
+                   if len(self.sk) else np.zeros(len(skeys), dtype=np.int64))
+            is_t = (self.sk[pos] == skeys) & self.s_target[pos] \
+                if len(self.sk) else np.zeros(len(skeys), dtype=bool)
+            vol = pc.multiply(kept["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0),
+                                          kept["l_discount"])).to_numpy(
+                zero_copy_only=False)
+            g = (pa.table({
+                "okey": kept["l_orderkey"],
+                "tvol": pa.array(np.where(is_t, vol, 0.0),
+                                 type=pa.float64()),
+                "vol": pa.array(vol, type=pa.float64())})
+                 .group_by(["okey"])
+                 .aggregate([("tvol", "sum"), ("vol", "sum")]))
+            n = len(g)
+            return pa.table({
+                "okey": g["okey"],
+                "year": pa.nulls(n, type=pa.int64()),
+                "tvol": g["tvol_sum"], "vol": g["vol_sum"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        OrderSide, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount"]).map_batches(
+        LineSide, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+
+    n_rows = sum(n for t in ("orders", "lineitem") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1]
+        if o.empty or l.empty:
+            return pd.DataFrame({
+                "year": pd.Series(dtype="int64"),
+                "tvol": pd.Series(dtype="float64"),
+                "vol": pd.Series(dtype="float64")})
+        m = l.merge(o[["okey", "year"]], on="okey", how="inner",
+                    suffixes=("_l", ""))
+        g = (m.groupby("year", sort=False)[["tvol", "vol"]]
+             .sum().reset_index())
+        return pd.DataFrame({
+            "year": g["year"].astype("int64"),
+            "tvol": g["tvol"].to_numpy(dtype=np.float64),
+            "vol": g["vol"].to_numpy(dtype=np.float64)})
+
+    partials = hash_grouped_reduce(
+        orders.union(lines), "okey", _join, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("year", "tvol", "vol"))
+    out = tree_combine(partials, ["year"], sums=("tvol", "vol"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = batch["tvol"].to_numpy(zero_copy_only=False)
+        v = batch["vol"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": batch["year"],
+            "mkt_share": _py_round(pa.array(t / v, type=pa.float64()), 4),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort("o_year"))
+
+
+def market_share_oracle_sql(region: str = Q8_REGION,
+                            ptype: str = Q8_TYPE,
+                            nation: str = Q8_NATION,
+                            start: str = Q8_START,
+                            end: str = Q8_END) -> str:
+    """DuckDB oracle for :func:`run_market_share` (TPC-H Q8; the
+    trimmed schema stores bare type words and year() replaces
+    extract)."""
+    return f"""
+        SELECT o_year,
+               round(sum(CASE WHEN nation = '{nation}' THEN volume
+                              ELSE 0 END) / sum(volume), 4) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey
+              AND r_name = '{region}'
+              AND s_nationkey = n2.n_nationkey
+              AND o_orderdate >= TIMESTAMP '{start}'
+              AND o_orderdate < TIMESTAMP '{end}'
+              AND p_type = '{ptype}'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """

@@ -2366,3 +2366,32 @@ def test_spend_deciles_tie_split(ray_session, tmp_path):
     assert got["n_cust"].tolist() == [2, 2] + [1] * 8
     assert (got["min_spend"] == 5.0).all()
     assert (got["sum_spend"] == got["n_cust"] * 5.0).all()
+
+
+def test_market_share_local_oracle(ray_session):
+    """Q8-shape market-share ratio equals the DuckDB eight-table
+    recompute at sf0.001 across both hash_grouped_reduce tiers, and
+    the target nation actually contributes (share strictly inside
+    (0, 1))."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_market_share,
+                                               market_share_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("part", "supplier", "lineitem", "orders", "customer",
+              "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(market_share_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) == 2
+    assert ((want["mkt_share"] > 0) & (want["mkt_share"] < 1)).all()
+
+    for trg in (64, 1 << 22):
+        got = (run_market_share(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
