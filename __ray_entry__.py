@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": relational.run_audience_overlap,
         "spend_deciles": relational.run_spend_deciles,
         "market_share": relational.run_market_share,
+        "type_lift": relational.run_type_lift,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -720,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
                                                 audience_overlap_oracle_sql,
                                                 spend_deciles_oracle_sql,
                                                 market_share_oracle_sql,
+                                                type_lift_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -801,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "audience_overlap": audience_overlap_oracle_sql(),
         "spend_deciles": spend_deciles_oracle_sql(),
         "market_share": market_share_oracle_sql(),
+        "type_lift": type_lift_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

@@ -3937,23 +3937,21 @@ def volume_shipping_oracle_sql(nation_a: str = Q7_NATION_A,
 # audience overlap (users shared between every event-type pair)
 # --------------------------------------------------------------------------
 
-def run_audience_overlap(sf_dir: str, n_buckets: int | None = None):
-    """For every unordered pair of event types, the number of distinct
-    users who performed BOTH — the audience-overlap matrix behind
-    retargeting / cohort analysis.
+def _type_mask_hist(sf_dir: str, n_buckets: int | None = None):
+    """(types, merged Dataset of (mask → n_users)) — each user's whole
+    event-type history OR-folded into one int64 bitmask, counted.
 
-    Plan (the 100 TB shape): the type domain T is tiny (≤ ~20), so a
-    user's whole type history compresses to ONE int64 bitmask.
-    Per-batch distinct (user, bit) pairs shuffle hash-bucketed on
-    ``user_id`` (a user lands whole in one bucket); each bucket
-    OR-folds masks per user and emits a (mask → n_users) histogram of
-    ≤ 2^T rows; the tree merge and the pair expansion are both
-    O(2^T·T²) — constants, independent of corpus size.  No stage ever
-    holds the distinct-user set in one task."""
+    The type domain T is tiny (≤ ~20), so per-batch distinct
+    (user, bit) pairs shuffle hash-bucketed on ``user_id`` (a user
+    lands whole in one bucket); each bucket OR-folds masks per user
+    and emits a histogram of ≤ 2^T rows; the tree merge is O(2^T) —
+    a constant, independent of corpus size.  No stage ever holds the
+    distinct-user set in one task.  Shared by
+    :func:`run_audience_overlap` and :func:`run_type_lift`."""
     types = list(_event_type_domain(sf_dir))
     if len(types) > 24:
         raise ValueError(
-            f"audience_overlap: {len(types)} event types exceed the "
+            f"type-mask histogram: {len(types)} event types exceed the "
             "bitmask tier; switch pair counting to a (type_a, type_b) "
             "hash-grouped reduce over per-user sorted type lists")
     dom = pa.array(types, type=pa.string())
@@ -3987,7 +3985,19 @@ def run_audience_overlap(sf_dir: str, n_buckets: int | None = None):
                               batch_size=65536)
     per_bucket = partials.groupby("bucket").map_groups(
         _bucket_hist, batch_format="pandas")
-    merged = tree_combine(per_bucket, ["mask"], sums=("n",))
+    return types, tree_combine(per_bucket, ["mask"], sums=("n",))
+
+
+def run_audience_overlap(sf_dir: str, n_buckets: int | None = None):
+    """For every unordered pair of event types, the number of distinct
+    users who performed BOTH — the audience-overlap matrix behind
+    retargeting / cohort analysis.
+
+    Plan (the 100 TB shape): the per-user bitmask histogram of
+    :func:`_type_mask_hist` (one shuffle of distinct pairs, constant
+    merged size); the pair expansion is O(2^T·T²) on the merged
+    histogram — corpus-size-independent."""
+    types, merged = _type_mask_hist(sf_dir, n_buckets)
 
     def _expand(batch: pa.Table) -> pa.Table:
         m = batch["mask"].to_numpy(zero_copy_only=False)
@@ -4363,4 +4373,82 @@ def market_share_oracle_sql(region: str = Q8_REGION,
         ) all_nations
         GROUP BY o_year
         ORDER BY o_year
+    """
+
+
+# --------------------------------------------------------------------------
+# event-type association lift (market-basket lift over the mask histogram)
+# --------------------------------------------------------------------------
+
+def run_type_lift(sf_dir: str, n_buckets: int | None = None):
+    """Association lift for every co-occurring event-type pair:
+    ``lift = P(a ∧ b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)`` over
+    distinct users — the market-basket association matrix.
+
+    Plan (the 100 TB shape): everything — the pair counts n_ab, the
+    marginals n_a/n_b, and the universe N — reads off the SAME merged
+    (mask → n_users) histogram from :func:`_type_mask_hist`, so the
+    corpus is scanned once and only constant-size state reaches the
+    driver-free final task.
+
+    Float contract: numerator ``n_ab·N`` and denominator ``n_a·n_b``
+    are exact int64 products; one IEEE division produces the lift —
+    bit-identical across engines, no rounding needed."""
+    types, merged = _type_mask_hist(sf_dir, n_buckets)
+
+    def _lift(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        marg = {i: int(n[((m >> i) & 1).astype(bool)].sum())
+                for i in range(len(types))}
+        ta, tb, na, nb, nab, lift = [], [], [], [], [], []
+        order = sorted(range(len(types)), key=lambda i: types[i])
+        for x, i in enumerate(order):
+            for j in order[x + 1:]:
+                both = int(n[((m >> i) & 1).astype(bool)
+                             & ((m >> j) & 1).astype(bool)].sum())
+                if not both:
+                    continue
+                ta.append(types[i])
+                tb.append(types[j])
+                na.append(marg[i])
+                nb.append(marg[j])
+                nab.append(both)
+                lift.append(float(both * total) / float(marg[i] * marg[j]))
+        return pa.table({
+            "type_a": pa.array(ta, type=pa.string()),
+            "type_b": pa.array(tb, type=pa.string()),
+            "n_a": pa.array(na, type=pa.int64()),
+            "n_b": pa.array(nb, type=pa.int64()),
+            "n_ab": pa.array(nab, type=pa.int64()),
+            "lift": pa.array(lift, type=pa.float64()),
+        })
+
+    return (merged.map_batches(_lift, batch_format="pyarrow",
+                               batch_size=None)
+            .sort(["type_a", "type_b"]))
+
+
+def type_lift_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_type_lift` (distinct-set self-join
+    with marginals and universe; the lift division is one exact-int
+    IEEE division on both engines)."""
+    return """
+        WITH f AS (SELECT DISTINCT user_id, event_type FROM events),
+        tot AS (SELECT count(DISTINCT user_id) AS n FROM events),
+        per AS (SELECT event_type, count(*) AS n_t FROM f GROUP BY 1),
+        pr AS (
+            SELECT a.event_type AS ta, b.event_type AS tb,
+                   count(*) AS n_ab
+            FROM f a JOIN f b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY ta, tb
+        )
+        SELECT ta AS type_a, tb AS type_b,
+               p1.n_t AS n_a, p2.n_t AS n_b, n_ab,
+               CAST(n_ab * tot.n AS DOUBLE) / (p1.n_t * p2.n_t) AS lift
+        FROM pr, tot, per p1, per p2
+        WHERE p1.event_type = ta AND p2.event_type = tb
+        ORDER BY type_a, type_b
     """

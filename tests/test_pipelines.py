@@ -2395,3 +2395,29 @@ def test_market_share_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_type_lift_local_oracle(ray_session):
+    """Mask-histogram association lift equals the DuckDB self-join
+    recompute at sf0.001 bit-for-bit (exact-int products, one IEEE
+    division), invariant to the user-bucket width."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_type_lift,
+                                               type_lift_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(type_lift_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 1
+    assert (want["n_ab"] <= want[["n_a", "n_b"]].min(axis=1)).all()
+
+    for nb in (2, 64):
+        got = (run_type_lift(sf, n_buckets=nb)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
