@@ -4452,3 +4452,170 @@ def type_lift_oracle_sql() -> str:
         WHERE p1.event_type = ta AND p2.event_type = tb
         ORDER BY type_a, type_b
     """
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (CUME_DIST tercile scores from histograms)
+# --------------------------------------------------------------------------
+
+def run_rfm_segments(sf_dir: str, target_rows_per_group: int = 65536):
+    """Classic RFM marketing segmentation: every customer scored 1–3
+    on Recency (last order date), Frequency (order count) and
+    Monetary (lifetime spend), reported as segment counts + spend —
+    ``score = ceil(3 · CUME_DIST)`` so equal metric values always
+    share a score (rank-stable, unlike NTILE's tie-splitting).
+
+    Plan (the 100 TB shape): ONE hash reduce on custkey turns orders
+    into per-customer (last_date, n_orders, cents) rows — cents via
+    the repo's half-away integer contract, so every aggregate is
+    order-independent.  That per-customer table (already ~1000×
+    smaller than the fact stream) is materialized once and scanned
+    twice: first for three mergeable value histograms (distinct dates
+    / small counts / distinct spends — bounded domains, same caveat
+    as :func:`run_value_percentiles`), whose cumulative counts
+    broadcast as the exact CUME_DIST tables; second to score each
+    customer by searchsorted and pre-aggregate (r,f,m) cells per
+    batch.  The final merge sees ≤ 27 segment rows.
+
+    Float contract: CUME_DIST is an exact-int division c/N on both
+    engines, then one multiply-by-3 and ceil — bit-identical; spend
+    rounds from exact cents at the very end."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        y = batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        t = pa.table({
+            "ckey": batch["o_custkey"],
+            "last_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+        g = t.group_by(["ckey"]).aggregate(
+            [("last_us", "max"), ("n", "sum"), ("cents", "sum")])
+        return pa.table({"ckey": g["ckey"], "last_us": g["last_us_max"],
+                         "n": g["n_sum"], "cents": g["cents_sum"]})
+
+    def _per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ckey", sort=False).agg(
+            last_us=("last_us", "max"), n=("n", "sum"),
+            cents=("cents", "sum")).reset_index()
+        return g.astype({"ckey": "int64", "last_us": "int64",
+                         "n": "int64", "cents": "int64"})
+
+    n_rows = sum(n for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/orders.parquet"))
+    partials = _read(sf_dir, "orders",
+                     ["o_custkey", "o_orderdate",
+                      "o_totalprice"]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=65536)
+    per_cust = hash_grouped_reduce(
+        partials, "ckey", _per_cust, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("ckey", "last_us", "n", "cents")).materialize()
+
+    METRICS = ("last_us", "n", "cents")
+
+    def _hists(batch: pa.Table) -> pa.Table:
+        mids, vals, cnts = [], [], []
+        for mid, col in enumerate(METRICS):
+            g = batch.select([col]).group_by([col]).aggregate(
+                [([], "count_all")])
+            v = g[col].to_numpy(zero_copy_only=False)
+            c = g["count_all"].to_numpy(zero_copy_only=False)
+            mids.append(np.full(len(v), mid, dtype=np.int64))
+            vals.append(v.astype(np.int64))
+            cnts.append(c.astype(np.int64))
+        return pa.table({
+            "mid": pa.array(np.concatenate(mids)),
+            "value": pa.array(np.concatenate(vals)),
+            "cnt": pa.array(np.concatenate(cnts)),
+        })
+
+    hist = tree_combine(
+        per_cust.map_batches(_hists, batch_format="pyarrow",
+                             batch_size=65536),
+        ["mid", "value"], sums=("cnt",)).to_pandas()
+    cume: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    total = 0
+    for mid in range(len(METRICS)):
+        h = hist[hist["mid"] == mid].sort_values("value")
+        v = h["value"].to_numpy(dtype=np.int64)
+        c = np.cumsum(h["cnt"].to_numpy(dtype=np.int64))
+        cume[mid] = (v, c)
+        total = int(c[-1]) if len(c) else 0
+    cume_ref = ray.put((cume, total))
+
+    class Scorer:
+        def __init__(self):
+            self.cume, self.total = ray.get(cume_ref)
+
+        def _score(self, mid: int, vals: np.ndarray) -> np.ndarray:
+            v, c = self.cume[mid]
+            pos = np.searchsorted(v, vals, side="right")
+            le = c[pos - 1]  # every value is present → pos >= 1
+            return np.ceil(3.0 * (le / self.total)).astype(np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "r_score": pa.array(self._score(0, batch["last_us"]
+                    .to_numpy(zero_copy_only=False))),
+                "f_score": pa.array(self._score(1, batch["n"]
+                    .to_numpy(zero_copy_only=False))),
+                "m_score": pa.array(self._score(2, batch["cents"]
+                    .to_numpy(zero_copy_only=False))),
+                "n_cust": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "cents": batch["cents"],
+            })
+            g = t.group_by(["r_score", "f_score", "m_score"]).aggregate(
+                [("n_cust", "sum"), ("cents", "sum")])
+            return pa.table({
+                "r_score": g["r_score"], "f_score": g["f_score"],
+                "m_score": g["m_score"], "n_cust": g["n_cust_sum"],
+                "cents": g["cents_sum"]})
+
+    out = tree_combine(
+        per_cust.map_batches(Scorer, batch_format="pyarrow",
+                             batch_size=65536, concurrency=(1, 4)),
+        ["r_score", "f_score", "m_score"], sums=("n_cust", "cents"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_score": batch["r_score"], "f_score": batch["f_score"],
+            "m_score": batch["m_score"], "n_cust": batch["n_cust"],
+            "sum_spend": _py_round(
+                pa.array(cents / 100.0, type=pa.float64()), 2),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort(["r_score", "f_score", "m_score"]))
+
+
+def rfm_segments_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_rfm_segments` (three CUME_DIST
+    windows over the per-customer rollup; integer-cents spend)."""
+    return """
+        WITH per AS (
+            SELECT o_custkey, max(o_orderdate) AS last_dt,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ), scored AS (
+            SELECT CAST(ceil(3 * CUME_DIST() OVER (ORDER BY last_dt))
+                        AS BIGINT) AS r_score,
+                   CAST(ceil(3 * CUME_DIST() OVER (ORDER BY n_orders))
+                        AS BIGINT) AS f_score,
+                   CAST(ceil(3 * CUME_DIST() OVER (ORDER BY cents))
+                        AS BIGINT) AS m_score,
+                   cents
+            FROM per
+        )
+        SELECT r_score, f_score, m_score, count(*) AS n_cust,
+               round(sum(cents) / 100.0, 2) AS sum_spend
+        FROM scored GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """

@@ -2421,3 +2421,30 @@ def test_type_lift_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_rfm_segments_local_oracle(ray_session):
+    """Histogram-derived CUME_DIST tercile segments equal the DuckDB
+    triple-window recompute at sf0.001 across both
+    hash_grouped_reduce tiers, and all three score axes span 1..3."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_rfm_segments,
+                                               rfm_segments_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = (con.execute(rfm_segments_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 1
+    for col in ("r_score", "f_score", "m_score"):
+        assert want[col].min() >= 1 and want[col].max() == 3
+
+    for trg in (64, 1 << 22):
+        got = (run_rfm_segments(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
