@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": relational.run_market_share,
         "type_lift": relational.run_type_lift,
         "rfm_segments": relational.run_rfm_segments,
+        "monthly_growth": relational.run_monthly_growth,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -724,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
                                                 market_share_oracle_sql,
                                                 type_lift_oracle_sql,
                                                 rfm_segments_oracle_sql,
+                                                monthly_growth_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -807,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         "market_share": market_share_oracle_sql(),
         "type_lift": type_lift_oracle_sql(),
         "rfm_segments": rfm_segments_oracle_sql(),
+        "monthly_growth": monthly_growth_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

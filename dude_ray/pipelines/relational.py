@@ -4619,3 +4619,78 @@ def rfm_segments_oracle_sql() -> str:
         FROM scored GROUP BY r_score, f_score, m_score
         ORDER BY r_score, f_score, m_score
     """
+
+
+# --------------------------------------------------------------------------
+# month-over-month revenue growth (LAG over a tumbling aggregate)
+# --------------------------------------------------------------------------
+
+def run_monthly_growth(sf_dir: str):
+    """Monthly order revenue plus its month-over-month growth rate —
+    the LAG-over-aggregate reporting shape (the window runs over the
+    ALREADY-aggregated series, not the fact stream).
+
+    Plan (the 100 TB shape): per-batch partial (month → cents, exact
+    integer) rows tree-merge to ≤ #months rows; the LAG pass then
+    touches a constant-size series in one task.  Growth is
+    ``(cur − prev)/prev`` on exact int64 cents — one IEEE division,
+    identical across engines — rounded 4 dp at the end."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        month = us.astype("datetime64[us]").astype("datetime64[M]")
+        y = batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        t = pa.table({
+            "m": pa.array(month.astype(np.int64), type=pa.int64()),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+        g = t.group_by(["m"]).aggregate([("cents", "sum")])
+        return pa.table({"m": g["m"], "cents": g["cents_sum"]})
+
+    merged = tree_combine(
+        _read(sf_dir, "orders",
+              ["o_orderdate", "o_totalprice"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["m"], sums=("cents",))
+
+    def _lag(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "m": batch["m"].to_numpy(zero_copy_only=False),
+            "cents": batch["cents"].to_numpy(zero_copy_only=False),
+        }).sort_values("m")
+        c = df["cents"].to_numpy(dtype=np.int64)
+        growth = [None] + [
+            float(c[i] - c[i - 1]) / float(c[i - 1])
+            for i in range(1, len(c))]
+        months = df["m"].to_numpy(dtype=np.int64).astype(
+            "datetime64[M]").astype("datetime64[us]")
+        return pa.table({
+            "month": pa.array(months, type=pa.timestamp("us")),
+            "revenue": _py_round(
+                pa.array(c / 100.0, type=pa.float64()), 2),
+            "growth": _py_round(
+                pa.array(growth, type=pa.float64()), 4),
+        })
+
+    return merged.map_batches(_lag, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def monthly_growth_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_monthly_growth` (date_trunc +
+    LAG window over exact integer cents)."""
+    return """
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS cents
+            FROM orders GROUP BY month
+        )
+        SELECT month,
+               round(cents / 100.0, 2) AS revenue,
+               round((cents - LAG(cents) OVER (ORDER BY month)) * 1.0
+                     / LAG(cents) OVER (ORDER BY month), 4) AS growth
+        FROM m ORDER BY month
+    """

@@ -2448,3 +2448,28 @@ def test_rfm_segments_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_monthly_growth_local_oracle(ray_session):
+    """LAG-over-aggregate growth series equals the DuckDB window
+    recompute at sf0.001 (first month NULL, exact-cents division)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_monthly_growth,
+                                               monthly_growth_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = (con.execute(monthly_growth_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 12
+    assert pd.isna(want["growth"].iloc[0])
+    assert want["growth"].iloc[1:].notna().all()
+
+    got = run_monthly_growth(sf).to_pandas().reset_index(drop=True)
+    got["month"] = pd.to_datetime(got["month"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
