@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_lift": relational.run_type_lift,
         "rfm_segments": relational.run_rfm_segments,
         "monthly_growth": relational.run_monthly_growth,
+        "vocab_coverage": textops.run_vocab_coverage,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -689,7 +690,8 @@ def oracle_sql() -> dict[str, str]:
                                             phrase_search_oracle_sql,
                                             pmi_collocations_oracle_sql,
                                             readability_oracle_sql,
-                                            source_stats_oracle_sql)
+                                            source_stats_oracle_sql,
+                                            vocab_coverage_oracle_sql)
     from dude_ray.pipelines.clustering import (embedding_project_oracle_sql,
                                                kmeans_cluster_oracle_sql,
                                                pca_oracle_sql,
@@ -810,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "type_lift": type_lift_oracle_sql(),
         "rfm_segments": rfm_segments_oracle_sql(),
         "monthly_growth": monthly_growth_oracle_sql(),
+        "vocab_coverage": vocab_coverage_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

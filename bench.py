@@ -490,6 +490,38 @@ def run_bench() -> dict:
     relational.run_disjunctive_revenue(SF_DIR).materialize()
     timings["disjunctive_revenue"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_promo_revenue(SF_DIR).materialize()
+    timings["promo_revenue"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_volume_shipping(SF_DIR).materialize()
+    timings["volume_shipping"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_audience_overlap(SF_DIR).materialize()
+    timings["audience_overlap"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_spend_deciles(SF_DIR).materialize()
+    timings["spend_deciles"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_market_share(SF_DIR).materialize()
+    timings["market_share"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_type_lift(SF_DIR).materialize()
+    timings["type_lift"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_rfm_segments(SF_DIR).materialize()
+    timings["rfm_segments"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_monthly_growth(SF_DIR).materialize()
+    timings["monthly_growth"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -1289,3 +1289,116 @@ def hash_features_oracle_sql(dims: int = HASH_FEATURE_DIMS) -> str:
         GROUP BY doc_id, feature_idx
         ORDER BY doc_id, feature_idx
     """
+
+
+# --------------------------------------------------------------------------
+# vocabulary coverage / OOV rate per document
+# --------------------------------------------------------------------------
+
+def run_vocab_coverage(sf_dir: str, min_count: int = 5,
+                       batch_size: int = 4096):
+    """Per-document out-of-vocabulary rate against a corpus-derived
+    vocabulary (tokens with global count ≥ ``min_count``) — the
+    tokenizer-fit statistic used to spot domain shift before training.
+
+    Plan (the 100 TB shape): scan 1 emits pre-counted (token, c)
+    partials into the data-scaled hash reduce; the surviving vocab
+    broadcasts as ONE sorted array (`ray.put`, read per actor — the
+    tfidf tiered-join precedent applies past ~2M entries).  Scan 2 is
+    fully vectorized: each batch flattens its tokens into one array
+    with doc offsets, membership is a single searchsorted against the
+    broadcast vocab, and per-doc OOV counts fall out of one
+    ``np.add.reduceat`` — no per-token Python.  Zero-token documents
+    are excluded (both engines).
+
+    Float contract: ``oov_rate = n_oov / n_tokens`` is one IEEE
+    division of exact int64 counts — bit-identical, no rounding."""
+    import ray
+
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for text in batch["text"].to_pylist():
+            for t in tok_re.findall((text or "").lower()):
+                cnt[t] = cnt.get(t, 0) + 1
+        return pa.table({
+            "t": pa.array(list(cnt.keys()), type=pa.string()),
+            "c": pa.array(list(cnt.values()), type=pa.int64()),
+        })
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("t", sort=False)["c"].sum().reset_index()
+        return out[out["c"] >= min_count]
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    partials = ds.map_batches(_counts, batch_format="pyarrow",
+                              batch_size=batch_size)
+    vocab_tbl = hash_grouped_reduce(
+        partials, "t", _reduce, partials.count(),
+        out_cols=("t", "c")).to_pandas()
+    vocab_ref = ray.put(np.sort(vocab_tbl["t"].to_numpy(dtype=object)
+                                .astype(str)))
+
+    class Coverage:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            texts = batch["text"].to_pylist()
+            toks_per_doc = [tok_re.findall((t or "").lower())
+                            for t in texts]
+            lens = np.array([len(t) for t in toks_per_doc],
+                            dtype=np.int64)
+            keep = lens > 0
+            flat = np.array([t for toks in toks_per_doc for t in toks],
+                            dtype=object).astype(str) \
+                if lens.sum() else np.empty(0, dtype=str)
+            if len(self.vocab):
+                pos = np.minimum(np.searchsorted(self.vocab, flat),
+                                 len(self.vocab) - 1)
+                oov_flags = (self.vocab[pos] != flat).astype(np.int64)
+            else:
+                oov_flags = np.ones(len(flat), dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            n_oov = (np.add.reduceat(oov_flags, offsets[keep])
+                     if keep.any() else np.empty(0, dtype=np.int64))
+            n_tok = lens[keep]
+            return pa.table({
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_oov": pa.array(n_oov, type=pa.int64()),
+                "oov_rate": pa.array(n_oov / n_tok, type=pa.float64()),
+            })
+
+    return ds.map_batches(Coverage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=(1, 4))
+
+
+def vocab_coverage_oracle_sql(min_count: int = 5) -> str:
+    """DuckDB oracle for :func:`run_vocab_coverage` (explode + HAVING
+    vocab + LEFT JOIN membership; same TOKEN_RE contract as
+    :func:`ngram_counts_oracle_sql`)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(w) AS t FROM toks
+        ), vocab AS (
+            SELECT t FROM tok GROUP BY t
+            HAVING count(*) >= {min_count}
+        )
+        SELECT tok.doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS oov_rate
+        FROM tok LEFT JOIN vocab v ON tok.t = v.t
+        GROUP BY tok.doc_id
+    """

@@ -2473,3 +2473,35 @@ def test_monthly_growth_local_oracle(ray_session):
     got["month"] = pd.to_datetime(got["month"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_vocab_coverage_local_oracle(ray_session):
+    """Vectorized OOV rates equal the DuckDB explode+LEFT JOIN
+    recompute at sf0.001, and a stricter vocab raises OOV."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.textops import (run_vocab_coverage,
+                                            vocab_coverage_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(vocab_coverage_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert len(want) > 0
+    assert (want["n_oov"] <= want["n_tokens"]).all()
+
+    got = (run_vocab_coverage(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    strict = (con.execute(vocab_coverage_oracle_sql(min_count=50)).df()
+              .sort_values("doc_id").reset_index(drop=True))
+    got50 = (run_vocab_coverage(sf, min_count=50).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got50, strict, check_dtype=False,
+                                  check_exact=True)
+    assert got50["n_oov"].sum() > got["n_oov"].sum()
