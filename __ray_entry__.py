@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": relational.run_rfm_segments,
         "monthly_growth": relational.run_monthly_growth,
         "vocab_coverage": textops.run_vocab_coverage,
+        "ann_recall": similarity.run_ann_recall,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -745,7 +746,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.similarity import (ann_ivf_oracle_sql,
                                                ann_lsh_oracle_sql,
                                                ann_pq_oracle_sql,
-                                               knn_graph_oracle_sql)
+                                               knn_graph_oracle_sql,
+                                               ann_recall_oracle_sql)
     from dude_ray.pipelines.sketches import (
         bloom_registers_oracle_sql, cms_registers_oracle_sql,
         distinct_users_approx_oracle_sql, hll_registers_oracle_sql)
@@ -813,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": rfm_segments_oracle_sql(),
         "monthly_growth": monthly_growth_oracle_sql(),
         "vocab_coverage": vocab_coverage_oracle_sql(),
+        "ann_recall": ann_recall_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

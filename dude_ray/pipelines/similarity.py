@@ -764,3 +764,81 @@ def knn_graph_oracle_sql(k: int = 5) -> str:
         FROM cand
         QUALIFY rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation (approximate vs exact top-k)
+# --------------------------------------------------------------------------
+
+def run_ann_recall(sf_dir: str, num_queries: int = 5, k: int = 10,
+                   n_bits: int = 12, radius: int = 2, seed: int = 42,
+                   concurrency: int = 4):
+    """Recall@k of the LSH approximate path against the exact
+    brute-force scan — the evaluation loop every ANN deployment runs
+    before trusting the index.
+
+    Plan (the 100 TB shape): both inputs are the already-distributed
+    pipelines (:func:`run_ann_lsh`, :func:`run_ann_topk`); their
+    outputs are ``num_queries × k`` rows — CONSTANTS — so the final
+    set intersection happens on collected frames, which is the
+    correct tier (same rule as the graph planner's driver tier:
+    bounded state may centralize).
+
+    Float contract: ``recall = n_hits / n_exact`` is one IEEE
+    division of exact int64 counts."""
+    exact = run_ann_topk(sf_dir, num_queries=num_queries, k=k,
+                         concurrency=concurrency).to_pandas()
+    approx = run_ann_lsh(sf_dir, num_queries=num_queries, k=k,
+                         n_bits=n_bits, radius=radius, seed=seed,
+                         concurrency=concurrency).to_pandas()
+    hit = exact.merge(approx[["query_id", "vec_id"]],
+                      on=["query_id", "vec_id"], how="left",
+                      indicator=True)
+    g = hit.groupby("query_id", sort=True).agg(
+        n_exact=("vec_id", "size"),
+        n_hits=("_merge", lambda s: int((s == "both").sum()))
+    ).reset_index()
+    return pd.DataFrame({
+        "query_id": g["query_id"].astype("int64"),
+        "n_exact": g["n_exact"].astype("int64"),
+        "n_hits": g["n_hits"].astype("int64"),
+        "recall": (g["n_hits"].to_numpy(dtype=np.float64)
+                   / g["n_exact"].to_numpy(dtype=np.float64)),
+    })
+
+
+def ann_recall_oracle_sql(num_queries: int = 5, k: int = 10,
+                          n_bits: int = 12, radius: int = 2,
+                          seed: int = 42) -> str:
+    """DuckDB oracle for :func:`run_ann_recall` — both the exact and
+    the approximate top-k recomputed independently as derived tables,
+    then the intersection counted per query."""
+    lsh = ann_lsh_oracle_sql(num_queries=num_queries, k=k,
+                             n_bits=n_bits, radius=radius, seed=seed)
+    return f"""
+        WITH exact AS (
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT {num_queries}
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       CAST(list_cosine_similarity(q.qe, e.embedding)
+                            AS DOUBLE) AS raw_sim
+                FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY raw_sim DESC, vec_id ASC) <= {k}
+        ), approx AS ({lsh})
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+                        END) AS DOUBLE) / count(*) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """
