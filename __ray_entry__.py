@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_growth": relational.run_monthly_growth,
         "vocab_coverage": textops.run_vocab_coverage,
         "ann_recall": similarity.run_ann_recall,
+        "dedup_recall": dedup.run_dedup_recall,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -702,7 +703,8 @@ def oracle_sql() -> dict[str, str]:
                                           embedding_neardup_oracle_sql,
                                           minhash_oracle_sql,
                                           simhash_oracle_sql,
-                                          substring_dup_oracle_sql)
+                                          substring_dup_oracle_sql,
+                                          dedup_recall_oracle_sql)
     from dude_ray.pipelines.sampling import dataset_split_oracle_sql
     from dude_ray.pipelines.relational import (cheapest_part_oracle_sql,
                                                 event_pivot_oracle_sql,
@@ -816,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_growth": monthly_growth_oracle_sql(),
         "vocab_coverage": vocab_coverage_oracle_sql(),
         "ann_recall": ann_recall_oracle_sql(),
+        "dedup_recall": dedup_recall_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

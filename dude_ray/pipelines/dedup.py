@@ -2295,3 +2295,126 @@ def editdist_neardup_oracle_sql(prefix_chars: int = EDIT_PREFIX_CHARS) -> str:
         FROM p a JOIN p b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.pre, b.pre) <= 1
     """
+
+
+# --------------------------------------------------------------------------
+# dedup recall/precision eval (minhash-LSH candidates vs exact join)
+# --------------------------------------------------------------------------
+
+JACCARD_JOIN_ORACLE_SQL = """
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct([lower(w[i]) || ' ' || lower(w[i+1])
+                              || ' ' || lower(w[i+2])
+                              for i in generate_series(
+                                  1, greatest(len(w) - 2, 0))]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / greatest(len(list_distinct(a.g || b.g)), 1), 6)
+          >= {threshold}
+"""
+
+
+def run_dedup_recall(sf_dir: str, threshold: float = 0.8,
+                     concurrency: int = 4,
+                     target_rows_per_group: int = 65536):
+    """Recall AND precision of the banded minhash-LSH dedup against
+    the exact prefix-filter join at the same threshold — the
+    candidate-quality eval every production dedup runs before trusting
+    its banding parameters (recall < 1 ⇒ bands missed true pairs;
+    precision < 1 ⇒ the two gram definitions disagree at the
+    boundary).
+
+    Plan (the 100 TB shape): both inputs are the already-distributed
+    pair pipelines; their (a, b) streams tag-union into ONE
+    data-scaled hash reduce keyed on the pair, each group emitting a
+    single (n_exact, n_approx, n_both) counter row, so the final
+    merge is constant-size no matter how many duplicate pairs the
+    corpus holds — the pair sets never centralize.
+
+    Float contract: recall/precision are single IEEE divisions of
+    exact int64 counts."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.relational import tree_combine
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": pc.cast(t["a"], pa.int64()),
+                "b": pc.cast(t["b"], pa.int64()),
+                "side": pa.array(np.full(len(t), side, dtype=np.int8)),
+            })
+        return fn
+
+    exact = run_jaccard_join(sf_dir, threshold=threshold,
+                             concurrency=concurrency).map_batches(
+        _tag(0), batch_format="pyarrow")
+    approx = run_minhash_dedup(sf_dir, threshold=threshold,
+                               concurrency=concurrency).map_batches(
+        _tag(1), batch_format="pyarrow")
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False)["side"].agg(["min", "max"])
+        n_both = int((g["min"] != g["max"]).sum())
+        n_exact = int((g["min"] == 0).sum())
+        n_approx = int((g["max"] == 1).sum())
+        return pd.DataFrame({"k": pd.Series([0], dtype="int64"),
+                             "n_exact": pd.Series([n_exact], dtype="int64"),
+                             "n_approx": pd.Series([n_approx],
+                                                   dtype="int64"),
+                             "n_both": pd.Series([n_both], dtype="int64")})
+
+    union = exact.union(approx)
+    partials = hash_grouped_reduce(
+        union, ["a", "b"], _count, max(union.count(), 1),
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("k", "n_exact", "n_approx", "n_both"))
+    out = tree_combine(partials, ["k"],
+                       sums=("n_exact", "n_approx", "n_both"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ne = batch["n_exact"].to_numpy(zero_copy_only=False)
+        na = batch["n_approx"].to_numpy(zero_copy_only=False)
+        nb = batch["n_both"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_exact": pa.array(ne, type=pa.int64()),
+            "n_approx": pa.array(na, type=pa.int64()),
+            "n_both": pa.array(nb, type=pa.int64()),
+            "recall": pa.array(nb / np.maximum(ne, 1), type=pa.float64()),
+            "precision": pa.array(nb / np.maximum(na, 1),
+                                  type=pa.float64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def dedup_recall_oracle_sql(threshold: float = 0.8) -> str:
+    """DuckDB oracle for :func:`run_dedup_recall` — the exact join and
+    the full banded-minhash pipeline recomputed independently as
+    derived tables, then intersected."""
+    exact = JACCARD_JOIN_ORACLE_SQL.format(threshold=threshold)
+    approx = minhash_oracle_sql(threshold=threshold)
+    return f"""
+        WITH exact AS ({exact}),
+        approx AS (SELECT a, b FROM ({approx})),
+        m AS (
+            SELECT coalesce(e.cnt, 0) AS n_exact,
+                   coalesce(ap.cnt, 0) AS n_approx,
+                   coalesce(b.cnt, 0) AS n_both
+            FROM (SELECT count(*) AS cnt FROM exact) e,
+                 (SELECT count(*) AS cnt FROM approx) ap,
+                 (SELECT count(*) AS cnt FROM exact
+                  JOIN approx USING (a, b)) b
+        )
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_approx AS BIGINT) AS n_approx,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(n_both AS DOUBLE) / greatest(n_exact, 1) AS recall,
+               CAST(n_both AS DOUBLE) / greatest(n_approx, 1)
+                   AS precision
+        FROM m
+    """

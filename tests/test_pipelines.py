@@ -2529,3 +2529,30 @@ def test_ann_recall_local_oracle(ray_session):
     got = run_ann_recall(sf).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_dedup_recall_local_oracle(ray_session):
+    """LSH-vs-exact pair-set recall/precision equals the DuckDB
+    dual-recompute at sf0.001 across both hash_grouped_reduce
+    tiers."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.dedup import (run_dedup_recall,
+                                          dedup_recall_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(dedup_recall_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) == 1
+    assert want["n_exact"][0] > 0
+    assert 0 < want["recall"][0] <= 1
+
+    for trg in (4, 1 << 22):
+        got = (run_dedup_recall(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
