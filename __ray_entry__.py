@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": textops.run_vocab_coverage,
         "ann_recall": similarity.run_ann_recall,
         "dedup_recall": dedup.run_dedup_recall,
+        "coverage_curve": textops.run_coverage_curve,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -693,7 +694,8 @@ def oracle_sql() -> dict[str, str]:
                                             pmi_collocations_oracle_sql,
                                             readability_oracle_sql,
                                             source_stats_oracle_sql,
-                                            vocab_coverage_oracle_sql)
+                                            vocab_coverage_oracle_sql,
+                                            coverage_curve_oracle_sql)
     from dude_ray.pipelines.clustering import (embedding_project_oracle_sql,
                                                kmeans_cluster_oracle_sql,
                                                pca_oracle_sql,
@@ -819,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": vocab_coverage_oracle_sql(),
         "ann_recall": ann_recall_oracle_sql(),
         "dedup_recall": dedup_recall_oracle_sql(),
+        "coverage_curve": coverage_curve_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

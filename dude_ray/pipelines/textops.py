@@ -1402,3 +1402,95 @@ def vocab_coverage_oracle_sql(min_count: int = 5) -> str:
         FROM tok LEFT JOIN vocab v ON tok.t = v.t
         GROUP BY tok.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# vocabulary coverage curve (corpus share of the top-k vocab)
+# --------------------------------------------------------------------------
+
+def run_coverage_curve(sf_dir: str, ks=(100, 1000, 10000),
+                       batch_size: int = 4096):
+    """For each vocabulary budget k: how much of the corpus token
+    stream the top-k tokens cover — the Zipf curve that sizes a
+    tokenizer's vocab before training one.
+
+    Plan (the 100 TB shape): ONE scan emits pre-counted (token, c)
+    partials into the data-scaled hash reduce (the
+    :func:`run_vocab_coverage` stage 1); the total token count is an
+    exact int64 tree-sum of the same partials; the count table then
+    sorts ONCE distributed (desc count, asc token — deterministic
+    ties) and each budget is a ``limit(k)`` stream over the sorted
+    prefix, never a full-vocab collect.
+
+    Float contract: ``share = covered / total`` is one IEEE division
+    of exact int64 sums."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for text in batch["text"].to_pylist():
+            for t in tok_re.findall((text or "").lower()):
+                cnt[t] = cnt.get(t, 0) + 1
+        return pa.table({
+            "t": pa.array(list(cnt.keys()), type=pa.string()),
+            "c": pa.array(list(cnt.values()), type=pa.int64()),
+        })
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("t", sort=False)["c"].sum().reset_index()
+
+    ds = _docs(sf_dir, ["text"])
+    partials = ds.map_batches(_counts, batch_format="pyarrow",
+                              batch_size=batch_size)
+    vocab = hash_grouped_reduce(partials, "t", _reduce,
+                                partials.count(),
+                                out_cols=("t", "c")).materialize()
+    total = int(vocab.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [pc.sum(t["c"]).as_py() or 0], type=pa.int64())}),
+        batch_format="pyarrow").sum("s"))
+    ranked = vocab.sort(["c", "t"], descending=[True, False])
+
+    rows = []
+    for k in sorted(ks):
+        covered = int(ranked.limit(k).sum("c") or 0)
+        rows.append((int(k), covered))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], type=pa.int64()),
+        "covered": pa.array([r[1] for r in rows], type=pa.int64()),
+        "total": pa.array([total] * len(rows), type=pa.int64()),
+        "share": pa.array([r[1] / total for r in rows],
+                          type=pa.float64()),
+    })
+
+
+def coverage_curve_oracle_sql(ks=(100, 1000, 10000)) -> str:
+    """DuckDB oracle for :func:`run_coverage_curve` (explode + count +
+    per-budget ranked prefix sums; same TOKEN_RE contract)."""
+    ks_sql = ", ".join(str(int(k)) for k in sorted(ks))
+    return f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        ), tok AS (
+            SELECT unnest(w) AS t FROM toks
+        ), cnt AS (
+            SELECT t, count(*) AS c,
+                   row_number() OVER (ORDER BY count(*) DESC, t ASC)
+                       AS rnk
+            FROM tok GROUP BY t
+        ), tot AS (SELECT count(*) AS total FROM tok)
+        SELECT k, CAST(covered AS BIGINT) AS covered,
+               CAST(total AS BIGINT) AS total,
+               CAST(covered AS DOUBLE) / total AS share
+        FROM (
+            SELECT k.k, sum(CASE WHEN cnt.rnk <= k.k THEN cnt.c
+                                 ELSE 0 END) AS covered
+            FROM (SELECT unnest([{ks_sql}]) AS k) k, cnt
+            GROUP BY k.k
+        ) s, tot
+        ORDER BY k
+    """

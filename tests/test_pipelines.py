@@ -2556,3 +2556,28 @@ def test_dedup_recall_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_coverage_curve_local_oracle(ray_session):
+    """Top-k vocab coverage shares equal the DuckDB ranked-prefix
+    recompute at sf0.001 and increase monotonically with k."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.textops import (run_coverage_curve,
+                                            coverage_curve_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    ks = (10, 100, 1000)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(coverage_curve_oracle_sql(ks=ks)).df()
+            .reset_index(drop=True))
+    assert len(want) == 3
+    assert want["share"].is_monotonic_increasing
+    assert want["share"].iloc[-1] <= 1.0
+
+    got = run_coverage_curve(sf, ks=ks).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
