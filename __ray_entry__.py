@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": similarity.run_ann_recall,
         "dedup_recall": dedup.run_dedup_recall,
         "coverage_curve": textops.run_coverage_curve,
+        "user_burstiness": relational.run_user_burstiness,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -733,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
                                                 type_lift_oracle_sql,
                                                 rfm_segments_oracle_sql,
                                                 monthly_growth_oracle_sql,
+                                                user_burstiness_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -822,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": ann_recall_oracle_sql(),
         "dedup_recall": dedup_recall_oracle_sql(),
         "coverage_curve": coverage_curve_oracle_sql(),
+        "user_burstiness": user_burstiness_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

@@ -4694,3 +4694,100 @@ def monthly_growth_oracle_sql() -> str:
                      / LAG(cents) OVER (ORDER BY month), 4) AS growth
         FROM m ORDER BY month
     """
+
+
+# --------------------------------------------------------------------------
+# user burstiness per event type (Fano factor / overdispersion)
+# --------------------------------------------------------------------------
+
+def run_user_burstiness(sf_dir: str, target_rows_per_group: int = 65536):
+    """Per event type: mean, variance and Fano factor
+    (variance/mean — the overdispersion index) of per-user event
+    counts — the burstiness statistic that separates steady usage
+    from bot/batch traffic.
+
+    Plan (the 100 TB shape): per-batch (type, user, c) count partials
+    feed ONE data-scaled hash reduce on user_id (a user's rows
+    co-locate); each group emits per-type (n_users, Σc, Σc²) —
+    exact int64 moment partials — so the final merge sees
+    #types × #groups constant-width rows and no per-user row ever
+    centralizes.
+
+    Float contract: mean/var/fano derive from exact int64 moments via
+    the SAME float64 expression tree on both engines —
+    ``mean = Σc/n``, ``var = (Σc² − (Σc·1.0)·Σc/n)/(n−1)``,
+    ``fano = var/mean`` — so the doubles are bit-identical with no
+    rounding contract (the PMI precedent)."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]).aggregate([([], "count_all")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+            "c": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        uc = (df.groupby(["event_type", "user_id"], sort=False)["c"]
+              .sum())
+        per = uc.reset_index().groupby("event_type", sort=False)["c"]
+        out = per.agg(n_users="size", sum_c="sum",
+                      sum_c2=lambda s: int((s.to_numpy(dtype=np.int64)
+                                            ** 2).sum())).reset_index()
+        return out.astype({"n_users": "int64", "sum_c": "int64",
+                           "sum_c2": "int64"})
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=65536)
+    moments = hash_grouped_reduce(
+        partials, "user_id", _moments, partials.count(),
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("event_type", "n_users", "sum_c", "sum_c2"))
+    out = tree_combine(moments, ["event_type"],
+                       sums=("n_users", "sum_c", "sum_c2"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_users"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sc = batch["sum_c"].to_numpy(zero_copy_only=False)
+        sc2 = batch["sum_c2"].to_numpy(zero_copy_only=False)
+        mean = sc / n
+        var = (sc2 - (sc * 1.0) * sc / n) / (n - 1.0)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_users": batch["n_users"],
+            "mean_events": pa.array(mean, type=pa.float64()),
+            "var_events": pa.array(var, type=pa.float64()),
+            "fano": pa.array(var / mean, type=pa.float64()),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+def user_burstiness_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_user_burstiness` (exact int64
+    moments, the same float64 expression tree as the engine — NOT
+    var_samp, whose internal order differs)."""
+    return """
+        WITH uc AS (
+            SELECT event_type, user_id, count(*) AS c
+            FROM events GROUP BY event_type, user_id
+        ), m AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_c,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM uc GROUP BY event_type
+        )
+        SELECT event_type, n AS n_users,
+               sum_c / CAST(n AS DOUBLE) AS mean_events,
+               (sum_c2 - (sum_c * 1.0) * sum_c / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS var_events,
+               ((sum_c2 - (sum_c * 1.0) * sum_c / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0))
+                   / (sum_c / CAST(n AS DOUBLE)) AS fano
+        FROM m ORDER BY event_type
+    """

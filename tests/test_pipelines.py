@@ -2581,3 +2581,28 @@ def test_coverage_curve_local_oracle(ray_session):
     got = run_coverage_curve(sf, ks=ks).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_user_burstiness_local_oracle(ray_session):
+    """Fano factors equal the DuckDB exact-moment recompute at
+    sf0.001 bit-for-bit across both hash_grouped_reduce tiers."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_user_burstiness,
+                                               user_burstiness_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(user_burstiness_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 1
+    assert (want["fano"] > 0).all()
+
+    for trg in (64, 1 << 22):
+        got = (run_user_burstiness(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
