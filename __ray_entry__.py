@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_recall": dedup.run_dedup_recall,
         "coverage_curve": textops.run_coverage_curve,
         "user_burstiness": relational.run_user_burstiness,
+        "revenue_gini": relational.run_revenue_gini,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -735,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
                                                 rfm_segments_oracle_sql,
                                                 monthly_growth_oracle_sql,
                                                 user_burstiness_oracle_sql,
+                                                revenue_gini_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -825,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall": dedup_recall_oracle_sql(),
         "coverage_curve": coverage_curve_oracle_sql(),
         "user_burstiness": user_burstiness_oracle_sql(),
+        "revenue_gini": revenue_gini_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

@@ -4791,3 +4791,134 @@ def user_burstiness_oracle_sql() -> str:
                    / (sum_c / CAST(n AS DOUBLE)) AS fano
         FROM m ORDER BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# revenue concentration per market segment (exact Gini coefficient)
+# --------------------------------------------------------------------------
+
+def run_revenue_gini(sf_dir: str, target_rows_per_group: int = 65536):
+    """Gini coefficient of customer lifetime spend within each market
+    segment — the revenue-concentration statistic ("do 1% of
+    customers carry the segment?").
+
+    Plan (the 100 TB shape): orders fold to per-customer exact cents
+    and join the customer's segment in ONE tagged-union hash reduce
+    on custkey (the :func:`run_lapsed_customers` shape — neither side
+    broadcasts); each reduce group emits only its local
+    (segment, cents → count) histogram, so the merge holds the
+    distinct-spend distribution per segment, not customers.  The Gini
+    rank sum is tie-invariant (equal values swap positions without
+    changing Σ rank·value), so it computes EXACTLY from the histogram:
+    a value-run of count c starting at cumulative position p
+    contributes value·(c·p + c(c+1)/2) — all int64.
+
+    Float contract: ``gini = (2·S)/(n·T) − (n+1)/n`` evaluated with
+    the SAME float64 expression tree on both engines (S, T, n exact
+    ints converted once to double)."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        y = batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        t = pa.table({"ckey": batch["o_custkey"],
+                      "cents": pa.array(cents, type=pa.int64())})
+        g = t.group_by(["ckey"]).aggregate([("cents", "sum")])
+        n = len(g)
+        return pa.table({
+            "ckey": g["ckey"], "cents": g["cents_sum"],
+            "seg": pa.nulls(n, type=pa.string()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "ckey": batch["c_custkey"],
+            "cents": pa.nulls(n, type=pa.int64()),
+            "seg": batch["c_mktsegment"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice"]).map_batches(
+        order_side, batch_format="pyarrow", batch_size=65536)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_side, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = sum(n for t in ("orders", "customer") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 1]
+        c = df[df["side"] == 0]
+        spend = (o.groupby("ckey", sort=False)["cents"].sum()
+                 .reset_index())
+        m = spend.merge(c[["ckey", "seg"]], on="ckey", how="inner")
+        g = (m.groupby(["seg", "cents"], sort=False).size()
+             .reset_index(name="n"))
+        return pd.DataFrame({
+            "seg": g["seg"],
+            "cents": g["cents"].astype("int64"),
+            "n": g["n"].astype("int64")})
+
+    partials = hash_grouped_reduce(
+        orders.union(cust), "ckey", _hist, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("seg", "cents", "n"))
+    hist = tree_combine(partials, ["seg", "cents"], sums=("n",))
+
+    def _gini(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "seg": batch["seg"].to_pylist(),
+            "v": batch["cents"].to_numpy(zero_copy_only=False),
+            "n": batch["n"].to_numpy(zero_copy_only=False),
+        }).sort_values(["seg", "v"])
+        segs, ncs, ginis = [], [], []
+        for seg, grp in df.groupby("seg", sort=True):
+            v = grp["v"].to_numpy(dtype=np.int64)
+            c = grp["n"].to_numpy(dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(c)[:-1]))
+            S = int((v * (c * starts + c * (c + 1) // 2)).sum())
+            T = int((v * c).sum())
+            n = int(c.sum())
+            gini = ((2.0 * S) / (float(n) * float(T))
+                    - (n + 1.0) / float(n))
+            segs.append(seg)
+            ncs.append(n)
+            ginis.append(gini)
+        return pa.table({
+            "mktsegment": pa.array(segs, type=pa.string()),
+            "n_cust": pa.array(ncs, type=pa.int64()),
+            "gini": pa.array(ginis, type=pa.float64()),
+        })
+
+    return hist.map_batches(_gini, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def revenue_gini_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_revenue_gini` — row_number rank
+    sum (tie-invariant) with the same float64 expression tree."""
+    return """
+        WITH spend AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT c.c_mktsegment AS seg, s.cents,
+                   row_number() OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY s.cents) AS rn
+            FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+        )
+        SELECT seg AS mktsegment, count(*) AS n_cust,
+               (2.0 * CAST(sum(rn * cents) AS BIGINT))
+                   / (CAST(count(*) AS DOUBLE)
+                      * CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE))
+                   - (count(*) + 1.0) / CAST(count(*) AS DOUBLE)
+                   AS gini
+        FROM ranked GROUP BY seg ORDER BY mktsegment
+    """

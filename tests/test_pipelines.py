@@ -2606,3 +2606,30 @@ def test_user_burstiness_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_revenue_gini_local_oracle(ray_session):
+    """Histogram-exact Gini equals the DuckDB row_number rank-sum
+    recompute at sf0.001 bit-for-bit across both hash_grouped_reduce
+    tiers (run-start arithmetic == tie-invariant rank sum)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_revenue_gini,
+                                               revenue_gini_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(revenue_gini_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) >= 2
+    assert ((want["gini"] > 0) & (want["gini"] < 1)).all()
+
+    for trg in (64, 1 << 22):
+        got = (run_revenue_gini(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
