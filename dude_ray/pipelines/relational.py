@@ -4922,3 +4922,107 @@ def revenue_gini_oracle_sql() -> str:
                    AS gini
         FROM ranked GROUP BY seg ORDER BY mktsegment
     """
+
+
+# --------------------------------------------------------------------------
+# inter-arrival time stats per event type (cadence moments)
+# --------------------------------------------------------------------------
+
+def run_interarrival_stats(sf_dir: str, users_per_group: int | None = None):
+    """Per event type: count, mean and variance of the time gap (in
+    whole SECONDS — each timestamp truncated to seconds before
+    differencing, so the squared-moment sum stays inside int64 at any
+    realistic corpus; promote Σg² to a 128-bit accumulator past
+    ~10¹⁸ s²·rows) since the SAME user's previous event — the cadence
+    statistic behind rate limiting and engagement models.  A gap is
+    attributed to the type of the LATER event.
+
+    Scale shape: the :func:`run_event_transitions` discipline — ONE
+    hash partition on data-scaled coarsened user buckets, a vectorized
+    lexsort + shift per bucket, then per-type EXACT int64 moment
+    partials (n, Σgap, Σgap²) into :func:`tree_combine`.
+
+    Float contract: mean/var derive from the exact moments via the
+    same float64 expression tree as :func:`run_user_burstiness`."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    def _moments(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        typ = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, typ = uid[order], typ[order]
+        ts_s = ts[order] // 1_000_000
+        same = uid[1:] == uid[:-1]
+        gaps = (ts_s[1:] - ts_s[:-1])[same]
+        d = pd.DataFrame({"event_type": typ[1:][same], "gap": gaps})
+        out = d.groupby("event_type", sort=False)["gap"].agg(
+            n="size", sum_g="sum",
+            sum_g2=lambda s: int((s.to_numpy(dtype=np.int64) ** 2)
+                                 .sum())).reset_index()
+        return out.astype({"n": "int64", "sum_g": "int64",
+                           "sum_g2": "int64"})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow",
+                           batch_size=16384)
+    partials = keyed.groupby("ugroup").map_groups(
+        _moments, batch_format="pandas")
+    out = tree_combine(partials, ["event_type"],
+                       sums=("n", "sum_g", "sum_g2"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sg = batch["sum_g"].to_numpy(zero_copy_only=False)
+        sg2 = batch["sum_g2"].to_numpy(zero_copy_only=False)
+        mean = sg / n
+        var = (sg2 - (sg * 1.0) * sg / n) / (n - 1.0)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_gaps": pc.cast(batch["n"], pa.int64()),
+            "mean_gap_s": pa.array(mean, type=pa.float64()),
+            "var_gap_s": pa.array(var, type=pa.float64()),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+def interarrival_stats_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_interarrival_stats` (LAG over the
+    (ts, event_id)-ordered per-user timeline; exact int64 moments,
+    same expression tree — not var_samp)."""
+    return """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) // 1000000
+                   - LAG(epoch_us(ts) // 1000000) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS gap
+            FROM events
+        ), m AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(gap) AS BIGINT) AS sum_g,
+                   CAST(sum(gap * gap) AS BIGINT) AS sum_g2
+            FROM g WHERE gap IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, n AS n_gaps,
+               sum_g / CAST(n AS DOUBLE) AS mean_gap_s,
+               (sum_g2 - (sum_g * 1.0) * sum_g / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS var_gap_s
+        FROM m ORDER BY event_type
+    """

@@ -2633,3 +2633,28 @@ def test_revenue_gini_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_interarrival_stats_local_oracle(ray_session):
+    """Per-type gap moments equal the DuckDB LAG recompute at sf0.001
+    bit-for-bit, invariant to the user-bucket width."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_interarrival_stats,
+                                               interarrival_stats_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(interarrival_stats_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 1
+    assert (want["mean_gap_s"] > 0).all()
+
+    for width in (4, 1 << 20):
+        got = (run_interarrival_stats(sf, users_per_group=width)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
