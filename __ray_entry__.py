@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burstiness": relational.run_user_burstiness,
         "revenue_gini": relational.run_revenue_gini,
         "interarrival_stats": relational.run_interarrival_stats,
+        "weekday_index": relational.run_weekday_index,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -739,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
                                                 user_burstiness_oracle_sql,
                                                 revenue_gini_oracle_sql,
                                                 interarrival_stats_oracle_sql,
+                                                weekday_index_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -831,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "user_burstiness": user_burstiness_oracle_sql(),
         "revenue_gini": revenue_gini_oracle_sql(),
         "interarrival_stats": interarrival_stats_oracle_sql(),
+        "weekday_index": weekday_index_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

@@ -5026,3 +5026,81 @@ def interarrival_stats_oracle_sql() -> str:
                    / (CAST(n AS DOUBLE) - 1.0) AS var_gap_s
         FROM m ORDER BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# weekday seasonality index (revenue share per ISO weekday)
+# --------------------------------------------------------------------------
+
+def run_weekday_index(sf_dir: str):
+    """Order revenue by ISO weekday plus its seasonality index
+    (``weekday revenue × 7 / total revenue`` — 1.0 = a flat week) —
+    the day-of-week demand profile.
+
+    Plan (the 100 TB shape): per-batch partial (isodow → n, cents)
+    rows tree-merge to exactly 7 rows; the index divides exact int64
+    cents at the end (``(cents·7.0)/total``, one shared expression
+    tree).  ISO weekday computes vectorized from the epoch-day
+    (1970-01-01 is ISO day 4)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = us // 86_400_000_000
+        dow = (days + 3) % 7 + 1
+        y = batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        t = pa.table({
+            "dow": pa.array(dow.astype(np.int64), type=pa.int64()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+        g = t.group_by(["dow"]).aggregate([("n", "sum"),
+                                           ("cents", "sum")])
+        return pa.table({"dow": g["dow"], "n": g["n_sum"],
+                         "cents": g["cents_sum"]})
+
+    merged = tree_combine(
+        _read(sf_dir, "orders",
+              ["o_orderdate", "o_totalprice"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["dow"], sums=("n", "cents"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "dow": batch["dow"].to_numpy(zero_copy_only=False),
+            "n": batch["n"].to_numpy(zero_copy_only=False),
+            "cents": batch["cents"].to_numpy(zero_copy_only=False),
+        }).sort_values("dow")
+        total = int(df["cents"].sum())
+        c = df["cents"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "dow": pa.array(df["dow"].to_numpy(dtype=np.int64)),
+            "n_orders": pa.array(df["n"].to_numpy(dtype=np.int64)),
+            "revenue": _py_round(
+                pa.array(c / 100.0, type=pa.float64()), 2),
+            "idx": pa.array((c * 7.0) / float(total),
+                            type=pa.float64()),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def weekday_index_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_weekday_index` (isodow + exact
+    cents; the total is a window sum over the 7-row aggregate)."""
+    return """
+        WITH d AS (
+            SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS cents
+            FROM orders GROUP BY dow
+        )
+        SELECT dow, n_orders,
+               round(cents / 100.0, 2) AS revenue,
+               (cents * 7.0) / CAST(sum(cents) OVER () AS DOUBLE)
+                   AS idx
+        FROM d ORDER BY dow
+    """

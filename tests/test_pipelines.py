@@ -2658,3 +2658,26 @@ def test_interarrival_stats_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_weekday_index_local_oracle(ray_session):
+    """Weekday seasonality equals the DuckDB isodow recompute at
+    sf0.001 bit-for-bit, with the 7 indices averaging 1."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_weekday_index,
+                                               weekday_index_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf}/orders.parquet')")
+    want = (con.execute(weekday_index_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) == 7
+    assert abs(want["idx"].mean() - 1.0) < 1e-9
+
+    got = run_weekday_index(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
