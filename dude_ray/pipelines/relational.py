@@ -5104,3 +5104,78 @@ def weekday_index_oracle_sql() -> str:
                    AS idx
         FROM d ORDER BY dow
     """
+
+
+# --------------------------------------------------------------------------
+# forecast revenue change (TPC-H Q6 shape: filtered scalar aggregate)
+# --------------------------------------------------------------------------
+
+Q6_START = "1996-01-01"
+Q6_END = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_MAX_QTY = 24.0
+
+
+def run_forecast_revenue(sf_dir: str, start: str = Q6_START,
+                         end: str = Q6_END,
+                         disc_lo: float = Q6_DISC_LO,
+                         disc_hi: float = Q6_DISC_HI,
+                         max_qty: float = Q6_MAX_QTY):
+    """TPC-H Q6 shape: the revenue increase from eliminating a
+    discount band in one year — the pure filtered scalar aggregate
+    (the simplest pipeline in the suite, and the one that most
+    directly measures scan + predicate throughput).
+
+    Plan (the 100 TB shape): each batch filters on three vectorized
+    predicates and emits ONE one-row partial; the combine is a
+    fixed-size scalar merge.  Column pruning means only 4 of
+    lineitem's 11 columns leave storage.
+
+    Float contract: the sum rounds to 2 dp after the final merge;
+    band-edge comparisons are raw double equality — identical
+    literals parse to identical doubles in both engines."""
+    start_us = np.int64(pd.Timestamp(start).value // 1000)
+    end_us = np.int64(pd.Timestamp(end).value // 1000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = ((sd >= start_us) & (sd < end_us)
+                & (d >= disc_lo) & (d <= disc_hi) & (q < max_qty))
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "rev": pa.array([float((ep[keep] * d[keep]).sum())],
+                            type=pa.float64()),
+        })
+
+    merged = tree_combine(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_discount", "l_quantity",
+               "l_extendedprice"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["k"], sums=("rev",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"revenue": _py_round(batch["rev"], 2)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def forecast_revenue_oracle_sql(start: str = Q6_START,
+                                end: str = Q6_END,
+                                disc_lo: float = Q6_DISC_LO,
+                                disc_hi: float = Q6_DISC_HI,
+                                max_qty: float = Q6_MAX_QTY) -> str:
+    """DuckDB oracle for :func:`run_forecast_revenue` (TPC-H Q6)."""
+    return f"""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{start}'
+          AND l_shipdate < TIMESTAMP '{end}'
+          AND l_discount BETWEEN {disc_lo} AND {disc_hi}
+          AND l_quantity < {max_qty}
+    """

@@ -2681,3 +2681,28 @@ def test_weekday_index_local_oracle(ray_session):
     got = run_weekday_index(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_forecast_revenue_local_oracle(ray_session):
+    """Q6-shape filtered scalar equals the DuckDB recompute at
+    sf0.001 and the filter actually selects a proper subset."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_forecast_revenue,
+                                               forecast_revenue_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = (con.execute(forecast_revenue_oracle_sql()).df()
+            .reset_index(drop=True))
+    total = con.execute(
+        "SELECT round(sum(l_extendedprice * l_discount), 2) "
+        "FROM lineitem").fetchone()[0]
+    assert 0 < want["revenue"][0] < total
+
+    got = run_forecast_revenue(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
