@@ -522,6 +522,42 @@ def run_bench() -> dict:
     relational.run_monthly_growth(SF_DIR).materialize()
     timings["monthly_growth"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_weekday_index(SF_DIR).materialize()
+    timings["weekday_index"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_forecast_revenue(SF_DIR).materialize()
+    timings["forecast_revenue"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_user_burstiness(SF_DIR).materialize()
+    timings["user_burstiness"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_interarrival_stats(SF_DIR).materialize()
+    timings["interarrival_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_revenue_gini(SF_DIR).materialize()
+    timings["revenue_gini"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_vocab_coverage(SF_DIR).materialize()
+    timings["vocab_coverage"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_coverage_curve(SF_DIR)
+    timings["coverage_curve"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.run_ann_recall(SF_DIR)
+    timings["ann_recall"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_dedup_recall(SF_DIR).materialize()
+    timings["dedup_recall"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
