@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats": relational.run_interarrival_stats,
         "weekday_index": relational.run_weekday_index,
         "forecast_revenue": relational.run_forecast_revenue,
+        "props_field_stats": relational.run_props_field_stats,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -743,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
                                                 interarrival_stats_oracle_sql,
                                                 weekday_index_oracle_sql,
                                                 forecast_revenue_oracle_sql,
+                                                props_field_stats_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -837,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_stats": interarrival_stats_oracle_sql(),
         "weekday_index": weekday_index_oracle_sql(),
         "forecast_revenue": forecast_revenue_oracle_sql(),
+        "props_field_stats": props_field_stats_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

@@ -5179,3 +5179,84 @@ def forecast_revenue_oracle_sql(start: str = Q6_START,
           AND l_discount BETWEEN {disc_lo} AND {disc_hi}
           AND l_quantity < {max_qty}
     """
+
+
+# --------------------------------------------------------------------------
+# JSON props field stats (semi-structured column extraction)
+# --------------------------------------------------------------------------
+
+def run_props_field_stats(sf_dir: str, field: str = "k"):
+    """Per event type: count/sum/mean/min/max of an integer field
+    extracted from the semi-structured JSON ``props`` column — the
+    schema-on-read shape every event pipeline hits (typed access into
+    a JSON blob without a preparsed column).
+
+    Plan (the 100 TB shape): extraction is ONE vectorized Arrow
+    kernel per batch (``pc.extract_regex`` — no per-row Python, no
+    JSON object allocation); rows lacking the field drop out via the
+    null mask; per-batch partials carry exact int64 (n, Σ, min, max)
+    and :func:`tree_combine` merges ≤ #types rows.
+
+    Float contract: ``mean = Σ/n`` is one IEEE division of exact
+    int64s.  The extraction contract is the integer-valued field
+    ``{field}`` (regex and json_extract agree on every well-formed
+    integer; non-integer values are out of contract)."""
+    pattern = rf'"{field}":\s*(?P<v>-?\d+)'
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"], pattern)
+        v = pc.struct_field(ex, "v")
+        ok = pc.is_valid(v)
+        t = pa.table({
+            "event_type": pc.filter(batch["event_type"], ok),
+            "v": pc.cast(pc.filter(v, ok), pa.int64()),
+            "n": pa.array(np.ones(int(pc.sum(pc.cast(ok, pa.int64()))
+                                      .as_py() or 0), dtype=np.int64)),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("v", "sum"), ("v", "min"), ("v", "max")])
+        return pa.table({
+            "event_type": g["event_type"], "n": g["n_sum"],
+            "sum_v": g["v_sum"], "min_v": g["v_min"],
+            "max_v": g["v_max"]})
+
+    merged = tree_combine(
+        _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type"], sums=("n", "sum_v"), mins=("min_v",),
+        maxs=("max_v",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        s = batch["sum_v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_with_field": pc.cast(batch["n"], pa.int64()),
+            "sum_v": pc.cast(batch["sum_v"], pa.int64()),
+            "mean_v": pa.array(s / n.astype(np.float64),
+                               type=pa.float64()),
+            "min_v": pc.cast(batch["min_v"], pa.int64()),
+            "max_v": pc.cast(batch["max_v"], pa.int64()),
+        })
+
+    return (merged.map_batches(finalize, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+def props_field_stats_oracle_sql(field: str = "k") -> str:
+    """DuckDB oracle for :func:`run_props_field_stats`
+    (json_extract + typed cast)."""
+    return f"""
+        WITH x AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.{field}') AS BIGINT) AS v
+            FROM events
+        )
+        SELECT event_type, count(v) AS n_with_field,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v) AS BIGINT) / CAST(count(v) AS DOUBLE)
+                   AS mean_v,
+               min(v) AS min_v, max(v) AS max_v
+        FROM x WHERE v IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """

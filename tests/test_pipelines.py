@@ -2706,3 +2706,29 @@ def test_forecast_revenue_local_oracle(ray_session):
     got = run_forecast_revenue(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_props_field_stats_local_oracle(ray_session):
+    """JSON-field extraction stats equal the DuckDB json_extract
+    recompute at sf0.001, and a missing field yields zero rows."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_props_field_stats,
+                                               props_field_stats_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(props_field_stats_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 1
+    assert (want["min_v"] <= want["max_v"]).all()
+
+    got = run_props_field_stats(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    none = run_props_field_stats(sf, field="nope").to_pandas()
+    assert len(none) == 0
