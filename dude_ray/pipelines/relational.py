@@ -12,6 +12,7 @@ tiny — ``groupby``; the dimension side of each join is broadcast via
 from __future__ import annotations
 
 import functools
+import math
 import re
 
 import numpy as np
@@ -5259,4 +5260,138 @@ def props_field_stats_oracle_sql(field: str = "k") -> str:
                min(v) AS min_v, max(v) AS max_v
         FROM x WHERE v IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+    """
+
+
+def run_value_props_corr(sf_dir: str, field: str = "k"):
+    """Per event type: Pearson correlation and OLS slope/intercept of
+    ``value`` (exact integer cents) on the integer JSON field
+    ``props.{field}`` — the "does this logged knob move revenue"
+    regression every event pipeline runs, composed schema-on-read.
+
+    Plan (the 100 TB shape): ONE scan; extraction is the same
+    vectorized ``pc.extract_regex`` kernel as
+    :func:`run_props_field_stats`; each batch emits exact int64
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) per type and
+    :func:`tree_combine` merges ≤ #types rows — no shuffle of row
+    data, no float accumulation anywhere in the distributed part.
+
+    Float contract: the merged moments are exact integers (per-batch
+    int64 sums are safe to ~10^9 rows/type at the testdata's value
+    range; the final merge is widened to Python ints on ≤ #types
+    rows), and BOTH engines finalize with the identical IEEE
+    expression tree —
+    ``r = double(nΣxy−ΣxΣy) / sqrt(double(nΣx²−Σx²)·double(nΣy²−Σy²))``,
+    ``slope = double(nΣxy−ΣxΣy) / double(nΣx²−Σx²)``,
+    ``intercept = (double(Σy) − slope·double(Σx)) / double(n)`` —
+    so every double is bit-identical.  Money follows the
+    half-away-from-zero integer-cents contract
+    (:func:`run_lapsed_customers`)."""
+    pattern = rf'"{field}":\s*(?P<v>-?\d+)'
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"], pattern)
+        v = pc.struct_field(ex, "v")
+        ok = pc.is_valid(v)
+        x = pc.cast(pc.filter(v, ok), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y100 = pc.filter(batch["value"], ok).to_numpy(
+            zero_copy_only=False).astype(np.float64) * 100.0
+        y = (np.sign(y100) * np.floor(np.abs(y100) + 0.5)).astype(
+            np.int64)
+        t = pa.table({
+            "event_type": pc.filter(batch["event_type"], ok),
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+            "syy": pa.array(y * y),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx",
+                                  "syy")])
+        return pa.table({"event_type": g["event_type"],
+                         **{c: g[c + "_sum"]
+                            for c in ("n", "sx", "sy", "sxy", "sxx",
+                                      "syy")}})
+
+    merged = tree_combine(
+        _read(sf_dir, "events",
+              ["event_type", "props", "value"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type"], sums=("n", "sx", "sy", "sxy", "sxx", "syy"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = {"event_type": [], "n": [], "pearson_r": [],
+               "slope": [], "intercept": []}
+        for r in rows:
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxy, sxx, syy = (int(r["sxy"]), int(r["sxx"]),
+                             int(r["syy"]))
+            cov_n = n * sxy - sx * sy          # exact Python ints
+            varx_n = n * sxx - sx * sx
+            vary_n = n * syy - sy * sy
+            den = math.sqrt(float(varx_n) * float(vary_n))
+            pr = float(cov_n) / den if den != 0.0 else None
+            slope = (float(cov_n) / float(varx_n)
+                     if varx_n != 0 else None)
+            icpt = ((float(sy) - slope * float(sx)) / float(n)
+                    if slope is not None else None)
+            out["event_type"].append(r["event_type"])
+            out["n"].append(n)
+            out["pearson_r"].append(pr)
+            out["slope"].append(slope)
+            out["intercept"].append(icpt)
+        return pa.table({
+            "event_type": pa.array(out["event_type"],
+                                   type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "pearson_r": pa.array(out["pearson_r"],
+                                  type=pa.float64()),
+            "slope": pa.array(out["slope"], type=pa.float64()),
+            "intercept": pa.array(out["intercept"],
+                                  type=pa.float64()),
+        })
+
+    return (merged.map_batches(finalize, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+def value_props_corr_oracle_sql(field: str = "k") -> str:
+    """DuckDB oracle for :func:`run_value_props_corr` — the SAME
+    exact-integer moments (HUGEINT sums) finalized by the SAME IEEE
+    expression tree, NOT DuckDB's streaming ``corr()``."""
+    return f"""
+        WITH x AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.{field}') AS BIGINT)
+                       AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        ), m AS (
+            SELECT event_type, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                   sum(x*x) AS sxx, sum(y*y) AS syy
+            FROM x WHERE x IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0
+                    THEN NULL
+                    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE))
+               END AS pearson_r,
+               CASE WHEN (n*sxx - sx*sx) = 0 THEN NULL
+                    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE)
+               END AS slope,
+               CASE WHEN (n*sxx - sx*sx) = 0 THEN NULL
+                    ELSE (CAST(sy AS DOUBLE)
+                          - (CAST(n*sxy - sx*sy AS DOUBLE)
+                             / CAST(n*sxx - sx*sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+               END AS intercept
+        FROM m ORDER BY event_type
     """

@@ -2732,3 +2732,43 @@ def test_props_field_stats_local_oracle(ray_session):
 
     none = run_props_field_stats(sf, field="nope").to_pandas()
     assert len(none) == 0
+
+
+def test_value_props_corr_local_oracle(ray_session):
+    """Per-type Pearson/OLS of value-cents on props.k is bit-equal to
+    the DuckDB exact-moment recompute at sf0.001 (shared IEEE
+    expression tree, exact-integer moments in both engines)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_value_props_corr,
+                                               value_props_corr_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(value_props_corr_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 1
+    assert (want["pearson_r"].abs() <= 1.0).all()
+
+    got = run_value_props_corr(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    # sanity: slope/intercept reproduce numpy's lstsq to float tol
+    ev = con.execute(
+        "SELECT event_type, CAST(json_extract(props,'$.k') AS BIGINT)"
+        " AS x, CAST(round(value*100) AS BIGINT) AS y FROM events"
+    ).df()
+    t = want["event_type"][0]
+    sub = ev[ev["event_type"] == t]
+    ref = np.polyfit(sub["x"].astype(float), sub["y"].astype(float), 1)
+    assert abs(ref[0] - want["slope"][0]) < 1e-6 * max(1, abs(ref[0]))
+    assert abs(ref[1] - want["intercept"][0]) < 1e-6 * max(
+        1, abs(ref[1]))
+
+    none = run_value_props_corr(sf, field="nope").to_pandas()
+    assert len(none) == 0
