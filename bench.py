@@ -558,6 +558,18 @@ def run_bench() -> dict:
     dedup.run_dedup_recall(SF_DIR).materialize()
     timings["dedup_recall"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_props_field_stats(SF_DIR).materialize()
+    timings["props_field_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_value_props_corr(SF_DIR).materialize()
+    timings["value_props_corr"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_anomaly_mad(SF_DIR).materialize()
+    timings["anomaly_mad"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -3053,6 +3053,106 @@ def median_by_type_oracle_sql() -> str:
     """
 
 
+def run_anomaly_mad(sf_dir: str, k: float = 3.0):
+    """Robust per-event-type outlier detection: median, MAD
+    (median absolute deviation) and the count of values beyond
+    ``k × MAD`` of the median — the standard robust anomaly gate
+    (unlike z-scores, immune to the outliers it hunts).
+
+    Scale shape: MAD needs TWO holistic medians, but the exact
+    per-type VALUE HISTOGRAM (bounded 2-decimal domain, see
+    :func:`run_median_by_type`) carries the full distribution, so ONE
+    scan emits mergeable (type, value, n) partials and the finalize on
+    the tiny merged block derives median, the deviation histogram
+    (re-sorted by |v−med|), its weighted median, and the outlier count
+    — no second pass over the data, no sort, no row shuffle.
+
+    Float contract: median/MAD interpolate even-n as ``(a+b)/2``
+    (matching :func:`run_median_by_type`'s verified DuckDB-equality);
+    deviations and the ``k·MAD`` threshold are single IEEE ops on
+    identical doubles in both engines."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "value"]).aggregate(
+            [("value", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"],
+                         "n": pc.cast(g["value_count"], pa.int64())})
+
+    hist = tree_combine(ds.map_batches(_hist, batch_format="pyarrow",
+                                       batch_size=16384),
+                        ["event_type", "value"], sums=("n",))
+
+    def _weighted_median(v: np.ndarray, c: np.ndarray) -> float:
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        k1, k2 = (n - 1) // 2, n // 2
+        a = v[np.searchsorted(cum, k1 + 1, side="left")]
+        b = v[np.searchsorted(cum, k2 + 1, side="left")]
+        return (a + b) / 2.0
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["event_type", "value"])
+        out = {"event_type": [], "n_rows": [], "median_value": [],
+               "mad": [], "n_outliers": []}
+        for t, g in df.groupby("event_type", sort=True):
+            c = g["n"].to_numpy(dtype=np.int64)
+            v = g["value"].to_numpy(dtype=np.float64)
+            med = _weighted_median(v, c)
+            dev = np.abs(v - med)
+            order = np.argsort(dev, kind="stable")
+            mad = _weighted_median(dev[order], c[order])
+            n_out = int(c[dev > k * mad].sum())
+            out["event_type"].append(t)
+            out["n_rows"].append(int(c.sum()))
+            out["median_value"].append(med)
+            out["mad"].append(mad)
+            out["n_outliers"].append(n_out)
+        return pa.table({
+            "event_type": pa.array(out["event_type"],
+                                   type=pa.string()),
+            "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+            "median_value": pa.array(out["median_value"],
+                                     type=pa.float64()),
+            "mad": pa.array(out["mad"], type=pa.float64()),
+            "n_outliers": pa.array(out["n_outliers"],
+                                   type=pa.int64()),
+        })
+
+    return hist.repartition(1).map_batches(
+        _finalize, batch_format="pyarrow", batch_size=None)
+
+
+def anomaly_mad_oracle_sql(k: float = 3.0) -> str:
+    """DuckDB oracle for :func:`run_anomaly_mad` — two explicit
+    median passes plus a threshold count, same doubles throughout."""
+    return f"""
+        WITH m AS (
+            SELECT event_type, count(*) AS n_rows,
+                   median(value) AS med
+            FROM events GROUP BY event_type
+        ), d AS (
+            SELECT e.event_type, abs(e.value - m.med) AS dev
+            FROM events e JOIN m USING (event_type)
+        ), s AS (
+            SELECT event_type, median(dev) AS mad
+            FROM d GROUP BY event_type
+        ), o AS (
+            SELECT d.event_type,
+                   CAST(count(*) FILTER (
+                        WHERE d.dev > {k} * s.mad) AS BIGINT)
+                       AS n_outliers
+            FROM d JOIN s USING (event_type)
+            GROUP BY d.event_type
+        )
+        SELECT m.event_type, m.n_rows, m.med AS median_value,
+               s.mad AS mad, o.n_outliers
+        FROM m JOIN s USING (event_type) JOIN o USING (event_type)
+        ORDER BY event_type
+    """
+
+
 # --------------------------------------------------------------------------
 # top-N per group (generalized keeper rows per key)
 # --------------------------------------------------------------------------

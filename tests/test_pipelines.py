@@ -2772,3 +2772,40 @@ def test_value_props_corr_local_oracle(ray_session):
 
     none = run_value_props_corr(sf, field="nope").to_pandas()
     assert len(none) == 0
+
+
+def test_anomaly_mad_local_oracle(ray_session):
+    """Per-type median/MAD/outlier-count from the one-scan value
+    histogram equals DuckDB's two-median recompute at sf0.001."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_anomaly_mad,
+                                               anomaly_mad_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(anomaly_mad_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) > 1
+    assert (want["mad"] >= 0).all()
+    assert (want["n_outliers"] < want["n_rows"]).all()
+
+    got = run_anomaly_mad(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    # sanity vs numpy on one group (median semantics line up)
+    ev = con.execute("SELECT event_type, value FROM events").df()
+    t = want["event_type"][0]
+    x = ev[ev["event_type"] == t]["value"].to_numpy()
+    assert abs(np.median(x) - want["median_value"][0]) < 1e-9
+    assert abs(np.median(np.abs(x - np.median(x)))
+               - want["mad"][0]) < 1e-9
+
+    # k=inf → zero outliers everywhere
+    loose = run_anomaly_mad(sf, k=float("inf")).to_pandas()
+    assert (loose["n_outliers"] == 0).all()
