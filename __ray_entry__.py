@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join": dedup.run_jaccard_join,
         "dup_clusters": _q_dup_clusters,
         "hll_registers": _q_hll_registers,
+        "kmv_registers": _q_kmv_registers,
+        "distinct_users_kmv": _q_distinct_users_kmv,
         "distinct_users_approx": _q_distinct_users_approx,
         "mix_interleave": _q_mix_interleave,
         "crawl_visits": _q_crawl_visits,
@@ -474,6 +476,26 @@ def _q_hll_registers(sf_dir: str):
     from dude_ray.pipelines.sketches import run_hll_registers
 
     return run_hll_registers(sf_dir)
+
+
+def _q_kmv_registers(sf_dir: str):
+    """The distributed KMV sketch state (event_type, pos, h_hi, h_lo)
+    — the k smallest distinct splitmix64 user hashes per type;
+    mergeable (union → k-smallest), integer-exact, hash-matched
+    against the DuckDB window-rank recompute."""
+    from dude_ray.pipelines.sketches import run_kmv_registers
+
+    return run_kmv_registers(sf_dir)
+
+
+def _q_distinct_users_kmv(sf_dir: str):
+    """KMV distinct estimate (k-1)/h_k derived from the matched
+    register state with a shared one-division float contract;
+    accuracy vs exact asserted in
+    tests/test_pipelines.py::test_kmv_accuracy_and_merge."""
+    from dude_ray.pipelines.sketches import run_distinct_users_kmv
+
+    return run_distinct_users_kmv(sf_dir)
 
 
 def _q_bpe_train(sf_dir: str):
@@ -770,7 +792,8 @@ def oracle_sql() -> dict[str, str]:
                                                ann_recall_oracle_sql)
     from dude_ray.pipelines.sketches import (
         bloom_registers_oracle_sql, cms_registers_oracle_sql,
-        distinct_users_approx_oracle_sql, hll_registers_oracle_sql)
+        distinct_users_approx_oracle_sql, hll_registers_oracle_sql,
+        kmv_registers_oracle_sql, distinct_users_kmv_oracle_sql)
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
 
@@ -863,6 +886,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": ann_pq_oracle_sql(),
         "ccnet_buckets": ccnet_oracle_sql(),
         "hll_registers": hll_registers_oracle_sql(),
+        "kmv_registers": kmv_registers_oracle_sql(),
+        "distinct_users_kmv": distinct_users_kmv_oracle_sql(),
         "cms_registers": cms_registers_oracle_sql(),
         "distinct_users_approx": distinct_users_approx_oracle_sql(),
         "embedding_project": embedding_project_oracle_sql(),

@@ -526,3 +526,168 @@ def bloom_registers_oracle_sql() -> str:
                    FROM documents)
         {selects}
     """
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002
+# --------------------------------------------------------------------------
+
+KMV_K = 64       # registers: the k smallest distinct hash values
+# (k-1)·2^64 — exact in double (63 = 6 significant bits), inlined as
+# the SAME literal in both engines so the estimate is ONE float
+# division of bit-identical operands.
+_KMV_NUM = float((KMV_K - 1) << 64)
+
+
+def _kmv_partials(batch: pa.Table, k: int) -> pa.Table:
+    """Per event_type present in the batch: the ≤k smallest DISTINCT
+    splitmix64(user_id) hashes, split into (h_hi, h_lo) int32-range
+    BIGINT halves (a uint64 never crosses the engine boundary).
+    Same dictionary-code grouping as ``_hll_partials``."""
+    et = batch["event_type"]
+    uniq = pc.unique(et.combine_chunks()
+                     if isinstance(et, pa.ChunkedArray) else et)
+    codes = pc.index_in(et, value_set=uniq).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    users = batch["user_id"].to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(codes, kind="stable")
+    sc, su = codes[order], users[order]
+    bounds = np.r_[np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]]),
+                   len(sc)]
+    types, his, los = [], [], []
+    for i in range(len(bounds) - 1):
+        h = np.unique(_mix64(su[bounds[i]:bounds[i + 1]]))[:k]
+        types.extend([uniq[sc[bounds[i]]].as_py()] * len(h))
+        his.append((h >> np.uint64(32)).astype(np.int64))
+        los.append((h & np.uint64(0xFFFFFFFF)).astype(np.int64))
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "h_hi": pa.array(np.concatenate(his) if his
+                         else np.empty(0, dtype=np.int64)),
+        "h_lo": pa.array(np.concatenate(los) if los
+                         else np.empty(0, dtype=np.int64)),
+    })
+
+
+def run_kmv_registers(sf_dir: str, k: int = KMV_K):
+    """The merged KMV sketch STATE: per event_type, the k smallest
+    distinct splitmix64(user_id) hash values with their rank ``pos``
+    — the SQL-verifiable surface of :func:`run_distinct_users_kmv`
+    (same discipline as :func:`run_hll_registers`: hash-match the full
+    register state, derive the estimate from it).
+
+    Scale shape: every batch emits ≤ k rows per type present
+    (k-smallest is mergeable: union → k smallest), the merge groupby
+    touches only (#blocks × #types × k) fixed-width rows, and the
+    final state is (#types × k) rows regardless of corpus size."""
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g["h_hi"].to_numpy(dtype=np.int64).astype(np.uint64)
+             << np.uint64(32)) | g["h_lo"].to_numpy(
+                 dtype=np.int64).astype(np.uint64)
+        h = np.unique(h)[:k]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]] * len(h),
+            "pos": pd.Series(np.arange(1, len(h) + 1), dtype="int64"),
+            "h_hi": pd.Series((h >> np.uint64(32)).astype(np.int64)),
+            "h_lo": pd.Series((h & np.uint64(0xFFFFFFFF))
+                              .astype(np.int64)),
+        })
+
+    partials = ds.map_batches(
+        lambda b: _kmv_partials(b, k), batch_format="pyarrow",
+        batch_size=16384)
+    return (partials.groupby("event_type")
+            .map_groups(_merge, batch_format="pandas")
+            .sort(["event_type", "pos"]))
+
+
+def run_distinct_users_kmv(sf_dir: str, k: int = KMV_K):
+    """Approximate distinct users per event_type from the KMV sketch:
+    ``(k-1) / h_k`` with ``h_k`` the k-th smallest distinct hash as a
+    fraction of 2^64 (exact count when fewer than k registers fill).
+
+    Float contract: ``est = (k-1)·2^64 / double(h_k)`` — the numerator
+    is the shared exact literal ``_KMV_NUM``; ``double(h_k)`` is the
+    single IEEE rounding of the same uint64 in both engines (the SQL
+    side reconstructs it as ``double(h_hi)·2^32 + double(h_lo)``,
+    which is the identical rounding because ``h_hi·2^32`` is exact)."""
+    regs = run_kmv_registers(sf_dir, k=k)
+
+    def _estimate(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        last = g.loc[g["pos"].idxmax()]
+        kth = (float(int(last["h_hi"])) * 4294967296.0
+               + float(int(last["h_lo"])))
+        est = float(n) if n < k else _KMV_NUM / kth
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_regs": pd.Series([n], dtype="int64"),
+            "n_users_kmv": pd.Series([est], dtype="float64"),
+        })
+
+    return (regs.groupby("event_type")
+            .map_groups(_estimate, batch_format="pandas")
+            .sort("event_type"))
+
+
+def _sql_splitmix64_h(src: str = "events",
+                      key: str = "user_id") -> str:
+    """The splitmix64 CTE chain (s0..s6) shared with
+    :func:`hll_registers_oracle_sql` — ends with (event_type, h)."""
+    from dude_ray.pipelines.dedup import _sql_addmod64, _sql_mulmod64
+
+    inc = int(_SPLITMIX_INC)
+    c1, c2 = int(_SPLITMIX_C1), int(_SPLITMIX_C2)
+    return f"""
+        s0 AS (SELECT event_type, CAST({key} AS UBIGINT) AS u
+               FROM {src}),
+        s1 AS (SELECT event_type, {_sql_addmod64('u', str(inc))} AS x
+               FROM s0),
+        s2 AS (SELECT event_type, xor(x, x >> 30) AS x FROM s1),
+        s3 AS (SELECT event_type, {_sql_mulmod64('x', c1)} AS x FROM s2),
+        s4 AS (SELECT event_type, xor(x, x >> 27) AS x FROM s3),
+        s5 AS (SELECT event_type, {_sql_mulmod64('x', c2)} AS x FROM s4),
+        s6 AS (SELECT event_type, xor(x, x >> 31) AS h FROM s5)
+    """
+
+
+def kmv_registers_oracle_sql(k: int = KMV_K) -> str:
+    """DuckDB oracle for :func:`run_kmv_registers` — the same
+    splitmix64 recompute, then the k smallest distinct hashes per
+    type by window rank."""
+    return f"""
+        WITH {_sql_splitmix64_h()},
+        u AS (SELECT DISTINCT event_type, h FROM s6),
+        r AS (SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS pos
+              FROM u)
+        SELECT event_type, CAST(pos AS BIGINT) AS pos,
+               CAST(h >> 32 AS BIGINT) AS h_hi,
+               CAST(h & 4294967295 AS BIGINT) AS h_lo
+        FROM r WHERE pos <= {k}
+        ORDER BY event_type, pos
+    """
+
+
+def distinct_users_kmv_oracle_sql(k: int = KMV_K) -> str:
+    """DuckDB oracle for :func:`run_distinct_users_kmv` — estimate
+    derived from the register state with the shared float contract."""
+    return f"""
+        WITH regs AS ({kmv_registers_oracle_sql(k)}),
+        g AS (SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_regs,
+                     max(CAST(h_hi AS DOUBLE) * 4294967296.0
+                         + CAST(h_lo AS DOUBLE)) AS kth
+              FROM (SELECT * FROM regs) GROUP BY event_type)
+        SELECT event_type, n_regs,
+               CASE WHEN n_regs < {k} THEN CAST(n_regs AS DOUBLE)
+                    ELSE {_KMV_NUM!r} / kth END AS n_users_kmv
+        FROM g ORDER BY event_type
+    """

@@ -555,6 +555,53 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
     assert abs(hll_estimate(whole) - n_true) / n_true < 0.07
 
 
+def test_kmv_accuracy_and_merge(ray_session):
+    """KMV estimate within the sketch's ~1/√(k-2) error band of exact
+    (k=64 → σ≈12.7%, assert <4σ); register state equals its DuckDB
+    recompute at sf0.001; k-smallest union merge is split-invariant."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from dude_ray.pipelines.sketches import (_mix64, run_kmv_registers,
+                                             run_distinct_users_kmv,
+                                             kmv_registers_oracle_sql,
+                                             KMV_K)
+
+    sf = "/root/testdata/sf0.01"
+    exact = dict(duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY event_type")
+        .fetchall())
+    approx = {r["event_type"]: r["n_users_kmv"]
+              for r in run_distinct_users_kmv(sf).take_all()}
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.51, (et, approx[et], n)
+
+    # register state vs DuckDB recompute at sf0.001
+    sf0 = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf0}/events.parquet')")
+    want = (con.execute(kmv_registers_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = (run_kmv_registers(sf0).to_pandas()
+           .sort_values(["event_type", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    # merge-invariance: k-smallest of the union == k-smallest of
+    # concatenated per-chunk k-smallest partials
+    vals = (np.arange(50_000, dtype=np.uint64) * 2654435761
+            % 999983)
+    h = _mix64(vals)
+    whole = np.unique(h)[:KMV_K]
+    parts = np.unique(np.concatenate(
+        [np.unique(c)[:KMV_K] for c in np.array_split(h, 9)]))[:KMV_K]
+    assert np.array_equal(whole, parts)
+
+
 def test_dedup_incremental_exact_despite_bloom_fps(ray_session, tmp_path):
     """Prior half vs current half with planted cross-snapshot dups; a
     deliberately undersized Bloom (2 bits/key → massive FP rate) must
