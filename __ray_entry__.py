@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": relational.run_props_field_stats,
         "value_props_corr": relational.run_value_props_corr,
         "anomaly_mad": relational.run_anomaly_mad,
+        "waiting_suppliers": relational.run_waiting_suppliers,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -771,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
                                                 props_field_stats_oracle_sql,
                                                 value_props_corr_oracle_sql,
                                                 anomaly_mad_oracle_sql,
+                                                waiting_suppliers_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -869,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "props_field_stats": props_field_stats_oracle_sql(),
         "value_props_corr": value_props_corr_oracle_sql(),
         "anomaly_mad": anomaly_mad_oracle_sql(),
+        "waiting_suppliers": waiting_suppliers_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

@@ -574,6 +574,10 @@ def run_bench() -> dict:
     sketches.run_distinct_users_kmv(SF_DIR).materialize()
     timings["distinct_users_kmv"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_waiting_suppliers(SF_DIR).materialize()
+    timings["waiting_suppliers"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

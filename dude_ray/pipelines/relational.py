@@ -5495,3 +5495,135 @@ def value_props_corr_oracle_sql(field: str = "k") -> str:
                END AS intercept
         FROM m ORDER BY event_type
     """
+
+
+def run_waiting_suppliers(sf_dir: str, k: int = 20,
+                          target_rows_per_group: int = 65536):
+    """TPC-H Q21 SHAPE re-keyed to this schema: suppliers that were
+    the SOLE supplier with a returned line ('R') in a finished ('F')
+    multi-supplier order — the correlated EXISTS + NOT-EXISTS
+    lineitem self-join, the hardest join shape in the TPC-H suite
+    (the reference date columns Q21 predicates on don't exist here,
+    so the flag predicate is l_returnflag, preserving the structure:
+    one fact self-join, one fact semi-join, exactly-one-distinguished
+    -row-per-group logic).
+
+    Scale shape (`run_shipping_priority`'s discipline): both fact
+    scans pre-aggregate per batch — lineitem collapses to one
+    (orderkey, suppkey, n_r_lines, n_lines) row per pair per batch,
+    orders to its 'F' keys — then ONE data-scaled hash-grouped reduce
+    on orderkey colocates the streams; the per-group kernel is
+    all-vectorized pandas (two groupbys + boolean masks, no Python
+    row loop) and emits one (suppkey, numwait) partial per supplier
+    per group; a tree_combine sums them and the tiny final block
+    joins the driver-broadcast supplier names.  numwait counts
+    qualifying R-lines exactly as the oracle's count(*) does."""
+    from dude_ray.partitioning import hash_grouped_reduce, parquet_row_groups
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        n = len(kept)
+        return pa.table({
+            "okey": kept["o_orderkey"],
+            "skey": pa.nulls(n, type=pa.int64()),
+            "nr": pa.nulls(n, type=pa.int64()),
+            "nl": pa.nulls(n, type=pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(batch["l_returnflag"], "R"), pa.int64())
+        g = (pa.table({"okey": batch["l_orderkey"],
+                       "skey": batch["l_suppkey"], "r": r})
+             .group_by(["okey", "skey"])
+             .aggregate([("r", "sum"), ("r", "count")]))
+        n = len(g)
+        return pa.table({
+            "okey": g["okey"], "skey": g["skey"],
+            "nr": pc.cast(g["r_sum"], pa.int64()),
+            "nl": pc.cast(g["r_count"], pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus"]).map_batches(
+        order_side, batch_format="pyarrow", batch_size=65536)
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey",
+                   "l_returnflag"]).map_batches(
+        line_side, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = sum(n for t in ("orders", "lineitem") for _f, _rg, n in
+                 parquet_row_groups(f"{sf_dir}/{t}.parquet"))
+
+    def _lone_fault(df: pd.DataFrame) -> pd.DataFrame:
+        f_keys = df.loc[df["side"] == 0, "okey"]
+        l = df[df["side"] == 1]
+        empty = pd.DataFrame({"skey": pd.Series(dtype="int64"),
+                              "numwait": pd.Series(dtype="int64")})
+        if f_keys.empty or l.empty:
+            return empty
+        pair = (l.groupby(["okey", "skey"], sort=False)["nr"].sum()
+                .reset_index())
+        per_order = pair.groupby("okey", sort=False).agg(
+            n_sups=("skey", "size"),
+            r_sups=("nr", lambda s: int((s > 0).sum())))
+        ok = per_order.index[(per_order["n_sups"] >= 2)
+                             & (per_order["r_sups"] == 1)]
+        qual = pair[pair["okey"].isin(ok)
+                    & pair["okey"].isin(set(f_keys))
+                    & (pair["nr"] > 0)]
+        if qual.empty:
+            return empty
+        out = qual.groupby("skey", sort=False)["nr"].sum().reset_index()
+        return pd.DataFrame({"skey": out["skey"].astype("int64"),
+                             "numwait": out["nr"].astype("int64")})
+
+    partials = hash_grouped_reduce(
+        orders.union(lines), "okey", _lone_fault, n_rows,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("skey", "numwait"))
+    merged = tree_combine(partials, ["skey"], sums=("numwait",))
+
+    names = _read(sf_dir, "supplier",
+                  ["s_suppkey", "s_name"]).to_pandas()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().merge(
+            names, left_on="skey", right_on="s_suppkey", how="inner")
+        df = (df.sort_values(["numwait", "s_suppkey"],
+                             ascending=[False, True]).head(k))
+        return pa.table({
+            "s_suppkey": pa.array(df["s_suppkey"].to_numpy(
+                dtype=np.int64)),
+            "s_name": pa.array(df["s_name"], type=pa.string()),
+            "numwait": pa.array(df["numwait"].to_numpy(
+                dtype=np.int64)),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def waiting_suppliers_oracle_sql(k: int = 20) -> str:
+    """DuckDB oracle for :func:`run_waiting_suppliers` — the literal
+    correlated EXISTS / NOT-EXISTS Q21 form."""
+    return f"""
+        SELECT s.s_suppkey, s.s_name,
+               CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier s, lineitem l1, orders o
+        WHERE s.s_suppkey = l1.l_suppkey
+          AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY numwait DESC, s.s_suppkey
+        LIMIT {k}
+    """

@@ -2821,6 +2821,51 @@ def test_value_props_corr_local_oracle(ray_session):
     assert len(none) == 0
 
 
+def test_waiting_suppliers_local_oracle(ray_session):
+    """Q21-shape lone-fault-supplier join equals the literal
+    EXISTS/NOT-EXISTS DuckDB form at sf0.001, and a tiny handmade
+    case pins the exactly-one-distinguished-supplier logic."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_waiting_suppliers,
+                                               waiting_suppliers_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("supplier", "lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(waiting_suppliers_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_waiting_suppliers(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert len(want) > 0
+    assert (want["numwait"].to_numpy()[:-1]
+            >= want["numwait"].to_numpy()[1:]).all()
+
+    # handmade pin: order 1 F, suppliers {1 R, 2 clean} → supplier 1
+    # waits; order 2 F, suppliers {1 R, 2 R} → two faults, nobody;
+    # order 3 F, supplier 1 alone with R → single-supplier, nobody
+    ld = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 2, 3],
+        "l_suppkey": [1, 2, 1, 2, 1],
+        "l_returnflag": ["R", "N", "R", "R", "R"],
+    })
+    od = pd.DataFrame({"o_orderkey": [1, 2, 3],
+                       "o_orderstatus": ["F", "F", "F"]})
+    sup = pd.DataFrame({"s_suppkey": [1, 2],
+                        "s_name": ["s1", "s2"]})
+    con2 = duckdb.connect()
+    con2.register("lineitem", ld)
+    con2.register("orders", od)
+    con2.register("supplier", sup)
+    pinned = con2.execute(waiting_suppliers_oracle_sql()).df()
+    assert pinned["s_suppkey"].tolist() == [1]
+    assert pinned["numwait"].tolist() == [1]
+
+
 def test_anomaly_mad_local_oracle(ray_session):
     """Per-type median/MAD/outlier-count from the one-scan value
     histogram equals DuckDB's two-median recompute at sf0.001."""
