@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_props_corr": relational.run_value_props_corr,
         "anomaly_mad": relational.run_anomaly_mad,
         "waiting_suppliers": relational.run_waiting_suppliers,
+        "source_similarity": textops.run_source_similarity,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -719,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.textops import (LANG_ID_ORACLE_SQL,
                                             contamination_overlap_oracle_sql,
                                             hash_features_oracle_sql,
+                                            source_similarity_oracle_sql,
                                             fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
                                             phrase_search_oracle_sql,
@@ -872,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
         "value_props_corr": value_props_corr_oracle_sql(),
         "anomaly_mad": anomaly_mad_oracle_sql(),
         "waiting_suppliers": waiting_suppliers_oracle_sql(),
+        "source_similarity": source_similarity_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

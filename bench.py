@@ -578,6 +578,10 @@ def run_bench() -> dict:
     relational.run_waiting_suppliers(SF_DIR).materialize()
     timings["waiting_suppliers"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    textops.run_source_similarity(SF_DIR).materialize()
+    timings["source_similarity"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -1494,3 +1494,133 @@ def coverage_curve_oracle_sql(ks=(100, 1000, 10000)) -> str:
         ) s, tot
         ORDER BY k
     """
+
+
+# --------------------------------------------------------------------------
+# source similarity (pairwise cosine of per-source term-count vectors)
+# --------------------------------------------------------------------------
+
+def run_source_similarity(sf_dir: str,
+                          target_rows_per_group: int = 65536):
+    """Pairwise cosine similarity between every two sources' unigram
+    count vectors — the corpus-drift / source-overlap matrix a data
+    curator reads before mixing sources into a training run.
+
+    Plan (the 100 TB shape): per-batch (source, term, c) count
+    partials feed ONE data-scaled hash reduce keyed on ``term`` (all
+    counts for a term co-locate); inside each group the cross products
+    ``c_a * c_b`` for co-occurring source pairs and the ``c²`` norm
+    partials are emitted as constant-width int64 rows, so the final
+    tree_combine sees only #pairs × #groups rows — never one row per
+    token and never an n²-documents comparison.  With k sources the
+    result is k·(k−1)/2 rows regardless of corpus size.
+
+    Float contract: ``dot`` and the norms are exact int64 sums (token
+    counts fit: c ≤ 2³¹ per (source, term) keeps every product < 2⁶²);
+    cosine derives via the SAME float64 expression tree on both
+    engines — ``(dot * 1.0) / sqrt((n2_a * 1.0) * n2_b)`` — so the
+    doubles are bit-identical with no rounding contract."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.relational import tree_combine
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        srcs = batch["source"].to_pylist()
+        for src, text in zip(srcs, batch["text"].to_pylist()):
+            for t in tok_re.findall((text or "").lower()):
+                k = (src, t)
+                cnt[k] = cnt.get(k, 0) + 1
+        ss, ts, cs = [], [], []
+        for (src, t), c in cnt.items():
+            ss.append(src)
+            ts.append(t)
+            cs.append(c)
+        return pa.table({
+            "source": pa.array(ss, type=pa.string()),
+            "term": pa.array(ts, type=pa.string()),
+            "c": pa.array(cs, type=pa.int64()),
+        })
+
+    def _cross(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = (df.groupby(["term", "source"], sort=False)["c"].sum()
+               .reset_index())
+        # norm partials ride along as diagonal (src, src) rows
+        norm = (cnt.assign(v=cnt["c"].to_numpy() ** 2)
+                .groupby("source", sort=False)["v"].sum().reset_index())
+        norm["src_a"] = norm["source"]
+        norm["src_b"] = norm["source"]
+        m = cnt.merge(cnt, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        dots = (m.assign(v=m["c_x"].to_numpy() * m["c_y"].to_numpy())
+                .groupby(["source_x", "source_y"], sort=False)["v"]
+                .sum().reset_index()
+                .rename(columns={"source_x": "src_a",
+                                 "source_y": "src_b"}))
+        out = pd.concat([dots[["src_a", "src_b", "v"]],
+                         norm[["src_a", "src_b", "v"]]],
+                        ignore_index=True)
+        return out.astype({"v": "int64"})
+
+    ds = _docs(sf_dir, ["source", "text"])
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=1024)
+    pairs = hash_grouped_reduce(
+        partials, "term", _cross, partials.count(),
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("src_a", "src_b", "v"))
+    out = tree_combine(pairs, ["src_a", "src_b"], sums=("v",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        diag = df["src_a"] == df["src_b"]
+        n2 = dict(zip(df.loc[diag, "src_a"], df.loc[diag, "v"]))
+        od = df.loc[~diag].sort_values(
+            ["src_a", "src_b"], kind="mergesort")
+        dot = od["v"].to_numpy(dtype=np.int64)
+        n2a = od["src_a"].map(n2).to_numpy(dtype=np.int64)
+        n2b = od["src_b"].map(n2).to_numpy(dtype=np.int64)
+        cos = (dot * 1.0) / np.sqrt((n2a * 1.0) * n2b)
+        return pa.table({
+            "src_a": pa.array(od["src_a"], type=pa.string()),
+            "src_b": pa.array(od["src_b"], type=pa.string()),
+            "dot": pa.array(dot, type=pa.int64()),
+            "cosine": pa.array(cos, type=pa.float64()),
+        })
+
+    # k·(k−1)/2 + k rows total — one block by construction
+    return (out.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None)
+            .sort(["src_a", "src_b"]))
+
+
+def source_similarity_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_source_similarity` (same TOKEN_RE
+    contract; exact int64 dot/norms, identical float64 cosine tree)."""
+    return f"""
+        WITH tok AS (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '{TOKEN_RE}')) AS term
+            FROM documents
+        ), cnt AS (
+            SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2
+        ), norm AS (
+            SELECT source, CAST(sum(c * c) AS BIGINT) AS n2
+            FROM cnt GROUP BY 1
+        ), dots AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(sum(a.c * b.c) AS BIGINT) AS dot
+            FROM cnt a JOIN cnt b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT d.src_a, d.src_b, d.dot,
+               (d.dot * 1.0) / sqrt((na.n2 * 1.0) * nb.n2) AS cosine
+        FROM dots d
+        JOIN norm na ON na.source = d.src_a
+        JOIN norm nb ON nb.source = d.src_b
+        ORDER BY d.src_a, d.src_b
+    """

@@ -2901,3 +2901,30 @@ def test_anomaly_mad_local_oracle(ray_session):
     # k=inf → zero outliers everywhere
     loose = run_anomaly_mad(sf, k=float("inf")).to_pandas()
     assert (loose["n_outliers"] == 0).all()
+
+
+def test_source_similarity_local_oracle(ray_session):
+    """Pairwise source cosines equal the DuckDB term-join recompute
+    at sf0.001 bit-for-bit across both hash_grouped_reduce tiers
+    (exact int64 dot/norms, identical float64 cosine tree)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.textops import (run_source_similarity,
+                                            source_similarity_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(source_similarity_oracle_sql()).df()
+            .reset_index(drop=True))
+    k = pd.concat([want["src_a"], want["src_b"]]).nunique()
+    assert len(want) == k * (k - 1) // 2  # every unordered pair
+    assert ((want["cosine"] > 0) & (want["cosine"] <= 1.0)).all()
+
+    for trg in (64, 1 << 22):
+        got = (run_source_similarity(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
