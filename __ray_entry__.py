@@ -135,8 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     all previously driver-hash-matched — stays verified by
     tools/check_oracle.py (the same rows+schema+hash protocol over ALL
     entries) and by pytest."""
-    from dude_ray.pipelines import (cleaning, dedup, relational, sampling,
-                                    similarity, textops)
+    from dude_ray.pipelines import (cleaning, dedup, graph, relational,
+                                    sampling, similarity, textops)
 
     return {
         # -- slots 1-21: never driver-verified through round 4 ---------
@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_mad": relational.run_anomaly_mad,
         "waiting_suppliers": relational.run_waiting_suppliers,
         "source_similarity": textops.run_source_similarity,
+        "graph_degree_dist": graph.run_graph_degree_dist,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -711,7 +712,8 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 
 def oracle_sql() -> dict[str, str]:
-    from dude_ray.pipelines.graph import (graph_hits_oracle_sql,
+    from dude_ray.pipelines.graph import (graph_degree_dist_oracle_sql,
+                                          graph_hits_oracle_sql,
                                           graph_pagerank_oracle_sql,
                                           pagerank_oracle_sql)
     from dude_ray.pipelines.ccnet import ccnet_oracle_sql
@@ -815,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "graph_hits": graph_hits_oracle_sql(),
+        "graph_degree_dist": graph_degree_dist_oracle_sql(),
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "ngram_counts": ngram_counts_oracle_sql(),

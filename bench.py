@@ -582,6 +582,10 @@ def run_bench() -> dict:
     textops.run_source_similarity(SF_DIR).materialize()
     timings["source_similarity"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    graph.run_graph_degree_dist(SF_DIR).materialize()
+    timings["graph_degree_dist"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -929,3 +929,132 @@ def knn_triangles_oracle_sql(k: int = 5) -> str:
         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         FROM u GROUP BY node
     """
+
+
+# --------------------------------------------------------------------------
+# degree distribution of the crawl link graph
+# --------------------------------------------------------------------------
+
+def run_graph_degree_dist(sf_dir: str):
+    """In/out-degree histogram of the extracted hyperlink graph —
+    (side, degree, n_nodes) — the first diagnostic a web-graph analyst
+    reads (hub/authority skew, dangling mass, disconnected share).
+
+    Plan (the 100 TB shape): per-batch endpoint count partials feed
+    the data-scaled hash-group sum (a node's edges co-locate once),
+    then per-block degree value_counts collapse to the tiny
+    #distinct-degrees histogram via tree_combine — no per-node row
+    ever centralizes; the only driver values are the two dataset
+    counts.  Zero-degree nodes are recovered arithmetically
+    (n_nodes − Σ histogram) instead of an anti-join.  All counts are
+    int64 — no float contract at all.
+
+    Edge semantics match :func:`run_pagerank`: multiplicity preserved
+    (a page linking twice contributes 2), self-links dropped, dst
+    restricted to corpus pages."""
+    from dude_ray.pipelines.relational import tree_combine
+
+    edges, nodes = link_edges(sf_dir)
+    n_nodes = nodes.count()
+    n_edges = max(edges.count(), 1)
+
+    def _side_hist(col: str, side: str):
+        def _partial(batch: pa.Table) -> pa.Table:
+            g = batch.select([col]).group_by([col]).aggregate(
+                [([], "count_all")])
+            return pa.table({
+                "node": g[col],
+                "value": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        partials = edges.map_batches(_partial, batch_format="pyarrow",
+                                     batch_size=65536)
+        deg = _grouped_sum(partials, n_edges)
+
+        def _hist(batch: pa.Table) -> pa.Table:
+            g = batch.select(["value"]).group_by(["value"]).aggregate(
+                [([], "count_all")])
+            return pa.table({
+                "side": pa.array([side] * len(g), type=pa.string()),
+                "degree": pc.cast(g["value"], pa.int64()),
+                "n_nodes": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        hist = deg.map_batches(_hist, batch_format="pyarrow",
+                               batch_size=None)
+        return tree_combine(hist, ["side", "degree"], sums=("n_nodes",))
+
+    res = _side_hist("src", "out").union(_side_hist("dst", "in"))
+
+    def add_zero(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for side in ("in", "out"):
+            nz = int(df.loc[df["side"] == side, "n_nodes"].sum())
+            if n_nodes - nz > 0:
+                rows.append({"side": side, "degree": 0,
+                             "n_nodes": n_nodes - nz})
+        if rows:
+            df = pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
+        df = df.sort_values(["side", "degree"], kind="mergesort")
+        return pa.table({
+            "side": pa.array(df["side"], type=pa.string()),
+            "degree": pa.array(df["degree"].astype("int64")),
+            "n_nodes": pa.array(df["n_nodes"].astype("int64")),
+        })
+
+    # histogram is #distinct-degrees × 2 rows — one block by construction
+    return (res.repartition(1)
+            .map_batches(add_zero, batch_format="pyarrow",
+                         batch_size=None)
+            .sort(["side", "degree"]))
+
+
+def graph_degree_dist_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_graph_degree_dist`: the
+    generator-determined edge list is inlined as VALUES (see
+    :func:`corpus_link_edges_py`), the node universe is the documents
+    row count, and the zero-degree rows are recovered by the same
+    n − Σ arithmetic as the engine.  ``sf_dir`` defaults to the
+    driver's correctness-gate scale (override via
+    ``GRAFT_ORACLE_SF``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    _bounds, edges = corpus_link_edges_py(n_docs)
+    if not edges:
+        raise ValueError("empty corpus link graph")
+    e_vals = ",".join(f"({s},{t})" for s, t in edges)
+    return f"""
+        WITH edges0(src_id, dst_id) AS (VALUES {e_vals}),
+        nn AS (SELECT count(*) AS n FROM documents),
+        outd AS (SELECT src_id AS id, count(*) AS d
+                 FROM edges0 GROUP BY 1),
+        ind AS (SELECT dst_id AS id, count(*) AS d
+                FROM edges0 GROUP BY 1),
+        hist AS (
+            SELECT 'out' AS side, d AS degree, count(*) AS n_nodes
+            FROM outd GROUP BY 2
+            UNION ALL
+            SELECT 'in' AS side, d AS degree, count(*) AS n_nodes
+            FROM ind GROUP BY 2
+        ), zero AS (
+            SELECT 'out' AS side, 0 AS degree,
+                   (SELECT n FROM nn) - (SELECT count(*) FROM outd)
+                       AS n_nodes
+            UNION ALL
+            SELECT 'in' AS side, 0 AS degree,
+                   (SELECT n FROM nn) - (SELECT count(*) FROM ind)
+                       AS n_nodes
+        )
+        SELECT side, CAST(degree AS BIGINT) AS degree,
+               CAST(n_nodes AS BIGINT) AS n_nodes
+        FROM (SELECT * FROM hist
+              UNION ALL SELECT * FROM zero WHERE n_nodes > 0)
+        ORDER BY side, degree
+    """

@@ -192,3 +192,29 @@ def test_knn_triangles_matches_bruteforce(ray_session):
                for r in run_knn_triangles(
                    sf, target_rows_per_group=width).take_all()}
         assert got == dict(want)
+
+
+def test_graph_degree_dist_local_oracle(ray_session):
+    """The in/out-degree histogram equals the DuckDB inlined-edge
+    recompute at sf0.001 exactly, and each side's histogram sums to
+    the full node universe (zero-degree rows included)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.graph import (run_graph_degree_dist,
+                                          graph_degree_dist_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(graph_degree_dist_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    for side in ("in", "out"):
+        assert want.loc[want["side"] == side, "n_nodes"].sum() == n_docs
+
+    got = run_graph_degree_dist(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
