@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": relational.run_waiting_suppliers,
         "source_similarity": textops.run_source_similarity,
         "graph_degree_dist": graph.run_graph_degree_dist,
+        "user_entropy": relational.run_user_entropy,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -777,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
                                                 value_props_corr_oracle_sql,
                                                 anomaly_mad_oracle_sql,
                                                 waiting_suppliers_oracle_sql,
+                                                user_entropy_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -878,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_mad": anomaly_mad_oracle_sql(),
         "waiting_suppliers": waiting_suppliers_oracle_sql(),
         "source_similarity": source_similarity_oracle_sql(),
+        "user_entropy": user_entropy_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

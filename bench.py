@@ -586,6 +586,10 @@ def run_bench() -> dict:
     graph.run_graph_degree_dist(SF_DIR).materialize()
     timings["graph_degree_dist"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_user_entropy(SF_DIR).materialize()
+    timings["user_entropy"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -5627,3 +5627,79 @@ def waiting_suppliers_oracle_sql(k: int = 20) -> str:
         ORDER BY numwait DESC, s.s_suppkey
         LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------
+# per-user behavioural entropy (event-type mix diversity)
+# --------------------------------------------------------------------------
+
+def run_user_entropy(sf_dir: str, target_rows_per_group: int = 65536):
+    """Per-user Shannon entropy of the event-type distribution plus
+    event/type counts — the behavioural-diversity feature that
+    separates single-purpose bots (entropy ≈ 0) from organic users.
+
+    Plan (the 100 TB shape): per-batch (user, type, c) count partials
+    feed ONE data-scaled hash reduce keyed on user_id (a user's rows
+    co-locate once); entropy finishes inside the group, so the output
+    is one constant-width row per user and no per-event row ever
+    centralizes.
+
+    Float contract: counts are exact int64; entropy = ln(n) −
+    Σ c·ln(c)/n is rounded to 6 dp with Python ``round``
+    (correctly-rounded decimal == DuckDB ``round``) — the same
+    cross-engine float summation-order contract as
+    :func:`dude_ray.pipelines.textops.run_char_entropy`."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["user_id", "event_type"]).group_by(
+            ["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table({
+            "user_id": pc.cast(g["user_id"], pa.int64()),
+            "event_type": g["event_type"],
+            "c": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    def _ent(df: pd.DataFrame) -> pd.DataFrame:
+        uc = (df.groupby(["user_id", "event_type"], sort=False)["c"]
+              .sum().reset_index())
+        cf = uc["c"].to_numpy(dtype=np.float64)
+        uc["s"] = cf * np.log(cf)
+        g = (uc.groupby("user_id", sort=False)
+             .agg(n_events=("c", "sum"), n_types=("c", "size"),
+                  s=("s", "sum")).reset_index())
+        n = g["n_events"].to_numpy(dtype=np.float64)
+        ent = np.log(n) - g["s"].to_numpy(dtype=np.float64) / n
+        g["entropy"] = [round(v, 6) for v in ent]
+        return g[["user_id", "n_events", "n_types", "entropy"]].astype(
+            {"n_events": "int64", "n_types": "int64"})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=65536)
+    out = hash_grouped_reduce(
+        partials, "user_id", _ent, partials.count(),
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("user_id", "n_events", "n_types", "entropy"))
+    return out.sort("user_id")
+
+
+def user_entropy_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_user_entropy` (exact int64 counts,
+    6-dp rounded entropy — the char_entropy summation contract)."""
+    return """
+        WITH uc AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   sum(c * ln(c)) AS s
+            FROM uc GROUP BY 1
+        )
+        SELECT user_id, n_events, n_types,
+               round(ln(CAST(n_events AS DOUBLE)) - s / n_events, 6)
+                   AS entropy
+        FROM m ORDER BY user_id
+    """

@@ -2928,3 +2928,30 @@ def test_source_similarity_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_user_entropy_local_oracle(ray_session):
+    """Per-user event-type entropy equals the DuckDB recompute at
+    sf0.001 across both hash_grouped_reduce tiers; single-type users
+    score exactly 0."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_user_entropy,
+                                               user_entropy_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(user_entropy_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert (want["entropy"] >= 0).all()
+    single = want["n_types"] == 1
+    assert (want.loc[single, "entropy"] == 0).all()
+
+    for trg in (64, 1 << 22):
+        got = (run_user_entropy(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
