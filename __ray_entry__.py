@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": textops.run_source_similarity,
         "graph_degree_dist": graph.run_graph_degree_dist,
         "user_entropy": relational.run_user_entropy,
+        "skipgram_counts": textops.run_skipgram_counts,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -724,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
                                             contamination_overlap_oracle_sql,
                                             hash_features_oracle_sql,
                                             source_similarity_oracle_sql,
+                                            skipgram_counts_oracle_sql,
                                             fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
                                             phrase_search_oracle_sql,
@@ -881,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers": waiting_suppliers_oracle_sql(),
         "source_similarity": source_similarity_oracle_sql(),
         "user_entropy": user_entropy_oracle_sql(),
+        "skipgram_counts": skipgram_counts_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

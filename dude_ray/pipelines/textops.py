@@ -1624,3 +1624,99 @@ def source_similarity_oracle_sql() -> str:
         JOIN norm nb ON nb.source = d.src_b
         ORDER BY d.src_a, d.src_b
     """
+
+
+# --------------------------------------------------------------------------
+# skip-gram pair counts (word2vec-style window co-occurrence)
+# --------------------------------------------------------------------------
+
+def run_skipgram_counts(sf_dir: str, window: int = 3,
+                        min_count: int = 5, top_per_d: int = 100,
+                        batch_size: int = 4096):
+    """Ordered (left, right) token-pair counts at each distance
+    d = 1..``window`` over the lowered corpus — the co-occurrence
+    statistic behind word2vec/GloVe-style embedding training — as the
+    top ``top_per_d`` pairs per distance with ``cnt >= min_count``.
+
+    Scale shape mirrors :func:`run_ngram_counts`: per-batch dict
+    pre-aggregation emits one (d, pair, c) row per DISTINCT pair per
+    batch, the data-scaled hash reduce co-locates a pair's partials
+    (so the min_count gate is exact), and the final per-d top-k sorts
+    only survivors.  All counts int64 — no float contract."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for text in batch["text"].to_pylist():
+            toks = tok_re.findall((text or "").lower())
+            for d in range(1, window + 1):
+                for i in range(len(toks) - d):
+                    k = (d, toks[i] + " " + toks[i + d])
+                    cnt[k] = cnt.get(k, 0) + 1
+        ds_, ps, cs = [], [], []
+        for (d, p), c in cnt.items():
+            ds_.append(d)
+            ps.append(p)
+            cs.append(c)
+        return pa.table({
+            "d": pa.array(ds_, type=pa.int64()),
+            "pair": pa.array(ps, type=pa.string()),
+            "c": pa.array(cs, type=pa.int64()),
+        })
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["d", "pair"], sort=False)["c"].sum()
+               .reset_index())
+        return out[out["c"] >= min_count]
+
+    ds = _docs(sf_dir, ["text"])
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    merged = hash_grouped_reduce(partials, ["d", "pair"], _reduce,
+                                 partials.count(),
+                                 out_cols=("d", "pair", "c"))
+
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["c", "pair"], ascending=[False, True])
+             .head(top_per_d).reset_index(drop=True))
+        return pd.DataFrame({
+            "d": g["d"].astype("int64"),
+            "pair": g["pair"],
+            "cnt": g["c"].astype("int64"),
+            "rank": pd.Series(range(1, len(g) + 1), dtype="int64"),
+        })
+
+    return merged.groupby("d").map_groups(_top, batch_format="pandas")
+
+
+def skipgram_counts_oracle_sql(window: int = 3, min_count: int = 5,
+                               top_per_d: int = 100) -> str:
+    """DuckDB oracle for :func:`run_skipgram_counts` — independent
+    distance-d pair explode + count + per-d ranking (same TOKEN_RE
+    contract as the n-gram oracle)."""
+    gs = []
+    for d in range(1, window + 1):
+        gs.append(
+            f"SELECT {d} AS d, unnest([w[i] || ' ' || w[i + {d}] "
+            f"for i in generate_series(1, len(w) - {d})]) AS pair "
+            f"FROM toks WHERE len(w) > {d}")
+    union = " UNION ALL ".join(gs)
+    return f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                      '{TOKEN_RE}') AS w
+            FROM documents
+        ), cnt AS (
+            SELECT d, pair, count(*) AS cnt
+            FROM ({union}) GROUP BY 1, 2
+        )
+        SELECT CAST(d AS BIGINT) AS d, pair,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(row_number() OVER (
+                   PARTITION BY d
+                   ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank
+        FROM cnt WHERE cnt >= {min_count}
+        QUALIFY rank <= {top_per_d}
+    """

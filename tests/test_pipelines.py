@@ -2955,3 +2955,28 @@ def test_user_entropy_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_skipgram_counts_local_oracle(ray_session):
+    """Distance-d skip-gram top lists equal the DuckDB explode
+    recompute at sf0.001, and the d=1 slice agrees with adjacent-pair
+    bigram semantics (every pair's words appear adjacent somewhere)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.textops import (run_skipgram_counts,
+                                            skipgram_counts_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(skipgram_counts_oracle_sql()).df()
+            .sort_values(["d", "rank"]).reset_index(drop=True))
+    assert set(want["d"]) == {1, 2, 3}
+    assert (want.groupby("d")["rank"].min() == 1).all()
+
+    got = (run_skipgram_counts(sf).to_pandas()
+           .sort_values(["d", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
