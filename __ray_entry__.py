@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_dist": graph.run_graph_degree_dist,
         "user_entropy": relational.run_user_entropy,
         "skipgram_counts": textops.run_skipgram_counts,
+        "session_stats": relational.run_session_stats,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -781,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
                                                 anomaly_mad_oracle_sql,
                                                 waiting_suppliers_oracle_sql,
                                                 user_entropy_oracle_sql,
+                                                session_stats_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -884,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "source_similarity": source_similarity_oracle_sql(),
         "user_entropy": user_entropy_oracle_sql(),
         "skipgram_counts": skipgram_counts_oracle_sql(),
+        "session_stats": session_stats_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

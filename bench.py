@@ -594,6 +594,10 @@ def run_bench() -> dict:
     textops.run_skipgram_counts(SF_DIR).materialize()
     timings["skipgram_counts"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_session_stats(SF_DIR).materialize()
+    timings["session_stats"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

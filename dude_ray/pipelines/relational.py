@@ -5703,3 +5703,110 @@ def user_entropy_oracle_sql() -> str:
                    AS entropy
         FROM m ORDER BY user_id
     """
+
+
+# --------------------------------------------------------------------------
+# session-length distribution (sessionization aggregate)
+# --------------------------------------------------------------------------
+
+def run_session_stats(sf_dir: str, users_per_group: int | None = None):
+    """Distribution of session sizes: one row per session length
+    (n_events) with the session count, total and mean session
+    duration — the engagement histogram read off any event stream.
+
+    Scale shape: the same one-shuffle sessionization as
+    :func:`run_user_sessions` (hash partition on coarsened user
+    buckets, vectorized lexsort + reduceat inside), but each bucket
+    collapses its sessions to per-length partials before leaving the
+    task, so the final tree_combine sees #lengths × #buckets
+    constant-width rows.
+
+    Float contract: counts and duration sums are exact int64
+    (microsecond epochs); mean = (sum * 1.0) / n is the identical
+    float64 expression tree on both engines — no rounding contract."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_sess = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            new_sess[1:] = (uid[1:] != uid[:-1]) | \
+                (ts[1:] - ts[:-1] > SESSION_GAP_US)
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(uid)] - 1
+        lens = ends - starts + 1
+        dur = ts[ends] - ts[starts]
+        df = pd.DataFrame({"n_events": lens, "dur": dur})
+        out = (df.groupby("n_events", sort=False)
+               .agg(n_sessions=("dur", "size"), sum_dur=("dur", "sum"))
+               .reset_index())
+        return out.astype({"n_events": "int64", "n_sessions": "int64",
+                           "sum_dur": "int64"})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow",
+                           batch_size=16384)
+    partials = keyed.groupby("ugroup").map_groups(
+        _partial, batch_format="pandas")
+    out = tree_combine(partials, ["n_events"],
+                       sums=("n_sessions", "sum_dur"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_sessions"].to_numpy(zero_copy_only=False)
+        s = batch["sum_dur"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_events": batch["n_events"],
+            "n_sessions": batch["n_sessions"],
+            "sum_duration_us": batch["sum_dur"],
+            "mean_duration_us": pa.array((s * 1.0) / n,
+                                         type=pa.float64()),
+        })
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort("n_events"))
+
+
+def session_stats_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_session_stats` (the user_sessions
+    gap contract; exact int64 duration sums, identical mean tree)."""
+    return f"""
+        WITH marked AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id) > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), sess AS (
+            SELECT user_id, ts_us,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ), s2 AS (
+            SELECT user_id, sid, count(*) AS n_events,
+                   CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT CAST(n_events AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(dur) AS BIGINT) AS sum_duration_us,
+               (sum(dur) * 1.0) / count(*) AS mean_duration_us
+        FROM s2 GROUP BY n_events ORDER BY n_events
+    """

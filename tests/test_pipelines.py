@@ -2980,3 +2980,29 @@ def test_skipgram_counts_local_oracle(ray_session):
            .sort_values(["d", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_session_stats_local_oracle(ray_session):
+    """The session-length histogram equals the DuckDB window-function
+    recompute at sf0.001 across bucket widths, and total sessions
+    reconcile with the user_sessions row count."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_session_stats,
+                                               run_user_sessions,
+                                               session_stats_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(session_stats_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert want["n_sessions"].sum() == run_user_sessions(sf).count()
+
+    for upg in (4, 1 << 20):
+        got = (run_session_stats(sf, users_per_group=upg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
