@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_entropy": relational.run_user_entropy,
         "skipgram_counts": textops.run_skipgram_counts,
         "session_stats": relational.run_session_stats,
+        "cocitation": graph.run_cocitation,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -715,7 +716,8 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 
 def oracle_sql() -> dict[str, str]:
-    from dude_ray.pipelines.graph import (graph_degree_dist_oracle_sql,
+    from dude_ray.pipelines.graph import (cocitation_oracle_sql,
+                                          graph_degree_dist_oracle_sql,
                                           graph_hits_oracle_sql,
                                           graph_pagerank_oracle_sql,
                                           pagerank_oracle_sql)
@@ -824,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": graph_pagerank_oracle_sql(),
         "graph_hits": graph_hits_oracle_sql(),
         "graph_degree_dist": graph_degree_dist_oracle_sql(),
+        "cocitation": cocitation_oracle_sql(),
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "ngram_counts": ngram_counts_oracle_sql(),

@@ -598,6 +598,10 @@ def run_bench() -> dict:
     relational.run_session_stats(SF_DIR).materialize()
     timings["session_stats"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    graph.run_cocitation(SF_DIR).materialize()
+    timings["cocitation"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

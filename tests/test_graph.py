@@ -218,3 +218,29 @@ def test_graph_degree_dist_local_oracle(ray_session):
     got = run_graph_degree_dist(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_cocitation_local_oracle(ray_session):
+    """Top co-cited pairs equal the DuckDB inlined-edge recompute at
+    sf0.001 across both hash_grouped_reduce tiers; page_a < page_b and
+    ranks are dense from 1."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.graph import (run_cocitation,
+                                          cocitation_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(cocitation_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    assert (want["page_a"] < want["page_b"]).all()
+    assert list(want["rank"]) == list(range(1, len(want) + 1))
+
+    for trg in (64, 1 << 22):
+        got = (run_cocitation(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
