@@ -716,7 +716,8 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 
 def oracle_sql() -> dict[str, str]:
-    from dude_ray.pipelines.graph import (cocitation_oracle_sql,
+    from dude_ray.pipelines.graph import (anchor_texts_oracle_sql,
+                                          cocitation_oracle_sql,
                                           graph_degree_dist_oracle_sql,
                                           graph_hits_oracle_sql,
                                           graph_pagerank_oracle_sql,
@@ -827,6 +828,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": graph_hits_oracle_sql(),
         "graph_degree_dist": graph_degree_dist_oracle_sql(),
         "cocitation": cocitation_oracle_sql(),
+        # upgraded round 5 from rows-only: the generator-determined
+        # (target, anchor) list is inlined, aggregation recomputed in SQL
+        "anchor_texts": anchor_texts_oracle_sql(),
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "ngram_counts": ngram_counts_oracle_sql(),

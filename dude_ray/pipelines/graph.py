@@ -1172,3 +1172,75 @@ def cocitation_oracle_sql(sf_dir: str | None = None,
         FROM pairs
         QUALIFY rank <= {top_k}
     """
+
+
+# --------------------------------------------------------------------------
+# anchor-text oracle (upgrades anchor_texts from rows-only to SQL-checked)
+# --------------------------------------------------------------------------
+
+def corpus_link_anchors_py(n_docs: int):
+    """The crawl link list WITH anchor texts as a PURE function of
+    ``n_docs`` — same mechanism as :func:`corpus_link_edges_py` (the
+    synthetic nav topology and its 'Nav {doc}-{i}' anchors never
+    consume document text), but UNFILTERED: dead, robots-disallowed
+    and self links are kept because
+    :func:`dude_ray.pipelines.flagship.run_anchor_texts` aggregates
+    every link span.  Returns [(canonical_target_url, anchor_text),
+    ...] with multiplicity preserved; equality with the engine's
+    extracted spans is asserted by
+    tests/test_graph.py::test_anchor_list_matches_engine."""
+    from dude_ray.canonical import canonicalize_url
+    from dude_ray.sources.corpus import (_build_struct, host_boundaries,
+                                         host_of, url_for)
+
+    bounds = host_boundaries(n_docs)
+    rows: list[tuple[str, str]] = []
+    for i in range(n_docs):
+        src = url_for(i, host_of(i, bounds))
+        s = _build_struct(i, "", n_docs, bounds)
+        for text, href in s.nav_links:
+            rows.append((canonicalize_url(href, base=src), text))
+    return rows
+
+
+def anchor_texts_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for
+    :func:`dude_ray.pipelines.flagship.run_anchor_texts`: the
+    generator-determined (target, anchor) link list is inlined as
+    VALUES and the per-target aggregation — incoming count, distinct
+    anchors, top anchor by (count DESC, anchor ASC) — is recomputed
+    independently in SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    rows = corpus_link_anchors_py(n_docs)
+    if not rows:
+        raise ValueError("empty corpus link list")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",".join(f"({q(t)},{q(a)})" for t, a in rows)
+    return f"""
+        WITH links(target, anchor) AS (VALUES {vals}),
+        g AS (
+            SELECT target, anchor, count(*) AS n
+            FROM links GROUP BY 1, 2
+        ), ranked AS (
+            SELECT target, anchor, n,
+                   row_number() OVER (
+                       PARTITION BY target
+                       ORDER BY n DESC, anchor ASC) AS rn
+            FROM g
+        )
+        SELECT target,
+               CAST(sum(n) AS BIGINT) AS n_incoming,
+               CAST(count(*) AS BIGINT) AS n_distinct_anchors,
+               max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor
+        FROM ranked GROUP BY target
+    """

@@ -244,3 +244,48 @@ def test_cocitation_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_anchor_list_matches_engine(ray_session):
+    """corpus_link_anchors_py (the inlined oracle input) equals the
+    engine's extracted link spans — target canonicalization AND anchor
+    texts — at sf0.001, so the anchor_texts SQL oracle checks the real
+    extraction path, not a parallel reimplementation drift."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from dude_ray.canonical import LinkCanonicalizer
+    from dude_ray.pipelines.flagship import run_extract
+    from dude_ray.pipelines.graph import corpus_link_anchors_py
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    want = Counter(corpus_link_anchors_py(n_docs))
+
+    got: Counter = Counter()
+    for row in run_extract(sf).take_all():
+        canon = LinkCanonicalizer(row["doc_id"])
+        for s in row["spans"]:
+            if s["kind"] == "link" and s["media_ref"]:
+                got[(canon(s["media_ref"]), s["text"] or "")] += 1
+    assert got == want
+
+
+def test_anchor_texts_local_oracle(ray_session):
+    """run_anchor_texts equals the DuckDB inlined-list recompute at
+    sf0.001 exactly (the rows-only -> SQL-checked upgrade)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.flagship import run_anchor_texts
+    from dude_ray.pipelines.graph import anchor_texts_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    want = (con.execute(anchor_texts_oracle_sql(sf)).df()
+            .sort_values("target").reset_index(drop=True))
+    got = (run_anchor_texts(sf).to_pandas()
+           .sort_values("target").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
