@@ -716,6 +716,8 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 
 def oracle_sql() -> dict[str, str]:
+    from dude_ray.oracle import (
+        crawl_host_counts_oracle_sql as _crawl_host_counts_sql)
     from dude_ray.pipelines.graph import (anchor_texts_oracle_sql,
                                           cocitation_oracle_sql,
                                           graph_degree_dist_oracle_sql,
@@ -831,6 +833,9 @@ def oracle_sql() -> dict[str, str]:
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),
+        # upgraded round 5 from rows-only: the sequential-replay visit
+        # list is inlined, per-host aggregation recomputed in SQL
+        "crawl_host_counts": _crawl_host_counts_sql(),
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "ngram_counts": ngram_counts_oracle_sql(),

@@ -107,3 +107,46 @@ def load_corpus_index(corpus_dir: str) -> dict[str, str]:
     t = pads.dataset(f"{corpus_dir}/web", partitioning="hive").to_table(
         columns=["doc_id", "html"])
     return dict(zip(t["doc_id"].to_pylist(), t["html"].to_pylist()))
+
+
+def crawl_host_counts_oracle_sql(sf_dir: Optional[str] = None) -> str:
+    """DuckDB oracle for ``__ray_entry__``'s ``crawl_host_counts``:
+    the sequential crawl replay (this module — the reference's
+    ``iter_urls`` loop) produces the ground-truth visit list, the
+    per-visit (host, n_links) rows are inlined as VALUES, and the
+    per-host page/link aggregation is recomputed independently in SQL.
+    Valid because the engine's first-visit SET equals the oracle's
+    regardless of politeness scheduling (asserted by
+    tests/test_crawl.py::test_first_visit_set_equals_oracle) and
+    n_links is a pure function of the page
+    (``len(collect_links(...))``, the engine's exact expression —
+    dude_ray/crawl.py:215).  Runs the replay at oracle-gate scale
+    only."""
+    import os
+
+    from .sources.corpus import ensure_corpus, load_robots, load_seeds
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    corpus_dir = ensure_corpus(sf_dir)
+    index = load_corpus_index(corpus_dir)
+    robots = load_robots(corpus_dir)
+    seeds = [s["url"] for s in load_seeds(corpus_dir)]
+    res = sequential_crawl(index, robots, seeds)
+    rows = []
+    for v in res.visits:
+        if v["status"] == "ok":
+            nl = len(collect_links(parse_html(index[v["url"]]),
+                                   v["url"]))
+        else:
+            nl = 0
+        rows.append((v["host"], nl))
+    if not rows:
+        raise ValueError("empty oracle crawl")
+    vals = ",".join(f"('{h}',{n})" for h, n in rows)
+    return f"""
+        WITH visits(host, n_links) AS (VALUES {vals})
+        SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(n_links) AS BIGINT) AS n_links
+        FROM visits GROUP BY host
+    """

@@ -364,3 +364,22 @@ def test_checkpoint_persist_consistency(ray_session, tmp_path_factory):
     assert meta["completed_rounds"] <= len(rounds)
     for i in range(meta["num_shards"]):
         assert (out / "CHECKPOINT" / f"shard_{i}.bin").exists()
+
+
+def test_crawl_host_counts_local_oracle(ray_session, tmp_path_factory):
+    """The per-host page/link accounting equals the DuckDB recompute
+    over the inlined sequential-replay visit list at sf0.001 (the
+    rows-only -> SQL-checked upgrade)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from dude_ray.oracle import crawl_host_counts_oracle_sql
+
+    con = duckdb.connect()
+    want = (con.execute(crawl_host_counts_oracle_sql(SF)).df()
+            .sort_values("host").reset_index(drop=True))
+    got = (entry.queries()["crawl_host_counts"](SF).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
