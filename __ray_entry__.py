@@ -718,6 +718,8 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 def oracle_sql() -> dict[str, str]:
     from dude_ray.oracle import (
         crawl_host_counts_oracle_sql as _crawl_host_counts_sql)
+    from dude_ray.pipelines.flagship import (
+        extract_spans_oracle_sql as _extract_spans_sql)
     from dude_ray.pipelines.graph import (anchor_texts_oracle_sql,
                                           cocitation_oracle_sql,
                                           graph_degree_dist_oracle_sql,
@@ -836,6 +838,9 @@ def oracle_sql() -> dict[str, str]:
         # upgraded round 5 from rows-only: the sequential-replay visit
         # list is inlined, per-host aggregation recomputed in SQL
         "crawl_host_counts": _crawl_host_counts_sql(),
+        # upgraded round 5 from rows-only: rng-determined span skeleton
+        # inlined; text-derived spans rebuilt in SQL from documents.text
+        "extract_spans": _extract_spans_sql(),
         "pagerank": pagerank_oracle_sql(),
         "doc_fingerprint": fingerprint_oracle_sql(),
         "ngram_counts": ngram_counts_oracle_sql(),

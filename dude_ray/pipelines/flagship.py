@@ -205,3 +205,117 @@ def run_anchor_texts(sf_dir: str, target_rows_per_group: int = 65536,
         target_rows_per_group=target_rows_per_group,
         out_cols=("target", "n_incoming", "n_distinct_anchors",
                   "top_anchor"))
+
+
+# --------------------------------------------------------------------------
+# extract-spans oracle (upgrades extract_spans from rows-only to SQL-checked)
+# --------------------------------------------------------------------------
+
+def corpus_span_skeleton_py(n_docs: int):
+    """The flagship extractor's span SKELETON as a pure function of
+    ``n_docs``: every span's (doc, offset, kind, media_ref) plus either
+    its literal text (titles/nav/next/image — rng-determined, never
+    text-dependent) or the (group-index, window-length) parameters of
+    a text-derived span (description = 16 words from offset (g·7) mod
+    len(words), paragraph = 24 words from (p·13) mod len(words) — see
+    sources.corpus._build_struct).  The rng draws that shape the page
+    never consume document text, so the skeleton is exact at any text;
+    emission order mirrors sources.corpus._golden_spans (group 0, next,
+    paragraphs, remaining groups), which the engine's real HTML parse
+    is already golden-tested against.  Returns (host_bounds, rows) with
+    rows = [(doc_id, offset, kind, media_ref, lit|None, gp|None,
+    wlen|None)]."""
+    from ..sources.corpus import _build_struct, host_boundaries
+
+    bounds = host_boundaries(n_docs)
+    rows: list[tuple] = []
+    for i in range(n_docs):
+        s = _build_struct(i, "", n_docs, bounds)
+        off = 0
+
+        def add(kind, lit, ref="", gp=None, wlen=None):
+            nonlocal off
+            rows.append((i, off, kind, ref, lit, gp, wlen))
+            off += 1
+
+        def add_group(gi, g):
+            add("title", g["title"])
+            add("url", g["title"], g["url_href"])
+            if g["description"] is not None:
+                add("description", None, "", gp=gi, wlen=16)
+            if g["image"] is not None:
+                add("image", "", g["image"])
+
+        for text, href in s.nav_links:
+            add("link", text, href)
+        if s.groups:
+            add_group(0, s.groups[0])
+        if s.next_href is not None:
+            add("next", "Next Page", s.next_href)
+        for p in range(len(s.paras)):
+            add("text", None, "", gp=p, wlen=24)
+        for gi, g in enumerate(s.groups[1:], start=1):
+            add_group(gi, g)
+    return bounds, rows
+
+
+def extract_spans_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for the exploded flagship extraction
+    (``extract_spans``): the rng-determined span skeleton is inlined
+    as VALUES and the text-derived spans (descriptions, paragraphs)
+    are REBUILT IN SQL from the documents table's own text via the
+    same word-window arithmetic the corpus generator uses — so the
+    oracle checks the whole chain (render → parse → extract → explode)
+    against an independent recomputation over the real input data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    bounds, rows = corpus_span_skeleton_py(n_docs)
+    if not rows:
+        raise ValueError("empty span skeleton")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    b_vals = ",".join(f"({h}, {bounds[h]}, {bounds[h + 1]})"
+                      for h in range(len(bounds) - 1))
+    sk_vals = ",".join(
+        f"({d},{o},{q(k)},{q(r)},"
+        f"{q(lit) if lit is not None else 'NULL'},"
+        f"{gp if gp is not None else 'NULL'},"
+        f"{wl if wl is not None else 'NULL'})"
+        for d, o, k, r, lit, gp, wl in rows)
+    return f"""
+        WITH bounds(h, lo, hi) AS (VALUES {b_vals}),
+        nodes AS (
+            SELECT d.doc_id AS id,
+                   'https://h' || lpad(CAST(b.h AS VARCHAR), 4, '0')
+                       || '.test/docs/' || CAST(d.doc_id AS VARCHAR)
+                       || '.html' AS node,
+                   CASE WHEN len(regexp_extract_all(
+                                 coalesce(d.text, ''), '\\S+')) = 0
+                        THEN ['empty']
+                        ELSE regexp_extract_all(coalesce(d.text, ''),
+                                                '\\S+')
+                   END AS w
+            FROM documents d JOIN bounds b
+              ON d.doc_id >= b.lo AND d.doc_id < b.hi
+        ), sk(did, off, kind, media_ref, lit, gp, wlen)
+            AS (VALUES {sk_vals})
+        SELECT n.node AS doc_id, sk.kind,
+               CASE WHEN sk.lit IS NOT NULL THEN sk.lit
+                    ELSE array_to_string(n.w[
+                        (sk.gp * CASE WHEN sk.wlen = 16 THEN 7
+                                      ELSE 13 END) % len(n.w) + 1 :
+                        (sk.gp * CASE WHEN sk.wlen = 16 THEN 7
+                                      ELSE 13 END) % len(n.w)
+                            + sk.wlen], ' ')
+               END AS text,
+               sk.media_ref, CAST(sk.off AS BIGINT) AS offset
+        FROM sk JOIN nodes n ON n.id = sk.did
+    """

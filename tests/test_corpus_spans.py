@@ -80,3 +80,31 @@ def test_scaled_corpus_span_equality():
     assert out["spans"].to_pylist() == batch["spans"].to_pylist()
     # virtual ids partition hosts over n_docs*scale
     assert len(set(batch["host"].to_pylist())) >= 4
+
+
+def test_extract_spans_local_oracle(ray_session):
+    """The exploded flagship extraction equals the DuckDB
+    skeleton+text-window recompute at sf0.001 span-for-span (the
+    rows-only -> SQL-checked upgrade): literal spans from the inlined
+    rng skeleton, description/paragraph text rebuilt in SQL from
+    documents.text."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from dude_ray.pipelines.flagship import extract_spans_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    cols = ["doc_id", "kind", "text", "media_ref", "offset"]
+    want = (con.execute(extract_spans_oracle_sql(sf)).df()
+            .sort_values(["doc_id", "offset"]).reset_index(drop=True)
+            [cols])
+    got = (entry.queries()["extract_spans"](sf).to_pandas()
+           .sort_values(["doc_id", "offset"]).reset_index(drop=True)
+           [cols])
+    assert len(want) > 10000
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
