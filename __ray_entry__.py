@@ -161,23 +161,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _q_value_percent_rank,
         "bloom_registers": _q_bloom_registers,
         "anchor_texts": _q_anchor_texts,
-        # -- slots 22-50: every operator NEW in round 5 (first driver
-        # verification), then every entry whose code path CHANGED in
-        # r5 (the (band, hash-prefix) minhash candidate split and its
-        # dependants; the Arrow-native HLL/mix_interleave rewrites;
-        # the crawl front-end adblock/fetch/scraper changes) ----------
-        "small_qty_revenue": relational.run_small_qty_revenue,
+        # -- slots 22-50: operators NEW in round 5 (first driver
+        # verification), prioritizing (a) the late-round additions,
+        # (b) the two entries whose oracles were UPGRADED from
+        # rows-only to SQL-checked this round (extract_spans,
+        # crawl_host_counts), then the r5 operators whose shapes have
+        # no already-verified sibling.  Evicted near-siblings
+        # (small_qty_revenue~large_orders, qty_cube~qty_rollup, ...)
+        # open the 51+ tail and stay green in check_oracle ------------
+        "source_similarity": textops.run_source_similarity,
+        "graph_degree_dist": graph.run_graph_degree_dist,
+        "user_entropy": relational.run_user_entropy,
+        "skipgram_counts": textops.run_skipgram_counts,
+        "session_stats": relational.run_session_stats,
+        "cocitation": graph.run_cocitation,
+        "extract_spans": _q_extract_spans,
+        "crawl_host_counts": _q_crawl_host_counts,
         "large_orders": relational.run_large_orders,
-        "qty_cube": relational.run_qty_cube,
-        "event_trigrams": relational.run_event_trigrams,
         "winsorize": relational.run_winsorize,
         "pareto_front": relational.run_pareto_front,
         "rrf_fusion": relational.run_rrf_fusion,
         "asof_attribution": relational.run_asof_attribution,
-        "median_by_type": relational.run_median_by_type,
-        "top_orders_per_cust": relational.run_top_orders_per_cust,
         "user_type_profile": relational.run_user_type_profile,
-        "custdist": relational.run_custdist,
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
         "disjunctive_revenue": relational.run_disjunctive_revenue,
@@ -188,8 +193,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": relational.run_market_share,
         "type_lift": relational.run_type_lift,
         "rfm_segments": relational.run_rfm_segments,
-        "monthly_growth": relational.run_monthly_growth,
-        "vocab_coverage": textops.run_vocab_coverage,
         "ann_recall": similarity.run_ann_recall,
         "dedup_recall": dedup.run_dedup_recall,
         "coverage_curve": textops.run_coverage_curve,
@@ -202,12 +205,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_props_corr": relational.run_value_props_corr,
         "anomaly_mad": relational.run_anomaly_mad,
         "waiting_suppliers": relational.run_waiting_suppliers,
-        "source_similarity": textops.run_source_similarity,
-        "graph_degree_dist": graph.run_graph_degree_dist,
-        "user_entropy": relational.run_user_entropy,
-        "skipgram_counts": textops.run_skipgram_counts,
-        "session_stats": relational.run_session_stats,
-        "cocitation": graph.run_cocitation,
+        # -- 51+: rotation tail, evicted near-siblings first (all
+        # hash-matched; green in check_oracle) ------------------------
+        "small_qty_revenue": relational.run_small_qty_revenue,
+        "qty_cube": relational.run_qty_cube,
+        "event_trigrams": relational.run_event_trigrams,
+        "median_by_type": relational.run_median_by_type,
+        "top_orders_per_cust": relational.run_top_orders_per_cust,
+        "custdist": relational.run_custdist,
+        "monthly_growth": relational.run_monthly_growth,
+        "vocab_coverage": textops.run_vocab_coverage,
         "hash_features": textops.run_hash_features,
         "minhash_dedup": dedup.run_minhash_dedup,
         "ngram_jaccard": dedup.run_ngram_jaccard,
@@ -220,7 +227,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_approx": _q_distinct_users_approx,
         "mix_interleave": _q_mix_interleave,
         "crawl_visits": _q_crawl_visits,
-        "extract_spans": _q_extract_spans,
         "semdedup": _q_semdedup,
         "chunk_dedup": dedup.run_chunk_dedup,
         "ann_lsh": similarity.run_ann_lsh,
@@ -301,9 +307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": _q_lang_dist,
         "events_stats": relational.run_events_stats,
         "top_orders": relational.run_top_orders,
-        # -- rows-only: crawl/extract engine (non-SQL; pytest oracles;
-        # crawl_visits/extract_spans moved into the gate window above) -
-        "crawl_host_counts": _q_crawl_host_counts,
+        # -- rows-only: media decode stubs (non-SQL; pytest-oracled
+        # seam contracts).  extract_spans/crawl_host_counts moved into
+        # the gate window above with their new SQL oracles ------------
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_thumbs": _q_media_thumbs,
