@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_props_corr": relational.run_value_props_corr,
         "anomaly_mad": relational.run_anomaly_mad,
         "waiting_suppliers": relational.run_waiting_suppliers,
+        "value_autocorr": relational.run_value_autocorr,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -796,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
                                                 waiting_suppliers_oracle_sql,
                                                 user_entropy_oracle_sql,
                                                 session_stats_oracle_sql,
+                                                value_autocorr_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -910,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "user_entropy": user_entropy_oracle_sql(),
         "skipgram_counts": skipgram_counts_oracle_sql(),
         "session_stats": session_stats_oracle_sql(),
+        "value_autocorr": value_autocorr_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

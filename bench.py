@@ -602,6 +602,10 @@ def run_bench() -> dict:
     graph.run_cocitation(SF_DIR).materialize()
     timings["cocitation"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_value_autocorr(SF_DIR).materialize()
+    timings["value_autocorr"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -5810,3 +5810,118 @@ def session_stats_oracle_sql() -> str:
                (sum(dur) * 1.0) / count(*) AS mean_duration_us
         FROM s2 GROUP BY n_events ORDER BY n_events
     """
+
+
+# --------------------------------------------------------------------------
+# lag-1 autocorrelation of the per-type daily revenue series
+# --------------------------------------------------------------------------
+
+def run_value_autocorr(sf_dir: str):
+    """Per event type: lag-1 Pearson autocorrelation of the daily
+    value series (consecutive PRESENT days in day order — the LAG
+    contract) — the momentum/mean-reversion diagnostic read off any
+    metric stream before forecasting it.
+
+    Plan (the 100 TB shape): per-batch (type, day, cents) partials
+    tree-merge to the #types × #days aggregate (calendar-bounded —
+    thousands of rows at ANY corpus size, so the one-block finalize is
+    scale-safe by construction, not by luck).  The pair moments are
+    accumulated in arbitrary-precision Python ints over that tiny
+    block (cents² × days would overflow int64 at full scale; DuckDB's
+    BIGINT sum promotes to HUGEINT the same way).
+
+    Float contract: all moments are exact integers; autocorr converts
+    to float64 only at the final fixed expression
+    ``num / sqrt(float(A) · float(B))`` — Python ``float(int)`` and
+    DuckDB's HUGEINT→DOUBLE cast both round-to-nearest, so the doubles
+    are bit-identical.  Cents use the repo's half-away-from-zero
+    contract (== DuckDB ``round(x*100)``)."""
+    import math
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = us // 86_400_000_000
+        y = batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": pa.array(days.astype(np.int64), type=pa.int64()),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "day": g["day"], "cents": g["cents_sum"]})
+
+    merged = tree_combine(
+        _read(sf_dir, "events",
+              ["event_type", "ts", "value"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "day"], sums=("cents",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["event_type", "day"], kind="mergesort"))
+        types, pairs, corrs = [], [], []
+        for et, g in df.groupby("event_type", sort=True):
+            c = [int(v) for v in g["cents"]]
+            if len(c) < 2:
+                continue
+            prev, cur = c[:-1], c[1:]
+            m = len(cur)
+            sxy = sum(a * b for a, b in zip(prev, cur))
+            sa, sb = sum(prev), sum(cur)
+            sa2 = sum(a * a for a in prev)
+            sb2 = sum(b * b for b in cur)
+            va = m * sa2 - sa * sa
+            vb = m * sb2 - sb * sb
+            if va <= 0 or vb <= 0:
+                continue
+            r = float(m * sxy - sa * sb) / math.sqrt(
+                float(va) * float(vb))
+            types.append(et)
+            pairs.append(m)
+            corrs.append(r)
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "n_pairs": pa.array(pairs, type=pa.int64()),
+            "autocorr": pa.array(corrs, type=pa.float64()),
+        })
+
+    return (merged.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("event_type"))
+
+
+def value_autocorr_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_value_autocorr` (LAG over the
+    daily-cents aggregate; HUGEINT-exact moments, identical float64
+    finalization)."""
+    return """
+        WITH d AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ), p AS (
+            SELECT event_type, cents,
+                   lag(cents) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS prev
+            FROM d
+        ), m AS (
+            SELECT event_type, count(*) AS m,
+                   sum(prev * cents) AS sxy,
+                   sum(prev) AS sa, sum(cents) AS sb,
+                   sum(prev * prev) AS sa2, sum(cents * cents) AS sb2
+            FROM p WHERE prev IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+               CAST(m * sxy - sa * sb AS DOUBLE)
+                   / sqrt(CAST(m * sa2 - sa * sa AS DOUBLE)
+                          * CAST(m * sb2 - sb * sb AS DOUBLE))
+                   AS autocorr
+        FROM m
+        WHERE (m * sa2 - sa * sa) > 0 AND (m * sb2 - sb * sb) > 0
+        ORDER BY event_type
+    """

@@ -3006,3 +3006,27 @@ def test_session_stats_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_value_autocorr_local_oracle(ray_session):
+    """Lag-1 daily-revenue autocorrelation equals the DuckDB LAG
+    recompute at sf0.001 bit-for-bit (HUGEINT-exact moments, shared
+    float64 finalization), with |r| <= 1."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_value_autocorr,
+                                               value_autocorr_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(value_autocorr_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert len(want) >= 1
+    assert (want["autocorr"].abs() <= 1.0 + 1e-12).all()
+
+    got = run_value_autocorr(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
