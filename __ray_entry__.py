@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_mad": relational.run_anomaly_mad,
         "waiting_suppliers": relational.run_waiting_suppliers,
         "value_autocorr": relational.run_value_autocorr,
+        "lang_confusion": textops.run_lang_confusion,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -741,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
                                             hash_features_oracle_sql,
                                             source_similarity_oracle_sql,
                                             skipgram_counts_oracle_sql,
+                                            lang_confusion_oracle_sql,
                                             fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
                                             phrase_search_oracle_sql,
@@ -913,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_counts": skipgram_counts_oracle_sql(),
         "session_stats": session_stats_oracle_sql(),
         "value_autocorr": value_autocorr_oracle_sql(),
+        "lang_confusion": lang_confusion_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

@@ -606,6 +606,10 @@ def run_bench() -> dict:
     relational.run_value_autocorr(SF_DIR).materialize()
     timings["value_autocorr"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    textops.run_lang_confusion(SF_DIR).materialize()
+    timings["lang_confusion"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

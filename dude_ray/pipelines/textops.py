@@ -1720,3 +1720,54 @@ def skipgram_counts_oracle_sql(window: int = 3, min_count: int = 5,
         FROM cnt WHERE cnt >= {min_count}
         QUALIFY rank <= {top_per_d}
     """
+
+
+# --------------------------------------------------------------------------
+# language-ID confusion matrix (labeled lang vs predicted lang)
+# --------------------------------------------------------------------------
+
+def run_lang_confusion(sf_dir: str):
+    """Confusion matrix of the corpus's labeled ``lang`` column vs the
+    marker-word language-ID prediction — (lang, pred_lang, n_docs) —
+    the eval table a curator reads before trusting the classifier to
+    gate a training mix.
+
+    Scale shape: the LangId actor-pool kernel scores each batch, a
+    per-batch group_by pre-counts the (label, prediction) cells, and
+    tree_combine merges the ≤ |langs|² cell partials — no per-doc row
+    leaves the scoring stage.  All counts int64."""
+    from dude_ray.pipelines.relational import tree_combine
+
+    scorer = LangId()
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        pred = scorer(batch.select(["doc_id", "text"]))
+        t = pa.table({
+            "lang": batch["lang"],
+            "pred_lang": pred["pred_lang"],
+        })
+        g = t.group_by(["lang", "pred_lang"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "lang": g["lang"],
+            "pred_lang": g["pred_lang"],
+            "n_docs": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    partials = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        _cells, batch_format="pyarrow", batch_size=4096)
+    return (tree_combine(partials, ["lang", "pred_lang"],
+                         sums=("n_docs",))
+            .sort(["lang", "pred_lang"]))
+
+
+def lang_confusion_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_lang_confusion` (the LANG_ID
+    marker-regex prediction joined against the labeled column)."""
+    return f"""
+        WITH pred AS ({LANG_ID_ORACLE_SQL})
+        SELECT d.lang, p.pred_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

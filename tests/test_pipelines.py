@@ -3030,3 +3030,28 @@ def test_value_autocorr_local_oracle(ray_session):
     got = run_value_autocorr(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_lang_confusion_local_oracle(ray_session):
+    """The lang-ID confusion matrix equals the DuckDB marker-regex
+    recompute at sf0.001, and its cell counts reconcile with both the
+    labeled lang distribution and the total document count."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.textops import (run_lang_confusion,
+                                            lang_confusion_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(lang_confusion_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert want["n_docs"].sum() == n_docs
+
+    got = run_lang_confusion(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
