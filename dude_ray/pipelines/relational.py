@@ -5925,3 +5925,96 @@ def value_autocorr_oracle_sql() -> str:
         WHERE (m * sa2 - sa * sa) > 0 AND (m * sb2 - sb * sb) > 0
         ORDER BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# session-level event-type co-occurrence (basket pairs per session)
+# --------------------------------------------------------------------------
+
+def run_session_type_pairs(sf_dir: str,
+                           users_per_group: int | None = None):
+    """For every unordered event-type pair (a < b): the number of
+    sessions in which both types occur — the session-granularity
+    market-basket table (type_lift's sibling at user granularity).
+
+    Scale shape: the same one-shuffle coarsened-bucket sessionization
+    as :func:`run_user_sessions`; inside a bucket the distinct
+    (session, type) sets fan out to at most |types|²/2 pair rows per
+    session (the type domain is small by construction), pre-counted
+    before leaving the task, then tree_combine merges the
+    #pairs × #buckets partials.  All counts int64."""
+    if users_per_group is None:
+        users_per_group = _scaled_buckets(sf_dir, "events")
+
+    def _coarse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ugroup": pc.cast(
+                pc.bit_wise_and(batch["user_id"], users_per_group - 1),
+                pa.int64()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        et = g["event_type"].to_numpy()[order]
+        new_sess = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            new_sess[1:] = (uid[1:] != uid[:-1]) | \
+                (ts[1:] - ts[:-1] > SESSION_GAP_US)
+        sid = np.cumsum(new_sess)
+        d = (pd.DataFrame({"sid": sid, "t": et})
+             .drop_duplicates())
+        m = d.merge(d, on="sid")
+        m = m[m["t_x"] < m["t_y"]]
+        out = (m.groupby(["t_x", "t_y"], sort=False)
+               .size().rename("n_sessions").reset_index()
+               .rename(columns={"t_x": "type_a", "t_y": "type_b"}))
+        return out.astype({"n_sessions": "int64"})
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    keyed = ds.map_batches(_coarse, batch_format="pyarrow",
+                           batch_size=16384)
+    partials = keyed.groupby("ugroup").map_groups(
+        _pairs, batch_format="pandas")
+    return (tree_combine(partials, ["type_a", "type_b"],
+                         sums=("n_sessions",))
+            .sort(["type_a", "type_b"]))
+
+
+def session_type_pairs_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_session_type_pairs` (the
+    user_sessions gap contract; DISTINCT (session, type) self-join)."""
+    return f"""
+        WITH marked AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id) > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), sess AS (
+            SELECT user_id, event_type,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ), st AS (
+            SELECT DISTINCT user_id, sid, event_type FROM sess
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_sessions
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -3055,3 +3055,30 @@ def test_lang_confusion_local_oracle(ray_session):
     got = run_lang_confusion(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_session_type_pairs_local_oracle(ray_session):
+    """Session-basket type pairs equal the DuckDB windowed self-join
+    recompute at sf0.001 across bucket widths; pair counts never
+    exceed the total session count."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (
+        run_session_type_pairs, run_user_sessions,
+        session_type_pairs_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(session_type_pairs_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert (want["type_a"] < want["type_b"]).all()
+    assert want["n_sessions"].max() <= run_user_sessions(sf).count()
+
+    for upg in (4, 1 << 20):
+        got = (run_session_type_pairs(sf, users_per_group=upg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
