@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_autocorr": relational.run_value_autocorr,
         "lang_confusion": textops.run_lang_confusion,
         "session_type_pairs": relational.run_session_type_pairs,
+        "coupling": graph.run_coupling,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -731,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         extract_spans_oracle_sql as _extract_spans_sql)
     from dude_ray.pipelines.graph import (anchor_texts_oracle_sql,
                                           cocitation_oracle_sql,
+                                          coupling_oracle_sql,
                                           graph_degree_dist_oracle_sql,
                                           graph_hits_oracle_sql,
                                           graph_pagerank_oracle_sql,
@@ -844,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": graph_hits_oracle_sql(),
         "graph_degree_dist": graph_degree_dist_oracle_sql(),
         "cocitation": cocitation_oracle_sql(),
+        "coupling": coupling_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

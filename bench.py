@@ -614,6 +614,10 @@ def run_bench() -> dict:
     relational.run_session_type_pairs(SF_DIR).materialize()
     timings["session_type_pairs"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    graph.run_coupling(SF_DIR).materialize()
+    timings["coupling"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -1244,3 +1244,114 @@ def anchor_texts_oracle_sql(sf_dir: str | None = None) -> str:
                max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor
         FROM ranked GROUP BY target
     """
+
+
+# --------------------------------------------------------------------------
+# bibliographic coupling (source pages sharing outgoing links)
+# --------------------------------------------------------------------------
+
+def run_coupling(sf_dir: str, top_k: int = 100,
+                 target_rows_per_group: int = 65536):
+    """Top-``top_k`` bibliographically-coupled page pairs: distinct
+    SOURCE pairs (a < b) ranked by how many distinct pages both link
+    to — :func:`run_cocitation`'s dual (coupling measures the linking
+    pages' similarity; co-citation the linked pages').
+
+    Plan: identical to co-citation with the key flipped — the reduce
+    keys on ``dst``, and the pair fan-out is bounded by each page's
+    IN-degree within the dedup'd edge set.  In-degree is not
+    nav-bounded like out-degree, so hub targets are the skew risk; the
+    reduce is data-scaled on dst and a hub's pair expansion stays
+    inside one vectorized task (documented bound: Σ d_in² over the
+    distinct edge set)."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.relational import tree_combine
+
+    edges, _nodes = link_edges(sf_dir)
+    n_edges = max(edges.count(), 1)
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        return batch.select(["src", "dst"]).group_by(
+            ["src", "dst"]).aggregate([])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["src", "dst"]].drop_duplicates()
+        m = d.merge(d, on="dst")
+        m = m[m["src_x"] < m["src_y"]]
+        out = (m.groupby(["src_x", "src_y"], sort=False)
+               .size().rename("c").reset_index()
+               .rename(columns={"src_x": "page_a", "src_y": "page_b"}))
+        return out.astype({"c": "int64"})
+
+    dd = edges.map_batches(_dedup, batch_format="pyarrow",
+                           batch_size=65536)
+    pair_partials = hash_grouped_reduce(
+        dd, "dst", _pairs, n_edges,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("page_a", "page_b", "c"))
+    counts = tree_combine(pair_partials, ["page_a", "page_b"],
+                          sums=("c",))
+
+    def _top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (df.sort_values(["c", "page_a", "page_b"],
+                             ascending=[False, True, True])
+              .head(top_k).reset_index(drop=True))
+        return pa.table({
+            "page_a": pa.array(df["page_a"], type=pa.string()),
+            "page_b": pa.array(df["page_b"], type=pa.string()),
+            "n_shared": pa.array(df["c"].astype("int64")),
+            "rank": pa.array(
+                np.arange(1, len(df) + 1, dtype=np.int64)),
+        })
+
+    return counts.repartition(1).map_batches(
+        _top, batch_format="pyarrow", batch_size=None)
+
+
+def coupling_oracle_sql(sf_dir: str | None = None,
+                        top_k: int = 100) -> str:
+    """DuckDB oracle for :func:`run_coupling` (inlined edge list,
+    dual of the co-citation oracle — join on dst, pair srcs)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    bounds, edges = corpus_link_edges_py(n_docs)
+    if not edges:
+        raise ValueError("empty corpus link graph")
+    b_vals = ",".join(f"({h}, {bounds[h]}, {bounds[h + 1]})"
+                      for h in range(len(bounds) - 1))
+    e_vals = ",".join(f"({s},{t})" for s, t in edges)
+    return f"""
+        WITH bounds(h, lo, hi) AS (VALUES {b_vals}),
+        nodes AS (
+            SELECT d.doc_id AS id,
+                   'https://h' || lpad(CAST(b.h AS VARCHAR), 4, '0')
+                       || '.test/docs/' || CAST(d.doc_id AS VARCHAR)
+                       || '.html' AS node
+            FROM documents d JOIN bounds b
+              ON d.doc_id >= b.lo AND d.doc_id < b.hi
+        ), edges0(src_id, dst_id) AS (VALUES {e_vals}),
+        dd AS (SELECT DISTINCT src_id, dst_id FROM edges0),
+        pairs AS (
+            SELECT na.node AS page_a, nb.node AS page_b,
+                   count(*) AS c
+            FROM dd a JOIN dd b
+              ON a.dst_id = b.dst_id
+            JOIN nodes na ON na.id = a.src_id
+            JOIN nodes nb ON nb.id = b.src_id
+            WHERE na.node < nb.node
+            GROUP BY 1, 2
+        )
+        SELECT page_a, page_b, CAST(c AS BIGINT) AS n_shared,
+               CAST(row_number() OVER (
+                   ORDER BY c DESC, page_a ASC, page_b ASC)
+                   AS BIGINT) AS rank
+        FROM pairs
+        QUALIFY rank <= {top_k}
+    """

@@ -289,3 +289,27 @@ def test_anchor_texts_local_oracle(ray_session):
            .sort_values("target").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_coupling_local_oracle(ray_session):
+    """Top bibliographically-coupled pairs equal the DuckDB
+    inlined-edge recompute at sf0.001 across both hash_grouped_reduce
+    tiers (the co-citation dual, keyed on dst)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.graph import run_coupling, coupling_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(coupling_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    assert (want["page_a"] < want["page_b"]).all()
+
+    for trg in (64, 1 << 22):
+        got = (run_coupling(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
