@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": textops.run_lang_confusion,
         "session_type_pairs": relational.run_session_type_pairs,
         "coupling": graph.run_coupling,
+        "hour_profile": relational.run_hour_profile,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -804,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
                                                 session_stats_oracle_sql,
                                                 value_autocorr_oracle_sql,
                                                 session_type_pairs_oracle_sql,
+                                                hour_profile_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -922,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "value_autocorr": value_autocorr_oracle_sql(),
         "lang_confusion": lang_confusion_oracle_sql(),
         "session_type_pairs": session_type_pairs_oracle_sql(),
+        "hour_profile": hour_profile_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

@@ -6018,3 +6018,73 @@ def session_type_pairs_oracle_sql() -> str:
          AND a.event_type < b.event_type
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# hour-of-day activity clock per event type
+# --------------------------------------------------------------------------
+
+def run_hour_profile(sf_dir: str):
+    """Events per (event_type, UTC hour-of-day) plus each hour's share
+    of its type's traffic — the activity clock that exposes bot trains
+    (flat or single-spike clocks) vs organic diurnal load.
+
+    Plan: per-batch (type, hour → n) partials tree-merge to ≤
+    |types| × 24 rows; the share divides exact int64 counts at the
+    end (``(n·1.0)/total``, one shared expression tree).  Hour
+    computes vectorized from the microsecond epoch."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hour": pa.array(hour.astype(np.int64), type=pa.int64()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "hour": g["hour"], "n": g["n_sum"]})
+
+    merged = tree_combine(
+        _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "hour"], sums=("n",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["event_type", "hour"], kind="mergesort"))
+        tot = df.groupby("event_type", sort=False)["n"].transform("sum")
+        n = df["n"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "event_type": pa.array(df["event_type"], type=pa.string()),
+            "hour": pa.array(df["hour"].to_numpy(dtype=np.int64)),
+            "n_events": pa.array(n),
+            "share": pa.array((n * 1.0) / tot.to_numpy(dtype=np.int64),
+                              type=pa.float64()),
+        })
+
+    return (merged.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None)
+            .sort(["event_type", "hour"]))
+
+
+def hour_profile_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_hour_profile` (UTC hour from the
+    microsecond epoch; exact counts, identical share tree)."""
+    return """
+        WITH h AS (
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                       AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+               (n_events * 1.0)
+                   / CAST(sum(n_events) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS share
+        FROM h ORDER BY event_type, hour
+    """

@@ -3082,3 +3082,26 @@ def test_session_type_pairs_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_hour_profile_local_oracle(ray_session):
+    """The hour-of-day clock equals the DuckDB recompute at sf0.001
+    exactly, and each type's shares sum to 1."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_hour_profile,
+                                               hour_profile_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(hour_profile_oracle_sql()).df()
+            .reset_index(drop=True))
+    sums = want.groupby("event_type")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-9).all()
+
+    got = run_hour_profile(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
