@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_pairs": relational.run_session_type_pairs,
         "coupling": graph.run_coupling,
         "hour_profile": relational.run_hour_profile,
+        "doclen_percentiles": relational.run_doclen_percentiles,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -806,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
                                                 value_autocorr_oracle_sql,
                                                 session_type_pairs_oracle_sql,
                                                 hour_profile_oracle_sql,
+                                                doclen_percentiles_oracle_sql,
                                                 small_qty_revenue_oracle_sql,
                                                 events_lag_diff_oracle_sql,
                                                 events_rolling_oracle_sql,
@@ -925,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": lang_confusion_oracle_sql(),
         "session_type_pairs": session_type_pairs_oracle_sql(),
         "hour_profile": hour_profile_oracle_sql(),
+        "doclen_percentiles": doclen_percentiles_oracle_sql(),
         "hash_features": hash_features_oracle_sql(),
         "priority_semijoin": priority_semijoin_oracle_sql(),
         "lapsed_customers": lapsed_customers_oracle_sql(),

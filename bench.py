@@ -622,6 +622,10 @@ def run_bench() -> dict:
     relational.run_hour_profile(SF_DIR).materialize()
     timings["hour_profile"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_doclen_percentiles(SF_DIR).materialize()
+    timings["doclen_percentiles"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

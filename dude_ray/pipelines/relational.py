@@ -6088,3 +6088,90 @@ def hour_profile_oracle_sql() -> str:
                           AS BIGINT) AS share
         FROM h ORDER BY event_type, hour
     """
+
+
+# --------------------------------------------------------------------------
+# document-length percentiles per language
+# --------------------------------------------------------------------------
+
+def run_doclen_percentiles(sf_dir: str, ps=(0.5, 0.9, 0.99)):
+    """EXACT p50/p90/p99 of document length (``n_chars``) per
+    language — the length profile a curator reads before setting
+    truncation/packing budgets per language slice.
+
+    Same mergeable-histogram shape as :func:`run_value_percentiles`
+    (exact because n_chars is a bounded integer domain): per-batch
+    (lang, n_chars) counts, Arrow tree merge, quantiles from
+    cumulative counts with the smallest-value-reaching-ceil(p·n) rank
+    contract.  Also reports the exact count and int64 length sum."""
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["lang", "n_chars"]).group_by(
+            ["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({
+            "lang": g["lang"],
+            "n_chars": pc.cast(g["n_chars"], pa.int64()),
+            "n": pc.cast(g["n_chars_count"], pa.int64()),
+        })
+
+    def _quantiles(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_pylist(),
+            "v": batch["n_chars"].to_numpy(zero_copy_only=False),
+            "n": batch["n"].to_numpy(zero_copy_only=False),
+        }).sort_values(["lang", "v"])
+        out = {"lang": [], "n_docs": [], "sum_chars": []}
+        for p in ps:
+            out[f"p{int(p * 100)}"] = []
+        for lang, grp in df.groupby("lang", sort=True):
+            cum = grp["n"].cumsum().to_numpy()
+            vals = grp["v"].to_numpy()
+            total = int(cum[-1])
+            out["lang"].append(lang)
+            out["n_docs"].append(total)
+            out["sum_chars"].append(
+                int((grp["v"].to_numpy() * grp["n"].to_numpy()).sum()))
+            for p in ps:
+                rank = int(np.ceil(p * total))
+                out[f"p{int(p * 100)}"].append(
+                    int(vals[np.searchsorted(cum, rank, side="left")]))
+        cols = {"lang": pa.array(out["lang"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+                "sum_chars": pa.array(out["sum_chars"],
+                                      type=pa.int64())}
+        for p in ps:
+            k = f"p{int(p * 100)}"
+            cols[k] = pa.array(out[k], type=pa.int64())
+        return pa.table(cols)
+
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+    partials = ds.map_batches(_hist, batch_format="pyarrow",
+                              batch_size=16384)
+    hist = tree_combine(partials, ["lang", "n_chars"], sums=("n",))
+    return hist.map_batches(_quantiles, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def doclen_percentiles_oracle_sql(ps=(0.5, 0.9, 0.99)) -> str:
+    """DuckDB oracle for :func:`run_doclen_percentiles` (row_number
+    rank arithmetic — the same ceil(p·n) contract, independent of
+    DuckDB's quantile builtins)."""
+    cols = ",\n               ".join(
+        f"max(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) "
+        f"THEN n_chars END) AS p{int(p * 100)}" for p in ps)
+    return f"""
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               {cols}
+        FROM ranked GROUP BY lang ORDER BY lang
+    """

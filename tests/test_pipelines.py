@@ -3105,3 +3105,30 @@ def test_hour_profile_local_oracle(ray_session):
     got = run_hour_profile(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_doclen_percentiles_local_oracle(ray_session):
+    """Per-language length percentiles equal the DuckDB row_number
+    recompute at sf0.001 exactly; percentiles are monotone and doc
+    counts reconcile with the table size."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.relational import (
+        run_doclen_percentiles, doclen_percentiles_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(doclen_percentiles_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert want["n_docs"].sum() == n_docs
+    assert ((want["p50"] <= want["p90"])
+            & (want["p90"] <= want["p99"])).all()
+
+    got = run_doclen_percentiles(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
