@@ -75,6 +75,36 @@ def _q_crawl_visits(sf_dir: str):
                               "order_in_round", "status", "n_links"])
 
 
+def _q_crawl_skip_counts(sf_dir: str):
+    """Frontier gate accounting (SURVEY A3/§2.7): offers by outcome —
+    released plus each skip reason — summed over the shard counters.
+    Equals the sequential replay's Counter (pytest contract
+    tests/test_crawl.py::test_skip_counters_match_oracle); the SQL
+    oracle inlines the replay's per-event reasons and re-aggregates."""
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    from dude_ray.crawl import crawl_metrics, run_crawl
+
+    out = os.path.join("/tmp/dude_ray_crawl", "qs_" + os.path.basename(sf_dir))
+    run_crawl(sf_dir, out_dir=out, num_shards=4).materialize()
+    m = crawl_metrics(out)
+    keys = ("duplicate", "not_allowed_domain", "released",
+            "robots_disallowed")
+    totals = {k: 0 for k in keys}
+    for s in m["shards"]:
+        for k in keys:
+            totals[k] += int(s.get(k, 0))
+    present = [k for k in keys if totals[k] > 0]  # oracle omits zeros
+    t = pa.table({
+        "reason": pa.array(present, type=pa.string()),
+        "n": pa.array([totals[k] for k in present], type=pa.int64()),
+    })
+    return ray.data.from_arrow(t)
+
+
 def _q_crawl_host_counts(sf_dir: str):
     """Politeness accounting (SURVEY A3): visited pages per host."""
     import os
@@ -211,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coupling": graph.run_coupling,
         "hour_profile": relational.run_hour_profile,
         "doclen_percentiles": relational.run_doclen_percentiles,
+        "crawl_skip_counts": _q_crawl_skip_counts,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -729,7 +760,8 @@ _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
 
 def oracle_sql() -> dict[str, str]:
     from dude_ray.oracle import (
-        crawl_host_counts_oracle_sql as _crawl_host_counts_sql)
+        crawl_host_counts_oracle_sql as _crawl_host_counts_sql,
+        crawl_skip_counts_oracle_sql as _crawl_skip_counts_sql)
     from dude_ray.pipelines.flagship import (
         extract_spans_oracle_sql as _extract_spans_sql)
     from dude_ray.pipelines.graph import (anchor_texts_oracle_sql,
@@ -857,6 +889,8 @@ def oracle_sql() -> dict[str, str]:
         # upgraded round 5 from rows-only: the sequential-replay visit
         # list is inlined, per-host aggregation recomputed in SQL
         "crawl_host_counts": _crawl_host_counts_sql(),
+        # replay skip/release accounting, re-aggregated in SQL
+        "crawl_skip_counts": _crawl_skip_counts_sql(),
         # upgraded round 5 from rows-only: rng-determined span skeleton
         # inlined; text-derived spans rebuilt in SQL from documents.text
         "extract_spans": _extract_spans_sql(),

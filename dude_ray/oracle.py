@@ -150,3 +150,36 @@ def crawl_host_counts_oracle_sql(sf_dir: Optional[str] = None) -> str:
                CAST(sum(n_links) AS BIGINT) AS n_links
         FROM visits GROUP BY host
     """
+
+
+def crawl_skip_counts_oracle_sql(sf_dir: Optional[str] = None) -> str:
+    """DuckDB oracle for ``__ray_entry__``'s ``crawl_skip_counts``:
+    the sequential replay's per-URL skip reasons are inlined as VALUES
+    (one row per skipped URL) plus one 'released' row per visit, and
+    the reason aggregation is recomputed in SQL.  The engine's shard
+    counters match the replay's Counter by the pytest contract
+    (tests/test_crawl.py::test_skip_counters_match_oracle); this makes
+    that equality driver-recordable."""
+    import os
+
+    from .sources.corpus import ensure_corpus, load_robots, load_seeds
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    corpus_dir = ensure_corpus(sf_dir)
+    index = load_corpus_index(corpus_dir)
+    robots = load_robots(corpus_dir)
+    seeds = [s["url"] for s in load_seeds(corpus_dir)]
+    res = sequential_crawl(index, robots, seeds)
+    rows: list[str] = []
+    for reason, n in sorted(res.skips.items()):
+        rows += [reason] * n
+    rows += ["released"] * len(res.visits)
+    if not rows:
+        raise ValueError("empty oracle crawl")
+    vals = ",".join(f"('{r}')" for r in rows)
+    return f"""
+        WITH ev(reason) AS (VALUES {vals})
+        SELECT reason, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY reason ORDER BY reason
+    """

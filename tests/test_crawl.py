@@ -383,3 +383,21 @@ def test_crawl_host_counts_local_oracle(ray_session, tmp_path_factory):
            .sort_values("host").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_crawl_skip_counts_local_oracle(ray_session):
+    """The frontier outcome accounting equals the DuckDB recompute
+    over the inlined replay skip/release events at sf0.001."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from dude_ray.oracle import crawl_skip_counts_oracle_sql
+
+    con = duckdb.connect()
+    want = (con.execute(crawl_skip_counts_oracle_sql(SF)).df()
+            .sort_values("reason").reset_index(drop=True))
+    got = (entry.queries()["crawl_skip_counts"](SF).to_pandas()
+           .sort_values("reason").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
