@@ -126,6 +126,12 @@ def _q_crawl_host_counts(sf_dir: str):
     return tree_combine(partials, ["host"], sums=("n_pages", "n_links"))
 
 
+def _q_media_size_stats(sf_dir: str):
+    from dude_ray.stages.multimodal import run_media_size_stats
+
+    return run_media_size_stats(sf_dir)
+
+
 def _q_media_decode(sf_dir: str):
     from dude_ray.stages.multimodal import run_media_decode
 
@@ -242,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_profile": relational.run_hour_profile,
         "doclen_percentiles": relational.run_doclen_percentiles,
         "crawl_skip_counts": _q_crawl_skip_counts,
+        "media_size_stats": _q_media_size_stats,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -764,6 +771,8 @@ def oracle_sql() -> dict[str, str]:
         crawl_skip_counts_oracle_sql as _crawl_skip_counts_sql)
     from dude_ray.pipelines.flagship import (
         extract_spans_oracle_sql as _extract_spans_sql)
+    from dude_ray.stages.multimodal import (
+        media_size_stats_oracle_sql as _media_size_stats_sql)
     from dude_ray.pipelines.graph import (anchor_texts_oracle_sql,
                                           cocitation_oracle_sql,
                                           coupling_oracle_sql,
@@ -891,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_counts": _crawl_host_counts_sql(),
         # replay skip/release accounting, re-aggregated in SQL
         "crawl_skip_counts": _crawl_skip_counts_sql(),
+        # media payload-size contract enforced against the real bytes
+        "media_size_stats": _media_size_stats_sql(),
         # upgraded round 5 from rows-only: rng-determined span skeleton
         # inlined; text-derived spans rebuilt in SQL from documents.text
         "extract_spans": _extract_spans_sql(),

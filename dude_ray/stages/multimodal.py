@@ -268,3 +268,81 @@ def run_media_audio_chunks(sf_dir: str, window: int = 256, hop: int = 128,
                                                     "hop": hop},
                              batch_format="pyarrow", batch_size=128,
                              concurrency=(1, concurrency))
+
+
+def run_media_size_stats(sf_dir: str):
+    """Histogram of media payload sizes — one row per distinct byte
+    length with media count and total bytes — the storage-planning
+    profile (batch sizing, block budgets) read off any binary-column
+    table.  Unlike the decode stages this is fully SQL-checkable: the
+    payload-size contract (``256 + digest[0]·8`` bytes — see
+    :func:`dude_ray.sources.corpus.media_payload`) is enforced against
+    the real materialized payload bytes, so the driver records that
+    the binary column the actor-pool stages consume is byte-sized
+    exactly as the generator specifies.
+
+    Scale shape: per-batch (n_bytes → count) partials over the wide
+    binary rows (small batch_size, never holding payloads past the
+    length computation), tree-merged to ≤256 distinct-length rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import tree_combine
+    from ..sources.corpus import ensure_corpus
+
+    corpus_dir = ensure_corpus(sf_dir)
+    media = build_media_table(corpus_dir)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.binary_length(batch["payload"]), pa.int64())
+        t = pa.table({
+            "n_bytes": ln,
+            "n_media": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "total_bytes": ln,
+        })
+        g = t.group_by(["n_bytes"]).aggregate(
+            [("n_media", "sum"), ("total_bytes", "sum")])
+        return pa.table({"n_bytes": g["n_bytes"],
+                         "n_media": g["n_media_sum"],
+                         "total_bytes": g["total_bytes_sum"]})
+
+    partials = media.map_batches(_partial, batch_format="pyarrow",
+                                 batch_size=256)
+    return tree_combine(partials, ["n_bytes"],
+                        sums=("n_media", "total_bytes")).sort("n_bytes")
+
+
+def media_size_stats_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_media_size_stats`: media refs are
+    enumerated from the rng-determined page structures and their
+    contract sizes recomputed by the SAME pure function the corpus
+    writer uses; the per-size aggregation is recomputed in SQL from
+    the inlined (ref, size) rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.corpus import (_build_struct, host_boundaries,
+                                  media_payload)
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    bounds = host_boundaries(n_docs)
+    sizes: list[int] = []
+    for i in range(n_docs):
+        s = _build_struct(i, "", n_docs, bounds)
+        for g in s.groups:
+            if g["image"] is not None:
+                sizes.append(len(media_payload(g["image"])))
+    if not sizes:
+        raise ValueError("corpus has no media refs")
+    vals = ",".join(f"({n})" for n in sizes)
+    return f"""
+        WITH m(n_bytes) AS (VALUES {vals})
+        SELECT CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        FROM m GROUP BY n_bytes ORDER BY n_bytes
+    """

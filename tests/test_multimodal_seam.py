@@ -67,3 +67,26 @@ def test_fake_decode_raises_on_empty():
     assert err["feature"] == []
     assert good["width"] == GOLDEN_OUT["width"]
     assert good["feature"] == GOLDEN_OUT["feature"]
+
+
+def test_media_size_stats_local_oracle(ray_session):
+    """The payload-size histogram of the REAL materialized media bytes
+    equals the DuckDB recompute over the generator-contract sizes at
+    sf0.001 — the binary column the decode stages consume is sized
+    exactly as media_payload specifies."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.stages.multimodal import (run_media_size_stats,
+                                            media_size_stats_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    want = (con.execute(media_size_stats_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    assert (want["n_bytes"] >= 256).all()
+    assert (want["n_bytes"] <= 256 + 255 * 8).all()
+
+    got = run_media_size_stats(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
