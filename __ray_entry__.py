@@ -213,13 +213,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation": graph.run_cocitation,
         "extract_spans": _q_extract_spans,
         "crawl_host_counts": _q_crawl_host_counts,
+        "crawl_skip_counts": _q_crawl_skip_counts,
+        "media_size_stats": _q_media_size_stats,
         "large_orders": relational.run_large_orders,
         "winsorize": relational.run_winsorize,
         "pareto_front": relational.run_pareto_front,
         "rrf_fusion": relational.run_rrf_fusion,
         "asof_attribution": relational.run_asof_attribution,
-        "user_type_profile": relational.run_user_type_profile,
-        "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
         "disjunctive_revenue": relational.run_disjunctive_revenue,
         "promo_revenue": relational.run_promo_revenue,
@@ -247,8 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coupling": graph.run_coupling,
         "hour_profile": relational.run_hour_profile,
         "doclen_percentiles": relational.run_doclen_percentiles,
-        "crawl_skip_counts": _q_crawl_skip_counts,
-        "media_size_stats": _q_media_size_stats,
+        "user_type_profile": relational.run_user_type_profile,
+        "returned_items": relational.run_returned_items,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
