@@ -626,6 +626,11 @@ def run_bench() -> dict:
     relational.run_doclen_percentiles(SF_DIR).materialize()
     timings["doclen_percentiles"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    from dude_ray.stages.multimodal import run_media_size_stats
+    run_media_size_stats(SF_DIR).materialize()
+    timings["media_size_stats"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
