@@ -215,12 +215,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_counts": _q_crawl_host_counts,
         "crawl_skip_counts": _q_crawl_skip_counts,
         "media_size_stats": _q_media_size_stats,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "large_orders": relational.run_large_orders,
         "winsorize": relational.run_winsorize,
         "pareto_front": relational.run_pareto_front,
         "rrf_fusion": relational.run_rrf_fusion,
         "asof_attribution": relational.run_asof_attribution,
-        "top_supplier": relational.run_top_supplier,
         "disjunctive_revenue": relational.run_disjunctive_revenue,
         "promo_revenue": relational.run_promo_revenue,
         "volume_shipping": relational.run_volume_shipping,
@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_percentiles": relational.run_doclen_percentiles,
         "user_type_profile": relational.run_user_type_profile,
         "returned_items": relational.run_returned_items,
+        "top_supplier": relational.run_top_supplier,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -471,6 +472,12 @@ def _q_value_buckets(sf_dir: str):
     from dude_ray.pipelines.relational import run_value_buckets
 
     return run_value_buckets(sf_dir)
+
+
+def _q_dup_cluster_sizes(sf_dir: str):
+    from dude_ray.pipelines.dedup import run_dup_cluster_sizes
+
+    return run_dup_cluster_sizes(sf_dir)
 
 
 def _q_dup_clusters(sf_dir: str):
@@ -763,6 +770,27 @@ def _q_lang_dist(sf_dir: str):
 _TOKEN_RE = "[A-Za-z0-9_]+"
 _STOP_RE = r"\b(?:the|and|of|a|to|in|is|it|that)\b"
 _PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>-]".replace("'", "''")  # SQL-quoted form
+
+
+_DUP_COMPONENTS_SQL = """
+    WITH RECURSIVE pairs AS (
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(
+          CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+    ), edges AS (
+SELECT a AS u, b AS v FROM pairs
+UNION ALL
+SELECT b AS u, a AS v FROM pairs
+    ), reach AS (
+SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+UNION
+SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS vec_id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY u
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1440,24 +1468,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             GROUP BY 1
         """,
-        "dup_clusters": """
-            WITH RECURSIVE pairs AS (
-                SELECT a.vec_id AS a, b.vec_id AS b
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-                WHERE round(list_cosine_similarity(
-                          CAST(a.embedding AS DOUBLE[]),
-                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
-            ), edges AS (
-                SELECT a AS u, b AS v FROM pairs
-                UNION ALL
-                SELECT b AS u, a AS v FROM pairs
-            ), reach AS (
-                SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
-                UNION
-                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+        "dup_clusters": _DUP_COMPONENTS_SQL,
+        "dup_cluster_sizes": f"""
+            WITH comp AS ({_DUP_COMPONENTS_SQL}),
+            cs AS (
+                SELECT component, count(*) AS sz FROM comp
+                GROUP BY component
             )
-            SELECT u AS vec_id, CAST(min(lbl) AS BIGINT) AS component
-            FROM reach GROUP BY u
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sz * count(*) AS BIGINT) AS n_docs
+            FROM cs GROUP BY sz ORDER BY sz
         """,
         "mix_interleave": """
             WITH w AS (

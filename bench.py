@@ -631,6 +631,10 @@ def run_bench() -> dict:
     run_media_size_stats(SF_DIR).materialize()
     timings["media_size_stats"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    dedup.run_dup_cluster_sizes(SF_DIR).materialize()
+    timings["dup_cluster_sizes"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -2418,3 +2418,48 @@ def dedup_recall_oracle_sql(threshold: float = 0.8) -> str:
                    AS precision
         FROM m
     """
+
+
+def run_dup_cluster_sizes(sf_dir: str, threshold: float = 0.35):
+    """Histogram of near-duplicate cluster sizes — (cluster_size,
+    n_clusters, n_docs) — the dedup diagnostic read between pair
+    detection and keep-one-per-cluster (a fat tail here means chained
+    near-dups that pairwise keeps would over-delete).
+
+    Scale shape: the component labels stream through a per-batch
+    (component, c) pre-count, one tree_combine to exact per-component
+    sizes, a per-block size histogram partial and a second tiny
+    tree_combine — never one row per document in a single task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dude_ray.pipelines.relational import tree_combine
+
+    comp = run_dup_clusters(sf_dir, threshold=threshold)
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        g = batch.select(["component"]).group_by(
+            ["component"]).aggregate([([], "count_all")])
+        return pa.table({"component": g["component"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    sizes = tree_combine(
+        comp.map_batches(_pre, batch_format="pyarrow",
+                         batch_size=65536),
+        ["component"], sums=("c",))
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["c"]).group_by(["c"]).aggregate(
+            [([], "count_all")])
+        n_clusters = pc.cast(g["count_all"], pa.int64())
+        return pa.table({
+            "cluster_size": pc.cast(g["c"], pa.int64()),
+            "n_clusters": n_clusters,
+            "n_docs": pc.multiply(pc.cast(g["c"], pa.int64()),
+                                  n_clusters),
+        })
+
+    hist = sizes.map_batches(_hist, batch_format="pyarrow",
+                             batch_size=None)
+    return tree_combine(hist, ["cluster_size"],
+                        sums=("n_clusters", "n_docs")).sort("cluster_size")

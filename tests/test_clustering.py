@@ -266,3 +266,28 @@ def test_embedding_project_jl_property(ray_session):
     ratio = dp / (16 * sigma2 * dq)
     assert abs(ratio.mean() - 1.0) < 0.2
     assert ratio.min() > 0.1 and ratio.max() < 3.0
+
+
+def test_dup_cluster_sizes_local_oracle(ray_session):
+    """The cluster-size histogram equals the DuckDB recursive-CTE
+    recompute at sf0.001, and n_docs reconciles with the component
+    table's row count."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from dude_ray.pipelines.dedup import (run_dup_cluster_sizes,
+                                          run_dup_clusters)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = (con.execute(entry.oracle_sql()["dup_cluster_sizes"]).df()
+            .reset_index(drop=True))
+    assert (want["cluster_size"] >= 2).all()  # singletons have no pair
+    assert want["n_docs"].sum() == run_dup_clusters(sf).count()
+
+    got = run_dup_cluster_sizes(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
