@@ -156,6 +156,18 @@ def _q_media_audio_chunks(sf_dir: str):
     return run_media_audio_chunks(sf_dir)
 
 
+def _q_link_components(sf_dir: str):
+    from dude_ray.pipelines.components import run_link_components
+
+    return run_link_components(sf_dir)
+
+
+def _q_link_depth(sf_dir: str):
+    from dude_ray.pipelines.components import run_link_depth
+
+    return run_link_depth(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Round-5
@@ -216,6 +228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_skip_counts": _q_crawl_skip_counts,
         "media_size_stats": _q_media_size_stats,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
+        # iterative graph ops new in r5: union-find/label-prop CC and
+        # BFS depth, recursive-CTE oracled (pipelines/components.py)
+        "link_components": _q_link_components,
+        "link_depth": _q_link_depth,
         "large_orders": relational.run_large_orders,
         "winsorize": relational.run_winsorize,
         "pareto_front": relational.run_pareto_front,
@@ -248,10 +264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_profile": relational.run_hour_profile,
         "doclen_percentiles": relational.run_doclen_percentiles,
         "user_type_profile": relational.run_user_type_profile,
-        "returned_items": relational.run_returned_items,
-        "top_supplier": relational.run_top_supplier,
         # -- 51+: rotation tail, evicted near-siblings first (all
         # hash-matched; green in check_oracle) ------------------------
+        "returned_items": relational.run_returned_items,
+        "top_supplier": relational.run_top_supplier,
         "small_qty_revenue": relational.run_small_qty_revenue,
         "qty_cube": relational.run_qty_cube,
         "event_trigrams": relational.run_event_trigrams,
@@ -887,6 +903,8 @@ def oracle_sql() -> dict[str, str]:
                                                 revenue_by_nation_oracle_sql,
                                                 shipping_priority_oracle_sql)
     from dude_ray.pipelines.graph import knn_triangles_oracle_sql
+    from dude_ray.pipelines.components import (link_components_oracle_sql,
+                                               link_depth_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
@@ -920,6 +938,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_dist": graph_degree_dist_oracle_sql(),
         "cocitation": cocitation_oracle_sql(),
         "coupling": coupling_oracle_sql(),
+        # recursive-CTE reachability closure / bounded BFS over the
+        # inlined generator-determined edge list (components.py)
+        "link_components": link_components_oracle_sql(),
+        "link_depth": link_depth_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

@@ -1,0 +1,422 @@
+"""Connected components + BFS depth over the crawl link graph.
+
+Two iterative graph operators the crawl/curation stack needs beyond
+PageRank/HITS (``graph.py``):
+
+* ``run_link_components`` — connected components of the INTRA-HOST
+  (same-netloc) link graph: the "site section" structure a crawler
+  uses to partition recrawl budgets and a dedup pipeline uses to scope
+  near-dup candidates to a site.  Component id = lexicographically
+  minimum member URL.
+* ``run_link_depth`` — BFS hop distance from the crawl SEED set over
+  the full link graph: the idealized frontier depth (how many link
+  hops each page sits from a seed), the quantity a breadth-budgeted
+  crawl (reference semantics: FIFO BFS over the deque,
+  /root/reference/dude/base.py:361-376) truncates on.
+
+Distributed shape (same discipline as ``dedup.run_dup_clusters``):
+two-tier planner — a driver union-find / BFS below
+``local_threshold`` edges (the edge list fits in one task's heap),
+and above it an iterative min-label propagation where every round is
+ONE hash join (probe rows ⋈ current labels) plus one data-scaled
+hash-grouped vectorized min (Ray's groupby().min() Python combine
+measures ~20k rows/s — see ``partitioning.hash_grouped_reduce``).
+Components use pointer jumping (label-of-label probe rows unioned
+into the same join) so rounds are O(log diameter); BFS is
+Bellman-Ford-shaped, O(eccentricity) rounds with ``max_depth`` as the
+explicit bound.  All shuffle traffic is (node, label) pairs hash
+partitioned by node — no stage ever holds the whole graph in one
+process on the scale path.
+
+Fixpoint detection: BFS labels are int64 and only ever (a) get added
+or (b) decrease, so an unchanged (count, sum) pair IS an unchanged
+labeling — two scalar aggregates per round.  Component labels are
+strings, so the monotone-sum trick uses a per-row uint64 content hash
+(labels strictly lexicographically decrease when they change, so the
+hash-sum changes w.h.p.; a collision would stop one round early with
+probability ~2^-64 — the ``max_iters`` backstop and the tier
+equivalence test bound the risk).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_AGG_ARGS = {"num_cpus": 0}
+_NETLOC_RE = r"^[a-z][a-z0-9+.-]*://(?P<h>[^/]+)"
+
+
+def _netloc(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized scheme://netloc prefix (pyarrow regex kernel — the
+    canonicalizer already lowercased scheme+host)."""
+    ex = pc.extract_regex(col, _NETLOC_RE)
+    if isinstance(ex, pa.ChunkedArray):
+        ex = ex.combine_chunks()
+    return ex.field(0)
+
+
+# --------------------------------------------------------------------------
+# kernels
+# --------------------------------------------------------------------------
+
+def _hash_sum(labels) -> int:
+    """Order-independent uint64 content hash of a (node, label)
+    dataset — ONE scalar per round for the string-label fixpoint."""
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.util.hash_pandas_object(
+            df["node"].astype(str) + "\x00" + df["label"].astype(str),
+            index=False).to_numpy(dtype=np.uint64)
+        tot = int(np.sum(v, dtype=np.uint64))
+        return pd.DataFrame({"h": pd.Series([tot % (2 ** 63)],
+                                            dtype="int64")})
+
+    return int(labels.map_batches(h, batch_format="pandas").sum("h"))
+
+
+def connected_components(pairs, nodes, max_iters: int = 64,
+                         num_partitions: int = 4,
+                         local_threshold: int = 2_000_000,
+                         target_rows_per_group: int = 65536):
+    """(node, component) for every node — component = min node id
+    (lexicographic for strings).  ``pairs`` is a Dataset of undirected
+    edges (a, b); ``nodes`` a Dataset with a ``node`` column listing
+    ALL nodes (singletons become their own component).
+
+    Tier 1 (≤ ``local_threshold`` edges): driver union-find — the
+    int64/str pair list fits in one heap, and a handful of label-prop
+    rounds cannot beat a linear pass.  Tier 2: distributed min-label
+    propagation with pointer jumping (see module docstring); the
+    per-round join is the only all-to-all and ships (node, label)
+    pairs only.  Tier equivalence is asserted in
+    tests/test_components.py."""
+    import ray.data  # noqa: F401  (Dataset.join registration)
+
+    n_edges = pairs.count()
+    if n_edges <= local_threshold:
+        edf = pairs.to_pandas()
+        ndf = nodes.to_pandas()
+        a = edf["a"].to_numpy()
+        b = edf["b"].to_numpy()
+        uniq = np.unique(np.concatenate(
+            [ndf["node"].to_numpy(), a, b]))  # sorted ascending
+        idx = {n: i for i, n in enumerate(uniq)}
+        parent = np.arange(len(uniq))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for x, y in zip(a, b):
+            rx, ry = find(idx[x]), find(idx[y])
+            if rx != ry:
+                # always parent the larger root to the smaller: root
+                # index stays the index of the minimum member, so
+                # component id == min node without a second pass
+                parent[max(rx, ry)] = min(rx, ry)
+        comp = np.array([uniq[find(i)] for i in range(len(uniq))])
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(uniq, type=pa.string()),
+            "component": pa.array(comp, type=pa.string())}))
+
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    def _min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("node", sort=False)["label"].min()
+                .reset_index())
+
+    def grouped_min(ds):
+        return hash_grouped_reduce(
+            ds, "node", _min_label, 3 * n_edges,
+            target_rows_per_group=target_rows_per_group,
+            out_cols=("node", "label"))
+
+    both = pairs.map_batches(
+        lambda t: pa.table({
+            "u": pa.concat_arrays([t["a"].combine_chunks(),
+                                   t["b"].combine_chunks()]),
+            "v": pa.concat_arrays([t["b"].combine_chunks(),
+                                   t["a"].combine_chunks()])}),
+        batch_format="pyarrow", batch_size=8192).materialize()
+    init = both.map_batches(
+        lambda t: pa.table({"node": t["u"], "label": t["v"]}),
+        batch_format="pyarrow")
+    self_rows = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow")
+    labels = grouped_min(init.union(self_rows)).materialize()
+    prev = _hash_sum(labels)
+
+    # static probe rows: candidate label for u arrives via its
+    # neighbor v; the pointer-jump probe (node via its own label —
+    # label(label(u)) ≤ label(u)) is rebuilt each round and unioned in
+    # so one join serves both (see dedup.run_dup_clusters)
+    edge_probe = both.map_batches(
+        lambda t: pa.table({"dst": t["u"], "via": t["v"]}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(max_iters):
+        jump_probe = labels.map_batches(
+            lambda t: pa.table({"dst": t["node"], "via": t["label"]}),
+            batch_format="pyarrow")
+        jlabels = labels.map_batches(
+            lambda t: pa.table({"jnode": t["node"], "jlabel": t["label"]}),
+            batch_format="pyarrow")
+        prop = edge_probe.union(jump_probe).join(
+            jlabels, "inner", num_partitions,
+            on=("via",), right_on=("jnode",),
+            aggregator_ray_remote_args=_AGG_ARGS)
+        cand = prop.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["jlabel"]}),
+            batch_format="pyarrow")
+        labels = grouped_min(cand).materialize()
+        cur = _hash_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow")
+
+
+def bfs_depths(edges, seeds: list[str], max_depth: int = 32,
+               num_partitions: int = 4,
+               local_threshold: int = 2_000_000,
+               target_rows_per_group: int = 65536):
+    """(node, depth) = min hop count from any seed over DIRECTED
+    ``edges`` (src, dst); nodes deeper than ``max_depth`` (or
+    unreachable) are absent.  Tier 1: driver FIFO BFS.  Tier 2:
+    Bellman-Ford min propagation — per round ONE hash join (edges ⋈
+    current depths on src) plus a grouped min; rounds = eccentricity
+    of the seed set, bounded by ``max_depth``."""
+    import ray
+    import ray.data  # noqa: F401
+
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        edf = edges.to_pandas()
+        adj: dict = {}
+        for s, d in zip(edf["src"].to_numpy(), edf["dst"].to_numpy()):
+            adj.setdefault(s, []).append(d)
+        dist = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            du = dist[u]
+            if du >= max_depth:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = du + 1
+                    dq.append(v)
+        out = sorted(dist)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(out, type=pa.string()),
+            "depth": pa.array([dist[n] for n in out], type=pa.int64())}))
+
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    def _min_depth(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("node", sort=False)["depth"].min()
+               .reset_index())
+        return pd.DataFrame({
+            "node": out["node"],
+            "depth": out["depth"].to_numpy(dtype=np.int64)})
+
+    def grouped_min(ds):
+        return hash_grouped_reduce(
+            ds, "node", _min_depth, n_edges + len(seeds),
+            target_rows_per_group=target_rows_per_group,
+            out_cols=("node", "depth"))
+
+    labels = ray.data.from_arrow(pa.table({
+        "node": pa.array(seeds, type=pa.string()),
+        "depth": pa.array(np.zeros(len(seeds), dtype=np.int64))}))
+    labels = grouped_min(labels).materialize()  # dedup seed list
+    prev = (labels.count(), labels.sum("depth"))
+    edge_probe = edges.map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow", batch_size=8192).materialize()
+
+    for _ in range(max_depth):
+        front = labels.map_batches(
+            lambda t: pa.table({"jnode": t["node"], "jdepth": t["depth"]}),
+            batch_format="pyarrow")
+        prop = edge_probe.join(
+            front, "inner", num_partitions,
+            on=("src",), right_on=("jnode",),
+            aggregator_ray_remote_args=_AGG_ARGS)
+        cand = prop.map_batches(
+            lambda t: pa.table({
+                "node": t["dst"],
+                "depth": pc.add(t["jdepth"], pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow")
+        cand = cand.filter(
+            expr=f"depth <= {max_depth}")
+        labels = grouped_min(labels.union(cand)).materialize()
+        cur = (labels.count(), labels.sum("depth"))
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels
+
+
+# --------------------------------------------------------------------------
+# pipelines
+# --------------------------------------------------------------------------
+
+def run_link_components(sf_dir: str, max_iters: int = 64,
+                        num_partitions: int = 4,
+                        local_threshold: int = 2_000_000):
+    """Connected components of the intra-host link graph (src and dst
+    share a netloc): (node, component) for EVERY corpus page, sorted
+    by node; component = lexicographically smallest member URL."""
+    from dude_ray.pipelines.graph import link_edges
+
+    edges, nodes = link_edges(sf_dir)
+
+    def intra(t: pa.Table) -> pa.Table:
+        keep = pc.equal(_netloc(t["src"]), _netloc(t["dst"]))
+        kept = t.filter(keep)
+        return pa.table({"a": kept["src"], "b": kept["dst"]})
+
+    pairs = edges.map_batches(intra, batch_format="pyarrow",
+                              batch_size=8192)
+    out = connected_components(
+        pairs, nodes, max_iters=max_iters,
+        num_partitions=num_partitions, local_threshold=local_threshold)
+    return out.sort("node")
+
+
+def run_link_depth(sf_dir: str, max_depth: int = 32,
+                   num_partitions: int = 4,
+                   local_threshold: int = 2_000_000):
+    """BFS hop distance of every reachable corpus page from the crawl
+    seed set (the same seeds.json ``run_crawl`` loads), over the full
+    extracted link graph; (node, depth) sorted by node."""
+    from dude_ray.canonical import canonicalize_url
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.sources.corpus import (DEFAULT_NUM_PARTS, ensure_corpus,
+                                         load_seeds)
+
+    edges, _nodes = link_edges(sf_dir)
+    corpus_dir = ensure_corpus(sf_dir, scale=1, seed_every=2,
+                               num_parts=DEFAULT_NUM_PARTS)
+    seeds = [canonicalize_url(s["url"]) for s in load_seeds(corpus_dir)]
+    out = bfs_depths(edges, seeds, max_depth=max_depth,
+                     num_partitions=num_partitions,
+                     local_threshold=local_threshold)
+    return out.sort("node")
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+def _graph_sql_parts(sf_dir: str | None):
+    """Shared oracle preamble: bounds VALUES, node id→URL CTE and the
+    inlined (generator-determined) edge list — identical mechanism to
+    :func:`graph.cocitation_oracle_sql` (the edge TOPOLOGY is a pure
+    function of n_docs; every algorithm step is recomputed in SQL)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.graph import corpus_link_edges_py
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    bounds, edges = corpus_link_edges_py(n_docs)
+    if not edges:
+        raise ValueError("empty corpus link graph")
+    b_vals = ",".join(f"({h}, {bounds[h]}, {bounds[h + 1]})"
+                      for h in range(len(bounds) - 1))
+    e_vals = ",".join(f"({s},{t})" for s, t in edges)
+    preamble = f"""
+        bounds(h, lo, hi) AS (VALUES {b_vals}),
+        nodes AS (
+            SELECT d.doc_id AS id,
+                   'https://h' || lpad(CAST(b.h AS VARCHAR), 4, '0')
+                       || '.test/docs/' || CAST(d.doc_id AS VARCHAR)
+                       || '.html' AS node
+            FROM documents d JOIN bounds b
+              ON d.doc_id >= b.lo AND d.doc_id < b.hi
+        ),
+        edges0(src_id, dst_id) AS (VALUES {e_vals})"""
+    return preamble, bounds, n_docs
+
+
+def link_components_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_link_components`: recursive-CTE
+    reachability closure over the DISTINCT undirected intra-host edge
+    set (host equality recomputed in SQL from the bounds), component =
+    min member URL (min taken over URL STRINGS, matching the engine's
+    lexicographic label order — within a host that is the string order
+    of the numeric doc id, not its numeric order)."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH RECURSIVE {preamble},
+        intra AS (
+            SELECT DISTINCT e.src_id AS a, e.dst_id AS b
+            FROM edges0 e
+            JOIN bounds bs ON e.src_id >= bs.lo AND e.src_id < bs.hi
+            JOIN bounds bd ON e.dst_id >= bd.lo AND e.dst_id < bd.hi
+            WHERE bs.h = bd.h
+        ),
+        und AS (SELECT a, b FROM intra
+                UNION SELECT b, a FROM intra),
+        reach(id, peer) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.id, u.b FROM reach r JOIN und u ON u.a = r.peer
+        ),
+        comp AS (
+            SELECT r.id, min(np.node) AS component
+            FROM reach r JOIN nodes np ON np.id = r.peer
+            GROUP BY r.id
+        )
+        SELECT n.node AS node, c.component AS component
+        FROM comp c JOIN nodes n ON n.id = c.id
+        ORDER BY node
+    """
+
+
+def link_depth_oracle_sql(sf_dir: str | None = None,
+                          max_depth: int = 32) -> str:
+    """DuckDB oracle for :func:`run_link_depth`: bounded recursive-CTE
+    BFS (depth < ``max_depth`` keeps the UNION-distinct recursion
+    finite on cyclic graphs) from the inlined seed ids — seeds are the
+    same pure function of n_docs (first doc of every 2nd host,
+    corpus.seed_urls) the engine's seeds.json is generated from."""
+    preamble, bounds, n_docs = _graph_sql_parts(sf_dir)
+    seed_ids = [bounds[h] for h in range(len(bounds) - 1) if h % 2 == 0]
+    s_vals = ",".join(f"({i})" for i in seed_ids)
+    return f"""
+        WITH RECURSIVE {preamble},
+        dd AS (SELECT DISTINCT src_id, dst_id FROM edges0),
+        seeds(id) AS (VALUES {s_vals}),
+        bfs(id, depth) AS (
+            SELECT id, 0 FROM seeds
+            UNION
+            SELECT e.dst_id, b.depth + 1
+            FROM bfs b JOIN dd e ON e.src_id = b.id
+            WHERE b.depth < {max_depth}
+        )
+        SELECT n.node AS node, CAST(min(b.depth) AS BIGINT) AS depth
+        FROM bfs b JOIN nodes n ON n.id = b.id
+        GROUP BY n.node
+        ORDER BY node
+    """
