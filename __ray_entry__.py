@@ -168,6 +168,36 @@ def _q_link_depth(sf_dir: str):
     return run_link_depth(sf_dir)
 
 
+def _q_host_graph(sf_dir: str):
+    from dude_ray.pipelines.components import run_host_graph
+
+    return run_host_graph(sf_dir)
+
+
+def _q_link_reciprocity(sf_dir: str):
+    from dude_ray.pipelines.components import run_link_reciprocity
+
+    return run_link_reciprocity(sf_dir)
+
+
+def _q_component_sizes(sf_dir: str):
+    from dude_ray.pipelines.components import run_component_sizes
+
+    return run_component_sizes(sf_dir)
+
+
+def _q_k_core(sf_dir: str):
+    from dude_ray.pipelines.components import run_k_core
+
+    return run_k_core(sf_dir)
+
+
+def _q_degree_assortativity(sf_dir: str):
+    from dude_ray.pipelines.components import run_degree_assortativity
+
+    return run_degree_assortativity(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Round-5
@@ -264,8 +294,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_profile": relational.run_hour_profile,
         "doclen_percentiles": relational.run_doclen_percentiles,
         "user_type_profile": relational.run_user_type_profile,
-        # -- 51+: rotation tail, evicted near-siblings first (all
-        # hash-matched; green in check_oracle) ------------------------
+        # -- 51+: rotation tail.  First the r5 graph aggregations whose
+        # kernels the window already gates via link_components/
+        # link_depth (hash-matched; green in check_oracle) ------------
+        "host_graph": _q_host_graph,
+        "link_reciprocity": _q_link_reciprocity,
+        "component_sizes": _q_component_sizes,
+        "k_core": _q_k_core,
+        "degree_assortativity": _q_degree_assortativity,
+        # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
         "small_qty_revenue": relational.run_small_qty_revenue,
@@ -903,8 +940,11 @@ def oracle_sql() -> dict[str, str]:
                                                 revenue_by_nation_oracle_sql,
                                                 shipping_priority_oracle_sql)
     from dude_ray.pipelines.graph import knn_triangles_oracle_sql
-    from dude_ray.pipelines.components import (link_components_oracle_sql,
-                                               link_depth_oracle_sql)
+    from dude_ray.pipelines.components import (
+        component_sizes_oracle_sql, degree_assortativity_oracle_sql,
+        host_graph_oracle_sql, k_core_oracle_sql,
+        link_components_oracle_sql, link_depth_oracle_sql,
+        link_reciprocity_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
@@ -942,6 +982,11 @@ def oracle_sql() -> dict[str, str]:
         # inlined generator-determined edge list (components.py)
         "link_components": link_components_oracle_sql(),
         "link_depth": link_depth_oracle_sql(),
+        "host_graph": host_graph_oracle_sql(),
+        "link_reciprocity": link_reciprocity_oracle_sql(),
+        "component_sizes": component_sizes_oracle_sql(),
+        "k_core": k_core_oracle_sql(),
+        "degree_assortativity": degree_assortativity_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

@@ -635,6 +635,36 @@ def run_bench() -> dict:
     dedup.run_dup_cluster_sizes(SF_DIR).materialize()
     timings["dup_cluster_sizes"] = round(time.time() - t0, 3)
 
+    from dude_ray.pipelines import components
+
+    t0 = time.time()
+    components.run_link_components(SF_DIR).materialize()
+    timings["link_components"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_link_depth(SF_DIR).materialize()
+    timings["link_depth"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_host_graph(SF_DIR).materialize()
+    timings["host_graph"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_link_reciprocity(SF_DIR).materialize()
+    timings["link_reciprocity"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_component_sizes(SF_DIR).materialize()
+    timings["component_sizes"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_k_core(SF_DIR).materialize()
+    timings["k_core"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_degree_assortativity(SF_DIR).materialize()
+    timings["degree_assortativity"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

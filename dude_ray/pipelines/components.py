@@ -320,6 +320,305 @@ def run_link_depth(sf_dir: str, max_depth: int = 32,
     return out.sort("node")
 
 
+def run_host_graph(sf_dir: str):
+    """The HOST-level link graph: (src_host, dst_host, n_links) with
+    multiplicity, sorted by (src_host, dst_host) — the site-to-site
+    aggregation a crawl scheduler budgets over (hosts, not pages, are
+    the politeness/recrawl unit).  Distributed shape: per-batch Arrow
+    group_by partials (≤ #host-pairs rows per batch — fixed-size, no
+    raw edge ever reaches the reduce) → tree_combine sum."""
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import tree_combine
+
+    edges, _nodes = link_edges(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs = pa.table({"src_host": _netloc(t["src"]),
+                          "dst_host": _netloc(t["dst"])})
+        g = pairs.group_by(["src_host", "dst_host"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"src_host": g["src_host"],
+                         "dst_host": g["dst_host"],
+                         "n_links": pc.cast(g["count_all"], pa.int64())})
+
+    partials = edges.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=8192)
+    out = tree_combine(partials, ("src_host", "dst_host"),
+                       sums=("n_links",))
+    return out.sort(["src_host", "dst_host"])
+
+
+def run_link_reciprocity(sf_dir: str,
+                         target_rows_per_group: int = 65536):
+    """Per-host link reciprocity over the DISTINCT intra-host edge
+    set: (host, n_edges, n_recip, reciprocity) where ``n_recip`` is
+    the number of directed edges whose reverse also exists and
+    ``reciprocity = round(n_recip / n_edges, 6)`` — a site-structure
+    signal (template nav ≈ 1.0, hierarchies ≈ 0).  Hosts are the
+    partition key (every host's edges land in one reduce group via
+    ``hash_grouped_reduce``; per-group memory is one site's edge set,
+    the same bound the frontier's politeness shards already rely on);
+    batch-local dedup shrinks the shuffle before the exact one."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import _py_round
+
+    edges, _nodes = link_edges(sf_dir)
+    n_edges_total = edges.count()
+
+    def intra(t: pa.Table) -> pa.Table:
+        sh = _netloc(t["src"])
+        kept = pa.table({"host": sh, "a": t["src"].combine_chunks(),
+                         "b": t["dst"].combine_chunks()}).filter(
+            pc.equal(sh, _netloc(t["dst"])))
+        # batch-local dedup: multiplicity never matters again
+        return kept.group_by(["host", "a", "b"]).aggregate([])
+
+    def recip(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for host, e in g.groupby("host", sort=False):
+            e = e.drop_duplicates(["a", "b"])
+            fwd = set(zip(e["a"], e["b"]))
+            n = len(fwd)
+            r = sum((b, a) in fwd for a, b in fwd)
+            rows.append((host, n, r))
+        df = pd.DataFrame(rows, columns=["host", "n_edges", "n_recip"])
+        ratio = _py_round(pa.array(
+            df["n_recip"].to_numpy(np.float64)
+            / df["n_edges"].to_numpy(np.float64)), 6)
+        return pd.DataFrame({
+            "host": df["host"],
+            "n_edges": df["n_edges"].astype("int64"),
+            "n_recip": df["n_recip"].astype("int64"),
+            "reciprocity": ratio.to_numpy(zero_copy_only=False)})
+
+    pairs = edges.map_batches(intra, batch_format="pyarrow",
+                              batch_size=8192)
+    out = hash_grouped_reduce(
+        pairs, "host", recip, n_edges_total,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("host", "n_edges", "n_recip", "reciprocity"))
+    return out.sort("host")
+
+
+def run_component_sizes(sf_dir: str, max_iters: int = 64,
+                        num_partitions: int = 4,
+                        local_threshold: int = 2_000_000,
+                        target_rows_per_group: int = 65536):
+    """Histogram of intra-host connected-component sizes:
+    (size, n_components) sorted by size — the shape-of-the-web summary
+    (how many isolated pages vs whole-site navigation cliques).
+    Composes :func:`connected_components` with a data-scaled per-label
+    count and a fixed-domain histogram combine."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import tree_combine
+
+    edges, nodes = link_edges(sf_dir)
+    n_nodes = nodes.count()
+
+    def intra(t: pa.Table) -> pa.Table:
+        keep = pc.equal(_netloc(t["src"]), _netloc(t["dst"]))
+        kept = t.filter(keep)
+        return pa.table({"a": kept["src"], "b": kept["dst"]})
+
+    pairs = edges.map_batches(intra, batch_format="pyarrow",
+                              batch_size=8192)
+    labels = connected_components(
+        pairs, nodes, max_iters=max_iters,
+        num_partitions=num_partitions, local_threshold=local_threshold)
+
+    def count_members(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("component", sort=False)["node"].size()
+               .reset_index(name="size"))
+        return pd.DataFrame({"component": out["component"],
+                             "size": out["size"].astype("int64")})
+
+    comp_sizes = hash_grouped_reduce(
+        labels.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "component": t["component"]}),
+            batch_format="pyarrow"),
+        "component", count_members, n_nodes,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("component", "size"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["size"]).aggregate([([], "count_all")])
+        return pa.table({"size": g["size"],
+                         "n_components": pc.cast(g["count_all"],
+                                                 pa.int64())})
+
+    partials = comp_sizes.map_batches(hist, batch_format="pyarrow",
+                                      batch_size=65536)
+    out = tree_combine(partials, ("size",), sums=("n_components",))
+    return out.sort("size")
+
+
+def _distinct_undirected(edges, n_edges: int,
+                         target_rows_per_group: int = 65536):
+    """DISTINCT undirected (lo, hi) pairs from directed (src, dst)
+    string edges (self-links already absent upstream): batch-local
+    canonicalize+dedup, then one exact hash-grouped dedup."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        return pa.table({"lo": lo, "hi": hi}).group_by(
+            ["lo", "hi"]).aggregate([])
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["lo", "hi"])[["lo", "hi"]]
+
+    pairs = edges.map_batches(canon, batch_format="pyarrow",
+                              batch_size=8192)
+    return hash_grouped_reduce(
+        pairs, ("lo", "hi"), dedup, n_edges,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("lo", "hi"))
+
+
+def run_k_core(sf_dir: str, k: int = 2, rounds: int = 16,
+               num_partitions: int = 4,
+               target_rows_per_group: int = 65536):
+    """The ``k``-core of the undirected DISTINCT link graph after
+    ``rounds`` peel iterations: (node, degree) for every surviving
+    node with its within-core degree, sorted by node — the
+    graph-curation trim (drop weakly-embedded pages before expensive
+    per-page scoring; Gopher-style connectivity floor).
+
+    Semantics are defined as EXACTLY ``rounds`` peel steps (degree <
+    ``k`` nodes removed, incident edges dropped, repeat) — the
+    fixpoint early-stop below is a pure optimization: peeling is
+    idempotent once the edge count stops changing, so stopping early
+    never diverges from the unrolled-SQL oracle's fixed ``rounds``.
+    Per round: one grouped endpoint count (data-scaled hash reduce) +
+    two semi-joins shipping only surviving (node,) keys — the edge
+    set never centralizes."""
+    import ray.data  # noqa: F401
+
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.graph import link_edges
+
+    edges, _nodes = link_edges(sf_dir)
+    n_edges = max(edges.count(), 1)
+    und = _distinct_undirected(edges, n_edges,
+                               target_rows_per_group).materialize()
+
+    def degrees(pairs_ds, n_rows: int):
+        both = pairs_ds.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [t["lo"].combine_chunks(), t["hi"].combine_chunks()])}),
+            batch_format="pyarrow")
+
+        def cnt(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby("node", sort=False).size()
+                   .reset_index(name="degree"))
+            return pd.DataFrame({"node": out["node"],
+                                 "degree": out["degree"].astype("int64")})
+
+        return hash_grouped_reduce(
+            both, "node", cnt, 2 * max(n_rows, 1),
+            target_rows_per_group=target_rows_per_group,
+            out_cols=("node", "degree"))
+
+    cur = und
+    n_cur = cur.count()
+    deg = degrees(cur, n_cur).materialize()
+    for _ in range(rounds):
+        surv = deg.filter(expr=f"degree >= {k}").select_columns(
+            ["node"]).materialize()
+        kept = cur.join(surv, "left_semi", num_partitions,
+                        on=("lo",), right_on=("node",),
+                        aggregator_ray_remote_args=_AGG_ARGS)
+        kept = kept.join(surv, "left_semi", num_partitions,
+                         on=("hi",), right_on=("node",),
+                         aggregator_ray_remote_args=_AGG_ARGS)
+        kept = kept.materialize()
+        n_kept = kept.count()
+        if n_kept == n_cur:
+            break
+        cur, n_cur = kept, n_kept
+        deg = degrees(cur, n_cur).materialize()
+    out = deg.filter(expr=f"degree >= {k}")
+    return out.sort("node")
+
+
+def run_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the undirected DISTINCT link graph —
+    one row (n_edges, assortativity): the Pearson correlation of
+    endpoint degrees over the 2·|E| symmetric edge-end samples
+    (Newman 2002).  Both marginals are identical by symmetry, so
+    r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — every term an exact int64
+    (degrees are small), ONE float division at the end (6-dp
+    contract), which is what lets DuckDB reproduce the value
+    bit-for-bit.  Distributed shape: grouped degree count → two hash
+    joins decorate edges with endpoint degrees → per-batch int64
+    moment partials → three scalar sums."""
+    import ray
+    import ray.data  # noqa: F401
+
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import _py_round
+
+    edges, _nodes = link_edges(sf_dir)
+    n_edges = max(edges.count(), 1)
+    und = _distinct_undirected(edges, n_edges).materialize()
+
+    both = und.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["lo"].combine_chunks(), t["hi"].combine_chunks()])}),
+        batch_format="pyarrow")
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("node", sort=False).size()
+               .reset_index(name="degree"))
+        return pd.DataFrame({"node": out["node"],
+                             "degree": out["degree"].astype("int64")})
+
+    deg = hash_grouped_reduce(both, "node", cnt, und.count() * 2,
+                              out_cols=("node", "degree")).materialize()
+
+    dl = deg.map_batches(lambda t: pa.table(
+        {"lnode": t["node"], "ldeg": t["degree"]}), batch_format="pyarrow")
+    dh = deg.map_batches(lambda t: pa.table(
+        {"hnode": t["node"], "hdeg": t["degree"]}), batch_format="pyarrow")
+    j = und.join(dl, "inner", 4, on=("lo",), right_on=("lnode",),
+                 aggregator_ray_remote_args=_AGG_ARGS)
+    j = j.join(dh, "inner", 4, on=("hi",), right_on=("hnode",),
+               aggregator_ray_remote_args=_AGG_ARGS)
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["ldeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["hdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # symmetric samples: (x,y) and (y,x) — Σx covers both ends
+        return pa.table({
+            "m": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(np.sum(x) + np.sum(y))], type=pa.int64()),
+            "sxx": pa.array([int(np.sum(x * x) + np.sum(y * y))],
+                            type=pa.int64()),
+            "sxy": pa.array([2 * int(np.sum(x * y))], type=pa.int64()),
+        })
+
+    part = j.map_batches(moments, batch_format="pyarrow",
+                         batch_size=65536)
+    m = part.sum(["m", "sx", "sxx", "sxy"])
+    e_cnt = int(m["sum(m)"])
+    n = 2 * e_cnt
+    sx, sxx, sxy = int(m["sum(sx)"]), int(m["sum(sxx)"]), int(m["sum(sxy)"])
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = float(num) / float(den) if den else 0.0
+    val = _py_round(pa.array([r], type=pa.float64()), 6)
+    return ray.data.from_arrow(pa.table({
+        "n_edges": pa.array([e_cnt], type=pa.int64()),
+        "assortativity": val}))
+
+
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
@@ -391,6 +690,164 @@ def link_components_oracle_sql(sf_dir: str | None = None) -> str:
         SELECT n.node AS node, c.component AS component
         FROM comp c JOIN nodes n ON n.id = c.id
         ORDER BY node
+    """
+
+
+def host_graph_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_host_graph`: the inlined edge list
+    re-aggregated at host granularity (host label rebuilt from the
+    bounds, matching the engine's ``_netloc`` — bare netloc, no
+    scheme), multiplicity preserved."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH {preamble},
+        hosted AS (
+            SELECT 'h' || lpad(CAST(bs.h AS VARCHAR), 4, '0') || '.test'
+                       AS src_host,
+                   'h' || lpad(CAST(bd.h AS VARCHAR), 4, '0') || '.test'
+                       AS dst_host
+            FROM edges0 e
+            JOIN bounds bs ON e.src_id >= bs.lo AND e.src_id < bs.hi
+            JOIN bounds bd ON e.dst_id >= bd.lo AND e.dst_id < bd.hi
+        )
+        SELECT src_host, dst_host, count(*) AS n_links
+        FROM hosted GROUP BY src_host, dst_host
+        ORDER BY src_host, dst_host
+    """
+
+
+def link_reciprocity_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_link_reciprocity`: DISTINCT
+    intra-host edges, reverse-existence via LEFT JOIN on the swapped
+    pair, ratio rounded like the engine (DuckDB round == _py_round,
+    correctly-rounded half-away-from-zero)."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH {preamble},
+        intra AS (
+            SELECT DISTINCT bs.h AS h, e.src_id AS a, e.dst_id AS b
+            FROM edges0 e
+            JOIN bounds bs ON e.src_id >= bs.lo AND e.src_id < bs.hi
+            JOIN bounds bd ON e.dst_id >= bd.lo AND e.dst_id < bd.hi
+            WHERE bs.h = bd.h
+        )
+        SELECT 'h' || lpad(CAST(i.h AS VARCHAR), 4, '0') || '.test'
+                   AS host,
+               count(*) AS n_edges,
+               count(j.a) AS n_recip,
+               round(count(j.a) * 1.0 / count(*), 6) AS reciprocity
+        FROM intra i
+        LEFT JOIN intra j ON j.h = i.h AND j.a = i.b AND j.b = i.a
+        GROUP BY i.h
+        ORDER BY host
+    """
+
+
+def component_sizes_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_component_sizes`: the
+    :func:`link_components_oracle_sql` reachability closure grouped
+    twice — component → size, then size → n_components."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH RECURSIVE {preamble},
+        intra AS (
+            SELECT DISTINCT e.src_id AS a, e.dst_id AS b
+            FROM edges0 e
+            JOIN bounds bs ON e.src_id >= bs.lo AND e.src_id < bs.hi
+            JOIN bounds bd ON e.dst_id >= bd.lo AND e.dst_id < bd.hi
+            WHERE bs.h = bd.h
+        ),
+        und AS (SELECT a, b FROM intra
+                UNION SELECT b, a FROM intra),
+        reach(id, peer) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.id, u.b FROM reach r JOIN und u ON u.a = r.peer
+        ),
+        comp AS (
+            SELECT r.id, min(np.node) AS component
+            FROM reach r JOIN nodes np ON np.id = r.peer
+            GROUP BY r.id
+        ),
+        sizes AS (
+            SELECT component, count(*) AS size FROM comp
+            GROUP BY component
+        )
+        SELECT size, count(*) AS n_components
+        FROM sizes GROUP BY size ORDER BY size
+    """
+
+
+def k_core_oracle_sql(sf_dir: str | None = None, k: int = 2,
+                      rounds: int = 16) -> str:
+    """DuckDB oracle for :func:`run_k_core`: ``rounds`` peel steps
+    unrolled as chained MATERIALIZED CTEs (the HITS-oracle trick —
+    without MATERIALIZED the inlining blows up exponentially).  The
+    peel is idempotent past the fixpoint, so a fixed unroll equals the
+    engine's early-stopped loop whenever the fixpoint lands within
+    ``rounds`` (the engine's definition is the same fixed-round
+    semantics, see its docstring)."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    parts = [f"""
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src_id, dst_id) AS lo,
+                            greatest(src_id, dst_id) AS hi
+            FROM edges0)"""]
+    for i in range(rounds + 1):
+        parts.append(f"""
+        d{i} AS MATERIALIZED (
+            SELECT node, count(*) AS deg
+            FROM (SELECT lo AS node FROM e{i}
+                  UNION ALL SELECT hi FROM e{i})
+            GROUP BY node)""")
+        if i < rounds:
+            parts.append(f"""
+        e{i + 1} AS MATERIALIZED (
+            SELECT e.lo, e.hi FROM e{i} e
+            JOIN d{i} x ON x.node = e.lo AND x.deg >= {k}
+            JOIN d{i} y ON y.node = e.hi AND y.deg >= {k})""")
+    chain = ",".join(parts)
+    return f"""
+        WITH {preamble},{chain}
+        SELECT n.node AS node, CAST(d.deg AS BIGINT) AS degree
+        FROM d{rounds} d JOIN nodes n ON n.id = d.node
+        WHERE d.deg >= {k}
+        ORDER BY node
+    """
+
+
+def degree_assortativity_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_degree_assortativity`: the same
+    exact-int64 moment algebra over the DISTINCT undirected edge set,
+    one DOUBLE division at the end (identical IEEE sequence — the
+    moments fit a double exactly at every test scale)."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH {preamble},
+        und AS (
+            SELECT DISTINCT least(src_id, dst_id) AS lo,
+                            greatest(src_id, dst_id) AS hi
+            FROM edges0),
+        deg AS (
+            SELECT node, count(*) AS deg
+            FROM (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+            GROUP BY node),
+        j AS (
+            SELECT x.deg AS dx, y.deg AS dy
+            FROM und e
+            JOIN deg x ON x.node = e.lo
+            JOIN deg y ON y.node = e.hi),
+        s AS (
+            SELECT count(*) AS m,
+                   sum(dx + dy) AS sx,
+                   sum(dx * dx + dy * dy) AS sxx,
+                   2 * sum(dx * dy) AS sxy
+            FROM j)
+        SELECT CAST(m AS BIGINT) AS n_edges,
+               round(CAST(2 * m * sxy - sx * sx AS DOUBLE)
+                     / CAST(2 * m * sxx - sx * sx AS DOUBLE), 6)
+                   AS assortativity
+        FROM s
     """
 
 

@@ -73,3 +73,82 @@ def test_link_depth_tiers_agree(ray_session):
         .to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(dist, small, check_dtype=False,
                                   check_exact=True)
+
+
+def test_host_graph_oracle(ray_session):
+    """(src_host, dst_host, n_links) equals the inlined-edge host
+    re-aggregation; multiplicity sums to the total edge count."""
+    from dude_ray.pipelines.components import (host_graph_oracle_sql,
+                                               run_host_graph)
+    from dude_ray.pipelines.graph import link_edges
+
+    want = _con().execute(host_graph_oracle_sql(SF)).df() \
+        .reset_index(drop=True)
+    got = run_host_graph(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    edges, _ = link_edges(SF)
+    assert got["n_links"].sum() == edges.count()
+
+
+def test_link_reciprocity_oracle(ray_session):
+    """Per-host reciprocity equals the DISTINCT-edge reverse-join
+    recompute; ratios stay in [0, 1] and n_recip ≤ n_edges."""
+    from dude_ray.pipelines.components import (link_reciprocity_oracle_sql,
+                                               run_link_reciprocity)
+
+    want = _con().execute(link_reciprocity_oracle_sql(SF)).df() \
+        .reset_index(drop=True)
+    got = run_link_reciprocity(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert (got["n_recip"] <= got["n_edges"]).all()
+    assert got["reciprocity"].between(0, 1).all()
+
+
+def test_k_core_oracle(ray_session):
+    """k-core survivors + within-core degrees equal the unrolled-peel
+    SQL; every surviving degree ≥ k; the 3-core is a subset of the
+    2-core."""
+    from dude_ray.pipelines.components import (k_core_oracle_sql,
+                                               run_k_core)
+
+    want = _con().execute(k_core_oracle_sql(SF, k=2)).df() \
+        .reset_index(drop=True)
+    got = run_k_core(SF, k=2).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert (got["degree"] >= 2).all()
+    got3 = run_k_core(SF, k=3).to_pandas()
+    assert set(got3["node"]) <= set(got["node"])
+
+
+def test_degree_assortativity_oracle(ray_session):
+    """Exact-moment assortativity equals the SQL recompute and sits
+    in [-1, 1]."""
+    from dude_ray.pipelines.components import (
+        degree_assortativity_oracle_sql, run_degree_assortativity)
+
+    want = _con().execute(degree_assortativity_oracle_sql(SF)).df() \
+        .reset_index(drop=True)
+    got = run_degree_assortativity(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert -1.0 <= got["assortativity"].iloc[0] <= 1.0
+
+
+def test_component_sizes_oracle(ray_session):
+    """Size histogram equals the recursive-CTE recompute and accounts
+    for every corpus page (Σ size·n_components == n_docs)."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.components import (component_sizes_oracle_sql,
+                                               run_component_sizes)
+
+    want = _con().execute(component_sizes_oracle_sql(SF)).df() \
+        .reset_index(drop=True)
+    got = run_component_sizes(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert int((got["size"] * got["n_components"]).sum()) == n_docs
