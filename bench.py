@@ -665,6 +665,10 @@ def run_bench() -> dict:
     components.run_degree_assortativity(SF_DIR).materialize()
     timings["degree_assortativity"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    components.run_host_depth_profile(SF_DIR).materialize()
+    timings["host_depth_profile"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -547,6 +547,55 @@ def run_k_core(sf_dir: str, k: int = 2, rounds: int = 16,
     return out.sort("node")
 
 
+def run_host_depth_profile(sf_dir: str, max_depth: int = 32):
+    """Per-host seed-reachability profile over the BFS depths of
+    :func:`run_link_depth`: (host, n_reached, max_depth, avg_depth)
+    sorted by host — how deep a breadth-budgeted crawl must go into
+    each site, the per-site recrawl-budget signal.  avg_depth =
+    round(Σdepth / n, 6) with the int64 sum exact on both engines.
+    Fixed-size per-batch partials → tree_combine; hosts only."""
+    from dude_ray.canonical import canonicalize_url
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import _py_round, tree_combine
+    from dude_ray.sources.corpus import (DEFAULT_NUM_PARTS, ensure_corpus,
+                                         load_seeds)
+
+    edges, _nodes = link_edges(sf_dir)
+    corpus_dir = ensure_corpus(sf_dir, scale=1, seed_every=2,
+                               num_parts=DEFAULT_NUM_PARTS)
+    seeds = [canonicalize_url(s["url"]) for s in load_seeds(corpus_dir)]
+    depths = bfs_depths(edges, seeds, max_depth=max_depth)
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = _netloc(t["node"])
+        tt = pa.table({"host": host, "depth": t["depth"]})
+        g = tt.group_by(["host"]).aggregate(
+            [("depth", "count"), ("depth", "sum"), ("depth", "max")])
+        return pa.table({
+            "host": g["host"],
+            "n_reached": pc.cast(g["depth_count"], pa.int64()),
+            "sum_depth": pc.cast(g["depth_sum"], pa.int64()),
+            "max_depth": pc.cast(g["depth_max"], pa.int64())})
+
+    partials = depths.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    merged = tree_combine(partials, ("host",),
+                          sums=("n_reached", "sum_depth"),
+                          maxs=("max_depth",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n_reached"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_depth"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "host": t["host"],
+            "n_reached": t["n_reached"],
+            "max_depth": t["max_depth"],
+            "avg_depth": _py_round(pa.array(s / n, type=pa.float64()), 6)})
+
+    return merged.map_batches(finalize,
+                              batch_format="pyarrow").sort("host")
+
+
 def run_degree_assortativity(sf_dir: str):
     """Degree assortativity of the undirected DISTINCT link graph —
     one row (n_edges, assortativity): the Pearson correlation of
@@ -813,6 +862,42 @@ def k_core_oracle_sql(sf_dir: str | None = None, k: int = 2,
         FROM d{rounds} d JOIN nodes n ON n.id = d.node
         WHERE d.deg >= {k}
         ORDER BY node
+    """
+
+
+def host_depth_profile_oracle_sql(sf_dir: str | None = None,
+                                  max_depth: int = 32) -> str:
+    """DuckDB oracle for :func:`run_host_depth_profile`: the
+    :func:`link_depth_oracle_sql` bounded BFS grouped at host
+    granularity; avg via one DOUBLE division then round 6 (identical
+    IEEE sequence — the int64 sum is exact on both engines)."""
+    preamble, bounds, _n = _graph_sql_parts(sf_dir)
+    seed_ids = [bounds[h] for h in range(len(bounds) - 1) if h % 2 == 0]
+    s_vals = ",".join(f"({i})" for i in seed_ids)
+    return f"""
+        WITH RECURSIVE {preamble},
+        dd AS (SELECT DISTINCT src_id, dst_id FROM edges0),
+        seeds(id) AS (VALUES {s_vals}),
+        bfs(id, depth) AS (
+            SELECT id, 0 FROM seeds
+            UNION
+            SELECT e.dst_id, b.depth + 1
+            FROM bfs b JOIN dd e ON e.src_id = b.id
+            WHERE b.depth < {max_depth}
+        ),
+        best AS (
+            SELECT id, min(depth) AS depth FROM bfs GROUP BY id
+        )
+        SELECT 'h' || lpad(CAST(bs.h AS VARCHAR), 4, '0') || '.test'
+                   AS host,
+               count(*) AS n_reached,
+               CAST(max(b.depth) AS BIGINT) AS max_depth,
+               round(CAST(sum(b.depth) AS DOUBLE) / count(*), 6)
+                   AS avg_depth
+        FROM best b
+        JOIN bounds bs ON b.id >= bs.lo AND b.id < bs.hi
+        GROUP BY bs.h
+        ORDER BY host
     """
 
 

@@ -137,6 +137,23 @@ def test_degree_assortativity_oracle(ray_session):
     assert -1.0 <= got["assortativity"].iloc[0] <= 1.0
 
 
+def test_host_depth_profile_oracle(ray_session):
+    """Per-host BFS-depth profile equals the grouped-BFS SQL; totals
+    reconcile with the flat link_depth output."""
+    from dude_ray.pipelines.components import (
+        host_depth_profile_oracle_sql, run_host_depth_profile,
+        run_link_depth)
+
+    want = _con().execute(host_depth_profile_oracle_sql(SF)).df() \
+        .reset_index(drop=True)
+    got = run_host_depth_profile(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    flat = run_link_depth(SF).to_pandas()
+    assert got["n_reached"].sum() == len(flat)
+    assert got["max_depth"].max() == flat["depth"].max()
+
+
 def test_component_sizes_oracle(ray_session):
     """Size histogram equals the recursive-CTE recompute and accounts
     for every corpus page (Σ size·n_components == n_docs)."""
