@@ -669,6 +669,14 @@ def run_bench() -> dict:
     components.run_host_depth_profile(SF_DIR).materialize()
     timings["host_depth_profile"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    components.run_seed_coverage(SF_DIR).materialize()
+    timings["seed_coverage"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_dau_wau(SF_DIR).materialize()
+    timings["dau_wau"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -596,6 +596,56 @@ def run_host_depth_profile(sf_dir: str, max_depth: int = 32):
                               batch_format="pyarrow").sort("host")
 
 
+def run_seed_coverage(sf_dir: str, max_depth: int = 32):
+    """Cumulative seed-reachability curve: (depth, n_pages, cum_pages,
+    frac_corpus) — how much of the corpus a breadth-budgeted crawl
+    captures per extra hop, the depth-cutoff planning table.
+    ``frac_corpus`` = round(cum / n_docs, 6) against the WHOLE corpus
+    (unreachable pages keep the curve honest below 1.0).  The depth
+    histogram is tiny (≤ max_depth rows): per-batch partials,
+    tree-combined, finalized in one block."""
+    from dude_ray.canonical import canonicalize_url
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import _py_round, tree_combine
+    from dude_ray.sources.corpus import (DEFAULT_NUM_PARTS, ensure_corpus,
+                                         load_seeds)
+
+    edges, nodes = link_edges(sf_dir)
+    n_docs = nodes.count()
+    corpus_dir = ensure_corpus(sf_dir, scale=1, seed_every=2,
+                               num_parts=DEFAULT_NUM_PARTS)
+    seeds = [canonicalize_url(s["url"]) for s in load_seeds(corpus_dir)]
+    depths = bfs_depths(edges, seeds, max_depth=max_depth)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["depth"]).group_by(["depth"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"depth": g["depth"],
+                         "n_pages": pc.cast(g["count_all"], pa.int64())})
+
+    hist = tree_combine(
+        depths.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+        ("depth",), sums=("n_pages",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["depth"])
+        d = t["depth"].take(order)
+        n = t["n_pages"].take(order)
+        cum = np.cumsum(n.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "depth": d,
+            "n_pages": n,
+            "cum_pages": pa.array(cum, type=pa.int64()),
+            "frac_corpus": _py_round(
+                pa.array(cum.astype(np.float64) / float(n_docs)), 6)})
+
+    return (hist.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("depth"))
+
+
 def run_degree_assortativity(sf_dir: str):
     """Degree assortativity of the undirected DISTINCT link graph —
     one row (n_edges, assortativity): the Pearson correlation of
@@ -898,6 +948,41 @@ def host_depth_profile_oracle_sql(sf_dir: str | None = None,
         JOIN bounds bs ON b.id >= bs.lo AND b.id < bs.hi
         GROUP BY bs.h
         ORDER BY host
+    """
+
+
+def seed_coverage_oracle_sql(sf_dir: str | None = None,
+                             max_depth: int = 32) -> str:
+    """DuckDB oracle for :func:`run_seed_coverage`: the bounded-BFS
+    depth histogram with a window cumulative sum; frac against
+    count(*) FROM documents (one DOUBLE division + round 6)."""
+    preamble, bounds, _n = _graph_sql_parts(sf_dir)
+    seed_ids = [bounds[h] for h in range(len(bounds) - 1) if h % 2 == 0]
+    s_vals = ",".join(f"({i})" for i in seed_ids)
+    return f"""
+        WITH RECURSIVE {preamble},
+        dd AS (SELECT DISTINCT src_id, dst_id FROM edges0),
+        seeds(id) AS (VALUES {s_vals}),
+        bfs(id, depth) AS (
+            SELECT id, 0 FROM seeds
+            UNION
+            SELECT e.dst_id, b.depth + 1
+            FROM bfs b JOIN dd e ON e.src_id = b.id
+            WHERE b.depth < {max_depth}
+        ),
+        best AS (SELECT id, min(depth) AS depth FROM bfs GROUP BY id),
+        hist AS (
+            SELECT depth, count(*) AS n_pages FROM best GROUP BY depth
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               n_pages,
+               CAST(sum(n_pages) OVER (ORDER BY depth) AS BIGINT)
+                   AS cum_pages,
+               round(CAST(sum(n_pages) OVER (ORDER BY depth) AS DOUBLE)
+                     / (SELECT count(*) FROM documents), 6)
+                   AS frac_corpus
+        FROM hist
+        ORDER BY depth
     """
 
 

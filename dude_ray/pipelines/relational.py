@@ -6175,3 +6175,113 @@ def doclen_percentiles_oracle_sql(ps=(0.5, 0.9, 0.99)) -> str:
                {cols}
         FROM ranked GROUP BY lang ORDER BY lang
     """
+
+
+# --------------------------------------------------------------------------
+# dau_wau — rolling 7-day distinct users (the sliding-COUNT-DISTINCT kernel)
+# --------------------------------------------------------------------------
+
+def run_dau_wau(sf_dir: str, window_days: int = 7,
+                target_rows_per_group: int = 65536):
+    """(day, dau, wau): daily active users and trailing-``window_days``
+    active users per calendar day — the canonical engagement pair, and
+    the one windowed aggregate whose state does NOT merge additively
+    (distinct users across days can overlap), so the sliding window is
+    materialized by FAN-OUT: each distinct (day, user) pair is
+    replicated to the ≤7 window-end days it supports, deduped again,
+    then counted.  Shuffle volume is ≤ 7 × |distinct (day,user)| fixed
+    -width rows — never a per-day user-set merge on the driver.
+
+    Float-free output; ``day`` is a '%Y-%m-%d' string on both engines.
+    """
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    n_events = ds.count()
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        d32 = pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32())
+        tt = pa.table({"d": pc.cast(d32, pa.int64()),
+                       "user_id": t["user_id"]})
+        return tt.group_by(["d", "user_id"]).aggregate([])
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["d", "user_id"])[["d", "user_id"]]
+
+    du = hash_grouped_reduce(
+        ds.map_batches(to_pairs, batch_format="pyarrow",
+                       batch_size=65536),
+        ("d", "user_id"), dedup, n_events,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("d", "user_id")).materialize()
+    n_pairs = du.count()
+
+    def day_counts(pairs_ds, col_out: str):
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select(["d"]).group_by(["d"]).aggregate(
+                [([], "count_all")])
+            return pa.table({"d": g["d"],
+                             col_out: pc.cast(g["count_all"],
+                                              pa.int64())})
+
+        return tree_combine(
+            pairs_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=65536),
+            ("d",), sums=(col_out,))
+
+    dau = day_counts(du, "dau")
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        k = np.arange(window_days, dtype=np.int64)
+        return pa.table({
+            "d": pa.array((d[:, None] + k[None, :]).reshape(-1),
+                          type=pa.int64()),
+            "user_id": pa.array(np.repeat(u, window_days),
+                                type=pa.int64())})
+
+    wdu = hash_grouped_reduce(
+        du.map_batches(fan_out, batch_format="pyarrow",
+                       batch_size=65536),
+        ("d", "user_id"), dedup, n_pairs * window_days,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("d", "user_id"))
+    wau = day_counts(wdu, "wau").map_batches(
+        lambda t: pa.table({"wd": t["d"], "wau": t["wau"]}),
+        batch_format="pyarrow")
+
+    # inner join drops fan-out days past the data's end (they have no
+    # DAU row); day domain is tiny, 2 partitions suffice
+    joined = dau.join(wau, "inner", 2, on=("d",), right_on=("wd",),
+                      aggregator_ray_remote_args={"num_cpus": 0})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.cast(pc.cast(t["d"], pa.int32()),
+                                  pa.date32()), format="%Y-%m-%d")
+        return pa.table({"day": day, "dau": t["dau"], "wau": t["wau"]})
+
+    return joined.map_batches(finalize,
+                              batch_format="pyarrow").sort("day")
+
+
+def dau_wau_oracle_sql(window_days: int = 7) -> str:
+    """DuckDB oracle for :func:`run_dau_wau`: DISTINCT (day, user)
+    pairs, DAU by count, WAU by a self-join over the trailing window —
+    all integers, no float contract."""
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        wau AS (
+            SELECT d.day, count(DISTINCT u.user_id) AS wau
+            FROM (SELECT DISTINCT day FROM du) d
+            JOIN du u ON u.day BETWEEN d.day - {window_days - 1}
+                                   AND d.day
+            GROUP BY d.day
+        )
+        SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, w.wau
+        FROM dau a JOIN wau w ON w.day = a.day
+        ORDER BY day
+    """

@@ -169,3 +169,21 @@ def test_component_sizes_oracle(ray_session):
                                   check_exact=True)
     n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert int((got["size"] * got["n_components"]).sum()) == n_docs
+
+
+def test_seed_coverage_oracle(ray_session):
+    """Cumulative reachability curve equals the BFS-histogram SQL;
+    the last cumulative count equals the link_depth row count and the
+    fraction column is monotone in (0, 1]."""
+    from dude_ray.pipelines.components import (run_link_depth,
+                                               run_seed_coverage,
+                                               seed_coverage_oracle_sql)
+
+    want = _con().execute(seed_coverage_oracle_sql(SF)).df() \
+        .reset_index(drop=True)
+    got = run_seed_coverage(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert got["cum_pages"].iloc[-1] == run_link_depth(SF).count()
+    f = got["frac_corpus"]
+    assert (f.diff().dropna() >= 0).all() and f.iloc[-1] <= 1.0

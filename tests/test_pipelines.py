@@ -3132,3 +3132,26 @@ def test_doclen_percentiles_local_oracle(ray_session):
     got = run_doclen_percentiles(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_dau_wau_local_oracle(ray_session):
+    """(day, dau, wau) equals the DuckDB DISTINCT-pair recompute at
+    sf0.001; WAU ≥ DAU every day and both ≤ the total user count."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
+                                               run_dau_wau)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(dau_wau_oracle_sql()).df().reset_index(drop=True)
+    got = run_dau_wau(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert (got["wau"] >= got["dau"]).all()
+    n_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert (got["wau"] <= n_users).all()
