@@ -210,6 +210,12 @@ def _q_seed_coverage(sf_dir: str):
     return run_seed_coverage(sf_dir)
 
 
+def _q_link_triangles(sf_dir: str):
+    from dude_ray.pipelines.components import run_link_triangles
+
+    return run_link_triangles(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Round-5
@@ -317,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_depth_profile": _q_host_depth_profile,
         "seed_coverage": _q_seed_coverage,
         "dau_wau": relational.run_dau_wau,
+        "order_backlog": relational.run_order_backlog,
+        "link_triangles": _q_link_triangles,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -960,8 +968,9 @@ def oracle_sql() -> dict[str, str]:
         host_depth_profile_oracle_sql, host_graph_oracle_sql,
         k_core_oracle_sql, link_components_oracle_sql,
         link_depth_oracle_sql, link_reciprocity_oracle_sql,
-        seed_coverage_oracle_sql)
-    from dude_ray.pipelines.relational import dau_wau_oracle_sql
+        link_triangles_oracle_sql, seed_coverage_oracle_sql)
+    from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
+                                               order_backlog_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
@@ -1007,6 +1016,8 @@ def oracle_sql() -> dict[str, str]:
         "host_depth_profile": host_depth_profile_oracle_sql(),
         "seed_coverage": seed_coverage_oracle_sql(),
         "dau_wau": dau_wau_oracle_sql(),
+        "order_backlog": order_backlog_oracle_sql(),
+        "link_triangles": link_triangles_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

@@ -677,6 +677,14 @@ def run_bench() -> dict:
     relational.run_dau_wau(SF_DIR).materialize()
     timings["dau_wau"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_order_backlog(SF_DIR).materialize()
+    timings["order_backlog"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_link_triangles(SF_DIR).materialize()
+    timings["link_triangles"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -596,6 +596,117 @@ def run_host_depth_profile(sf_dir: str, max_depth: int = 32):
                               batch_format="pyarrow").sort("host")
 
 
+def run_link_triangles(sf_dir: str,
+                       target_rows_per_group: int = 65536):
+    """Global triangle census of the DISTINCT undirected link graph —
+    one row (n_edges, n_wedges, n_triangles, global_clustering) with
+    C = round(3T / W, 6); W = Σ d(d−1)/2 from exact degrees.
+
+    Triangle counting uses DEGREE-ORDERED ORIENTATION (orient every
+    edge toward the higher (degree, id) endpoint): each triangle is
+    enumerated exactly once from its minimum-(degree, id) vertex, and
+    per-vertex out-degree is O(√m), so the wedge fan-out a hub would
+    otherwise cause is bounded — the standard scale guard.  Candidate
+    closing pairs then hash-join against the edge set; only (lo, hi)
+    key pairs shuffle.  The oracle enumerates with min-ID orientation
+    instead — a different single-count apex, same total."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import _py_round
+
+    import ray
+    import ray.data  # noqa: F401
+
+    edges, _nodes = link_edges(sf_dir)
+    n_edges_raw = max(edges.count(), 1)
+    und = _distinct_undirected(edges, n_edges_raw).materialize()
+    n_und = und.count()
+
+    both = und.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["lo"].combine_chunks(), t["hi"].combine_chunks()])}),
+        batch_format="pyarrow")
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("node", sort=False).size()
+               .reset_index(name="degree"))
+        return pd.DataFrame({"node": out["node"],
+                             "degree": out["degree"].astype("int64")})
+
+    deg = hash_grouped_reduce(both, "node", cnt, 2 * n_und,
+                              out_cols=("node", "degree")).materialize()
+
+    # wedge total from degrees alone — one scalar
+    def wpart(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int(np.sum(d * (d - 1) // 2))],
+                                       type=pa.int64())})
+
+    n_wedges = int(deg.map_batches(wpart,
+                                   batch_format="pyarrow").sum("w"))
+
+    dl = deg.map_batches(lambda t: pa.table(
+        {"lnode": t["node"], "ldeg": t["degree"]}), batch_format="pyarrow")
+    dh = deg.map_batches(lambda t: pa.table(
+        {"hnode": t["node"], "hdeg": t["degree"]}), batch_format="pyarrow")
+    j = und.join(dl, "inner", 4, on=("lo",), right_on=("lnode",),
+                 aggregator_ray_remote_args=_AGG_ARGS)
+    j = j.join(dh, "inner", 4, on=("hi",), right_on=("hnode",),
+               aggregator_ray_remote_args=_AGG_ARGS)
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        ld = t["ldeg"].to_numpy(zero_copy_only=False)
+        hd = t["hdeg"].to_numpy(zero_copy_only=False)
+        # src = the smaller (degree, id); ids are unique so ties on
+        # degree break by string id — lo < hi already
+        lo_first = (ld < hd) | ((ld == hd))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        return pa.table({"src": pa.array(src, type=pa.string()),
+                         "dst": pa.array(dst, type=pa.string())})
+
+    oriented = j.map_batches(orient, batch_format="pyarrow",
+                             batch_size=65536)
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_lo, out_hi = [], []
+        for _, grp in g.groupby("src", sort=False):
+            nb = np.sort(grp["dst"].to_numpy())
+            k = len(nb)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            out_lo.append(nb[iu[0]])
+            out_hi.append(nb[iu[1]])
+        if not out_lo:
+            return pd.DataFrame({"lo": pd.Series([], dtype=object),
+                                 "hi": pd.Series([], dtype=object)})
+        return pd.DataFrame({"lo": np.concatenate(out_lo),
+                             "hi": np.concatenate(out_hi)})
+
+    cand = hash_grouped_reduce(
+        oriented, "src", wedge_pairs, n_und,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("lo", "hi"))
+    closed = cand.join(
+        und.map_batches(lambda t: pa.table({"elo": t["lo"],
+                                            "ehi": t["hi"]}),
+                        batch_format="pyarrow"),
+        "inner", 4, on=("lo", "hi"), right_on=("elo", "ehi"),
+        aggregator_ray_remote_args=_AGG_ARGS)
+    n_tri = closed.count()
+
+    c = 3.0 * n_tri / n_wedges if n_wedges else 0.0
+    return ray.data.from_arrow(pa.table({
+        "n_edges": pa.array([n_und], type=pa.int64()),
+        "n_wedges": pa.array([n_wedges], type=pa.int64()),
+        "n_triangles": pa.array([n_tri], type=pa.int64()),
+        "global_clustering": _py_round(
+            pa.array([c], type=pa.float64()), 6)}))
+
+
 def run_seed_coverage(sf_dir: str, max_depth: int = 32):
     """Cumulative seed-reachability curve: (depth, n_pages, cum_pages,
     frac_corpus) — how much of the corpus a breadth-budgeted crawl
@@ -948,6 +1059,37 @@ def host_depth_profile_oracle_sql(sf_dir: str | None = None,
         JOIN bounds bs ON b.id >= bs.lo AND b.id < bs.hi
         GROUP BY bs.h
         ORDER BY host
+    """
+
+
+def link_triangles_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_link_triangles`: min-ID-apex
+    triangle enumeration (every triangle counted once from its
+    smallest vertex — a different single-count orientation than the
+    engine's degree order, same total), wedges from the degree table,
+    the same (3.0·T)/W IEEE sequence."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH {preamble},
+        und AS (
+            SELECT DISTINCT least(src_id, dst_id) AS lo,
+                            greatest(src_id, dst_id) AS hi
+            FROM edges0),
+        deg AS (
+            SELECT node, count(*) AS deg
+            FROM (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+            GROUP BY node),
+        w AS (SELECT sum((deg * (deg - 1)) // 2) AS w FROM deg),
+        tri AS (
+            SELECT count(*) AS t
+            FROM und e1
+            JOIN und e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+            JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+        SELECT (SELECT count(*) FROM und) AS n_edges,
+               CAST(w.w AS BIGINT) AS n_wedges,
+               CAST(tri.t AS BIGINT) AS n_triangles,
+               round((3.0 * tri.t) / w.w, 6) AS global_clustering
+        FROM w, tri
     """
 
 

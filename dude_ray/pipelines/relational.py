@@ -6285,3 +6285,115 @@ def dau_wau_oracle_sql(window_days: int = 7) -> str:
         FROM dau a JOIN wau w ON w.day = a.day
         ORDER BY day
     """
+
+
+# --------------------------------------------------------------------------
+# order_backlog — interval sweep: running open-order count by day
+# --------------------------------------------------------------------------
+
+def run_order_backlog(sf_dir: str, target_rows_per_group: int = 65536):
+    """(day, open_orders): how many orders are placed but not yet
+    fully shipped as of each day — the classic interval-stabbing
+    running count, computed as a DELTA SWEEP so no interval is ever
+    expanded into its covered days: +1 at o_orderdate, −1 the day
+    after the order's LAST l_shipdate, per-day deltas tree-combined,
+    then ONE cumulative pass over the tiny day domain.  Output rows
+    are the change days only (delta ≠ 0).  Orders with no lineitem
+    rows are excluded (no ship horizon — same inner-join contract as
+    the oracle)."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    n_li = li.count()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "k": t["l_orderkey"],
+            "e": pc.cast(pc.cast(t["l_shipdate"], pa.date32()),
+                         pa.int32())})
+        g = tt.group_by(["k"]).aggregate([("e", "max")])
+        return pa.table({"k": g["k"],
+                         "e": pc.cast(g["e_max"], pa.int64())})
+
+    def last_ship(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", sort=False)["e"].max().reset_index()
+        return pd.DataFrame({"k": out["k"],
+                             "e": out["e"].astype("int64")})
+
+    last = hash_grouped_reduce(
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "k", last_ship, n_li,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("k", "e"))
+
+    okeyed = orders.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "s": pc.cast(pc.cast(pc.cast(t["o_orderdate"], pa.date32()),
+                                 pa.int32()), pa.int64())}),
+        batch_format="pyarrow")
+    iv = okeyed.join(last, "inner", 4, on=("o_orderkey",),
+                     right_on=("k",),
+                     aggregator_ray_remote_args={"num_cpus": 0})
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        day = np.concatenate([s, e + 1])
+        d = np.concatenate([np.ones(len(s), dtype=np.int64),
+                            -np.ones(len(e), dtype=np.int64)])
+        tt = pa.table({"day": pa.array(day, type=pa.int64()),
+                       "d": pa.array(d, type=pa.int64())})
+        g = tt.group_by(["day"]).aggregate([("d", "sum")])
+        return pa.table({"day": g["day"], "d": g["d_sum"]})
+
+    agg = tree_combine(
+        iv.map_batches(deltas, batch_format="pyarrow",
+                       batch_size=65536),
+        ("day",), sums=("d",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t["day"])
+        day = t["day"].take(order).to_numpy(zero_copy_only=False)
+        d = t["d"].take(order).to_numpy(zero_copy_only=False)
+        keep = d != 0
+        day, d = day[keep], d[keep]
+        run = np.cumsum(d)
+        days = pc.strftime(pc.cast(pa.array(
+            day.astype(np.int32)), pa.date32()), format="%Y-%m-%d")
+        return pa.table({"day": days,
+                         "open_orders": pa.array(run, type=pa.int64())})
+
+    return (agg.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("day"))
+
+
+def order_backlog_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_order_backlog`: the same delta
+    sweep via UNION ALL + window sum — all integer arithmetic."""
+    return """
+        WITH last AS (
+            SELECT l_orderkey AS k, CAST(max(l_shipdate) AS DATE) AS e
+            FROM lineitem GROUP BY 1
+        ),
+        iv AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS s, l.e
+            FROM orders o JOIN last l ON l.k = o.o_orderkey
+        ),
+        delta AS (
+            SELECT s AS day, 1 AS d FROM iv
+            UNION ALL
+            SELECT e + 1, -1 FROM iv
+        ),
+        agg AS (
+            SELECT day, sum(d) AS d FROM delta
+            GROUP BY day HAVING sum(d) <> 0
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(sum(d) OVER (ORDER BY day) AS BIGINT) AS open_orders
+        FROM agg ORDER BY day
+    """

@@ -187,3 +187,19 @@ def test_seed_coverage_oracle(ray_session):
     assert got["cum_pages"].iloc[-1] == run_link_depth(SF).count()
     f = got["frac_corpus"]
     assert (f.diff().dropna() >= 0).all() and f.iloc[-1] <= 1.0
+
+
+def test_link_triangles_oracle(ray_session):
+    """Triangle census equals the min-ID-apex SQL enumeration; the
+    clustering coefficient respects 3T ≤ W."""
+    from dude_ray.pipelines.components import (link_triangles_oracle_sql,
+                                               run_link_triangles)
+
+    want = _con().execute(link_triangles_oracle_sql(SF)).df() \
+        .reset_index(drop=True)
+    got = run_link_triangles(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    r = got.iloc[0]
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert 0.0 <= r["global_clustering"] <= 1.0

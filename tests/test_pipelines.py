@@ -3155,3 +3155,27 @@ def test_dau_wau_local_oracle(ray_session):
     n_users = con.execute(
         "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert (got["wau"] <= n_users).all()
+
+
+def test_order_backlog_local_oracle(ray_session):
+    """The delta-sweep running open-order count equals the DuckDB
+    window recompute at sf0.001; the curve returns to zero after the
+    last change day (every order eventually ships)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (order_backlog_oracle_sql,
+                                               run_order_backlog)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.execute(order_backlog_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_order_backlog(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert got["open_orders"].iloc[-1] == 0
+    assert (got["open_orders"] >= 0).all()
