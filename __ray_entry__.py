@@ -216,6 +216,12 @@ def _q_link_triangles(sf_dir: str):
     return run_link_triangles(sf_dir)
 
 
+def _q_host_rank(sf_dir: str):
+    from dude_ray.pipelines.components import run_host_rank
+
+    return run_host_rank(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """ENTRY ORDER IS LOAD-BEARING: the driver's correctness gate
     records only the FIRST 50 entries (insertion order).  Round-5
@@ -325,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_wau": relational.run_dau_wau,
         "order_backlog": relational.run_order_backlog,
         "link_triangles": _q_link_triangles,
+        "host_rank": _q_host_rank,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -967,8 +974,9 @@ def oracle_sql() -> dict[str, str]:
         component_sizes_oracle_sql, degree_assortativity_oracle_sql,
         host_depth_profile_oracle_sql, host_graph_oracle_sql,
         k_core_oracle_sql, link_components_oracle_sql,
-        link_depth_oracle_sql, link_reciprocity_oracle_sql,
-        link_triangles_oracle_sql, seed_coverage_oracle_sql)
+        host_rank_oracle_sql, link_depth_oracle_sql,
+        link_reciprocity_oracle_sql, link_triangles_oracle_sql,
+        seed_coverage_oracle_sql)
     from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
                                                order_backlog_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
@@ -1018,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "dau_wau": dau_wau_oracle_sql(),
         "order_backlog": order_backlog_oracle_sql(),
         "link_triangles": link_triangles_oracle_sql(),
+        "host_rank": host_rank_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

@@ -685,6 +685,10 @@ def run_bench() -> dict:
     components.run_link_triangles(SF_DIR).materialize()
     timings["link_triangles"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    components.run_host_rank(SF_DIR).materialize()
+    timings["host_rank"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

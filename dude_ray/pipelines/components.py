@@ -596,6 +596,45 @@ def run_host_depth_profile(sf_dir: str, max_depth: int = 32):
                               batch_format="pyarrow").sort("host")
 
 
+def run_host_rank(sf_dir: str, damping: float = 0.85, iters: int = 6):
+    """Host-level PageRank mass: (host, n_pages, host_rank) with
+    host_rank = round(Σ page ranks, 8) — the crawl-scheduler's
+    site-priority table, composed from the DISTRIBUTED page-level
+    power iteration (graph.pagerank_kernel) and a host partial-sum.
+    Page ranks are rounded to 10 dp first (the kernel's established
+    cross-engine contract); the host sum of ≤per-host-page-count such
+    doubles drifts ≲1e-15 under reassociation, three orders below the
+    8-dp quantum."""
+    from dude_ray.pipelines.graph import run_pagerank
+    from dude_ray.pipelines.relational import _py_round, tree_combine
+
+    ranks = run_pagerank(sf_dir, damping=damping, iters=iters)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"host": _netloc(t["node"]),
+                       "rank": pc.round(t["rank"], ndigits=10)})
+        g = tt.group_by(["host"]).aggregate(
+            [([], "count_all"), ("rank", "sum")])
+        return pa.table({
+            "host": g["host"],
+            "n_pages": pc.cast(g["count_all"], pa.int64()),
+            "rank_sum": g["rank_sum"]})
+
+    merged = tree_combine(
+        ranks.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536),
+        ("host",), sums=("n_pages", "rank_sum"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"],
+            "n_pages": t["n_pages"],
+            "host_rank": _py_round(t["rank_sum"], 8)})
+
+    return merged.map_batches(finalize,
+                              batch_format="pyarrow").sort("host")
+
+
 def run_link_triangles(sf_dir: str,
                        target_rows_per_group: int = 65536):
     """Global triangle census of the DISTINCT undirected link graph —
@@ -1058,6 +1097,28 @@ def host_depth_profile_oracle_sql(sf_dir: str | None = None,
         FROM best b
         JOIN bounds bs ON b.id >= bs.lo AND b.id < bs.hi
         GROUP BY bs.h
+        ORDER BY host
+    """
+
+
+def host_rank_oracle_sql(sf_dir: str | None = None,
+                         damping: float = 0.85, iters: int = 6) -> str:
+    """DuckDB oracle for :func:`run_host_rank`: the full unrolled
+    power-iteration chain of :func:`graph.pagerank_oracle_sql` as a
+    subquery (its fin already rounds pages to 10 dp), host extracted
+    by regex from the node URL, sum rounded to 8 dp."""
+    from dude_ray.pipelines.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(sf_dir, damping=damping, iters=iters)
+    return f"""
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               round(sum(rank), 8) AS host_rank
+        FROM (
+            SELECT regexp_extract(node, '://([^/]+)', 1) AS host, rank
+            FROM ({inner}) base
+        )
+        GROUP BY host
         ORDER BY host
     """
 

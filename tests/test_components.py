@@ -203,3 +203,22 @@ def test_link_triangles_oracle(ray_session):
     r = got.iloc[0]
     assert 3 * r["n_triangles"] <= r["n_wedges"]
     assert 0.0 <= r["global_clustering"] <= 1.0
+
+
+def test_host_rank_oracle(ray_session):
+    """Host-level PageRank mass equals the unrolled-CTE recompute
+    grouped per host; masses sum to ~1 and page counts cover the
+    corpus."""
+    import pyarrow.parquet as pq
+
+    from dude_ray.pipelines.components import (host_rank_oracle_sql,
+                                               run_host_rank)
+
+    want = _con().execute(host_rank_oracle_sql(SF)).df() \
+        .reset_index(drop=True)
+    got = run_host_rank(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert abs(got["host_rank"].sum() - 1.0) < 1e-6
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert got["n_pages"].sum() == n_docs
