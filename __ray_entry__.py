@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_backlog": relational.run_order_backlog,
         "link_triangles": _q_link_triangles,
         "host_rank": _q_host_rank,
+        "type_day_mi": relational.run_type_day_mi,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -978,7 +979,8 @@ def oracle_sql() -> dict[str, str]:
         link_reciprocity_oracle_sql, link_triangles_oracle_sql,
         seed_coverage_oracle_sql)
     from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
-                                               order_backlog_oracle_sql)
+                                               order_backlog_oracle_sql,
+                                               type_day_mi_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
@@ -1027,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "order_backlog": order_backlog_oracle_sql(),
         "link_triangles": link_triangles_oracle_sql(),
         "host_rank": host_rank_oracle_sql(),
+        "type_day_mi": type_day_mi_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

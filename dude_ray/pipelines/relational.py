@@ -6397,3 +6397,91 @@ def order_backlog_oracle_sql() -> str:
                CAST(sum(d) OVER (ORDER BY day) AS BIGINT) AS open_orders
         FROM agg ORDER BY day
     """
+
+
+# --------------------------------------------------------------------------
+# event-type × weekday mutual information (categorical dependence)
+# --------------------------------------------------------------------------
+
+def run_type_day_mi(sf_dir: str):
+    """Pointwise mutual information between event type and ISO
+    weekday: one row per observed (event_type, dow) cell with the
+    exact count and ``pmi = ln(n_td·N / (n_t·n_d))`` — the "does this
+    event type have a weekly rhythm" dependence table (the total MI
+    is the n/N-weighted sum of these cells; cells with pmi ≈ 0 are
+    independent of the day).
+
+    Plan (the 100 TB shape): one scan emits per-batch (event_type,
+    dow → n) partial rows — ≤ |types|·7 rows per batch regardless of
+    batch size — which tree-merge to the ≤ |types|·7-row contingency
+    table; the marginals n_t / n_d and universe N read off that same
+    merged table in the single final task.  Nothing but fixed-size
+    aggregate rows ever shuffles.
+
+    Float contract: the pmi argument is one IEEE expression tree over
+    exact int64 counts — ``(n_td·1.0·N) / (n_t·1.0·n_d)`` then
+    ``ln`` — identical in numpy and DuckDB; rounded to 6 dp
+    (``_py_round`` == DuckDB ``round``).  The int→double products
+    stay exact below 2^53 events per cell product — true to ~10^15
+    rows per marginal, documented headroom for the test scales."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = us // 86_400_000_000
+        dow = (days + 3) % 7 + 1  # 1970-01-01 is ISO day 4
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "dow": pa.array(dow.astype(np.int64), type=pa.int64()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "dow"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "dow": g["dow"], "n": g["n_sum"]})
+
+    merged = tree_combine(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "dow"], sums=("n",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "dow": batch["dow"].to_numpy(zero_copy_only=False),
+            "n": batch["n"].to_numpy(zero_copy_only=False),
+        }).sort_values(["event_type", "dow"])
+        total = float(df["n"].sum())
+        n_t = df.groupby("event_type")["n"].transform("sum").to_numpy(
+            dtype=np.float64)
+        n_d = df.groupby("dow")["n"].transform("sum").to_numpy(
+            dtype=np.float64)
+        n = df["n"].to_numpy(dtype=np.float64)
+        pmi = np.log((n * total) / (n_t * n_d))
+        return pa.table({
+            "event_type": pa.array(df["event_type"], type=pa.string()),
+            "dow": pa.array(df["dow"].to_numpy(dtype=np.int64)),
+            "n_events": pa.array(df["n"].to_numpy(dtype=np.int64)),
+            "pmi": _py_round(pa.array(pmi, type=pa.float64()), 6),
+        })
+
+    return (merged.map_batches(finalize, batch_format="pyarrow",
+                               batch_size=None)
+            .sort(["event_type", "dow"]))
+
+
+def type_day_mi_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_type_day_mi` (isodow contingency
+    table with window-sum marginals; the pmi expression tree mirrors
+    the pipeline's double ops exactly)."""
+    return """
+        WITH c AS (
+            SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, dow, n AS n_events,
+               round(ln((n * 1.0 * sum(n) OVER ()) /
+                        (sum(n) OVER (PARTITION BY event_type) * 1.0
+                         * sum(n) OVER (PARTITION BY dow))), 6) AS pmi
+        FROM c ORDER BY event_type, dow
+    """

@@ -3179,3 +3179,28 @@ def test_order_backlog_local_oracle(ray_session):
                                   check_exact=True)
     assert got["open_orders"].iloc[-1] == 0
     assert (got["open_orders"] >= 0).all()
+
+
+def test_type_day_mi_local_oracle(ray_session):
+    """The (event_type, dow) pmi table equals the DuckDB window-sum
+    recompute at sf0.001; the n-weighted pmi sum (the total MI) is
+    non-negative up to the 6-dp cell rounding."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (run_type_day_mi,
+                                               type_day_mi_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(type_day_mi_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_type_day_mi(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    n = got["n_events"].to_numpy()
+    mi = float((n / n.sum() * got["pmi"].to_numpy()).sum())
+    assert mi >= -1e-5
+    assert got["dow"].between(1, 7).all()
