@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_triangles": _q_link_triangles,
         "host_rank": _q_host_rank,
         "type_day_mi": relational.run_type_day_mi,
+        "zipf_fit": textops.run_zipf_fit,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -903,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
                                             lang_confusion_oracle_sql,
                                             fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
+                                            zipf_fit_oracle_sql,
                                             phrase_search_oracle_sql,
                                             pmi_collocations_oracle_sql,
                                             readability_oracle_sql,
@@ -1030,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "link_triangles": link_triangles_oracle_sql(),
         "host_rank": host_rank_oracle_sql(),
         "type_day_mi": type_day_mi_oracle_sql(),
+        "zipf_fit": zipf_fit_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

@@ -1771,3 +1771,129 @@ def lang_confusion_oracle_sql() -> str:
         FROM documents d JOIN pred p ON p.doc_id = d.doc_id
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# Zipf's-law fit (log-count vs log-rank OLS over the term table)
+# --------------------------------------------------------------------------
+
+def run_zipf_fit(sf_dir: str, top_k: int = 500, min_count: int = 2,
+                 batch_size: int = 4096):
+    """Zipf's-law fit of the corpus unigram distribution: OLS of
+    ``ln(count)`` on ``ln(rank)`` over the ``top_k`` most frequent
+    terms — one row (n_terms, slope, intercept, r2).  A natural
+    corpus is near ``slope = −1``; a strongly deviating slope or a
+    low r² flags template/boilerplate-dominated or synthetic text —
+    a cheap corpus-health gate before training.
+
+    Plan (the 100 TB shape): per-batch pre-counted (term, c) partials
+    feed the data-scaled hash-grouped reduce (one row per DISTINCT
+    term per batch shuffles, never one per occurrence); each reduced
+    block then emits only its local top-``top_k`` rows, so the final
+    single task sees ≤ blocks·top_k candidates — the global term
+    table never converges on one process.  Ranks are assigned there
+    by (count DESC, term ASC), deterministic under ties.
+
+    Float contract: x = ln(rank), y = ln(count) on exact int64
+    inputs; the five OLS sums run over ≤ ``top_k`` O(10)-magnitude
+    doubles, so cross-engine reassociation drift is ≲1e-10 — well
+    below the 6-dp rounding quantum (the same drift argument as
+    ``components.run_host_rank``); slope/intercept/r² share one IEEE
+    expression tree with the oracle."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for text in batch["text"].to_pylist():
+            for t in tok_re.findall((text or "").lower()):
+                cnt[t] = cnt.get(t, 0) + 1
+        return pa.table({
+            "t": pa.array(list(cnt.keys()), type=pa.string()),
+            "c": pa.array(list(cnt.values()), type=pa.int64()),
+        })
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("t", sort=False)["c"].sum().reset_index()
+        return out[out["c"] >= min_count]
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    partials = ds.map_batches(_counts, batch_format="pyarrow",
+                              batch_size=batch_size)
+    vocab = hash_grouped_reduce(partials, "t", _reduce,
+                                partials.count(), out_cols=("t", "c"))
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "t"],
+                              ascending=[False, True]).head(top_k)
+
+    cand = vocab.map_batches(_local_topk, batch_format="pandas",
+                             batch_size=None)
+
+    def _fit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c", "t"],
+                            ascending=[False, True]).head(top_k)
+        c = df["c"].to_numpy(dtype=np.float64)
+        k = float(len(df))
+        x = np.log(np.arange(1, len(df) + 1, dtype=np.float64))
+        y = np.log(c)
+        sx = float(np.sum(x))
+        sy = float(np.sum(y))
+        sxy = float(np.sum(x * y))
+        sxx = float(np.sum(x * x))
+        syy = float(np.sum(y * y))
+        num = k * sxy - sx * sy
+        den = k * sxx - sx * sx
+        slope = num / den
+        intercept = (sy - slope * sx) / k
+        r2 = (num * num) / (den * (k * syy - sy * sy))
+        return pd.DataFrame({
+            "n_terms": pd.Series([int(len(df))], dtype="int64"),
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+            "r2": [round(r2, 6)],
+        })
+
+    return cand.repartition(1).map_batches(_fit, batch_format="pandas",
+                                           batch_size=None)
+
+
+def zipf_fit_oracle_sql(top_k: int = 500, min_count: int = 2) -> str:
+    """DuckDB oracle for :func:`run_zipf_fit` — unigram explode +
+    count, (count DESC, term ASC) ranking, and the identical OLS
+    expression tree over ln(rank)/ln(count)."""
+    return f"""
+        WITH cnt AS (
+            SELECT t, count(*) AS c
+            FROM (
+                SELECT unnest(regexp_extract_all(
+                    lower(coalesce(text, '')), '{TOKEN_RE}')) AS t
+                FROM documents
+            ) GROUP BY t HAVING count(*) >= {min_count}
+        ),
+        top AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS r
+            FROM cnt QUALIFY r <= {top_k}
+        ),
+        pts AS (
+            SELECT ln(CAST(r AS DOUBLE)) AS x,
+                   ln(CAST(c AS DOUBLE)) AS y
+            FROM top
+        ),
+        s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS k,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pts
+        )
+        SELECT CAST(k AS BIGINT) AS n_terms,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                   AS slope,
+               round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                      * sx) / k, 6) AS intercept,
+               round(((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
+                     ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+                   AS r2
+        FROM s
+    """

@@ -3204,3 +3204,26 @@ def test_type_day_mi_local_oracle(ray_session):
     mi = float((n / n.sum() * got["pmi"].to_numpy()).sum())
     assert mi >= -1e-5
     assert got["dow"].between(1, 7).all()
+
+
+def test_zipf_fit_local_oracle(ray_session):
+    """The one-row Zipf OLS fit equals the DuckDB recompute at
+    sf0.001; the slope is negative (counts decrease with rank) and
+    r2 lies in [0, 1]."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.textops import (run_zipf_fit,
+                                            zipf_fit_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(zipf_fit_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_zipf_fit(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert got["slope"].iloc[0] < 0
+    assert 0.0 <= got["r2"].iloc[0] <= 1.0
