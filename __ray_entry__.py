@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank": _q_host_rank,
         "type_day_mi": relational.run_type_day_mi,
         "zipf_fit": textops.run_zipf_fit,
+        "ngram_containment": dedup.run_ngram_containment,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -919,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
                                           editdist_neardup_oracle_sql,
                                           embedding_neardup_oracle_sql,
                                           minhash_oracle_sql,
+                                          ngram_containment_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql,
                                           dedup_recall_oracle_sql)
@@ -1009,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": simhash_oracle_sql(),
         "minhash_dedup": minhash_oracle_sql(threshold=0.8),
         "ngram_jaccard": minhash_oracle_sql(threshold=None),
+        "ngram_containment": ngram_containment_oracle_sql(),
         "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
         "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),

@@ -296,11 +296,17 @@ def _jaccard_join_batch(batch: pa.Table) -> pa.Table:
                      "jaccard": pa.array(jac, type=pa.float64())})
 
 
-def _verify_pairs_jaccard(pairs, sh, num_partitions: int = JOIN_PARTITIONS):
+def _verify_pairs_jaccard(pairs, sh, num_partitions: int = JOIN_PARTITIONS,
+                          kernel=None):
     """(a, b) pairs → (a, b, jaccard) via two distributed hash joins
     against the materialized shingle dataset ``sh``.  Only (pair,
     hash-list) rows move through the shuffle; the documents table is
-    never collected and the text is never re-read."""
+    never collected and the text is never re-read.  ``kernel``
+    (default :func:`_jaccard_join_batch`) maps the joined
+    (a, b, sh_a, sh_b) batches to the verified metric rows —
+    :func:`run_ngram_containment` passes the containment kernel."""
+    if kernel is None:
+        kernel = _jaccard_join_batch
     # zero-CPU aggregators: the join's shuffle actors must always be
     # schedulable alongside the upstream map actor pools — with the
     # default 1-CPU request the streaming DAG deadlocks on small CPU
@@ -337,7 +343,7 @@ def _verify_pairs_jaccard(pairs, sh, num_partitions: int = JOIN_PARTITIONS):
         lambda t: pa.table({"a": t["a"], "b": t["b"],
                             "sh_a": t["sh_a"], "sh_b": t["sh"]}),
         batch_format="pyarrow")
-    return j.map_batches(_jaccard_join_batch, batch_format="pyarrow",
+    return j.map_batches(kernel, batch_format="pyarrow",
                          batch_size=4096)
 
 
@@ -449,6 +455,44 @@ def run_minhash_dedup(sf_dir: str, threshold: float = 0.8, concurrency: int = 4,
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
         batch_format="pyarrow")
+
+
+def _containment_join_batch(batch: pa.Table) -> pa.Table:
+    """(a, b, sh_a, sh_b) → (a, b, n_a, n_b, n_inter, containment)
+    with containment = |A∩B| / min(|A|, |B|) — the asymmetric-overlap
+    metric that catches subset duplication (one doc quoted whole
+    inside a larger one) that Jaccard dilutes below threshold."""
+    a_sets = _row_lists(batch["sh_a"])
+    b_sets = _row_lists(batch["sh_b"])
+    na, nb, ni, cont = [], [], [], []
+    for x, y in zip(a_sets, b_sets):
+        inter = len(np.intersect1d(x, y, assume_unique=True))
+        m = min(len(x), len(y))
+        na.append(len(x))
+        nb.append(len(y))
+        ni.append(inter)
+        cont.append(round(inter / m, 6) if m else 0.0)
+    return pa.table({
+        "a": batch["a"], "b": batch["b"],
+        "n_a": pa.array(na, type=pa.int64()),
+        "n_b": pa.array(nb, type=pa.int64()),
+        "n_inter": pa.array(ni, type=pa.int64()),
+        "containment": pa.array(cont, type=pa.float64()),
+    })
+
+
+def run_ngram_containment(sf_dir: str, concurrency: int = 4):
+    """Exact n-gram CONTAINMENT for every LSH candidate pair —
+    |A∩B| / min(|A|, |B|) over the distinct word-3-gram hash sets,
+    with the exact set sizes alongside.  Same candidate generation
+    and two-join verify dataflow as :func:`run_ngram_jaccard`
+    (shingle once, join twice, never collect text); only the verify
+    kernel differs.  Containment ≥ Jaccard always, so this surfaces
+    the near-subset pairs a Jaccard threshold silently drops."""
+    sh = shingle_dataset(sf_dir, concurrency)
+    pairs = candidate_pairs_minhash(sh, concurrency)
+    return _verify_pairs_jaccard(pairs, sh,
+                                 kernel=_containment_join_batch)
 
 
 def run_ngram_jaccard(sf_dir: str, concurrency: int = 4):
@@ -1611,7 +1655,8 @@ def _sql_addmod64(a: str, b: str) -> str:
             f" % 18446744073709551616 AS UBIGINT)")
 
 
-def minhash_oracle_sql(threshold: float | None = 0.8) -> str:
+def minhash_oracle_sql(threshold: float | None = 0.8,
+                       final_sql: str | None = None) -> str:
     """DuckDB oracle for :func:`run_minhash_dedup` (and, with
     ``threshold=None``, :func:`run_ngram_jaccard`) — the ENTIRE banded
     minhash-LSH pipeline reproduced in SQL, bit-for-bit:
@@ -1641,6 +1686,8 @@ def minhash_oracle_sql(threshold: float | None = 0.8) -> str:
     mm = _sql_mulmod64
     xorsh = lambda x: f"xor(({x}), ({x}) >> 33)"  # noqa: E731
     filt = (f"WHERE jaccard >= {threshold}" if threshold is not None else "")
+    if final_sql is None:
+        final_sql = f"SELECT a, b, jaccard FROM jac {filt}"
     return f"""
         WITH perms(pi, pa, pb) AS (VALUES {perms}),
         toks AS (
@@ -1711,8 +1758,24 @@ def minhash_oracle_sql(threshold: float | None = 0.8) -> str:
           JOIN sizes sa ON sa.doc_id = c.a
           JOIN sizes sb ON sb.doc_id = c.b
         )
-        SELECT a, b, jaccard FROM jac {filt}
+        {final_sql}
     """
+
+
+def ngram_containment_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_ngram_containment`: the full
+    minhash-LSH candidate chain of :func:`minhash_oracle_sql`, with
+    the final metric swapped to exact set sizes + containment
+    ``i / least(n_a, n_b)`` over the same DISTINCT gram-hash sets."""
+    return minhash_oracle_sql(threshold=None, final_sql="""
+        SELECT c.a, c.b, sa.n AS n_a, sb.n AS n_b,
+               CAST(coalesce(i.i, 0) AS BIGINT) AS n_inter,
+               round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                     / least(sa.n, sb.n), 6) AS containment
+        FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN sizes sa ON sa.doc_id = c.a
+        JOIN sizes sb ON sb.doc_id = c.b
+    """)
 
 
 def simhash_oracle_sql(max_hamming: int = 3) -> str:

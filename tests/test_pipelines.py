@@ -3227,3 +3227,31 @@ def test_zipf_fit_local_oracle(ray_session):
                                   check_exact=True)
     assert got["slope"].iloc[0] < 0
     assert 0.0 <= got["r2"].iloc[0] <= 1.0
+
+
+def test_ngram_containment_local_oracle(ray_session):
+    """Containment over LSH candidates equals the DuckDB full-chain
+    recompute at sf0.001; containment >= jaccard on the shared pair
+    set (min-denominator dominance)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.dedup import (ngram_containment_oracle_sql,
+                                          run_ngram_containment,
+                                          run_ngram_jaccard)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(ngram_containment_oracle_sql()).df()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    got = (run_ngram_containment(sf).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    jac = (run_ngram_jaccard(sf).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    merged = got.merge(jac, on=["a", "b"])
+    assert len(merged) == len(got)
+    assert (merged["containment"] >= merged["jaccard"] - 1e-9).all()
