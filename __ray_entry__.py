@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_day_mi": relational.run_type_day_mi,
         "zipf_fit": textops.run_zipf_fit,
         "ngram_containment": dedup.run_ngram_containment,
+        "adamic_adar": graph.run_adamic_adar,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -888,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.stages.multimodal import (
         media_size_stats_oracle_sql as _media_size_stats_sql)
     from dude_ray.pipelines.graph import (anchor_texts_oracle_sql,
+                                          adamic_adar_oracle_sql,
                                           cocitation_oracle_sql,
                                           coupling_oracle_sql,
                                           graph_degree_dist_oracle_sql,
@@ -1018,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": graph_hits_oracle_sql(),
         "graph_degree_dist": graph_degree_dist_oracle_sql(),
         "cocitation": cocitation_oracle_sql(),
+        "adamic_adar": adamic_adar_oracle_sql(),
         "coupling": coupling_oracle_sql(),
         # recursive-CTE reachability closure / bounded BFS over the
         # inlined generator-determined edge list (components.py)

@@ -1355,3 +1355,159 @@ def coupling_oracle_sql(sf_dir: str | None = None,
         FROM pairs
         QUALIFY rank <= {top_k}
     """
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (common-neighbor score over the link graph)
+# --------------------------------------------------------------------------
+
+def run_adamic_adar(sf_dir: str, top_k: int = 100,
+                    target_rows_per_group: int = 65536):
+    """Top-``top_k`` Adamic-Adar link-prediction pairs over the
+    DISTINCT undirected link graph: for NON-adjacent pages a < b,
+    ``aa = Σ_z 1/ln(deg z)`` over their common neighbors z — the
+    classic "which missing links are most likely" score (rare shared
+    neighbors count more than hubs).  Output: (page_a, page_b,
+    n_common, aa, rank).
+
+    Plan (the 100 TB shape): ONE hash reduce keyed on the wedge
+    CENTER z emits z's neighbor pairs weighted ``1/ln(deg z)`` —
+    deg z is simply z's group size, so no degree join is needed; the
+    d² fan-out is nav-bounded exactly as :func:`run_cocitation`
+    documents.  Existing edges are excluded WITHOUT a separate
+    anti-join shuffle: the undirected edge set unions in as
+    (pair, is_edge=1) marker rows and the same keyed merge that sums
+    the scores also sums the marker, so the final filter is local.
+    Ranking sorts the ROUNDED score (6 dp, the cross-engine drift
+    argument of ``components.run_host_rank``) so rank order is
+    drift-proof; only the bounded top-k ever reaches one task.
+    """
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.components import _distinct_undirected
+    from dude_ray.pipelines.relational import tree_combine
+
+    edges, _nodes = link_edges(sf_dir)
+    n_edges = max(edges.count(), 1)
+    und = _distinct_undirected(edges, n_edges,
+                               target_rows_per_group).materialize()
+    n_und = max(und.count(), 1)
+
+    def _both(t: pa.Table) -> pa.Table:
+        lo = t["lo"].combine_chunks()
+        hi = t["hi"].combine_chunks()
+        return pa.table({"z": pa.concat_arrays([lo, hi]),
+                         "n": pa.concat_arrays([hi, lo])})
+
+    both = und.map_batches(_both, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        xs, ys, ws = [], [], []
+        for _z, grp in df.groupby("z", sort=False):
+            nb = np.unique(grp["n"].to_numpy())
+            d = len(nb)
+            if d < 2:
+                continue
+            w = 1.0 / float(np.log(float(d)))
+            iu, iv = np.triu_indices(d, 1)
+            xs.append(nb[iu])
+            ys.append(nb[iv])
+            ws.append(np.full(len(iu), w, dtype=np.float64))
+        if not xs:
+            return pd.DataFrame({
+                "x": pd.Series(dtype=object),
+                "y": pd.Series(dtype=object),
+                "n_common": pd.Series(dtype="int64"),
+                "aa": pd.Series(dtype="float64"),
+                "is_edge": pd.Series(dtype="int64")})
+        x = np.concatenate(xs)
+        return pd.DataFrame({
+            "x": x, "y": np.concatenate(ys),
+            "n_common": np.ones(len(x), dtype=np.int64),
+            "aa": np.concatenate(ws),
+            "is_edge": np.zeros(len(x), dtype=np.int64)})
+
+    wedge_partials = hash_grouped_reduce(
+        both, "z", _wedges, 2 * n_und,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("x", "y", "n_common", "aa", "is_edge"))
+
+    def _markers(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "x": t["lo"], "y": t["hi"],
+            "n_common": pa.array(np.zeros(n, dtype=np.int64)),
+            "aa": pa.array(np.zeros(n, dtype=np.float64)),
+            "is_edge": pa.array(np.ones(n, dtype=np.int64))})
+
+    markers = und.map_batches(_markers, batch_format="pyarrow",
+                              batch_size=65536)
+    merged = tree_combine(wedge_partials.union(markers), ["x", "y"],
+                          sums=("n_common", "aa", "is_edge"))
+
+    def _top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["is_edge"] == 0]
+        df["aa"] = [round(v, 6) for v in df["aa"]]
+        df = (df.sort_values(["aa", "x", "y"],
+                             ascending=[False, True, True])
+              .head(top_k).reset_index(drop=True))
+        return pa.table({
+            "page_a": pa.array(df["x"], type=pa.string()),
+            "page_b": pa.array(df["y"], type=pa.string()),
+            "n_common": pa.array(df["n_common"].astype("int64")),
+            "aa": pa.array(df["aa"], type=pa.float64()),
+            "rank": pa.array(np.arange(1, len(df) + 1,
+                                       dtype=np.int64))})
+
+    return merged.repartition(1).map_batches(
+        _top, batch_format="pyarrow", batch_size=None)
+
+
+def adamic_adar_oracle_sql(sf_dir: str | None = None,
+                           top_k: int = 100) -> str:
+    """DuckDB oracle for :func:`run_adamic_adar`: wedge enumeration
+    over the inlined undirected edge list with the pair normalized in
+    URL-STRING order (matching the engine's labels), degree weight
+    ``1/ln(deg)``, existing edges excluded by URL-pair anti-join, the
+    same rounded-score rank order."""
+    from dude_ray.pipelines.components import _graph_sql_parts
+
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH {preamble},
+        und AS (
+            SELECT DISTINCT least(src_id, dst_id) AS lo,
+                            greatest(src_id, dst_id) AS hi
+            FROM edges0),
+        nbr AS (
+            SELECT lo AS z, nh.node AS n
+            FROM und JOIN nodes nh ON nh.id = hi
+            UNION ALL
+            SELECT hi AS z, nl.node AS n
+            FROM und JOIN nodes nl ON nl.id = lo),
+        deg AS (SELECT z, count(*) AS d FROM nbr GROUP BY z),
+        agg AS (
+            SELECT a.n AS x, b.n AS y,
+                   count(*) AS n_common,
+                   round(sum(1.0 / ln(CAST(d.d AS DOUBLE))), 6) AS aa
+            FROM nbr a
+            JOIN nbr b ON b.z = a.z AND a.n < b.n
+            JOIN deg d ON d.z = a.z
+            GROUP BY x, y),
+        eund AS (
+            SELECT least(na.node, nb.node) AS x,
+                   greatest(na.node, nb.node) AS y
+            FROM und JOIN nodes na ON na.id = lo
+            JOIN nodes nb ON nb.id = hi),
+        nonedge AS (
+            SELECT agg.* FROM agg
+            LEFT JOIN eund e ON e.x = agg.x AND e.y = agg.y
+            WHERE e.x IS NULL)
+        SELECT x AS page_a, y AS page_b,
+               CAST(n_common AS BIGINT) AS n_common, aa,
+               CAST(row_number() OVER (
+                   ORDER BY aa DESC, x ASC, y ASC) AS BIGINT) AS rank
+        FROM nonedge
+        QUALIFY rank <= {top_k}
+    """

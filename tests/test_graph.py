@@ -313,3 +313,44 @@ def test_coupling_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_adamic_adar_local_oracle(ray_session):
+    """Top Adamic-Adar pairs equal the DuckDB inlined-edge recompute
+    at sf0.001 across both hash_grouped_reduce tiers; no reported
+    pair is an existing edge and ranks are dense from 1."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.components import _graph_sql_parts
+    from dude_ray.pipelines.graph import (adamic_adar_oracle_sql,
+                                          run_adamic_adar)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(adamic_adar_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    assert (want["page_a"] < want["page_b"]).all()
+    assert list(want["rank"]) == list(range(1, len(want) + 1))
+    assert (want["aa"] > 0).all()
+
+    preamble, _b, _n = _graph_sql_parts(sf)
+    edges = con.execute(f"""
+        WITH {preamble}
+        SELECT least(na.node, nb.node) AS x,
+               greatest(na.node, nb.node) AS y
+        FROM (SELECT DISTINCT src_id, dst_id FROM edges0) e
+        JOIN nodes na ON na.id = e.src_id
+        JOIN nodes nb ON nb.id = e.dst_id
+    """).df()
+    edge_set = set(zip(edges["x"], edges["y"]))
+    assert not any((a, b) in edge_set
+                   for a, b in zip(want["page_a"], want["page_b"]))
+
+    for trg in (64, 1 << 22):
+        got = (run_adamic_adar(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
