@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": textops.run_zipf_fit,
         "ngram_containment": dedup.run_ngram_containment,
         "adamic_adar": graph.run_adamic_adar,
+        "hll_intersect": _q_hll_intersect,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -627,6 +628,15 @@ def _q_hll_registers(sf_dir: str):
     from dude_ray.pipelines.sketches import run_hll_registers
 
     return run_hll_registers(sf_dir)
+
+
+def _q_hll_intersect(sf_dir: str):
+    """Pairwise audience overlap from HLL sketch algebra alone
+    (union = register max-merge, intersection by inclusion-exclusion
+    on the integer estimates) — never re-scans the fact stream."""
+    from dude_ray.pipelines.sketches import run_hll_intersect
+
+    return run_hll_intersect(sf_dir)
 
 
 def _q_kmv_registers(sf_dir: str):
@@ -999,7 +1009,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.sketches import (
         bloom_registers_oracle_sql, cms_registers_oracle_sql,
         distinct_users_approx_oracle_sql, hll_registers_oracle_sql,
-        kmv_registers_oracle_sql, distinct_users_kmv_oracle_sql)
+        kmv_registers_oracle_sql, distinct_users_kmv_oracle_sql,
+        hll_intersect_oracle_sql)
     from dude_ray.pipelines.dsir import (dsir_select_oracle_sql,
                                          dsir_weights_oracle_sql)
 
@@ -1137,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": ann_pq_oracle_sql(),
         "ccnet_buckets": ccnet_oracle_sql(),
         "hll_registers": hll_registers_oracle_sql(),
+        "hll_intersect": hll_intersect_oracle_sql(),
         "kmv_registers": kmv_registers_oracle_sql(),
         "distinct_users_kmv": distinct_users_kmv_oracle_sql(),
         "cms_registers": cms_registers_oracle_sql(),

@@ -691,3 +691,136 @@ def distinct_users_kmv_oracle_sql(k: int = KMV_K) -> str:
                     ELSE {_KMV_NUM!r} / kth END AS n_users_kmv
         FROM g ORDER BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# HLL set algebra: pairwise audience overlap by inclusion-exclusion
+# --------------------------------------------------------------------------
+
+def run_hll_intersect(sf_dir: str):
+    """Approximate pairwise audience overlap between event types from
+    HLL sketch ALGEBRA alone: union registers = element-wise max of
+    the two types' register arrays, so for every type pair (a < b)
+    ``n_inter = max(0, n_a + n_b − n_union)`` by inclusion-exclusion —
+    the overlap estimate without ever re-scanning the fact stream
+    (the exact twin is ``relational.run_audience_overlap``).
+
+    Plan (the 100 TB shape): identical partial/merge dataflow to
+    :func:`run_distinct_users_approx` — per-batch 4 KiB register
+    blobs, per-type max-merge — then ONE final task pairs the ≤
+    |types| merged blobs (constant work: types², each pair an
+    element-wise max over 2^p bytes).  The corpus is scanned once;
+    nothing data-sized leaves the sketch stage.
+
+    Float contract: n_a / n_b / n_union each use the established
+    integer estimate of ``run_distinct_users_approx`` (exact-integer
+    harmonic sum, one shared-literal float division, floor+0.5), and
+    n_inter is EXACT int arithmetic on those three ints — so the pair
+    table is bit-stable across engines by construction."""
+    from dude_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def _merge_blob(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(_M, dtype=np.uint8)
+        for blob in g["regs"]:
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
+                       out=merged)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "regs": [merged.tobytes()]})
+
+    partials = ds.map_batches(_hll_partials, batch_format="pyarrow",
+                              batch_size=16384)
+    per_type = partials.groupby("event_type").map_groups(
+        _merge_blob, batch_format="pandas")
+
+    def _est(regs: np.ndarray) -> int:
+        return int(np.floor(hll_estimate(regs) + 0.5))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_type").reset_index(drop=True)
+        blobs = [np.frombuffer(b, dtype=np.uint8) for b in df["regs"]]
+        singles = [_est(r) for r in blobs]
+        ta, tb, na, nb, nu, ni = [], [], [], [], [], []
+        for i in range(len(df)):
+            for j in range(i + 1, len(df)):
+                u = _est(np.maximum(blobs[i], blobs[j]))
+                ta.append(df["event_type"].iloc[i])
+                tb.append(df["event_type"].iloc[j])
+                na.append(singles[i])
+                nb.append(singles[j])
+                nu.append(u)
+                ni.append(max(0, singles[i] + singles[j] - u))
+        return pd.DataFrame({
+            "type_a": pd.Series(ta, dtype=object),
+            "type_b": pd.Series(tb, dtype=object),
+            "n_a": pd.Series(na, dtype="int64"),
+            "n_b": pd.Series(nb, dtype="int64"),
+            "n_union": pd.Series(nu, dtype="int64"),
+            "n_inter": pd.Series(ni, dtype="int64"),
+        })
+
+    return (per_type.repartition(1)
+            .map_batches(_pairs, batch_format="pandas",
+                         batch_size=None)
+            .sort(["type_a", "type_b"]))
+
+
+def _hll_estimate_sql(src: str, keys: str) -> str:
+    """The shared estimate-from-register-rows SQL: ``src`` is a CTE
+    name with columns ``{keys}, reg, rank``; returns a SELECT yielding
+    ``{keys}, n`` with the exact expression tree of
+    :func:`distinct_users_approx_oracle_sql`."""
+    shift_max = _HLL_RANK_MAX
+    full = 1 << _HLL_RANK_MAX
+    return f"""
+        SELECT {keys},
+               CAST(floor(0.5 + CASE WHEN raw <= {2.5 * _M!r} AND zeros > 0
+                                THEN {float(_M)!r} * ln({float(_M)!r} / zeros)
+                                ELSE raw END) AS BIGINT) AS n
+        FROM (
+            SELECT {keys},
+                   {_M} - npresent AS zeros,
+                   {_HLL_NUM!r} / CAST(
+                       CAST(s_present AS HUGEINT)
+                       + ({_M} - npresent) * CAST({full} AS HUGEINT)
+                       AS DOUBLE) AS raw
+            FROM (
+                SELECT {keys},
+                       CAST(count(*) AS HUGEINT) AS npresent,
+                       sum(CAST(1 AS BIGINT) << CAST({shift_max} - rank
+                                                     AS INTEGER))
+                           AS s_present
+                FROM {src} GROUP BY {keys}
+            )
+        )
+    """
+
+
+def hll_intersect_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_hll_intersect`: the register state
+    from :func:`hll_registers_oracle_sql`, pairwise max-merged in SQL,
+    each estimate via the shared expression tree, inclusion-exclusion
+    in exact BIGINT."""
+    return f"""
+        WITH regs AS ({hll_registers_oracle_sql()}),
+        types AS (SELECT DISTINCT event_type FROM regs),
+        pairs AS (
+            SELECT a.event_type AS ta, b.event_type AS tb
+            FROM types a JOIN types b ON a.event_type < b.event_type),
+        uregs AS (
+            SELECT p.ta, p.tb, r.reg, max(r.rank) AS rank
+            FROM pairs p JOIN regs r
+              ON r.event_type = p.ta OR r.event_type = p.tb
+            GROUP BY 1, 2, 3),
+        singles AS ({_hll_estimate_sql('regs', 'event_type')}),
+        unions AS ({_hll_estimate_sql('uregs', 'ta, tb')})
+        SELECT u.ta AS type_a, u.tb AS type_b,
+               sa.n AS n_a, sb.n AS n_b, u.n AS n_union,
+               greatest(CAST(0 AS BIGINT), sa.n + sb.n - u.n) AS n_inter
+        FROM unions u
+        JOIN singles sa ON sa.event_type = u.ta
+        JOIN singles sb ON sb.event_type = u.tb
+        ORDER BY type_a, type_b
+    """

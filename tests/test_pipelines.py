@@ -3255,3 +3255,38 @@ def test_ngram_containment_local_oracle(ray_session):
     merged = got.merge(jac, on=["a", "b"])
     assert len(merged) == len(got)
     assert (merged["containment"] >= merged["jaccard"] - 1e-9).all()
+
+
+def test_hll_intersect_local_oracle(ray_session):
+    """The HLL inclusion-exclusion pair table equals the DuckDB
+    register-algebra recompute at sf0.001; every union estimate is
+    >= each side's estimate (max-merge monotonicity) and each
+    intersection estimate is within HLL error of the exact overlap."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.sketches import (hll_intersect_oracle_sql,
+                                             run_hll_intersect)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(hll_intersect_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_hll_intersect(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert (got["n_union"] >= got[["n_a", "n_b"]].max(axis=1)).all()
+    exact = con.execute("""
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """).df()
+    m = got.merge(exact, on=["type_a", "type_b"], how="left").fillna(0)
+    # inclusion-exclusion compounds three ~1.6% sketches; allow 15%
+    # of the union as the tolerance band
+    assert (abs(m["n_inter"] - m["n"]) <= 0.15 * m["n_union"] + 5).all()
