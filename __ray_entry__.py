@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment": dedup.run_ngram_containment,
         "adamic_adar": graph.run_adamic_adar,
         "hll_intersect": _q_hll_intersect,
+        "burrows_delta": textops.run_burrows_delta,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -918,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
                                             fingerprint_oracle_sql,
                                             ngram_counts_oracle_sql,
                                             zipf_fit_oracle_sql,
+                                            burrows_delta_oracle_sql,
                                             phrase_search_oracle_sql,
                                             pmi_collocations_oracle_sql,
                                             readability_oracle_sql,
@@ -1050,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": host_rank_oracle_sql(),
         "type_day_mi": type_day_mi_oracle_sql(),
         "zipf_fit": zipf_fit_oracle_sql(),
+        "burrows_delta": burrows_delta_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

@@ -1897,3 +1897,173 @@ def zipf_fit_oracle_sql(top_k: int = 500, min_count: int = 2) -> str:
                    AS r2
         FROM s
     """
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta (stylometric distance between sources)
+# --------------------------------------------------------------------------
+
+def run_burrows_delta(sf_dir: str, top_f: int = 50,
+                      batch_size: int = 4096):
+    """Burrows' Delta between every source pair: z-score each
+    source's relative frequency of the ``top_f`` most frequent corpus
+    words (the function words fall out of frequency alone), then
+    ``delta = mean_w |z_a − z_b|`` — the classic stylometric
+    authorship / register distance (Burrows 2002), here the "did two
+    feeds copy the same template" drift signal.
+
+    Plan (the 100 TB shape): per-batch (source, term, c) pre-counts;
+    global term totals via the data-scaled hash reduce + local-top-k
+    per block, so only ≤ blocks·top_f candidate rows reach the final
+    top-k; the per-(source, term) exact counts are tree-merged ONLY
+    for the ``top_f`` surviving words (≤ sources·top_f rows), and the
+    per-source token totals are a fixed-|sources| merge.  The S×F
+    z-matrix and its S² pair sweep run in one constant-size final
+    task.
+
+    Float contract: f = c/n is one exact-int IEEE division; mean and
+    population-std chains run over ≤ |sources| O(1e-2) doubles and
+    the pair sum over ``top_f`` terms — reassociation drift ≲1e-14,
+    absorbed by the 6-dp round (the ``run_zipf_fit`` argument); the
+    ``sd == 0`` guard compares a bit-identical quantity on both
+    engines."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.relational import tree_combine
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        srcs = batch["source"].to_pylist()
+        for src, text in zip(srcs, batch["text"].to_pylist()):
+            for t in tok_re.findall((text or "").lower()):
+                k = (src, t)
+                cnt[k] = cnt.get(k, 0) + 1
+        keys = list(cnt.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in keys], type=pa.string()),
+            "t": pa.array([k[1] for k in keys], type=pa.string()),
+            "c": pa.array(list(cnt.values()), type=pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["source", "text"])
+    partials = ds.map_batches(_counts, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    n_partial = partials.count()
+
+    def _sum_t(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("t", sort=False)["c"].sum().reset_index()
+
+    glob = hash_grouped_reduce(partials, "t", _sum_t, n_partial,
+                               out_cols=("t", "c"))
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["c", "t"],
+                              ascending=[False, True]).head(top_f)
+
+    terms = sorted(
+        glob.map_batches(_local_topk, batch_format="pandas",
+                         batch_size=None)
+        .repartition(1)
+        .map_batches(_local_topk, batch_format="pandas",
+                     batch_size=None)
+        .to_pandas()["t"].tolist())
+    term_set = pa.array(terms, type=pa.string())
+
+    tot = tree_combine(
+        partials.map_batches(
+            lambda t: pa.table({"source": t["source"], "c": t["c"]}),
+            batch_format="pyarrow"),
+        ["source"], sums=("c",))
+    markers = tot.map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "t": pa.array([""] * len(t),
+                                          type=pa.string()),
+                            "c": t["c"]}),
+        batch_format="pyarrow")
+
+    filt = tree_combine(
+        partials.map_batches(
+            lambda t: t.filter(pc.is_in(t["t"], value_set=term_set)),
+            batch_format="pyarrow"),
+        ["source", "t"], sums=("c",))
+
+    def _delta(df: pd.DataFrame) -> pd.DataFrame:
+        totals = (df[df["t"] == ""].set_index("source")["c"]
+                  .astype("int64").to_dict())
+        rows = df[df["t"] != ""]
+        srcs = sorted(totals)
+        s_idx = {s: i for i, s in enumerate(srcs)}
+        t_idx = {t: i for i, t in enumerate(terms)}
+        f = np.zeros((len(srcs), len(terms)), dtype=np.float64)
+        for s, t, c in zip(rows["source"], rows["t"], rows["c"]):
+            f[s_idx[s], t_idx[t]] = float(c) / float(totals[s])
+        mu = f.mean(axis=0)
+        sd = np.sqrt(((f - mu) ** 2).mean(axis=0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd == 0.0, 0.0, (f - mu) / sd)
+        sa, sb, dl = [], [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                sa.append(srcs[i])
+                sb.append(srcs[j])
+                dl.append(round(float(np.abs(z[i] - z[j]).sum())
+                                / top_f, 6))
+        return pd.DataFrame({
+            "source_a": pd.Series(sa, dtype=object),
+            "source_b": pd.Series(sb, dtype=object),
+            "delta": pd.Series(dl, dtype="float64"),
+        })
+
+    return (filt.union(markers).repartition(1)
+            .map_batches(_delta, batch_format="pandas",
+                         batch_size=None)
+            .sort(["source_a", "source_b"]))
+
+
+def burrows_delta_oracle_sql(top_f: int = 50) -> str:
+    """DuckDB oracle for :func:`run_burrows_delta` — unigram explode,
+    (count DESC, term ASC) top-``top_f``, dense source×term relative
+    frequencies (missing = 0), window mean / population std, the same
+    sd=0 guard and |Δz| pair mean."""
+    return f"""
+        WITH tok AS (
+            SELECT source, unnest(regexp_extract_all(
+                lower(coalesce(text, '')), '{TOKEN_RE}')) AS t
+            FROM documents
+        ),
+        cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        gcnt AS (SELECT t, sum(c) AS g FROM cnt GROUP BY t),
+        topf AS (
+            SELECT t, row_number() OVER (ORDER BY g DESC, t ASC) AS r
+            FROM gcnt QUALIFY r <= {top_f}
+        ),
+        tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+        f AS (
+            SELECT tot.source, topf.t,
+                   CAST(coalesce(c.c, 0) AS DOUBLE) / tot.n AS f
+            FROM tot CROSS JOIN topf
+            LEFT JOIN cnt c ON c.source = tot.source AND c.t = topf.t
+        ),
+        m AS (
+            SELECT source, t, f, avg(f) OVER (PARTITION BY t) AS mu
+            FROM f
+        ),
+        sdev AS (
+            SELECT source, t, f, mu,
+                   sqrt(avg((f - mu) * (f - mu))
+                        OVER (PARTITION BY t)) AS sd
+            FROM m
+        ),
+        z AS (
+            SELECT source, t,
+                   CASE WHEN sd = 0 THEN 0.0
+                        ELSE (f - mu) / sd END AS z
+            FROM sdev
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               round(sum(abs(a.z - b.z)) / {top_f}, 6) AS delta
+        FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b
+    """

@@ -3290,3 +3290,29 @@ def test_hll_intersect_local_oracle(ray_session):
     # inclusion-exclusion compounds three ~1.6% sketches; allow 15%
     # of the union as the tolerance band
     assert (abs(m["n_inter"] - m["n"]) <= 0.15 * m["n_union"] + 5).all()
+
+
+def test_burrows_delta_local_oracle(ray_session):
+    """The stylometric pair-distance table equals the DuckDB window
+    recompute at sf0.001; deltas are non-negative and the table covers
+    every source pair exactly once (a < b)."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.textops import (burrows_delta_oracle_sql,
+                                            run_burrows_delta)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(burrows_delta_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_burrows_delta(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert (got["delta"] >= 0).all()
+    n_src = con.execute(
+        "SELECT count(DISTINCT source) FROM documents").fetchone()[0]
+    assert len(got) == n_src * (n_src - 1) // 2
+    assert (got["source_a"] < got["source_b"]).all()
