@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": graph.run_adamic_adar,
         "hll_intersect": _q_hll_intersect,
         "burrows_delta": textops.run_burrows_delta,
+        "keyness_llr": textops.run_keyness_llr,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -920,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
                                             ngram_counts_oracle_sql,
                                             zipf_fit_oracle_sql,
                                             burrows_delta_oracle_sql,
+                                            keyness_llr_oracle_sql,
                                             phrase_search_oracle_sql,
                                             pmi_collocations_oracle_sql,
                                             readability_oracle_sql,
@@ -1053,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "type_day_mi": type_day_mi_oracle_sql(),
         "zipf_fit": zipf_fit_oracle_sql(),
         "burrows_delta": burrows_delta_oracle_sql(),
+        "keyness_llr": keyness_llr_oracle_sql(),
         # upgraded round 5 from rows-only: the generator-determined
         # (target, anchor) list is inlined, aggregation recomputed in SQL
         "anchor_texts": anchor_texts_oracle_sql(),

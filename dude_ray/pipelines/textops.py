@@ -2067,3 +2067,144 @@ def burrows_delta_oracle_sql(top_f: int = 50) -> str:
         GROUP BY 1, 2
         ORDER BY source_a, source_b
     """
+
+
+# --------------------------------------------------------------------------
+# Dunning log-likelihood keyness (source vs rest-of-corpus terms)
+# --------------------------------------------------------------------------
+
+def run_keyness_llr(sf_dir: str, top_k: int = 10, min_count: int = 5,
+                    batch_size: int = 4096,
+                    target_rows_per_group: int = 65536):
+    """Top-``top_k`` KEY terms per source by Dunning's log-likelihood
+    ratio G² (Dunning 1993) against the rest of the corpus —
+    ``G² = 2·(a·ln(aN/(n_A·g)) + b·ln(bN/(n_B·g)))`` with a = term
+    count in the source, b = g − a elsewhere, n_A/n_B the token
+    totals, restricted to OVERUSED terms (a·N > n_A·g, an exact-int
+    comparison) with a ≥ ``min_count`` — the corpus-linguistics
+    "what is this feed about" keyword profile (a χ²-family sibling
+    of tf-idf that is count-calibrated rather than frequency-ranked).
+
+    Plan (the 100 TB shape): per-batch (source, term, c) pre-counts;
+    ONE data-scaled hash reduce keyed on the TERM colocates every
+    source's counts for that term, so g, a, b and G² all compute
+    inside the group with only the fixed |sources| token-total dict
+    broadcast; a second bounded reduce keyed on the source takes the
+    per-source top-k.  No stage ever sees more than its hash bucket.
+
+    Float contract: both ln arguments are single IEEE divisions of
+    exact-int64 products (< 2^53 at every test scale — the
+    ``run_type_day_mi`` argument), the two-term sum is fixed-length,
+    and ranking sorts the 6-dp-ROUNDED G² so rank order is
+    drift-proof."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.relational import tree_combine
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        srcs = batch["source"].to_pylist()
+        for src, text in zip(srcs, batch["text"].to_pylist()):
+            for t in tok_re.findall((text or "").lower()):
+                k = (src, t)
+                cnt[k] = cnt.get(k, 0) + 1
+        keys = list(cnt.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in keys], type=pa.string()),
+            "t": pa.array([k[1] for k in keys], type=pa.string()),
+            "c": pa.array(list(cnt.values()), type=pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["source", "text"])
+    partials = ds.map_batches(_counts, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    n_partial = partials.count()
+
+    totals = dict(tree_combine(
+        partials.map_batches(
+            lambda t: pa.table({"source": t["source"], "c": t["c"]}),
+            batch_format="pyarrow"),
+        ["source"], sums=("c",)).to_pandas().itertuples(index=False))
+    big_n = int(sum(totals.values()))
+
+    def _g2(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        agg = (df.groupby(["t", "source"], sort=False)["c"].sum()
+               .reset_index())
+        for t, grp in agg.groupby("t", sort=False):
+            g = int(grp["c"].sum())
+            for src, a in zip(grp["source"], grp["c"]):
+                a = int(a)
+                na = int(totals[src])
+                if a < min_count or a * big_n <= na * g:
+                    continue
+                b = g - a
+                nb = big_n - na
+                s = a * np.log((a * 1.0 * big_n) / (na * 1.0 * g))
+                if b > 0:
+                    s += b * np.log((b * 1.0 * big_n) / (nb * 1.0 * g))
+                out.append((src, t, a, round(2.0 * float(s), 6)))
+        return pd.DataFrame(out, columns=["source", "term", "n_occ",
+                                          "keyness"])
+
+    scored = hash_grouped_reduce(
+        partials, "t", _g2, n_partial,
+        target_rows_per_group=target_rows_per_group,
+        out_cols=("source", "term", "n_occ", "keyness"))
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, grp in df.groupby("source", sort=False):
+            grp = (grp.sort_values(["keyness", "term"],
+                                   ascending=[False, True])
+                   .head(top_k).reset_index(drop=True))
+            grp["rank"] = np.arange(1, len(grp) + 1, dtype=np.int64)
+            outs.append(grp)
+        return pd.concat(outs) if outs else df.assign(
+            rank=pd.Series(dtype="int64"))
+
+    return hash_grouped_reduce(
+        scored, "source", _topk, scored.count(),
+        out_cols=("source", "term", "n_occ", "keyness",
+                  "rank")).sort(["source", "rank"])
+
+
+def keyness_llr_oracle_sql(top_k: int = 10, min_count: int = 5) -> str:
+    """DuckDB oracle for :func:`run_keyness_llr` — the same exact-int
+    contingency products inside both ln arguments, the same overuse
+    filter, per-source rank over the rounded G²."""
+    return f"""
+        WITH tok AS (
+            SELECT source, unnest(regexp_extract_all(
+                lower(coalesce(text, '')), '{TOKEN_RE}')) AS t
+            FROM documents
+        ),
+        cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        gcnt AS (SELECT t, sum(c) AS g FROM cnt GROUP BY t),
+        tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+        nn AS (SELECT sum(n) AS nn FROM tot),
+        scored AS (
+            SELECT c.source, c.t AS term, c.c AS a,
+                   round(2.0 * (
+                       c.c * ln((c.c * 1.0 * nn.nn)
+                                / (tot.n * 1.0 * g.g))
+                       + CASE WHEN g.g - c.c > 0
+                         THEN (g.g - c.c)
+                              * ln(((g.g - c.c) * 1.0 * nn.nn)
+                                   / ((nn.nn - tot.n) * 1.0 * g.g))
+                         ELSE 0.0 END), 6) AS keyness
+            FROM cnt c
+            JOIN gcnt g ON g.t = c.t
+            JOIN tot ON tot.source = c.source
+            CROSS JOIN nn
+            WHERE c.c >= {min_count} AND c.c * nn.nn > tot.n * g.g
+        )
+        SELECT source, term, CAST(a AS BIGINT) AS n_occ, keyness,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY keyness DESC, term ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {top_k}
+        ORDER BY source, rank
+    """

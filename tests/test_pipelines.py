@@ -3316,3 +3316,27 @@ def test_burrows_delta_local_oracle(ray_session):
         "SELECT count(DISTINCT source) FROM documents").fetchone()[0]
     assert len(got) == n_src * (n_src - 1) // 2
     assert (got["source_a"] < got["source_b"]).all()
+
+
+def test_keyness_llr_local_oracle(ray_session):
+    """Per-source Dunning keyness top-k equals the DuckDB recompute
+    at sf0.001 across both hash_grouped_reduce tiers; every reported
+    term is overused (a·N > n_A·g) and G² > 0."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.textops import (keyness_llr_oracle_sql,
+                                            run_keyness_llr)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(keyness_llr_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert (want["keyness"] > 0).all()
+    for trg in (64, 1 << 22):
+        got = (run_keyness_llr(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
