@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_intersect": _q_hll_intersect,
         "burrows_delta": textops.run_burrows_delta,
         "keyness_llr": textops.run_keyness_llr,
+        "kmeans_silhouette": _q_kmeans_silhouette,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -592,6 +593,14 @@ def _q_kmeans_assign(sf_dir: str):
     from dude_ray.pipelines.clustering import run_kmeans_assign
 
     return run_kmeans_assign(sf_dir)
+
+
+def _q_kmeans_silhouette(sf_dir: str):
+    """Per-cluster mean simplified silhouette of the Lloyd's solution
+    — the cluster-quality gate, unrolled-CTE hash-matched."""
+    from dude_ray.pipelines.clustering import run_kmeans_silhouette
+
+    return run_kmeans_silhouette(sf_dir)
 
 
 def _q_kmeans_cluster(sf_dir: str):
@@ -930,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
                                             coverage_curve_oracle_sql)
     from dude_ray.pipelines.clustering import (embedding_project_oracle_sql,
                                                kmeans_cluster_oracle_sql,
+                                               kmeans_silhouette_oracle_sql,
                                                pca_oracle_sql,
                                                semdedup_oracle_sql)
     from dude_ray.pipelines.dedup import (dup_rate_by_source_oracle_sql,
@@ -1145,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": event_transitions_oracle_sql(),
         "kmeans_cluster": kmeans_cluster_oracle_sql(),
         "semdedup": semdedup_oracle_sql(threshold=0.35),
+        "kmeans_silhouette": kmeans_silhouette_oracle_sql(),
         "dsir_weights": dsir_weights_oracle_sql(),
         "dsir_select": dsir_select_oracle_sql(),
         "embedding_neardup": embedding_neardup_oracle_sql(threshold=0.35,

@@ -689,6 +689,34 @@ def run_bench() -> dict:
     components.run_host_rank(SF_DIR).materialize()
     timings["host_rank"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    relational.run_type_day_mi(SF_DIR).materialize()
+    timings["type_day_mi"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_zipf_fit(SF_DIR).materialize()
+    timings["zipf_fit"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_ngram_containment(SF_DIR).materialize()
+    timings["ngram_containment"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    graph.run_adamic_adar(SF_DIR).materialize()
+    timings["adamic_adar"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sketches.run_hll_intersect(SF_DIR).materialize()
+    timings["hll_intersect"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_burrows_delta(SF_DIR).materialize()
+    timings["burrows_delta"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.run_keyness_llr(SF_DIR).materialize()
+    timings["keyness_llr"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -742,3 +742,110 @@ def embedding_project_oracle_sql(k: int = 16, d: int = 64,
                CAST(list_inner_product(v.q, pl.p) AS BIGINT) AS value
         FROM qv v CROSS JOIN planes pl
     """
+
+
+def run_kmeans_silhouette(sf_dir: str, k: int = 8, iters: int = 5,
+                          batch_size: int = 4096,
+                          concurrency: int = 4):
+    """Per-cluster mean SIMPLIFIED silhouette of the spherical
+    k-means solution — for each vector, a = cosine distance to its
+    own centroid, b = distance to the nearest OTHER centroid,
+    ``sil = (b − a) / max(a, b)`` — the standard "are these clusters
+    real" quality gate (simplified = centroid distances, the O(n·k)
+    variant that scales where pairwise silhouette's O(n²) cannot).
+    Output: (cluster_id, n, silhouette).
+
+    Plan (the 100 TB shape): the Lloyd's trajectory is
+    :func:`kmeans_iterate` (per-iteration shuffle = k·blocks partial
+    rows); the silhouette pass is ONE more broadcast-codebook scan
+    emitting fixed-size (cluster → n, sil_sum) partials that
+    tree-merge to k rows.
+
+    Float contract: similarities round to 4 dp (the shared
+    ``_assign_table`` convention, so assignment ties cannot flip),
+    per-row sil rounds to 6 dp with a 1e-12 denominator guard, and
+    the per-cluster mean is one division of a same-multiset sum
+    (reassociation ≲1e-13) rounded to 6 dp."""
+    from dude_ray.pipelines.relational import _py_round, tree_combine
+
+    _seed_ids, cmat = _load_queries(sf_dir, k)
+    cent = kmeans_iterate(_emb(sf_dir), _normalize(cmat), iters,
+                          batch_size=batch_size,
+                          concurrency=concurrency)
+
+    class Part:
+        def __init__(self):
+            self.cent = cent
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            _vids, emb = _batch_mat(batch)
+            sims = np.round(emb @ self.cent.T, 4)
+            n = len(sims)
+            rows = np.arange(n)
+            best = sims.argmax(axis=1)
+            s1 = sims[rows, best]
+            masked = sims.copy()
+            masked[rows, best] = -np.inf
+            s2 = masked.max(axis=1)
+            denom = np.maximum(np.maximum(1.0 - s1, 1.0 - s2), 1e-12)
+            sil = np.round((s1 - s2) / denom, 6)
+            t = pa.table({
+                "cluster_id": pa.array(best.astype(np.int64)),
+                "n": pa.array(np.ones(n, dtype=np.int64)),
+                "sil_sum": pa.array(sil, type=pa.float64()),
+            })
+            g = t.group_by(["cluster_id"]).aggregate(
+                [("n", "sum"), ("sil_sum", "sum")])
+            return pa.table({"cluster_id": g["cluster_id"],
+                             "n": g["n_sum"],
+                             "sil_sum": g["sil_sum_sum"]})
+
+    partials = _emb(sf_dir).map_batches(Part, batch_format="pyarrow",
+                                        batch_size=batch_size,
+                                        concurrency=(1, concurrency))
+    merged = tree_combine(partials, ["cluster_id"],
+                          sums=("n", "sil_sum"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["sil_sum"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "cluster_id": t["cluster_id"],
+            "n": t["n"],
+            "silhouette": _py_round(pa.array(s / n, type=pa.float64()),
+                                    6)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None).sort("cluster_id")
+
+
+def kmeans_silhouette_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """DuckDB oracle for :func:`run_kmeans_silhouette`: the shared
+    unrolled-Lloyd's trajectory, all k rounded similarities per
+    vector, the identical guarded sil expression, per-cluster mean."""
+    parts = _kmeans_trajectory_parts(k, iters)
+    parts.append(f"""
+        , sims AS (
+            SELECT r.vec_id, c.cid,
+                   round(list_inner_product(r.e, c.v), 4) AS s
+            FROM rows r CROSS JOIN c{iters} c
+        ),
+        nearest_other AS (
+            SELECT s.vec_id, max(s.s) AS s2
+            FROM sims s JOIN fin f
+              ON f.vec_id = s.vec_id AND s.cid <> f.cluster_id
+            GROUP BY s.vec_id
+        ),
+        sil AS (
+            SELECT f.cluster_id,
+                   round((f.sim - o.s2)
+                         / greatest(1.0 - f.sim, 1.0 - o.s2, 1e-12),
+                         6) AS sil
+            FROM fin f JOIN nearest_other o ON o.vec_id = f.vec_id
+        )
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(sil) / count(*), 6) AS silhouette
+        FROM sil GROUP BY cluster_id ORDER BY cluster_id
+    """)
+    return "\n".join(parts)

@@ -291,3 +291,27 @@ def test_dup_cluster_sizes_local_oracle(ray_session):
     got = run_dup_cluster_sizes(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_kmeans_silhouette_local_oracle(ray_session):
+    """Per-cluster silhouette equals the DuckDB unrolled-trajectory
+    recompute at sf0.001; values lie in [-1, 1] and the cluster sizes
+    sum to the embedding count."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.clustering import (
+        kmeans_silhouette_oracle_sql, run_kmeans_silhouette)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = (con.execute(kmeans_silhouette_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_kmeans_silhouette(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert got["silhouette"].between(-1.0, 1.0).all()
+    n_vec = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert int(got["n"].sum()) == n_vec
