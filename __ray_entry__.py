@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burrows_delta": textops.run_burrows_delta,
         "keyness_llr": textops.run_keyness_llr,
         "kmeans_silhouette": _q_kmeans_silhouette,
+        "bowtie_census": _q_bowtie_census,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -593,6 +594,15 @@ def _q_kmeans_assign(sf_dir: str):
     from dude_ray.pipelines.clustering import run_kmeans_assign
 
     return run_kmeans_assign(sf_dir)
+
+
+def _q_bowtie_census(sf_dir: str):
+    """Broder bow-tie decomposition of the directed link graph
+    (core/in/out/other page counts from the pivot's two reachability
+    closures) — recursive-CTE hash-matched."""
+    from dude_ray.pipelines.components import run_bowtie_census
+
+    return run_bowtie_census(sf_dir)
 
 
 def _q_kmeans_silhouette(sf_dir: str):
@@ -1006,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
         host_depth_profile_oracle_sql, host_graph_oracle_sql,
         k_core_oracle_sql, link_components_oracle_sql,
         host_rank_oracle_sql, link_depth_oracle_sql,
+        bowtie_census_oracle_sql,
         link_reciprocity_oracle_sql, link_triangles_oracle_sql,
         seed_coverage_oracle_sql)
     from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
@@ -1062,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "order_backlog": order_backlog_oracle_sql(),
         "link_triangles": link_triangles_oracle_sql(),
         "host_rank": host_rank_oracle_sql(),
+        "bowtie_census": bowtie_census_oracle_sql(),
         "type_day_mi": type_day_mi_oracle_sql(),
         "zipf_fit": zipf_fit_oracle_sql(),
         "burrows_delta": burrows_delta_oracle_sql(),

@@ -1250,3 +1250,138 @@ def link_depth_oracle_sql(sf_dir: str | None = None,
         GROUP BY n.node
         ORDER BY node
     """
+
+
+# --------------------------------------------------------------------------
+# bow-tie decomposition of the directed link graph (Broder et al. 2000)
+# --------------------------------------------------------------------------
+
+def run_bowtie_census(sf_dir: str,
+                      target_rows_per_group: int = 65536):
+    """Bow-tie decomposition of the DIRECTED crawl link graph (Broder
+    et al. 2000, "Graph structure in the Web"): pick the
+    highest-degree page as the pivot (ties → lexicographically
+    smallest URL), take F = its forward reachability set and B = its
+    backward set, and classify every page as ``core`` (F∩B — the
+    pivot's strongly connected component and the crawl's recurrent
+    heart), ``in`` (B only — feeds the core), ``out`` (F only — fed
+    by it) or ``other`` (tendrils/disconnected).  Output one row per
+    nonempty class: (cls, n_pages) — the macro-shape statistic that
+    tells a crawler how much of the web its seeds can ever reach.
+
+    Plan (the 100 TB shape): degrees via the data-scaled hash reduce
+    + per-block top-1 (only blocks·1 candidate rows reach the final
+    pick); both reachability sets via :func:`bfs_depths` (tiered:
+    driver FIFO below 2M edges, per-round hash-join Bellman-Ford
+    above); classification is ONE more hash reduce over (node, f, b)
+    marker rows that emits per-class partial counts, tree-merged to
+    ≤ 4 rows.  No stage holds the node set in one process on the
+    scale path."""
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import tree_combine
+
+    edges, nodes = link_edges(sf_dir)
+    edges = edges.materialize()
+    n_edges = max(edges.count(), 1)
+
+    both = edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
+        batch_format="pyarrow")
+
+    def _cnt(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("node", sort=False).size()
+               .reset_index(name="d"))
+        return out.astype({"d": "int64"})
+
+    deg = hash_grouped_reduce(both, "node", _cnt, 2 * n_edges,
+                              target_rows_per_group,
+                              out_cols=("node", "d"))
+
+    def _top1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["d", "node"],
+                              ascending=[False, True]).head(1)
+
+    pivot = (deg.map_batches(_top1, batch_format="pandas",
+                             batch_size=None)
+             .repartition(1)
+             .map_batches(_top1, batch_format="pandas",
+                          batch_size=None)
+             .to_pandas()["node"].iloc[0])
+
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow").materialize()
+    fwd = bfs_depths(edges, [pivot], max_depth=1 << 30)
+    bwd = bfs_depths(rev, [pivot], max_depth=1 << 30)
+
+    def _mark(f: int, b: int):
+        def m(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                "node": t["node"],
+                "f": pa.array(np.full(n, f, dtype=np.int64)),
+                "b": pa.array(np.full(n, b, dtype=np.int64))})
+        return m
+
+    marks = (fwd.map_batches(_mark(1, 0), batch_format="pyarrow")
+             .union(bwd.map_batches(_mark(0, 1),
+                                    batch_format="pyarrow"))
+             .union(nodes.map_batches(_mark(0, 0),
+                                      batch_format="pyarrow")))
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("node", sort=False)[["f", "b"]].sum()
+        f = per["f"].to_numpy() > 0
+        b = per["b"].to_numpy() > 0
+        cls = np.where(f & b, "core",
+                       np.where(b, "in",
+                                np.where(f, "out", "other")))
+        out = (pd.Series(cls).value_counts().rename_axis("cls")
+               .reset_index(name="n_pages"))
+        return out.astype({"n_pages": "int64"})
+
+    partials = hash_grouped_reduce(
+        marks, "node", _classify, 2 * n_edges,
+        target_rows_per_group, out_cols=("cls", "n_pages"))
+    return tree_combine(partials, ["cls"],
+                        sums=("n_pages",)).sort("cls")
+
+
+def bowtie_census_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_bowtie_census`: the same
+    (degree DESC, URL ASC) pivot, recursive-CTE forward/backward
+    closures over the inlined edge list, CASE classification."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH RECURSIVE {preamble},
+        ecnt AS (SELECT src_id AS id FROM edges0
+                 UNION ALL SELECT dst_id FROM edges0),
+        deg AS (SELECT id, count(*) AS d FROM ecnt GROUP BY id),
+        pv AS (
+            SELECT n.id FROM deg JOIN nodes n ON n.id = deg.id
+            ORDER BY deg.d DESC, n.node ASC LIMIT 1),
+        fwd(id) AS (
+            SELECT id FROM pv
+            UNION
+            SELECT e.dst_id FROM fwd f
+            JOIN edges0 e ON e.src_id = f.id),
+        bwd(id) AS (
+            SELECT id FROM pv
+            UNION
+            SELECT e.src_id FROM bwd b
+            JOIN edges0 e ON e.dst_id = b.id),
+        cls AS (
+            SELECT n.id,
+                   CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL
+                        THEN 'core'
+                        WHEN b.id IS NOT NULL THEN 'in'
+                        WHEN f.id IS NOT NULL THEN 'out'
+                        ELSE 'other' END AS cls
+            FROM nodes n
+            LEFT JOIN fwd f ON f.id = n.id
+            LEFT JOIN bwd b ON b.id = n.id)
+        SELECT cls, CAST(count(*) AS BIGINT) AS n_pages
+        FROM cls GROUP BY cls ORDER BY cls
+    """

@@ -222,3 +222,28 @@ def test_host_rank_oracle(ray_session):
     assert abs(got["host_rank"].sum() - 1.0) < 1e-6
     n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert got["n_pages"].sum() == n_docs
+
+
+def test_bowtie_census_local_oracle(ray_session):
+    """The bow-tie class counts equal the DuckDB recursive-CTE
+    recompute at sf0.001 across both hash_grouped_reduce tiers, and
+    the classes partition the page set."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.components import (bowtie_census_oracle_sql,
+                                               run_bowtie_census)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(bowtie_census_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert int(want["n_pages"].sum()) == n_docs
+    for trg in (64, 1 << 22):
+        got = (run_bowtie_census(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
