@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyness_llr": textops.run_keyness_llr,
         "kmeans_silhouette": _q_kmeans_silhouette,
         "bowtie_census": _q_bowtie_census,
+        "dedup_threshold_sweep": dedup.run_dedup_threshold_sweep,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -957,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
                                           embedding_neardup_oracle_sql,
                                           minhash_oracle_sql,
                                           ngram_containment_oracle_sql,
+                                          dedup_threshold_sweep_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql,
                                           dedup_recall_oracle_sql)
@@ -1050,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": minhash_oracle_sql(threshold=0.8),
         "ngram_jaccard": minhash_oracle_sql(threshold=None),
         "ngram_containment": ngram_containment_oracle_sql(),
+        "dedup_threshold_sweep": dedup_threshold_sweep_oracle_sql(),
         "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
         "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),

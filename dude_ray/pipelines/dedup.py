@@ -2526,3 +2526,72 @@ def run_dup_cluster_sizes(sf_dir: str, threshold: float = 0.35):
                              batch_size=None)
     return tree_combine(hist, ["cluster_size"],
                         sums=("n_clusters", "n_docs")).sort("cluster_size")
+
+
+def run_dedup_threshold_sweep(sf_dir: str, concurrency: int = 4,
+                              step: int = 5):
+    """The near-dup THRESHOLD CURVE: verified LSH candidate pairs
+    bucketed by exact-Jaccard floor (buckets of ``step``/100), with
+    the descending cumulative pair count — "how many pairs would a
+    dedup at threshold t remove" from ONE shingle + verify pass, the
+    sweep an operator team runs before committing to a threshold.
+
+    Plan: the shared candidate/verify dataflow of
+    :func:`run_ngram_jaccard` (shingle once, join twice); the bucket
+    histogram is a fixed-≤(100/step+1)-row partial per batch,
+    tree-merged, with the cumulative sum over that constant-size
+    table in the final task.  Bucketing floors the ROUNDED 6-dp
+    jaccard (the verify kernel's established contract) scaled by
+    100/step — exact on both engines."""
+    from dude_ray.pipelines.relational import tree_combine
+
+    sh = shingle_dataset(sf_dir, concurrency)
+    pairs = candidate_pairs_minhash(sh, concurrency)
+    verified = _verify_pairs_jaccard(pairs, sh)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        b = np.floor(j * (100.0 / step)).astype(np.int64) * step
+        b = np.minimum(b, 100)
+        tt = pa.table({"bucket": pa.array(b),
+                       "n": pa.array(np.ones(len(b), dtype=np.int64))})
+        g = tt.group_by(["bucket"]).aggregate([("n", "sum")])
+        return pa.table({"bucket": g["bucket"], "n": g["n_sum"]})
+
+    merged = tree_combine(
+        verified.map_batches(_bucket, batch_format="pyarrow",
+                             batch_size=65536),
+        ["bucket"], sums=("n",))
+
+    def _cum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("bucket").reset_index(drop=True)
+        n = df["n"].to_numpy(dtype=np.int64)
+        cum = n[::-1].cumsum()[::-1]
+        return pa.table({
+            "bucket": pa.array(df["bucket"].to_numpy(dtype=np.int64)),
+            "n_pairs": pa.array(n),
+            "n_pairs_at_or_above": pa.array(cum),
+        })
+
+    return merged.repartition(1).map_batches(
+        _cum, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_threshold_sweep_oracle_sql(step: int = 5) -> str:
+    """DuckDB oracle for :func:`run_dedup_threshold_sweep`: the full
+    LSH-chain jaccard table bucketed and window-cumulated with the
+    identical floor arithmetic."""
+    return minhash_oracle_sql(threshold=None, final_sql=f"""
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(count(*)) OVER (
+                   ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_pairs_at_or_above
+        FROM (
+            SELECT least(CAST(floor(jaccard * {100.0 / step!r})
+                              AS BIGINT) * {step}, 100) AS bucket
+            FROM jac
+        )
+        GROUP BY bucket
+        ORDER BY bucket
+    """)

@@ -3340,3 +3340,32 @@ def test_keyness_llr_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_dedup_threshold_sweep_local_oracle(ray_session):
+    """The jaccard threshold curve equals the DuckDB full-chain
+    recompute at sf0.001; the cumulative column is the reverse
+    cumsum of the bucket counts and its top equals the total pair
+    count of run_ngram_jaccard."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.dedup import (
+        dedup_threshold_sweep_oracle_sql, run_dedup_threshold_sweep,
+        run_ngram_jaccard)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(dedup_threshold_sweep_oracle_sql()).df()
+            .sort_values("bucket").reset_index(drop=True))
+    got = (run_dedup_threshold_sweep(sf).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    n = got["n_pairs"].to_numpy()
+    assert (got["n_pairs_at_or_above"].to_numpy()
+            == n[::-1].cumsum()[::-1]).all()
+    total = len(run_ngram_jaccard(sf).to_pandas())
+    assert int(got["n_pairs"].sum()) == total
