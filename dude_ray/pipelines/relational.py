@@ -6485,3 +6485,103 @@ def type_day_mi_oracle_sql() -> str:
                          * sum(n) OVER (PARTITION BY dow))), 6) AS pmi
         FROM c ORDER BY event_type, dow
     """
+
+
+# --------------------------------------------------------------------------
+# stationary distribution of the event-type Markov chain
+# --------------------------------------------------------------------------
+
+def run_stationary_types(sf_dir: str, iters: int = 8,
+                         users_per_group: int | None = None):
+    """Stationary distribution of the event-type Markov chain: build
+    the row-stochastic transition matrix from
+    :func:`run_event_transitions`'s exact counts (types with no
+    outgoing transition get a uniform row — the standard dangling
+    fix), then ``iters`` power-iteration steps from the uniform
+    vector — "where does a user session settle" (the long-run type
+    mix, PageRank's little sibling over the behavioural graph).
+    Output: (event_type, stationary), Σ ≈ 1.  The type universe is
+    the set of types observed in any transition.
+
+    Plan (the 100 TB shape): all the data work is the transition
+    count pipeline (one hash partition + vectorized shift); the
+    |types|² matrix and the iteration loop run in ONE constant-size
+    final task.
+
+    Float contract: P cells are exact-int divisions; each iteration's
+    vector is rounded to 10 dp with :func:`_vec_round` (bit-identical
+    to DuckDB ``round``), so per-step reassociation drift (~1e-17
+    over ≤|types| products) can never accumulate — the pagerank /
+    kmeans trajectory contract."""
+    trans = run_event_transitions(sf_dir, users_per_group)
+
+    def _power(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        types = sorted(set(df["prev_type"]) | set(df["event_type"]))
+        k = len(types)
+        if k == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "stationary": pa.array([], pa.float64())})
+        idx = {ty: i for i, ty in enumerate(types)}
+        P = np.zeros((k, k), dtype=np.float64)
+        for pt, et, n in zip(df["prev_type"], df["event_type"],
+                             df["n_transitions"]):
+            P[idx[pt], idx[et]] = float(n)
+        rs = P.sum(axis=1)
+        dangling = rs == 0.0
+        P[~dangling] /= rs[~dangling, None]
+        P[dangling] = 1.0 / k
+        pi = _vec_round(np.full(k, 1.0 / k), 10)
+        for _ in range(iters):
+            pi = _vec_round(pi @ P, 10)
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "stationary": pa.array(pi, type=pa.float64())})
+
+    return (trans.repartition(1)
+            .map_batches(_power, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("event_type"))
+
+
+def stationary_types_oracle_sql(iters: int = 8) -> str:
+    """DuckDB oracle for :func:`run_stationary_types`: the transition
+    counts of :func:`event_transitions_oracle_sql` as a CTE, the
+    power iteration unrolled with per-step 10-dp rounding and the
+    dangling mass split out pagerank-oracle style."""
+    parts = [f"""
+        WITH trans AS MATERIALIZED ({event_transitions_oracle_sql()}),
+        types AS MATERIALIZED (
+            SELECT DISTINCT t FROM (
+                SELECT prev_type AS t FROM trans
+                UNION SELECT event_type FROM trans)),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM types),
+        rowsum AS MATERIALIZED (
+            SELECT prev_type AS i, sum(n_transitions) AS rs
+            FROM trans GROUP BY 1),
+        p AS MATERIALIZED (
+            SELECT t.prev_type AS i, t.event_type AS j,
+                   (t.n_transitions * 1.0) / r.rs AS p
+            FROM trans t JOIN rowsum r ON r.i = t.prev_type),
+        pi0 AS (
+            SELECT t, round(1.0 / (SELECT n FROM nn), 10) AS v
+            FROM types),"""]
+    for k in range(1, iters + 1):
+        q = k - 1
+        parts.append(f"""
+        c{k} AS (
+            SELECT p.j AS t, sum(q.v * p.p) AS s
+            FROM p JOIN pi{q} q ON q.t = p.i GROUP BY p.j),
+        d{k} AS (
+            SELECT coalesce(sum(v), 0) AS dm FROM pi{q}
+            WHERE t NOT IN (SELECT i FROM rowsum)),
+        pi{k} AS (
+            SELECT ty.t,
+                   round(coalesce(c.s, 0)
+                         + (SELECT dm FROM d{k}) / (SELECT n FROM nn),
+                         10) AS v
+            FROM types ty LEFT JOIN c{k} c ON c.t = ty.t),""")
+    parts.append(f"""
+        fin AS (SELECT t AS event_type, v AS stationary FROM pi{iters})
+        SELECT event_type, stationary FROM fin ORDER BY event_type""")
+    return "\n".join(parts)

@@ -3369,3 +3369,28 @@ def test_dedup_threshold_sweep_local_oracle(ray_session):
             == n[::-1].cumsum()[::-1]).all()
     total = len(run_ngram_jaccard(sf).to_pandas())
     assert int(got["n_pairs"].sum()) == total
+
+
+def test_stationary_types_local_oracle(ray_session):
+    """The Markov stationary vector equals the DuckDB unrolled
+    power-iteration recompute at sf0.001 and sums to ~1.  (The
+    near-fixpoint property is implied by the oracle equality — the
+    SQL runs the identical 8 rounded steps — so no second engine run
+    is paid here.)"""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (
+        run_stationary_types, stationary_types_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(stationary_types_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_stationary_types(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert abs(got["stationary"].sum() - 1.0) < 1e-6
+    assert (got["stationary"] >= 0).all()
