@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_census": _q_bowtie_census,
         "dedup_threshold_sweep": dedup.run_dedup_threshold_sweep,
         "stationary_types": relational.run_stationary_types,
+        "shingle_novelty": dedup.run_shingle_novelty,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -960,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
                                           minhash_oracle_sql,
                                           ngram_containment_oracle_sql,
                                           dedup_threshold_sweep_oracle_sql,
+                                          shingle_novelty_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql,
                                           dedup_recall_oracle_sql)
@@ -1055,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": minhash_oracle_sql(threshold=None),
         "ngram_containment": ngram_containment_oracle_sql(),
         "dedup_threshold_sweep": dedup_threshold_sweep_oracle_sql(),
+        "shingle_novelty": shingle_novelty_oracle_sql(),
         "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
         "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),

@@ -2595,3 +2595,111 @@ def dedup_threshold_sweep_oracle_sql(step: int = 5) -> str:
         GROUP BY bucket
         ORDER BY bucket
     """)
+
+
+def run_shingle_novelty(sf_dir: str, concurrency: int = 4,
+                        target_rows_per_group: int = 65536):
+    """Per-document shingle NOVELTY: a shingle "belongs" to the
+    document with the globally smallest doc_id containing it, and
+    ``novelty = n_novel / n_shingles`` — the order-free analog of
+    "how much new content does each document add" (1.0 = all fresh,
+    → 0 = assembled from seen text; the profiling twin of
+    :func:`run_dedup_incremental`).  Documents with zero shingles
+    (empty text) are excluded on both engines.
+
+    Plan (the 100 TB shape): the shared shingle dataset explodes to
+    (hash, doc_id) rows — token-scale but fixed-width — and ONE
+    data-scaled hash reduce keyed on the HASH takes the min doc_id;
+    a second reduce keyed on doc_id merges the novel counts with the
+    per-doc totals (emitted locally from the blob lengths, no extra
+    scan).  Nothing wider than a hash bucket ever co-locates.
+
+    Float contract: novelty is one IEEE division of exact int64
+    counts, rounded 6 dp."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    sh = shingle_dataset(sf_dir, concurrency)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        hs, ids = [], []
+        for did, blob in zip(t["doc_id"].to_pylist(),
+                             t["sh"].to_pylist()):
+            arr = np.frombuffer(blob or b"", dtype="<u8")
+            if not len(arr):
+                continue
+            hs.append(arr.view(np.int64))
+            ids.append(np.full(len(arr), did, dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs)),
+                         "doc_id": pa.array(np.concatenate(ids))})
+
+    exploded = sh.map_batches(_explode, batch_format="pyarrow",
+                              batch_size=2048).materialize()
+    n_rows = max(exploded.count(), 1)
+
+    def _min_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("h", sort=False)["doc_id"].min().reset_index()
+        return out.astype({"doc_id": "int64"})
+
+    firsts = hash_grouped_reduce(exploded, "h", _min_doc, n_rows,
+                                 target_rows_per_group,
+                                 out_cols=("h", "doc_id"))
+
+    def _novel_part(t: pa.Table) -> pa.Table:
+        g = (pa.table({"doc_id": t["doc_id"]})
+             .group_by(["doc_id"]).aggregate([([], "count_all")]))
+        n = len(g)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_shingles": pa.array(np.zeros(n, dtype=np.int64)),
+            "n_novel": pc.cast(g["count_all"], pa.int64())})
+
+    def _total_part(t: pa.Table) -> pa.Table:
+        tot = np.asarray([len(b or b"") // 8
+                          for b in t["sh"].to_pylist()], dtype=np.int64)
+        keep = tot > 0
+        return pa.table({
+            "doc_id": pa.array(np.asarray(
+                t["doc_id"].to_pylist(), dtype=np.int64)[keep]),
+            "n_shingles": pa.array(tot[keep]),
+            "n_novel": pa.array(np.zeros(int(keep.sum()),
+                                         dtype=np.int64))})
+
+    marks = (firsts.map_batches(_novel_part, batch_format="pyarrow")
+             .union(sh.map_batches(_total_part,
+                                   batch_format="pyarrow")))
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("doc_id", sort=False)[
+            ["n_shingles", "n_novel"]].sum().reset_index())
+        out["novelty"] = [round(v, 6) for v in
+                          out["n_novel"] / out["n_shingles"]]
+        return out.astype({"n_shingles": "int64",
+                           "n_novel": "int64"})
+
+    return hash_grouped_reduce(
+        marks, "doc_id", _merge, n_rows, target_rows_per_group,
+        out_cols=("doc_id", "n_shingles", "n_novel",
+                  "novelty")).sort("doc_id")
+
+
+def shingle_novelty_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_shingle_novelty`: the LSH chain's
+    DISTINCT gram-hash CTE (``gdist``), min-doc_id ownership, and the
+    same count ratio."""
+    return minhash_oracle_sql(threshold=None, final_sql="""
+        SELECT t.doc_id,
+               CAST(t.n_shingles AS BIGINT) AS n_shingles,
+               CAST(coalesce(v.n_novel, 0) AS BIGINT) AS n_novel,
+               round(coalesce(v.n_novel, 0) * 1.0 / t.n_shingles, 6)
+                   AS novelty
+        FROM (SELECT doc_id, count(*) AS n_shingles
+              FROM gdist GROUP BY doc_id) t
+        LEFT JOIN (
+            SELECT d AS doc_id, count(*) AS n_novel
+            FROM (SELECT g, min(doc_id) AS d FROM gdist GROUP BY g)
+            GROUP BY d) v ON v.doc_id = t.doc_id
+        ORDER BY t.doc_id
+    """)

@@ -3394,3 +3394,32 @@ def test_stationary_types_local_oracle(ray_session):
                                   check_exact=True)
     assert abs(got["stationary"].sum() - 1.0) < 1e-6
     assert (got["stationary"] >= 0).all()
+
+
+def test_shingle_novelty_local_oracle(ray_session):
+    """Per-doc novelty equals the DuckDB gdist recompute at sf0.001
+    across both hash_grouped_reduce tiers; the novel counts sum to the
+    global distinct-shingle count and the lowest doc_id is fully
+    novel."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.dedup import (run_shingle_novelty,
+                                          shingle_novelty_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(shingle_novelty_oracle_sql()).df()
+            .reset_index(drop=True))
+    for trg in (64, 1 << 22):
+        got = (run_shingle_novelty(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+    assert got.loc[got["doc_id"].idxmin(), "novelty"] == 1.0
+    n_distinct = con.execute(
+        shingle_novelty_oracle_sql().replace(
+            "ORDER BY t.doc_id", "") + " ").df()["n_novel"].sum()
+    assert int(got["n_novel"].sum()) == int(n_distinct)
