@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_threshold_sweep": dedup.run_dedup_threshold_sweep,
         "stationary_types": relational.run_stationary_types,
         "shingle_novelty": dedup.run_shingle_novelty,
+        "kanon_risk": relational.run_kanon_risk,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -1027,7 +1028,8 @@ def oracle_sql() -> dict[str, str]:
     from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
                                                order_backlog_oracle_sql,
                                                type_day_mi_oracle_sql,
-                                               stationary_types_oracle_sql)
+                                               stationary_types_oracle_sql,
+                                               kanon_risk_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
     from dude_ray.pipelines.cleaning import (blocklist_filter_oracle_sql,
@@ -1084,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_census": bowtie_census_oracle_sql(),
         "type_day_mi": type_day_mi_oracle_sql(),
         "stationary_types": stationary_types_oracle_sql(),
+        "kanon_risk": kanon_risk_oracle_sql(),
         "zipf_fit": zipf_fit_oracle_sql(),
         "burrows_delta": burrows_delta_oracle_sql(),
         "keyness_llr": keyness_llr_oracle_sql(),

@@ -6585,3 +6585,68 @@ def stationary_types_oracle_sql(iters: int = 8) -> str:
         fin AS (SELECT t AS event_type, v AS stationary FROM pi{iters})
         SELECT event_type, stationary FROM fin ORDER BY event_type""")
     return "\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over customer quasi-identifiers
+# --------------------------------------------------------------------------
+
+def run_kanon_risk(sf_dir: str, k: int = 10):
+    """k-anonymity audit of the customer table under the
+    (nation, market-segment) quasi-identifier: the histogram of
+    equivalence-class sizes — (group_size, n_groups, n_customers,
+    at_risk) with ``at_risk = group_size < k`` — the privacy gate a
+    release pipeline runs before publishing joinable attributes
+    (classes smaller than k re-identify their members).
+
+    Plan (the 100 TB shape): per-batch (nation, segment → n) partial
+    counts tree-merge to the ≤ |nations|·|segments| class table; the
+    size histogram is computed over that constant-size table in the
+    final task.  All integer arithmetic."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "nat": batch["c_nationkey"],
+            "seg": batch["c_mktsegment"],
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        g = t.group_by(["nat", "seg"]).aggregate([("n", "sum")])
+        return pa.table({"nat": g["nat"], "seg": g["seg"],
+                         "n": g["n_sum"]})
+
+    merged = tree_combine(
+        _read(sf_dir, "customer",
+              ["c_nationkey", "c_mktsegment"]).map_batches(
+            _partial, batch_format="pyarrow", batch_size=65536),
+        ["nat", "seg"], sums=("n",))
+
+    def _hist(t: pa.Table) -> pa.Table:
+        sizes = t["n"].to_numpy(zero_copy_only=False)
+        df = (pd.Series(sizes).value_counts().rename_axis("group_size")
+              .reset_index(name="n_groups").sort_values("group_size"))
+        gs = df["group_size"].to_numpy(dtype=np.int64)
+        ng = df["n_groups"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "group_size": pa.array(gs),
+            "n_groups": pa.array(ng),
+            "n_customers": pa.array(gs * ng),
+            "at_risk": pa.array(gs < k),
+        })
+
+    return merged.repartition(1).map_batches(
+        _hist, batch_format="pyarrow", batch_size=None)
+
+
+def kanon_risk_oracle_sql(k: int = 10) -> str:
+    """DuckDB oracle for :func:`run_kanon_risk`."""
+    return f"""
+        WITH cls AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS s
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT s AS group_size,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(s * count(*) AS BIGINT) AS n_customers,
+               s < {k} AS at_risk
+        FROM cls GROUP BY s ORDER BY s
+    """

@@ -3423,3 +3423,27 @@ def test_shingle_novelty_local_oracle(ray_session):
         shingle_novelty_oracle_sql().replace(
             "ORDER BY t.doc_id", "") + " ").df()["n_novel"].sum()
     assert int(got["n_novel"].sum()) == int(n_distinct)
+
+
+def test_kanon_risk_local_oracle(ray_session):
+    """The k-anonymity class-size histogram equals the DuckDB
+    recompute at sf0.001; customer totals reconcile and the at_risk
+    flag is exactly group_size < 10."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (kanon_risk_oracle_sql,
+                                               run_kanon_risk)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{sf}/customer.parquet')")
+    want = (con.execute(kanon_risk_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_kanon_risk(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+    assert int(got["n_customers"].sum()) == n_cust
+    assert (got["at_risk"] == (got["group_size"] < 10)).all()
