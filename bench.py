@@ -717,6 +717,30 @@ def run_bench() -> dict:
     textops.run_keyness_llr(SF_DIR).materialize()
     timings["keyness_llr"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    clustering.run_kmeans_silhouette(SF_DIR).materialize()
+    timings["kmeans_silhouette"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_bowtie_census(SF_DIR).materialize()
+    timings["bowtie_census"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_dedup_threshold_sweep(SF_DIR).materialize()
+    timings["dedup_threshold_sweep"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_stationary_types(SF_DIR).materialize()
+    timings["stationary_types"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.run_shingle_novelty(SF_DIR).materialize()
+    timings["shingle_novelty"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_kanon_risk(SF_DIR).materialize()
+    timings["kanon_risk"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
