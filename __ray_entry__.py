@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stationary_types": relational.run_stationary_types,
         "shingle_novelty": dedup.run_shingle_novelty,
         "kanon_risk": relational.run_kanon_risk,
+        "knn_accuracy": similarity.run_knn_accuracy,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -1038,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
                                                ann_lsh_oracle_sql,
                                                ann_pq_oracle_sql,
                                                knn_graph_oracle_sql,
+                                               knn_accuracy_oracle_sql,
                                                ann_recall_oracle_sql)
     from dude_ray.pipelines.sketches import (
         bloom_registers_oracle_sql, cms_registers_oracle_sql,
@@ -1109,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": gopher_filter_oracle_sql(),
         "bpe_train": bpe_train_oracle_sql(),
         "knn_graph": knn_graph_oracle_sql(),
+        "knn_accuracy": knn_accuracy_oracle_sql(),
         "bpe_encode": bpe_encode_oracle_sql(),
         "pmi_collocations": pmi_collocations_oracle_sql(),
         "blocklist_filter": blocklist_filter_oracle_sql(),

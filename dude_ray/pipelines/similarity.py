@@ -842,3 +842,98 @@ def ann_recall_oracle_sql(num_queries: int = 5, k: int = 10,
         GROUP BY e.query_id
         ORDER BY e.query_id
     """
+
+
+# --------------------------------------------------------------------------
+# leave-one-out 1-NN label accuracy (embedding-quality eval)
+# --------------------------------------------------------------------------
+
+def run_knn_accuracy(sf_dir: str, concurrency: int = 8,
+                     num_partitions: int = 4):
+    """Leave-one-out 1-nearest-neighbor classification accuracy per
+    label over the ``embeddings`` table: each vector is "classified"
+    by its nearest other vector's label, and the per-label hit rate
+    — (label, n, n_correct, acc) — is the standard geometric-quality
+    eval of an embedding space (high 1-NN accuracy ⟺ labels form
+    coherent neighborhoods; the supervised twin of
+    :func:`run_ann_recall`).
+
+    Plan (the 100 TB shape): the neighbor edges come from
+    :func:`run_knn_graph` with k = 1 (block-pair streaming, per-source
+    local top-k partials — never n² scores through the shuffle); the
+    two label lookups are distributed hash joins against the
+    column-pruned (vec_id, label) projection; the accuracy table is a
+    fixed-|labels| tree merge.  Float contract: acc is one IEEE
+    division of exact int64 counts, rounded 6 dp."""
+    import pyarrow.compute as pc
+
+    from dude_ray.io import read_parquet_clean
+    from dude_ray.pipelines.relational import _py_round, tree_combine
+
+    agg_args = {"num_cpus": 0}
+    nn = run_knn_graph(sf_dir, k=1,
+                       concurrency=concurrency).materialize()
+    labels = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label"])
+    la = labels.map_batches(
+        lambda t: pa.table({"a_id": t["vec_id"],
+                            "label": pc.cast(t["label"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    lb = labels.map_batches(
+        lambda t: pa.table({"b_id": t["vec_id"],
+                            "pred": pc.cast(t["label"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    j = nn.join(la, "inner", num_partitions, on=("src",),
+                right_on=("a_id",), aggregator_ray_remote_args=agg_args)
+    j = j.materialize().join(lb, "inner", num_partitions, on=("dst",),
+                             right_on=("b_id",),
+                             aggregator_ray_remote_args=agg_args)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        pred = t["pred"].to_numpy(zero_copy_only=False)
+        tt = pa.table({
+            "label": pa.array(lab),
+            "n": pa.array(np.ones(len(lab), dtype=np.int64)),
+            "n_correct": pa.array((lab == pred).astype(np.int64)),
+        })
+        g = tt.group_by(["label"]).aggregate([("n", "sum"),
+                                              ("n_correct", "sum")])
+        return pa.table({"label": g["label"], "n": g["n_sum"],
+                         "n_correct": g["n_correct_sum"]})
+
+    merged = tree_combine(
+        j.map_batches(_partial, batch_format="pyarrow",
+                      batch_size=65536),
+        ["label"], sums=("n", "n_correct"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["n_correct"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": t["label"], "n": t["n"], "n_correct": t["n_correct"],
+            "acc": _py_round(pa.array((c * 1.0) / n, type=pa.float64()),
+                             6)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None).sort("label")
+
+
+def knn_accuracy_oracle_sql() -> str:
+    """DuckDB oracle for :func:`run_knn_accuracy`: the exact 1-NN
+    graph of :func:`knn_graph_oracle_sql` with both label joins and
+    the same count ratio."""
+    return f"""
+        WITH g AS ({knn_graph_oracle_sql(k=1)})
+        SELECT CAST(la.label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lb.label = la.label
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(sum(CASE WHEN lb.label = la.label
+                         THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS acc
+        FROM g
+        JOIN embeddings la ON la.vec_id = g.src
+        JOIN embeddings lb ON lb.vec_id = g.dst
+        GROUP BY 1 ORDER BY 1
+    """

@@ -90,3 +90,27 @@ def test_knn_graph_tie_superset_partial():
     kept = sorted(zip(out[0][0].tolist(), out[1][0].tolist()))
     # both ties survive the partial; the global reduce picks dst=2
     assert kept == [(10, 2), (10, 3)]
+
+
+def test_knn_accuracy_local_oracle(ray_session):
+    """Per-label 1-NN accuracy equals the DuckDB brute-force
+    recompute at sf0.001; counts cover every vector and acc lies in
+    [0, 1]."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.similarity import (knn_accuracy_oracle_sql,
+                                               run_knn_accuracy)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = (con.execute(knn_accuracy_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_knn_accuracy(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    n_vec = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert int(got["n"].sum()) == n_vec
+    assert got["acc"].between(0.0, 1.0).all()
