@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_novelty": dedup.run_shingle_novelty,
         "kanon_risk": relational.run_kanon_risk,
         "knn_accuracy": similarity.run_knn_accuracy,
+        "host_modularity": _q_host_modularity,
+        "seed_walks": _q_seed_walks,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -599,6 +601,22 @@ def _q_kmeans_assign(sf_dir: str):
     from dude_ray.pipelines.clustering import run_kmeans_assign
 
     return run_kmeans_assign(sf_dir)
+
+
+def _q_host_modularity(sf_dir: str):
+    """Newman modularity of the host partition of the link graph —
+    the is-this-corpus-siloed community statistic."""
+    from dude_ray.pipelines.components import run_host_modularity
+
+    return run_host_modularity(sf_dir)
+
+
+def _q_seed_walks(sf_dir: str):
+    """Deterministic hash-stepped random walks from the seed set —
+    the node2vec sampling primitive, integer-exact and SQL-matched."""
+    from dude_ray.pipelines.components import run_seed_walks
+
+    return run_seed_walks(sf_dir)
 
 
 def _q_bowtie_census(sf_dir: str):
@@ -1023,7 +1041,8 @@ def oracle_sql() -> dict[str, str]:
         host_depth_profile_oracle_sql, host_graph_oracle_sql,
         k_core_oracle_sql, link_components_oracle_sql,
         host_rank_oracle_sql, link_depth_oracle_sql,
-        bowtie_census_oracle_sql,
+        bowtie_census_oracle_sql, host_modularity_oracle_sql,
+        seed_walks_oracle_sql,
         link_reciprocity_oracle_sql, link_triangles_oracle_sql,
         seed_coverage_oracle_sql)
     from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
@@ -1086,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "link_triangles": link_triangles_oracle_sql(),
         "host_rank": host_rank_oracle_sql(),
         "bowtie_census": bowtie_census_oracle_sql(),
+        "host_modularity": host_modularity_oracle_sql(),
+        "seed_walks": seed_walks_oracle_sql(),
         "type_day_mi": type_day_mi_oracle_sql(),
         "stationary_types": stationary_types_oracle_sql(),
         "kanon_risk": kanon_risk_oracle_sql(),

@@ -1385,3 +1385,300 @@ def bowtie_census_oracle_sql(sf_dir: str | None = None) -> str:
         SELECT cls, CAST(count(*) AS BIGINT) AS n_pages
         FROM cls GROUP BY cls ORDER BY cls
     """
+
+
+def run_host_modularity(sf_dir: str,
+                        target_rows_per_group: int = 65536):
+    """Newman MODULARITY of the host partition of the DISTINCT
+    undirected link graph: per host i, ``contrib = e_ii/m −
+    (d_i/(2m))²`` (intra-host edge fraction minus the random-graph
+    expectation from its degree mass); Q = Σ contrib answers "is this
+    corpus siloed into sites or one tangled web" — the community-
+    structure number a crawler uses to decide host-partitioned vs
+    global scheduling.  Output: (host, n_intra, deg_sum, contrib).
+
+    Plan (the 100 TB shape): one pass over the distinct undirected
+    edges emits fixed-size (host → n_intra, deg) partials (an edge
+    adds 1 to each endpoint's host, 1 to n_intra when they agree);
+    tree-merge to the ≤|hosts| table; m is the exact edge count.
+    All-integer until the final constant-size IEEE expression,
+    rounded 6 dp (shared tree with the oracle)."""
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.relational import _py_round, tree_combine
+
+    edges, _nodes = link_edges(sf_dir)
+    n_edges_raw = max(edges.count(), 1)
+    und = _distinct_undirected(edges, n_edges_raw,
+                               target_rows_per_group).materialize()
+    m = max(und.count(), 1)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        hlo = _netloc(t["lo"])
+        hhi = _netloc(t["hi"])
+        same = pc.equal(hlo, hhi)
+        intra_lo = pc.cast(same, pa.int64())
+        zeros = pa.array(np.zeros(len(t), dtype=np.int64))
+        ones = pa.array(np.ones(len(t), dtype=np.int64))
+        tt = pa.table({
+            "host": pa.concat_arrays([hlo.combine_chunks()
+                                      if isinstance(hlo, pa.ChunkedArray)
+                                      else hlo,
+                                      hhi.combine_chunks()
+                                      if isinstance(hhi, pa.ChunkedArray)
+                                      else hhi]),
+            "n_intra": pa.concat_arrays([
+                intra_lo.combine_chunks()
+                if isinstance(intra_lo, pa.ChunkedArray) else intra_lo,
+                zeros]),
+            "deg_sum": pa.concat_arrays([ones, ones]),
+        })
+        g = tt.group_by(["host"]).aggregate([("n_intra", "sum"),
+                                             ("deg_sum", "sum")])
+        return pa.table({"host": g["host"],
+                         "n_intra": g["n_intra_sum"],
+                         "deg_sum": g["deg_sum_sum"]})
+
+    merged = tree_combine(
+        und.map_batches(_partial, batch_format="pyarrow",
+                        batch_size=65536),
+        ["host"], sums=("n_intra", "deg_sum"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ei = t["n_intra"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        dg = t["deg_sum"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        frac = dg / (2.0 * m)
+        contrib = ei / m - frac * frac
+        return pa.table({
+            "host": t["host"],
+            "n_intra": t["n_intra"],
+            "deg_sum": t["deg_sum"],
+            "contrib": _py_round(pa.array(contrib, type=pa.float64()),
+                                 6)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None).sort("host")
+
+
+def host_modularity_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`run_host_modularity`: the distinct
+    undirected edge list with host labels from the bounds table, the
+    identical contrib expression tree."""
+    preamble, _bounds, _n = _graph_sql_parts(sf_dir)
+    return f"""
+        WITH {preamble},
+        und AS (
+            SELECT DISTINCT least(src_id, dst_id) AS lo,
+                            greatest(src_id, dst_id) AS hi
+            FROM edges0),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+        hof AS (
+            SELECT u.lo, u.hi,
+                   'h' || lpad(CAST(bl.h AS VARCHAR), 4, '0')
+                       || '.test' AS hlo,
+                   'h' || lpad(CAST(bh.h AS VARCHAR), 4, '0')
+                       || '.test' AS hhi
+            FROM und u
+            JOIN bounds bl ON u.lo >= bl.lo AND u.lo < bl.hi
+            JOIN bounds bh ON u.hi >= bh.lo AND u.hi < bh.hi),
+        ends AS (
+            SELECT hlo AS host,
+                   CASE WHEN hlo = hhi THEN 1 ELSE 0 END AS n_intra,
+                   1 AS deg FROM hof
+            UNION ALL
+            SELECT hhi, 0, 1 FROM hof),
+        agg AS (
+            SELECT host, sum(n_intra) AS n_intra, sum(deg) AS deg_sum
+            FROM ends GROUP BY host)
+        SELECT host,
+               CAST(n_intra AS BIGINT) AS n_intra,
+               CAST(deg_sum AS BIGINT) AS deg_sum,
+               round((n_intra * 1.0) / (SELECT m FROM m)
+                     - ((deg_sum * 1.0) / (2.0 * (SELECT m FROM m)))
+                       * ((deg_sum * 1.0) / (2.0 * (SELECT m FROM m))),
+                     6) AS contrib
+        FROM agg ORDER BY host
+    """
+
+
+# --------------------------------------------------------------------------
+# deterministic random walks from the seed set (graph sampling)
+# --------------------------------------------------------------------------
+
+def run_seed_walks(sf_dir: str, length: int = 8,
+                   num_partitions: int = 4,
+                   target_rows_per_group: int = 65536):
+    """DETERMINISTIC random walks from every crawl seed over the
+    distinct directed link graph — the node2vec/DeepWalk sampling
+    primitive, made reproducible (and therefore SQL-oracle-able) by
+    drawing each step from a hash instead of an RNG: at step t the
+    walker at ``node`` moves to the neighbor with
+    ``rank = splitmix64(md5_top8(node) + t) mod outdeg`` (neighbors
+    ranked by URL; a dead end ends the walk).  Output: one row per
+    visited position — (seed, step, node), step 0 = the seed.
+
+    Plan (the 100 TB shape): the ranked adjacency (src, dst, rank,
+    outdeg) builds with ONE data-scaled hash reduce and materializes
+    once; each of the ``length`` steps is ONE hash join of the
+    walker frontier against it (frontier = |seeds| rows; the join
+    fans out outdeg rows per walker, filtered immediately to the one
+    picked edge).  Per-walker state never leaves the data plane.
+
+    Float contract: none — every quantity is exact integer (md5 fold,
+    splitmix64 wraparound arithmetic, modulo pick), reproduced
+    bit-for-bit by the oracle's HUGEINT schoolbook arithmetic."""
+    import hashlib
+
+    import ray.data as rd
+
+    from dude_ray.partitioning import hash_grouped_reduce
+    from dude_ray.pipelines.graph import link_edges
+    from dude_ray.pipelines.sketches import _mix64
+    from dude_ray.canonical import canonicalize_url
+    from dude_ray.sources.corpus import (DEFAULT_NUM_PARTS,
+                                         ensure_corpus, load_seeds)
+
+    _AGG = {"num_cpus": 0}
+    edges, _nodes = link_edges(sf_dir)
+    n_edges = max(edges.count(), 1)
+
+    def _dd(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst"]).group_by(
+            ["src", "dst"]).aggregate([])
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, grp in df.groupby("src", sort=False):
+            nb = np.unique(grp["dst"].to_numpy())
+            outs.append(pd.DataFrame({
+                "src": src, "dst": nb,
+                "rank": np.arange(len(nb), dtype=np.int64),
+                "od": np.full(len(nb), len(nb), dtype=np.int64)}))
+        return (pd.concat(outs) if outs else
+                pd.DataFrame({"src": pd.Series(dtype=object),
+                              "dst": pd.Series(dtype=object),
+                              "rank": pd.Series(dtype="int64"),
+                              "od": pd.Series(dtype="int64")}))
+
+    ranked = hash_grouped_reduce(
+        edges.map_batches(_dd, batch_format="pyarrow",
+                          batch_size=65536),
+        "src", _rank, n_edges, target_rows_per_group,
+        out_cols=("src", "dst", "rank", "od")).materialize()
+
+    corpus_dir = ensure_corpus(sf_dir, scale=1, seed_every=2,
+                               num_parts=DEFAULT_NUM_PARTS)
+    seeds = sorted(canonicalize_url(s["url"])
+                   for s in load_seeds(corpus_dir))
+    frontier = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, type=pa.string()),
+        "node": pa.array(seeds, type=pa.string())})).materialize()
+
+    visited = [frontier.map_batches(
+        lambda t: pa.table({"seed": t["seed"],
+                            "step": pa.array(
+                                np.zeros(len(t), dtype=np.int64)),
+                            "node": t["node"]}),
+        batch_format="pyarrow")]
+
+    for t_step in range(1, length + 1):
+        j = frontier.join(ranked, "inner", num_partitions,
+                          on=("node",), right_on=("src",),
+                          aggregator_ray_remote_args=_AGG)
+
+        def _step(tbl: pa.Table, _t=t_step) -> pa.Table:
+            nodes_ = tbl["node"].to_pylist()
+            hs = np.array(
+                [int.from_bytes(hashlib.md5(n.encode()).digest()[:8],
+                                "big") for n in nodes_],
+                dtype=np.uint64)
+            mixed = _mix64(hs + np.uint64(_t))
+            od = tbl["od"].to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            pick = (mixed % od).astype(np.int64)
+            keep = tbl["rank"].to_numpy(zero_copy_only=False) == pick
+            return pa.table({
+                "seed": pc.array_filter(tbl["seed"], pa.array(keep)),
+                "node": pc.array_filter(tbl["dst"], pa.array(keep))})
+
+        frontier = j.map_batches(_step, batch_format="pyarrow",
+                                 batch_size=65536).materialize()
+        visited.append(frontier.map_batches(
+            lambda t, _t=t_step: pa.table({
+                "seed": t["seed"],
+                "step": pa.array(np.full(len(t), _t, dtype=np.int64)),
+                "node": t["node"]}),
+            batch_format="pyarrow"))
+
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.union(v)
+    return out.sort(["seed", "step"])
+
+
+def seed_walks_oracle_sql(sf_dir: str | None = None,
+                          length: int = 8) -> str:
+    """DuckDB oracle for :func:`run_seed_walks`: ranked adjacency via
+    window functions over the inlined edge list, the walk unrolled
+    one CTE chain per step with the md5-fold + splitmix64 pick
+    reproduced in HUGEINT schoolbook arithmetic (the minhash / HLL
+    oracle machinery)."""
+    from dude_ray.pipelines.dedup import _sql_addmod64, _sql_mulmod64
+    from dude_ray.pipelines.sketches import (_SPLITMIX_C1, _SPLITMIX_C2,
+                                             _SPLITMIX_INC)
+
+    preamble, bounds, _n = _graph_sql_parts(sf_dir)
+    seed_ids = [bounds[h] for h in range(len(bounds) - 1) if h % 2 == 0]
+    s_vals = ",".join(f"({i})" for i in seed_ids)
+    h16 = ("CAST(list_sum([CAST(strpos('0123456789abcdef', m[i]) - 1 "
+           "AS UBIGINT) * (CAST(1 AS UBIGINT) << CAST(4*(16 - i) "
+           "AS INTEGER)) for i in generate_series(1, 16)]) AS UBIGINT)")
+    inc, c1, c2 = (int(_SPLITMIX_INC), int(_SPLITMIX_C1),
+                   int(_SPLITMIX_C2))
+    parts = [f"""
+        WITH {preamble},
+        sd(id) AS (VALUES {s_vals}),
+        redges AS (
+            SELECT ns.node AS src, nd.node AS dst
+            FROM (SELECT DISTINCT src_id, dst_id FROM edges0) e
+            JOIN nodes ns ON ns.id = e.src_id
+            JOIN nodes nd ON nd.id = e.dst_id),
+        ranked AS MATERIALIZED (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY dst ASC) - 1 AS rank,
+                   count(*) OVER (PARTITION BY src) AS od
+            FROM redges),
+        w0 AS (SELECT n.node AS seed, n.node AS node
+               FROM sd JOIN nodes n ON n.id = sd.id)"""]
+    for t in range(1, length + 1):
+        x0 = _sql_addmod64(_sql_addmod64("h", str(t)), str(inc))
+        parts.append(f""",
+        a{t} AS (
+            SELECT w.seed, e.dst, e.rank, e.od,
+                   (SELECT {h16} FROM
+                    (SELECT string_split(substr(md5(w.node), 1, 16),
+                                         '') AS m)) AS h
+            FROM w{t - 1} w JOIN ranked e ON e.src = w.node),
+        b{t} AS (SELECT seed, dst, rank, od, {x0} AS x0 FROM a{t}),
+        c{t} AS (SELECT seed, dst, rank, od,
+                        xor(x0, x0 >> 30) AS x1 FROM b{t}),
+        d{t} AS (SELECT seed, dst, rank, od,
+                        {_sql_mulmod64('x1', c1)} AS x2 FROM c{t}),
+        e{t} AS (SELECT seed, dst, rank, od,
+                        xor(x2, x2 >> 27) AS x3 FROM d{t}),
+        f{t} AS (SELECT seed, dst, rank, od,
+                        {_sql_mulmod64('x3', c2)} AS x4 FROM e{t}),
+        g{t} AS (SELECT seed, dst, rank, od,
+                        xor(x4, x4 >> 31) AS x5 FROM f{t}),
+        w{t} AS (SELECT seed, dst AS node FROM g{t}
+                 WHERE rank = CAST(x5 % CAST(od AS UBIGINT)
+                                   AS BIGINT))""")
+    union = " UNION ALL ".join(
+        f"SELECT seed, {t} AS step, node FROM w{t}"
+        for t in range(0, length + 1))
+    parts.append(f"""
+        SELECT seed, CAST(step AS BIGINT) AS step, node
+        FROM ({union}) ORDER BY seed, step""")
+    return "".join(parts)

@@ -247,3 +247,68 @@ def test_bowtie_census_local_oracle(ray_session):
                .to_pandas().reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_host_modularity_local_oracle(ray_session):
+    """Per-host modularity contributions equal the DuckDB recompute
+    at sf0.001; Q = Σ contrib lies in [-0.5, 1] and the degree sums
+    total 2m."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.components import (
+        host_modularity_oracle_sql, run_host_modularity)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(host_modularity_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    got = run_host_modularity(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    q = got["contrib"].sum()
+    assert -0.5 <= q <= 1.0
+    m = int(got["n_intra"].sum())  # intra edges <= m
+    assert int(got["deg_sum"].sum()) >= 2 * m
+
+
+def test_seed_walks_local_oracle(ray_session):
+    """Deterministic hash-stepped walks equal the DuckDB unrolled
+    recompute at sf0.001; every step-t node is an out-neighbor of the
+    walker's step-(t-1) node and step 0 is the seed itself."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.components import (run_seed_walks,
+                                               seed_walks_oracle_sql,
+                                               _graph_sql_parts)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(seed_walks_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    got = run_seed_walks(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    step0 = got[got["step"] == 0]
+    assert (step0["seed"] == step0["node"]).all()
+
+    preamble, _b, _n = _graph_sql_parts(sf)
+    edges = con.execute(f"""
+        WITH {preamble}
+        SELECT DISTINCT ns.node AS src, nd.node AS dst
+        FROM edges0 e JOIN nodes ns ON ns.id = e.src_id
+        JOIN nodes nd ON nd.id = e.dst_id
+    """).df()
+    eset = set(zip(edges["src"], edges["dst"]))
+    for seed, grp in got.groupby("seed"):
+        grp = grp.sort_values("step")
+        prev = None
+        for _, row in grp.iterrows():
+            if prev is not None:
+                assert (prev, row["node"]) in eset
+            prev = row["node"]
