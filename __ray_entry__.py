@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_accuracy": similarity.run_knn_accuracy,
         "host_modularity": _q_host_modularity,
         "seed_walks": _q_seed_walks,
+        "dup_source_matrix": dedup.run_dup_source_matrix,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -982,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
                                           ngram_containment_oracle_sql,
                                           dedup_threshold_sweep_oracle_sql,
                                           shingle_novelty_oracle_sql,
+                                          dup_source_matrix_oracle_sql,
                                           simhash_oracle_sql,
                                           substring_dup_oracle_sql,
                                           dedup_recall_oracle_sql)
@@ -1081,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment": ngram_containment_oracle_sql(),
         "dedup_threshold_sweep": dedup_threshold_sweep_oracle_sql(),
         "shingle_novelty": shingle_novelty_oracle_sql(),
+        "dup_source_matrix": dup_source_matrix_oracle_sql(),
         "embedding_cov": EMBEDDING_COV_ORACLE_SQL,
         "label_centroids": LABEL_CENTROIDS_ORACLE_SQL,
         "graph_pagerank": graph_pagerank_oracle_sql(),

@@ -741,6 +741,18 @@ def run_bench() -> dict:
     relational.run_kanon_risk(SF_DIR).materialize()
     timings["kanon_risk"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    similarity.run_knn_accuracy(SF_DIR).materialize()
+    timings["knn_accuracy"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_host_modularity(SF_DIR).materialize()
+    timings["host_modularity"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    components.run_seed_walks(SF_DIR).materialize()
+    timings["seed_walks"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

@@ -2703,3 +2703,76 @@ def shingle_novelty_oracle_sql() -> str:
             GROUP BY d) v ON v.doc_id = t.doc_id
         ORDER BY t.doc_id
     """)
+
+
+def run_dup_source_matrix(sf_dir: str, threshold: float = 0.8,
+                          concurrency: int = 4,
+                          num_partitions: int = JOIN_PARTITIONS):
+    """CROSS-SOURCE near-duplicate structure: verified pairs
+    (jaccard ≥ ``threshold``) attributed to their documents' sources
+    and counted per unordered source pair — (source_a ≤ source_b,
+    n_pairs) — the "which feed is mirroring which" matrix that
+    decides whether dedup should run within or across sources (the
+    pair-grain sibling of :func:`run_dup_rate_by_source`).
+
+    Plan: the shared minhash verify chain, then two distributed hash
+    joins against the column-pruned (doc_id, source) projection —
+    only (pair, source) rows shuffle — and a fixed-|sources|² tree
+    merge.  All integer counts."""
+    from dude_ray.io import read_parquet_clean
+    from dude_ray.pipelines.relational import tree_combine
+
+    agg_args = {"num_cpus": 0}
+    pairs = run_minhash_dedup(sf_dir, threshold=threshold,
+                              concurrency=concurrency).materialize()
+    src = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "source"])
+    sa = src.map_batches(
+        lambda t: pa.table({"a_id": t["doc_id"], "src_a": t["source"]}),
+        batch_format="pyarrow").materialize()
+    sb = src.map_batches(
+        lambda t: pa.table({"b_id": t["doc_id"], "src_b": t["source"]}),
+        batch_format="pyarrow").materialize()
+    n_parts = max(1, min(num_partitions, pairs.count() // 512 + 1))
+    j = pairs.join(sa, "inner", n_parts, on=("a",), right_on=("a_id",),
+                   aggregator_ray_remote_args=agg_args).materialize()
+    j = j.join(sb, "inner", n_parts, on=("b",), right_on=("b_id",),
+               aggregator_ray_remote_args=agg_args)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = t["src_a"].combine_chunks() if isinstance(
+            t["src_a"], pa.ChunkedArray) else t["src_a"]
+        y = t["src_b"].combine_chunks() if isinstance(
+            t["src_b"], pa.ChunkedArray) else t["src_b"]
+        lo = pc.min_element_wise(x, y)
+        hi = pc.max_element_wise(x, y)
+        tt = pa.table({"source_a": lo, "source_b": hi,
+                       "n": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by(["source_a", "source_b"]).aggregate([("n",
+                                                              "sum")])
+        return pa.table({"source_a": g["source_a"],
+                         "source_b": g["source_b"],
+                         "n_pairs": g["n_sum"]})
+
+    return tree_combine(
+        j.map_batches(_partial, batch_format="pyarrow",
+                      batch_size=65536),
+        ["source_a", "source_b"],
+        sums=("n_pairs",)).sort(["source_a", "source_b"])
+
+
+def dup_source_matrix_oracle_sql(threshold: float = 0.8) -> str:
+    """DuckDB oracle for :func:`run_dup_source_matrix`: the full LSH
+    chain's thresholded jaccard pairs joined to their sources with
+    the same least/greatest pair normalization."""
+    return minhash_oracle_sql(threshold=None, final_sql=f"""
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM jac
+        JOIN documents da ON da.doc_id = jac.a
+        JOIN documents db ON db.doc_id = jac.b
+        WHERE jaccard >= {threshold}
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b
+    """)

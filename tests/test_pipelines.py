@@ -3447,3 +3447,28 @@ def test_kanon_risk_local_oracle(ray_session):
     n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
     assert int(got["n_customers"].sum()) == n_cust
     assert (got["at_risk"] == (got["group_size"] < 10)).all()
+
+
+def test_dup_source_matrix_local_oracle(ray_session):
+    """The cross-source near-dup pair matrix equals the DuckDB
+    full-chain recompute at sf0.001; its total equals the verified
+    thresholded pair count and source_a <= source_b."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.dedup import (dup_source_matrix_oracle_sql,
+                                          run_dup_source_matrix,
+                                          run_minhash_dedup)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(dup_source_matrix_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_dup_source_matrix(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert (got["source_a"] <= got["source_b"]).all()
+    total = len(run_minhash_dedup(sf).to_pandas())
+    assert int(got["n_pairs"].sum()) == total
