@@ -6650,3 +6650,79 @@ def kanon_risk_oracle_sql(k: int = 10) -> str:
                s < {k} AS at_risk
         FROM cls GROUP BY s ORDER BY s
     """
+
+
+def run_markov_entropy_rate(sf_dir: str, iters: int = 8,
+                            users_per_group: int | None = None):
+    """Entropy RATE of the event-type Markov chain:
+    ``H = −Σ_i π_i Σ_j P_ij ln P_ij`` with π the stationary vector of
+    :func:`run_stationary_types` and P the same row-stochastic matrix
+    (dangling rows uniform) — "how many nats does the next event cost
+    given the last one", with ``perplexity = exp(H)`` the effective
+    branching factor of user behaviour.  One row: (n_types,
+    entropy_rate, perplexity).
+
+    Plan: the data work is the transition-count pipeline; matrix, π
+    and the double sum run in one constant-size final task.  Float
+    contract: π comes from the per-step-rounded trajectory (the
+    :func:`run_stationary_types` contract); the entropy sum spans
+    ≤ |types|² identical doubles on both engines, reassociation
+    absorbed by the final 6-dp round; exp is applied to the
+    already-identical double."""
+    trans = run_event_transitions(sf_dir, users_per_group)
+
+    def _entropy(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        types = sorted(set(df["prev_type"]) | set(df["event_type"]))
+        k = len(types)
+        if k == 0:
+            return pa.table({"n_types": pa.array([], pa.int64()),
+                             "entropy_rate": pa.array([], pa.float64()),
+                             "perplexity": pa.array([], pa.float64())})
+        idx = {ty: i for i, ty in enumerate(types)}
+        P = np.zeros((k, k), dtype=np.float64)
+        for pt, et, n in zip(df["prev_type"], df["event_type"],
+                             df["n_transitions"]):
+            P[idx[pt], idx[et]] = float(n)
+        rs = P.sum(axis=1)
+        dangling = rs == 0.0
+        P[~dangling] /= rs[~dangling, None]
+        P[dangling] = 1.0 / k
+        pi = _vec_round(np.full(k, 1.0 / k), 10)
+        for _ in range(iters):
+            pi = _vec_round(pi @ P, 10)
+        with np.errstate(divide="ignore"):
+            lp = np.where(P > 0.0, np.log(np.where(P > 0.0, P, 1.0)),
+                          0.0)
+        h = -float((pi[:, None] * P * lp).sum())
+        return pa.table({
+            "n_types": pa.array([k], type=pa.int64()),
+            "entropy_rate": pa.array([round(h, 6)], type=pa.float64()),
+            "perplexity": pa.array([round(float(np.exp(h)), 6)],
+                                   type=pa.float64())})
+
+    return trans.repartition(1).map_batches(
+        _entropy, batch_format="pyarrow", batch_size=None)
+
+
+def markov_entropy_rate_oracle_sql(iters: int = 8) -> str:
+    """DuckDB oracle for :func:`run_markov_entropy_rate`: the
+    stationary-chain CTEs of :func:`stationary_types_oracle_sql`
+    (shared trajectory) extended with the dangling-uniform P cells
+    and the same −Σ π·p·ln(p) expression."""
+    base = stationary_types_oracle_sql(iters)
+    base = base[: base.rindex("fin AS")]
+    return base + f"""
+        pcell AS (
+            SELECT i, j, p FROM p
+            UNION ALL
+            SELECT d.t AS i, ty.t AS j,
+                   1.0 / (SELECT n FROM nn) AS p
+            FROM (SELECT t FROM types
+                  WHERE t NOT IN (SELECT i FROM rowsum)) d
+            CROSS JOIN types ty)
+        SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_types,
+               round(-sum(q.v * c.p * ln(c.p)), 6) AS entropy_rate,
+               round(exp(-sum(q.v * c.p * ln(c.p))), 6) AS perplexity
+        FROM pcell c JOIN pi{iters} q ON q.t = c.i
+    """

@@ -3472,3 +3472,30 @@ def test_dup_source_matrix_local_oracle(ray_session):
     assert (got["source_a"] <= got["source_b"]).all()
     total = len(run_minhash_dedup(sf).to_pandas())
     assert int(got["n_pairs"].sum()) == total
+
+
+def test_markov_entropy_rate_local_oracle(ray_session):
+    """The chain entropy rate equals the DuckDB recompute at sf0.001;
+    0 <= H <= ln(n_types) and perplexity = exp(H) within rounding."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (
+        markov_entropy_rate_oracle_sql, run_markov_entropy_rate)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(markov_entropy_rate_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = (run_markov_entropy_rate(sf).to_pandas()
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    h = got["entropy_rate"].iloc[0]
+    k = int(got["n_types"].iloc[0])
+    assert 0.0 <= h <= math.log(k) + 1e-9
+    assert abs(got["perplexity"].iloc[0] - math.exp(h)) < 1e-3
