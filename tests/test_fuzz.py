@@ -329,3 +329,46 @@ def test_lev_le1_bytes_matches_dp_and_duckdb(x, y):
     (dd,) = duckdb.connect().execute(
         "SELECT levenshtein(?, ?)", [x, y]).fetchone()
     assert dd == d
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=40), min_size=0,
+               max_size=30),
+    b=st.lists(st.integers(min_value=0, max_value=40), min_size=0,
+               max_size=30),
+)
+def test_containment_kernel_invariants_fuzz(a, b):
+    """_containment_join_batch on arbitrary hash sets: containment is
+    |A∩B|/min sizes, always >= the jaccard of the same sets, in
+    [0, 1], and symmetric in (a, b)."""
+    import pyarrow as pa
+
+    from dude_ray.pipelines.dedup import (_containment_join_batch,
+                                          _jaccard_join_batch)
+
+    xa = np.unique(np.asarray(a, dtype=np.uint64))
+    xb = np.unique(np.asarray(b, dtype=np.uint64))
+    batch = pa.table({
+        "a": pa.array([1], type=pa.int64()),
+        "b": pa.array([2], type=pa.int64()),
+        "sh_a": pa.array([xa.astype("<u8").tobytes()],
+                         type=pa.binary()),
+        "sh_b": pa.array([xb.astype("<u8").tobytes()],
+                         type=pa.binary()),
+    })
+    got = _containment_join_batch(batch).to_pandas().iloc[0]
+    jac = _jaccard_join_batch(batch).to_pandas().iloc[0]["jaccard"]
+    inter = len(np.intersect1d(xa, xb))
+    m = min(len(xa), len(xb))
+    assert got["n_inter"] == inter
+    assert got["containment"] == (round(inter / m, 6) if m else 0.0)
+    assert 0.0 <= got["containment"] <= 1.0
+    assert got["containment"] >= jac - 1e-9
+
+    flipped = pa.table({
+        "a": batch["a"], "b": batch["b"],
+        "sh_a": batch["sh_b"], "sh_b": batch["sh_a"]})
+    got2 = _containment_join_batch(flipped).to_pandas().iloc[0]
+    assert got2["containment"] == got["containment"]
+    assert got2["n_inter"] == got["n_inter"]
