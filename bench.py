@@ -753,6 +753,14 @@ def run_bench() -> dict:
     components.run_seed_walks(SF_DIR).materialize()
     timings["seed_walks"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    dedup.run_dup_source_matrix(SF_DIR).materialize()
+    timings["dup_source_matrix"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_markov_entropy_rate(SF_DIR).materialize()
+    timings["markov_entropy_rate"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

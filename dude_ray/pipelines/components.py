@@ -1508,7 +1508,8 @@ def host_modularity_oracle_sql(sf_dir: str | None = None) -> str:
 
 def run_seed_walks(sf_dir: str, length: int = 8,
                    num_partitions: int = 4,
-                   target_rows_per_group: int = 65536):
+                   target_rows_per_group: int = 65536,
+                   local_threshold: int = 2_000_000):
     """DETERMINISTIC random walks from every crawl seed over the
     distinct directed link graph — the node2vec/DeepWalk sampling
     primitive, made reproducible (and therefore SQL-oracle-able) by
@@ -1524,6 +1525,11 @@ def run_seed_walks(sf_dir: str, length: int = 8,
     walker frontier against it (frontier = |seeds| rows; the join
     fans out outdeg rows per walker, filtered immediately to the one
     picked edge).  Per-walker state never leaves the data plane.
+    Below ``local_threshold`` edges the walk instead runs as one
+    vectorized driver pass over the collected ranked adjacency (the
+    ``bfs_depths`` tier-1 discipline — ``length`` sequential joins
+    cannot beat array indexing on a graph that fits one heap);
+    tier equivalence is pytest-asserted.
 
     Float contract: none — every quantity is exact integer (md5 fold,
     splitmix64 wraparound arithmetic, modulo pick), reproduced
@@ -1571,6 +1577,54 @@ def run_seed_walks(sf_dir: str, length: int = 8,
                                num_parts=DEFAULT_NUM_PARTS)
     seeds = sorted(canonicalize_url(s["url"])
                    for s in load_seeds(corpus_dir))
+
+    if n_edges <= local_threshold:
+        rdf = ranked.to_pandas()
+        order = np.lexsort((rdf["rank"].to_numpy(),
+                            rdf["src"].to_numpy()))
+        src_s = rdf["src"].to_numpy()[order]
+        dst_s = rdf["dst"].to_numpy()[order]
+        od_s = rdf["od"].to_numpy()[order]
+        hcache: dict[str, int] = {}
+
+        def h64(node: str) -> int:
+            v = hcache.get(node)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(node.encode()).digest()[:8], "big")
+                hcache[node] = v
+            return v
+
+        out_seed: list[str] = list(seeds)
+        out_step: list[int] = [0] * len(seeds)
+        out_node: list[str] = list(seeds)
+        cur_seed = np.asarray(seeds, dtype=object)
+        cur_node = np.asarray(seeds, dtype=object)
+        for t_step in range(1, length + 1):
+            if not len(cur_node):
+                break
+            pos = np.searchsorted(src_s, cur_node)
+            ok = (pos < len(src_s)) & (src_s[np.minimum(
+                pos, len(src_s) - 1)] == cur_node)
+            pos, cur_seed, cur_node = (pos[ok], cur_seed[ok],
+                                       cur_node[ok])
+            if not len(cur_node):
+                break
+            hs = np.fromiter((h64(n) for n in cur_node),
+                             dtype=np.uint64, count=len(cur_node))
+            mixed = _mix64(hs + np.uint64(t_step))
+            od = od_s[pos].astype(np.uint64)
+            pick = (mixed % od).astype(np.int64)
+            cur_node = dst_s[pos + pick]
+            out_seed.extend(cur_seed)
+            out_step.extend([t_step] * len(cur_seed))
+            out_node.extend(cur_node)
+        return rd.from_arrow(pa.table({
+            "seed": pa.array(out_seed, type=pa.string()),
+            "step": pa.array(out_step, type=pa.int64()),
+            "node": pa.array(out_node, type=pa.string()),
+        })).sort(["seed", "step"])
+
     frontier = rd.from_arrow(pa.table({
         "seed": pa.array(seeds, type=pa.string()),
         "node": pa.array(seeds, type=pa.string())})).materialize()

@@ -291,9 +291,12 @@ def test_seed_walks_local_oracle(ray_session):
                 f"read_parquet('{sf}/documents.parquet')")
     want = (con.execute(seed_walks_oracle_sql(sf)).df()
             .reset_index(drop=True))
-    got = run_seed_walks(sf).to_pandas().reset_index(drop=True)
-    pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                  check_exact=True)
+    # tier equivalence: driver walk (default) vs distributed join walk
+    for thr in (2_000_000, 0):
+        got = (run_seed_walks(sf, local_threshold=thr)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
     step0 = got[got["step"] == 0]
     assert (step0["seed"] == step0["node"]).all()
 
