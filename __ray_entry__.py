@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_walks": _q_seed_walks,
         "dup_source_matrix": dedup.run_dup_source_matrix,
         "markov_entropy_rate": relational.run_markov_entropy_rate,
+        "walk_visit_rank": _q_walk_visit_rank,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -619,6 +620,14 @@ def _q_seed_walks(sf_dir: str):
     from dude_ray.pipelines.components import run_seed_walks
 
     return run_seed_walks(sf_dir)
+
+
+def _q_walk_visit_rank(sf_dir: str):
+    """Walk-frequency centrality: top pages by visit count across
+    the deterministic seed walks — sampling-based importance."""
+    from dude_ray.pipelines.components import run_walk_visit_rank
+
+    return run_walk_visit_rank(sf_dir)
 
 
 def _q_bowtie_census(sf_dir: str):
@@ -1045,7 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         k_core_oracle_sql, link_components_oracle_sql,
         host_rank_oracle_sql, link_depth_oracle_sql,
         bowtie_census_oracle_sql, host_modularity_oracle_sql,
-        seed_walks_oracle_sql,
+        seed_walks_oracle_sql, walk_visit_rank_oracle_sql,
         link_reciprocity_oracle_sql, link_triangles_oracle_sql,
         seed_coverage_oracle_sql)
     from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
@@ -1112,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_census": bowtie_census_oracle_sql(),
         "host_modularity": host_modularity_oracle_sql(),
         "seed_walks": seed_walks_oracle_sql(),
+        "walk_visit_rank": walk_visit_rank_oracle_sql(),
         "type_day_mi": type_day_mi_oracle_sql(),
         "stationary_types": stationary_types_oracle_sql(),
         "kanon_risk": kanon_risk_oracle_sql(),

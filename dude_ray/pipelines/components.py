@@ -1736,3 +1736,67 @@ def seed_walks_oracle_sql(sf_dir: str | None = None,
         SELECT seed, CAST(step AS BIGINT) AS step, node
         FROM ({union}) ORDER BY seed, step""")
     return "".join(parts)
+
+
+def run_walk_visit_rank(sf_dir: str, length: int = 8, top_k: int = 50,
+                        local_threshold: int = 2_000_000):
+    """Walk-frequency centrality: the ``top_k`` pages by visit count
+    across all deterministic seed walks — the sampling-based
+    importance estimate a node2vec/DeepWalk pipeline consumes
+    (visit frequency from short walks approximates seed-personalized
+    PageRank at a fraction of the power-iteration cost).  Output:
+    (node, n_visits, rank), ties broken by node URL.
+
+    Plan: all the data work is :func:`run_seed_walks` (tiered driver
+    walk / per-step hash join); the visit histogram is a fixed-size
+    per-batch partial + tree merge over ≤ |seeds|·(length+1) rows,
+    and only the bounded top-k leaves the final task.  All integer
+    counts."""
+    from dude_ray.pipelines.relational import tree_combine
+
+    walks = run_seed_walks(sf_dir, length=length,
+                           local_threshold=local_threshold)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"node": t["node"]})
+             .group_by(["node"]).aggregate([([], "count_all")]))
+        return pa.table({"node": g["node"],
+                         "n_visits": pc.cast(g["count_all"],
+                                             pa.int64())})
+
+    merged = tree_combine(
+        walks.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=65536),
+        ["node"], sums=("n_visits",))
+
+    def _top(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["n_visits", "node"],
+                           ascending=[False, True])
+              .head(top_k).reset_index(drop=True))
+        return pa.table({
+            "node": pa.array(df["node"], type=pa.string()),
+            "n_visits": pa.array(df["n_visits"].astype("int64")),
+            "rank": pa.array(np.arange(1, len(df) + 1,
+                                       dtype=np.int64))})
+
+    return merged.repartition(1).map_batches(
+        _top, batch_format="pyarrow", batch_size=None)
+
+
+def walk_visit_rank_oracle_sql(sf_dir: str | None = None,
+                               length: int = 8,
+                               top_k: int = 50) -> str:
+    """DuckDB oracle for :func:`run_walk_visit_rank`: the unrolled
+    walk of :func:`seed_walks_oracle_sql` as a derived table, counted
+    and ranked with the identical tiebreak."""
+    inner = seed_walks_oracle_sql(sf_dir, length=length)
+    return f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS n_visits,
+               CAST(row_number() OVER (
+                   ORDER BY count(*) DESC, node ASC) AS BIGINT) AS rank
+        FROM ({inner})
+        GROUP BY node
+        QUALIFY rank <= {top_k}
+        ORDER BY rank
+    """

@@ -315,3 +315,30 @@ def test_seed_walks_local_oracle(ray_session):
             if prev is not None:
                 assert (prev, row["node"]) in eset
             prev = row["node"]
+
+
+def test_walk_visit_rank_local_oracle(ray_session):
+    """Walk-frequency top-k equals the DuckDB unrolled-walk recompute
+    at sf0.001; the visit total reconciles with the walk row count
+    and ranks are dense from 1."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.components import (run_seed_walks,
+                                               run_walk_visit_rank,
+                                               walk_visit_rank_oracle_sql)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(walk_visit_rank_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    got = run_walk_visit_rank(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    n_walk_rows = len(run_seed_walks(sf).to_pandas())
+    # top-k covers all nodes at this scale (fewer distinct than k)
+    if len(got) < 50:
+        assert int(got["n_visits"].sum()) == n_walk_rows
