@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_source_matrix": dedup.run_dup_source_matrix,
         "markov_entropy_rate": relational.run_markov_entropy_rate,
         "walk_visit_rank": _q_walk_visit_rank,
+        "funnel_latency": relational.run_funnel_latency,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -1062,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
                                                type_day_mi_oracle_sql,
                                                stationary_types_oracle_sql,
                                                markov_entropy_rate_oracle_sql,
+                                               funnel_latency_oracle_sql,
                                                kanon_risk_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
@@ -1126,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "stationary_types": stationary_types_oracle_sql(),
         "kanon_risk": kanon_risk_oracle_sql(),
         "markov_entropy_rate": markov_entropy_rate_oracle_sql(),
+        "funnel_latency": funnel_latency_oracle_sql(),
         "zipf_fit": zipf_fit_oracle_sql(),
         "burrows_delta": burrows_delta_oracle_sql(),
         "keyness_llr": keyness_llr_oracle_sql(),

@@ -6726,3 +6726,95 @@ def markov_entropy_rate_oracle_sql(iters: int = 8) -> str:
                round(exp(-sum(q.v * c.p * ln(c.p))), 6) AS perplexity
         FROM pcell c JOIN pi{iters} q ON q.t = c.i
     """
+
+
+def run_funnel_latency(sf_dir: str, ps=(0.5, 0.9, 0.99),
+                       users_per_group: int | None = None):
+    """EXACT conversion-latency percentiles of the view→purchase
+    funnel: one row (n_users, min_s, p50_s, p90_s, p99_s, max_s) over
+    each converting user's first-view → first-following-purchase
+    delay, COARSENED TO WHOLE SECONDS (``delay_us // 1e6``) — the SLA
+    curve a growth team reads next to :func:`run_event_funnel`'s
+    per-user rows.
+
+    Plan (the 100 TB shape): the per-user delays come from the funnel
+    kernel (filter-before-shuffle, one user-bucket hash partition);
+    the percentile machinery is :func:`run_doclen_percentiles`'s
+    mergeable value-histogram + cumulative-rank selection — exact
+    because the second-grain domain is bounded by the dataset's time
+    span, which is what keeps the merged histogram fixed-size no
+    matter how many users convert.  All integer arithmetic; the rank
+    contract is the shared ceil(p·n) smallest-value rule."""
+    funnel = run_event_funnel(sf_dir, users_per_group=users_per_group)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["delay_us"], pa.float64()), 1e6)), pa.int64())
+        tt = pa.table({"delay_s": s,
+                       "n": pa.array(np.ones(len(t), dtype=np.int64))})
+        g = tt.group_by(["delay_s"]).aggregate([("n", "sum")])
+        return pa.table({"delay_s": g["delay_s"], "n": g["n_sum"]})
+
+    hist = tree_combine(
+        funnel.map_batches(_hist, batch_format="pyarrow",
+                           batch_size=65536),
+        ["delay_s"], sums=("n",))
+
+    def _quantiles(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "v": batch["delay_s"].to_numpy(zero_copy_only=False),
+            "n": batch["n"].to_numpy(zero_copy_only=False),
+        }).sort_values("v")
+        cum = df["n"].cumsum().to_numpy()
+        vals = df["v"].to_numpy()
+        total = int(cum[-1]) if len(cum) else 0
+        cols = {"n_users": pa.array([total], type=pa.int64()),
+                "min_s": pa.array([int(vals[0]) if total else 0],
+                                  type=pa.int64())}
+        for p in ps:
+            rank = int(np.ceil(p * total)) if total else 0
+            val = (int(vals[np.searchsorted(cum, rank, side="left")])
+                   if total else 0)
+            cols[f"p{int(p * 100)}_s"] = pa.array([val],
+                                                  type=pa.int64())
+        cols["max_s"] = pa.array([int(vals[-1]) if total else 0],
+                                 type=pa.int64())
+        return pa.table(cols)
+
+    return hist.repartition(1).map_batches(
+        _quantiles, batch_format="pyarrow", batch_size=None)
+
+
+def funnel_latency_oracle_sql(ps=(0.5, 0.9, 0.99)) -> str:
+    """DuckDB oracle for :func:`run_funnel_latency`: the funnel join
+    recomputed, second-grain floor, row_number rank arithmetic with
+    the shared ceil(p·n) contract."""
+    pcols = ",\n               ".join(
+        f"max(CASE WHEN rn = CAST(ceil({p} * n) AS BIGINT) "
+        f"THEN delay_s END) AS p{int(p * 100)}_s" for p in ps)
+    return f"""
+        WITH f AS (
+            SELECT user_id, min(epoch_us(ts)) AS first_view_us
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) >= f.first_view_us
+            GROUP BY e.user_id
+        ), d AS (
+            SELECT CAST(floor((p.first_purchase_us - f.first_view_us)
+                              / 1000000.0) AS BIGINT) AS delay_s
+            FROM f JOIN p ON f.user_id = p.user_id
+        ), ranked AS (
+            SELECT delay_s,
+                   row_number() OVER (ORDER BY delay_s) AS rn,
+                   count(*) OVER () AS n
+            FROM d
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(min(delay_s) AS BIGINT) AS min_s,
+               {pcols},
+               CAST(max(delay_s) AS BIGINT) AS max_s
+        FROM ranked
+    """

@@ -3499,3 +3499,29 @@ def test_markov_entropy_rate_local_oracle(ray_session):
     k = int(got["n_types"].iloc[0])
     assert 0.0 <= h <= math.log(k) + 1e-9
     assert abs(got["perplexity"].iloc[0] - math.exp(h)) < 1e-3
+
+
+def test_funnel_latency_local_oracle(ray_session):
+    """The conversion-latency percentile row equals the DuckDB rank
+    recompute at sf0.001; percentiles are monotone between min and
+    max and n_users matches the funnel row count."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (funnel_latency_oracle_sql,
+                                               run_event_funnel,
+                                               run_funnel_latency)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = (con.execute(funnel_latency_oracle_sql()).df()
+            .reset_index(drop=True))
+    got = run_funnel_latency(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    r = got.iloc[0]
+    assert (r["min_s"] <= r["p50_s"] <= r["p90_s"] <= r["p99_s"]
+            <= r["max_s"])
+    assert int(r["n_users"]) == len(run_event_funnel(sf).to_pandas())
