@@ -761,6 +761,14 @@ def run_bench() -> dict:
     relational.run_markov_entropy_rate(SF_DIR).materialize()
     timings["markov_entropy_rate"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    components.run_walk_visit_rank(SF_DIR).materialize()
+    timings["walk_visit_rank"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.run_funnel_latency(SF_DIR).materialize()
+    timings["funnel_latency"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds
