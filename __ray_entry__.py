@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy_rate": relational.run_markov_entropy_rate,
         "walk_visit_rank": _q_walk_visit_rank,
         "funnel_latency": relational.run_funnel_latency,
+        "basket_pairs": relational.run_basket_pairs,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -1064,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
                                                stationary_types_oracle_sql,
                                                markov_entropy_rate_oracle_sql,
                                                funnel_latency_oracle_sql,
+                                               basket_pairs_oracle_sql,
                                                kanon_risk_oracle_sql)
     from dude_ray.pipelines.bpe import (bpe_encode_oracle_sql,
                                         bpe_train_oracle_sql)
@@ -1129,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "kanon_risk": kanon_risk_oracle_sql(),
         "markov_entropy_rate": markov_entropy_rate_oracle_sql(),
         "funnel_latency": funnel_latency_oracle_sql(),
+        "basket_pairs": basket_pairs_oracle_sql(),
         "zipf_fit": zipf_fit_oracle_sql(),
         "burrows_delta": burrows_delta_oracle_sql(),
         "keyness_llr": keyness_llr_oracle_sql(),

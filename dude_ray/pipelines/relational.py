@@ -6818,3 +6818,92 @@ def funnel_latency_oracle_sql(ps=(0.5, 0.9, 0.99)) -> str:
                CAST(max(delay_s) AS BIGINT) AS max_s
         FROM ranked
     """
+
+
+def run_basket_pairs(sf_dir: str, top_k: int = 100,
+                     target_rows_per_group: int = 65536):
+    """Market-basket pairs over the order lines: the ``top_k`` part
+    pairs most often ordered TOGETHER (same orderkey), ranked by
+    exact co-order count — the classic retail affinity table
+    (:func:`run_type_lift`'s relational sibling, keyed on parts
+    instead of event types).  Output: (part_a < part_b, n_orders,
+    rank).
+
+    Plan (the 100 TB shape): ONE data-scaled hash reduce keyed on
+    the ORDER colocates each order's distinct parts and emits its
+    PRE-COUNTED pairs (per-order line count is bounded — TPC-H ≤ 7 —
+    so the d² fan-out is a constant per order, the run_cocitation
+    argument); pair counts tree-merge before the bounded top-k.
+    All integer counts; ties break on (part_a, part_b)."""
+    from dude_ray.partitioning import hash_grouped_reduce
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = ds.count()
+
+    def _dd(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _ok, grp in df.groupby("l_orderkey", sort=False):
+            parts = np.unique(grp["l_partkey"].to_numpy())
+            if len(parts) < 2:
+                continue
+            iu, iv = np.triu_indices(len(parts), 1)
+            outs.append(pd.DataFrame({
+                "part_a": parts[iu], "part_b": parts[iv],
+                "n": np.ones(len(iu), dtype=np.int64)}))
+        if not outs:
+            return pd.DataFrame({"part_a": pd.Series(dtype="int64"),
+                                 "part_b": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        out = pd.concat(outs)
+        return (out.groupby(["part_a", "part_b"], sort=False)["n"]
+                .sum().reset_index())
+
+    pair_partials = hash_grouped_reduce(
+        ds.map_batches(_dd, batch_format="pyarrow", batch_size=65536),
+        "l_orderkey", _pairs, n_rows, target_rows_per_group,
+        out_cols=("part_a", "part_b", "n"))
+    counts = tree_combine(pair_partials, ["part_a", "part_b"],
+                          sums=("n",))
+
+    def _top(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["n", "part_a", "part_b"],
+                           ascending=[False, True, True])
+              .head(top_k).reset_index(drop=True))
+        return pa.table({
+            "part_a": pa.array(df["part_a"].astype("int64")),
+            "part_b": pa.array(df["part_b"].astype("int64")),
+            "n_orders": pa.array(df["n"].astype("int64")),
+            "rank": pa.array(np.arange(1, len(df) + 1,
+                                       dtype=np.int64))})
+
+    return counts.repartition(1).map_batches(
+        _top, batch_format="pyarrow", batch_size=None)
+
+
+def basket_pairs_oracle_sql(top_k: int = 100) -> str:
+    """DuckDB oracle for :func:`run_basket_pairs` (distinct-line
+    self-join with the identical count/tiebreak ranking)."""
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pr AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, CAST(n AS BIGINT) AS n_orders,
+               CAST(row_number() OVER (
+                   ORDER BY n DESC, part_a ASC, part_b ASC)
+                   AS BIGINT) AS rank
+        FROM pr
+        QUALIFY rank <= {top_k}
+        ORDER BY rank
+    """

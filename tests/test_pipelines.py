@@ -3525,3 +3525,28 @@ def test_funnel_latency_local_oracle(ray_session):
     assert (r["min_s"] <= r["p50_s"] <= r["p90_s"] <= r["p99_s"]
             <= r["max_s"])
     assert int(r["n_users"]) == len(run_event_funnel(sf).to_pandas())
+
+
+def test_basket_pairs_local_oracle(ray_session):
+    """Top co-ordered part pairs equal the DuckDB self-join recompute
+    at sf0.001 across both hash_grouped_reduce tiers; part_a < part_b
+    and ranks are dense from 1."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.relational import (basket_pairs_oracle_sql,
+                                               run_basket_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = (con.execute(basket_pairs_oracle_sql()).df()
+            .reset_index(drop=True))
+    assert (want["part_a"] < want["part_b"]).all()
+    for trg in (64, 1 << 22):
+        got = (run_basket_pairs(sf, target_rows_per_group=trg)
+               .to_pandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
