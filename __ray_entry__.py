@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_visit_rank": _q_walk_visit_rank,
         "funnel_latency": relational.run_funnel_latency,
         "basket_pairs": relational.run_basket_pairs,
+        "crawl_budget": _q_crawl_budget,
         # -- evicted near-siblings (all hash-matched) ------------------
         "returned_items": relational.run_returned_items,
         "top_supplier": relational.run_top_supplier,
@@ -622,6 +623,14 @@ def _q_seed_walks(sf_dir: str):
     from dude_ray.pipelines.components import run_seed_walks
 
     return run_seed_walks(sf_dir)
+
+
+def _q_crawl_budget(sf_dir: str):
+    """Largest-remainder apportionment of a fixed fetch budget by
+    host PageRank mass — the crawl-scheduler quota table."""
+    from dude_ray.pipelines.components import run_crawl_budget
+
+    return run_crawl_budget(sf_dir)
 
 
 def _q_walk_visit_rank(sf_dir: str):
@@ -1057,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         host_rank_oracle_sql, link_depth_oracle_sql,
         bowtie_census_oracle_sql, host_modularity_oracle_sql,
         seed_walks_oracle_sql, walk_visit_rank_oracle_sql,
+        crawl_budget_oracle_sql,
         link_reciprocity_oracle_sql, link_triangles_oracle_sql,
         seed_coverage_oracle_sql)
     from dude_ray.pipelines.relational import (dau_wau_oracle_sql,
@@ -1126,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "host_modularity": host_modularity_oracle_sql(),
         "seed_walks": seed_walks_oracle_sql(),
         "walk_visit_rank": walk_visit_rank_oracle_sql(),
+        "crawl_budget": crawl_budget_oracle_sql(),
         "type_day_mi": type_day_mi_oracle_sql(),
         "stationary_types": stationary_types_oracle_sql(),
         "kanon_risk": kanon_risk_oracle_sql(),

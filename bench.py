@@ -773,6 +773,10 @@ def run_bench() -> dict:
     relational.run_basket_pairs(SF_DIR).materialize()
     timings["basket_pairs"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    components.run_crawl_budget(SF_DIR).materialize()
+    timings["crawl_budget"] = round(time.time() - t0, 3)
+
     # extract_full re-extracts the same pages the crawl already measured
     # (an informational whole-corpus number) — excluded from the total
     # so "value" stays comparable across rounds

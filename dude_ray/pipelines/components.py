@@ -1800,3 +1800,85 @@ def walk_visit_rank_oracle_sql(sf_dir: str | None = None,
         QUALIFY rank <= {top_k}
         ORDER BY rank
     """
+
+
+def run_crawl_budget(sf_dir: str, budget: int = 10_000,
+                     damping: float = 0.85, iters: int = 6):
+    """Crawl-budget APPORTIONMENT: split a fixed per-cycle fetch
+    budget across hosts proportionally to their PageRank mass using
+    the largest-remainder (Hamilton) method — the scheduler table
+    that turns :func:`run_host_rank` into per-host quotas.  Output:
+    (host, n_pages, host_rank, budget), Σ budget = ``budget``
+    exactly.
+
+    Plan: all the data work is the distributed page-rank kernel +
+    host partial-sum (:func:`run_host_rank`); apportionment runs on
+    the ≤|hosts| table in one final task.
+
+    Float contract: none past host_rank — the 8-dp host mass converts
+    EXACTLY to integer 1e-8 units (it is already rounded to that
+    grid), so quotas, remainders and the deficit ranking are pure
+    int64/object-int arithmetic, bit-equal across engines by
+    construction; remainder ties break by host ASC."""
+    ranks = run_host_rank(sf_dir, damping=damping, iters=iters)
+
+    def _apportion(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().sort_values("host")
+              .reset_index(drop=True))
+        u = np.asarray([int(round(v * 1e8)) for v in df["host_rank"]],
+                       dtype=np.int64)
+        total = int(u.sum())
+        if total <= 0:
+            q = np.zeros(len(u), dtype=np.int64)
+        else:
+            prod = u.astype(object) * budget
+            q = np.asarray([int(p // total) for p in prod],
+                           dtype=np.int64)
+            rem = np.asarray([int(p % total) for p in prod],
+                             dtype=np.int64)
+            deficit = budget - int(q.sum())
+            order = np.lexsort(
+                (df["host"].to_numpy(), -rem))  # rem DESC, host ASC
+            q[order[:deficit]] += 1
+        return pa.table({
+            "host": pa.array(df["host"], type=pa.string()),
+            "n_pages": pa.array(df["n_pages"].astype("int64")),
+            "host_rank": pa.array(df["host_rank"],
+                                  type=pa.float64()),
+            "budget": pa.array(q)})
+
+    return ranks.repartition(1).map_batches(
+        _apportion, batch_format="pyarrow", batch_size=None).sort("host")
+
+
+def crawl_budget_oracle_sql(sf_dir: str | None = None,
+                            budget: int = 10_000,
+                            damping: float = 0.85,
+                            iters: int = 6) -> str:
+    """DuckDB oracle for :func:`run_crawl_budget`: the host_rank
+    chain as a CTE, exact 1e-8-unit integers, floor quotas and the
+    same (remainder DESC, host ASC) largest-remainder bonus."""
+    inner = host_rank_oracle_sql(sf_dir, damping=damping, iters=iters)
+    return f"""
+        WITH hr AS MATERIALIZED ({inner}),
+        u AS (
+            SELECT host, n_pages, host_rank,
+                   CAST(round(host_rank * 100000000) AS HUGEINT) AS u
+            FROM hr),
+        tot AS (SELECT sum(u) AS t FROM u),
+        q AS (
+            SELECT host, n_pages, host_rank,
+                   CAST(({budget} * u) // tot.t AS BIGINT) AS quota,
+                   ({budget} * u) % tot.t AS rem
+            FROM u, tot),
+        d AS (SELECT {budget} - sum(quota) AS deficit FROM q),
+        b AS (
+            SELECT host, n_pages, host_rank, quota,
+                   row_number() OVER (
+                       ORDER BY rem DESC, host ASC) AS rn
+            FROM q)
+        SELECT host, n_pages, host_rank,
+               CAST(quota + CASE WHEN rn <= (SELECT deficit FROM d)
+                            THEN 1 ELSE 0 END AS BIGINT) AS budget
+        FROM b ORDER BY host
+    """

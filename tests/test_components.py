@@ -342,3 +342,28 @@ def test_walk_visit_rank_local_oracle(ray_session):
     # top-k covers all nodes at this scale (fewer distinct than k)
     if len(got) < 50:
         assert int(got["n_visits"].sum()) == n_walk_rows
+
+
+def test_crawl_budget_local_oracle(ray_session):
+    """The Hamilton apportionment equals the DuckDB recompute at
+    sf0.001; quotas sum EXACTLY to the budget and are monotone in
+    rank mass up to the +1 remainder bonus."""
+    import duckdb
+    import pandas as pd
+
+    from dude_ray.pipelines.components import (crawl_budget_oracle_sql,
+                                               run_crawl_budget)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(crawl_budget_oracle_sql(sf)).df()
+            .reset_index(drop=True))
+    got = run_crawl_budget(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert int(got["budget"].sum()) == 10_000
+    by_rank = got.sort_values("host_rank", ascending=False)
+    assert (by_rank["budget"].to_numpy()[:-1]
+            - by_rank["budget"].to_numpy()[1:] >= -1).all()
